@@ -1,0 +1,112 @@
+"""Euler DG residual tests: free-stream preservation, conservation, and
+spatial convergence on the isentropic vortex (the role of the reference's
+MMS RHS tests, test/mms.euler_2d.test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tps_tpu.dg.discretization import build_tables
+from tps_tpu.dg.fluxes import Fluxes
+from tps_tpu.dg.rhs import RHSContext, compute_rhs
+from tps_tpu.dg.riemann import Roe, Rusanov
+from tps_tpu.mesh.generators import box_2d, box_3d
+from tps_tpu.physics.gas import DryAir
+from tps_tpu.utils.cases import isentropic_vortex, uniform_state
+
+
+def euler_ctx(mix, riemann="rusanov"):
+    fl = Fluxes(mixture=mix, transport=None, eq_system="euler")
+    rs = Rusanov(fl) if riemann == "rusanov" else Roe(fl)
+    return RHSContext(fluxes=fl, riemann=rs, bcs=())
+
+
+def jit_rhs(ctx):
+    return jax.jit(lambda tab, U: compute_rhs(ctx, tab, U))
+
+
+def test_freestream_preservation_2d():
+    mix = DryAir(dim=2, nvel=2)
+    mesh = box_2d(5, 4, periodic_x=True, periodic_y=True)
+    tab = build_tables(mesh, order=3).to_jax(jnp.float64)
+    Up = uniform_state(tab.xyz_dof, mix, 1.2, (30.0, -10.0), 300.0)
+    U = mix.conservatives(Up)
+    y, aux = jit_rhs(euler_ctx(mix))(tab, U)
+    scale = float(jnp.abs(U).max())
+    assert float(jnp.abs(y).max()) / scale < 1e-10
+    assert aux["max_char_speed"] > 0
+
+
+def test_freestream_preservation_3d():
+    mix = DryAir(dim=3, nvel=3)
+    mesh = box_3d(3, 3, 3, periodic=(True, True, True))
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    Up = uniform_state(tab.xyz_dof, mix, 1.0, (10.0, 5.0, -3.0), 280.0)
+    U = mix.conservatives(Up)
+    y, _ = jit_rhs(euler_ctx(mix))(tab, U)
+    scale = float(jnp.abs(U).max())
+    assert float(jnp.abs(y).max()) / scale < 1e-10
+
+
+def test_conservation_periodic():
+    """Integral of dU/dt must vanish on a periodic domain."""
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    mesh = box_2d(8, 8, x1=10.0, y1=10.0, periodic_x=True, periodic_y=True)
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    Up = isentropic_vortex(tab.xyz_dof, 0.0, mix)
+    U = mix.conservatives(Up)
+    y, _ = jit_rhs(euler_ctx(mix))(tab, U)
+    # integrate y against 1: sum_e sum_q w_q detJ (B y)_q
+    yq = jnp.einsum("qd,nde->nqe", tab.Bvol, y)
+    total = jnp.einsum("q,nq,nqe->e", tab.wq, tab.detJ, yq)
+    assert float(jnp.abs(total).max()) < 1e-10
+
+
+@pytest.mark.parametrize("riemann", ["rusanov", "roe"])
+def test_vortex_rhs_convergence(riemann):
+    """RHS error vs exact advection derivative converges with resolution."""
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    errs = []
+    for n in (8, 16, 32):
+        mesh = box_2d(n, n, x1=10.0, y1=10.0, periodic_x=True, periodic_y=True)
+        tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+        xy = tab.xyz_dof
+        Up = isentropic_vortex(xy, 0.0, mix)
+        U = mix.conservatives(Up)
+        y, _ = jit_rhs(euler_ctx(mix, riemann))(tab, U)
+        # exact dU/dt = -(u_inf . grad) U: finite-difference in t of exact state
+        eps = 1e-6
+        Up_p = isentropic_vortex(xy, eps, mix)
+        Up_m = isentropic_vortex(xy, -eps, mix)
+        dUdt = (mix.conservatives(Up_p) - mix.conservatives(Up_m)) / (2 * eps)
+        errs.append(float(jnp.sqrt(jnp.mean((y - dUdt) ** 2))))
+    r1 = np.log2(errs[0] / errs[1])
+    r2 = np.log2(errs[1] / errs[2])
+    # The pointwise RHS residual of nodal DG converges at order p (the
+    # SOLUTION superconverges at p+1; see test_vortex_time_integration).
+    assert r2 > 1.8, (errs, r1, r2)
+
+
+def test_vortex_time_integration():
+    """Advect the vortex one period-ish and compare against the exact state."""
+    from tps_tpu.time.integrators import rk4
+
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    mesh = box_2d(16, 16, x1=10.0, y1=10.0, periodic_x=True, periodic_y=True)
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    ctx = euler_ctx(mix)
+    xy = tab.xyz_dof
+    U = mix.conservatives(isentropic_vortex(xy, 0.0, mix))
+
+    rhs_fn = lambda u, t: compute_rhs(ctx, tab, u, t)
+    step = jax.jit(lambda u, t, dt: rk4(rhs_fn, u, t, dt)[0])
+
+    t, dt, t_end = 0.0, 0.02, 1.0
+    nsteps = int(round(t_end / dt))
+    for _ in range(nsteps):
+        U = step(U, t, dt)
+        t += dt
+    Uex = mix.conservatives(isentropic_vortex(xy, t, mix))
+    err = float(jnp.sqrt(jnp.mean((U - Uex) ** 2)))
+    assert err < 5e-3, err

@@ -1,0 +1,324 @@
+"""DG discretization tables: the static data driving all DG operators.
+
+Setup runs once in numpy on the host and produces dense, element-batched
+tables (basis matrices, metric factors, face gather/scatter index maps).
+The runtime operators are then pure gather -> pointwise -> matmul pipelines
+over these tables, which is the TPU-native replacement for the reference's
+precomputed GPU indirection arrays (reference: src/M2ulPhyS.cpp:816-1487,
+src/dataStructures.hpp:297-506).
+
+Design notes
+------------
+* Faces are stored as one array: interior faces first, boundary faces after.
+  Side L is the element whose trace ordering defines the face quadrature
+  ordering; side R traces are aligned to it with a per-face point permutation
+  (computed at setup by physical-coordinate matching, which also handles
+  periodic gluing via shift vectors).
+* Scatter-back to element residuals is expressed as a *gather*: every
+  (element, local face) slot knows which face feeds it, the orientation
+  permutation, and its side sign.  This keeps the runtime free of
+  scatter-add races and XLA-friendly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import numpy as np
+
+from ..mesh.mesh import FaceInfo, Mesh
+from ..mesh.reference_element import ReferenceElement, gauss_legendre_1d
+
+
+def _face_quad_1d(nqf1d: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Tensor GL rule on the face parameter domain [0,1]^(dim-1)."""
+    x, w = gauss_legendre_1d(nqf1d)
+    if dim == 2:
+        return x[:, None], w
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    W = np.outer(w, w)
+    pts = np.stack([X.ravel(order="F"), Y.ravel(order="F")], axis=-1)
+    return pts, W.ravel(order="F")
+
+
+@dataclass
+class DGTables:
+    """All static arrays for one single-element-type DG discretization.
+
+    Arrays are numpy float64/int32; convert per-precision with `to_jax`.
+    """
+
+    # --- sizes / metadata (static) ---
+    dim: int
+    order: int
+    ne: int
+    ndof: int
+    nq: int  # volume quadrature points
+    nlf: int  # local faces per element
+    nqf: int  # quadrature points per face
+    nfi: int  # interior faces
+    nfb: int  # boundary faces
+
+    # --- volume operators ---
+    Bvol: np.ndarray  # [nq, ndof] basis values at volume quad pts
+    Gvol: np.ndarray  # [nq, ndof, dim] reference-space gradients
+    wq: np.ndarray  # [nq]
+    adjJ: np.ndarray  # [ne, nq, dim, dim] adj(J) = detJ * J^{-1}
+    detJ: np.ndarray  # [ne, nq]
+    Minv: np.ndarray  # [ne, ndof, ndof]
+    xyz_dof: np.ndarray  # [ne, ndof, dim]
+    delta: np.ndarray  # [ne] element length scale / order (SGS delta)
+
+    # --- trace operator (all local faces stacked: row lf*nqf+q) ---
+    Btr: np.ndarray  # [nlf*nqf, ndof]
+
+    # --- face arrays: interior faces [0, nfi), boundary faces [nfi, nft) ---
+    f_elem_l: np.ndarray  # [nft]
+    f_slot_l: np.ndarray  # [nft] local face id on side L
+    f_elem_r: np.ndarray  # [nfi]
+    f_slot_r: np.ndarray  # [nfi]
+    f_qperm_r: np.ndarray  # [nfi, nqf]: L-ordered point i is R-ordered point qperm[i]
+    f_nor: np.ndarray  # [nft, nqf, dim] scaled normal (L->R / outward), |n| = surf jac
+    f_wts: np.ndarray  # [nft, nqf] reference face quadrature weights
+    f_xyz: np.ndarray  # [nft, nqf, dim]
+    f_bdr_attr: np.ndarray  # [nfb]
+
+    # --- element-side scatter-back (gather form) ---
+    ef_face: np.ndarray  # [ne, nlf] face index for this slot
+    ef_qmap: np.ndarray  # [ne, nlf, nqf] index into the face's L ordering
+    ef_sign: np.ndarray  # [ne, nlf] +1.0 if side L else -1.0
+
+    # distance function (wall distance) at dofs; zeros if unused
+    distance: np.ndarray | None = None
+
+    @property
+    def nft(self) -> int:
+        return self.nfi + self.nfb
+
+    def to_jax(self, dtype):
+        """Return a JAX pytree copy with float arrays cast to `dtype`."""
+        import jax.numpy as jnp
+
+        out = {}
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                if np.issubdtype(v.dtype, np.floating):
+                    out[f.name] = jnp.asarray(v, dtype=dtype)
+                else:
+                    out[f.name] = jnp.asarray(v)
+            else:
+                out[f.name] = v
+        return DGTables(**out)
+
+
+def _register_dgtables_pytree():
+    import jax
+
+    meta = ["dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb"]
+    data = [f.name for f in fields(DGTables) if f.name not in meta]
+    jax.tree_util.register_dataclass(DGTables, data_fields=data, meta_fields=meta)
+
+
+_register_dgtables_pytree()
+
+
+def build_tables(
+    mesh: Mesh,
+    order: int,
+    basis: str = "gauss-legendre",
+    vol_quad_order: int | None = None,
+    face_quad_order: int | None = None,
+    faces: FaceInfo | None = None,
+) -> DGTables:
+    """Build all DG tables for a mesh (single element type)."""
+    ref = ReferenceElement(geom=mesh.geom, order=order, basis=basis)
+    dim = ref.dim
+    ne = mesh.num_elements
+    ndof = ref.ndof
+    nlf = ref.nfaces
+
+    if vol_quad_order is None:
+        vol_quad_order = 2 * order  # reference: src/domain_integrator.cpp:69
+    if face_quad_order is None:
+        face_quad_order = 2 * order + 1
+
+    # ---- volume quadrature on the reference element ----
+    nq1d = vol_quad_order // 2 + 1
+    xq1, wq1 = gauss_legendre_1d(nq1d)
+    grids = np.meshgrid(*([xq1] * dim), indexing="ij")
+    vol_pts = np.stack([g.ravel(order="F") for g in grids], axis=-1)
+    wgrids = np.meshgrid(*([wq1] * dim), indexing="ij")
+    wq = np.ones(vol_pts.shape[0])
+    for g in wgrids:
+        wq = wq * g.ravel(order="F")
+    nq = vol_pts.shape[0]
+
+    Bvol = ref.eval_basis(vol_pts)  # [nq, ndof]
+    Gvol = ref.eval_basis_grad(vol_pts)  # [nq, ndof, dim]
+
+    # ---- geometry: Jacobians at volume quad points ----
+    elem_verts = mesh.vertices[mesh.elements]  # [ne, nverts, dim]
+    dN = ref.eval_geom_basis_grad(vol_pts)  # [nq, nverts, dim]
+    # J[n, q, i, j] = d x_i / d xi_j
+    J = np.einsum("nvi,qvj->nqij", elem_verts, dN)
+    detJ = np.linalg.det(J)
+    if np.any(detJ <= 0):
+        raise ValueError("non-positive element Jacobians; check orientation")
+    Jinv = np.linalg.inv(J)
+    adjJ = detJ[..., None, None] * Jinv
+
+    # ---- mass matrices (higher quadrature to cover geometry weight) ----
+    mq1d = (2 * order + dim) // 2 + 1
+    xm1, wm1 = gauss_legendre_1d(mq1d)
+    mgrids = np.meshgrid(*([xm1] * dim), indexing="ij")
+    m_pts = np.stack([g.ravel(order="F") for g in mgrids], axis=-1)
+    wmgrids = np.meshgrid(*([wm1] * dim), indexing="ij")
+    wm = np.ones(m_pts.shape[0])
+    for g in wmgrids:
+        wm = wm * g.ravel(order="F")
+    Bm = ref.eval_basis(m_pts)
+    dNm = ref.eval_geom_basis_grad(m_pts)
+    Jm = np.einsum("nvi,qvj->nqij", elem_verts, dNm)
+    detJm = np.linalg.det(Jm)
+    # M[n,i,j] = sum_q w_q B[q,i] B[q,j] detJ[n,q]
+    M = np.einsum("q,qi,qj,nq->nij", wm, Bm, Bm, detJm)
+    Minv = np.linalg.inv(M)
+
+    # ---- dof coordinates & element size ----
+    Ndof = ref.eval_geom_basis(ref.nodes)  # [ndof, nverts]
+    xyz_dof = np.einsum("dv,nvi->ndi", Ndof, elem_verts)
+    center = np.full((1, dim), 0.5)
+    dNc = ref.eval_geom_basis_grad(center)[0]  # [nverts, dim]
+    Jc = np.einsum("nvi,vj->nij", elem_verts, dNc)
+    svals = np.linalg.svd(Jc, compute_uv=False)  # [ne, dim] descending
+    delta = svals[:, -1] / max(order, 1)
+
+    # ---- trace operator ----
+    fq_pts, fq_w = _face_quad_1d(face_quad_order // 2 + 1, dim)
+    nqf = fq_pts.shape[0]
+    Btr = np.zeros((nlf * nqf, ndof))
+    face_ref = np.zeros((nlf, nqf, dim))
+    for lf in range(nlf):
+        rc = ref.face_ref_coords(lf, fq_pts)
+        face_ref[lf] = rc
+        Btr[lf * nqf : (lf + 1) * nqf] = ref.eval_basis(rc)
+
+    # physical coords of face quad points for every (elem, local face)
+    Ngf = np.stack([ref.eval_geom_basis(face_ref[lf]) for lf in range(nlf)])  # [nlf,nqf,nverts]
+    # [ne, nlf, nqf, dim]
+    fq_xyz_all = np.einsum("lqv,nvi->nlqi", Ngf, elem_verts)
+
+    # face normals (scaled by surface jacobian) for every (elem, lf), outward
+    elem_centers = elem_verts.mean(axis=1)  # [ne, dim]
+    nor_all = np.zeros((ne, nlf, nqf, dim))
+    for lf in range(nlf):
+        tang_ref = ref.face_ref_tangents(lf, fq_pts)  # [nqf, dim, dim-1]
+        dNf = ref.eval_geom_basis_grad(face_ref[lf])  # [nqf, nverts, dim]
+        Jf = np.einsum("nvi,qvj->nqij", elem_verts, dNf)  # [ne,nqf,dim,dim]
+        # physical tangents: Jf @ tang_ref
+        tph = np.einsum("nqij,qjk->nqik", Jf, tang_ref)  # [ne,nqf,dim,dim-1]
+        if dim == 2:
+            tx = tph[..., 0, 0]
+            ty = tph[..., 1, 0]
+            nor = np.stack([ty, -tx], axis=-1)
+        else:
+            nor = np.cross(tph[..., 0], tph[..., 1])
+        # orient outward from the element
+        outward = fq_xyz_all[:, lf].mean(axis=1) - elem_centers  # [ne, dim]
+        sgn = np.sign(np.einsum("nqi,ni->n", nor, outward))
+        sgn[sgn == 0] = 1.0
+        nor_all[:, lf] = nor * sgn[:, None, None]
+
+    # ---- face topology ----
+    if faces is None:
+        faces = mesh.build_faces()
+    # sort boundary faces by attribute so each BC patch is a static slice
+    if len(faces.bdr_elem):
+        bsort = np.argsort(faces.bdr_attr, kind="stable")
+        faces.bdr_elem = faces.bdr_elem[bsort]
+        faces.bdr_lf = faces.bdr_lf[bsort]
+        faces.bdr_attr = faces.bdr_attr[bsort]
+    nfi = len(faces.int_elem_l)
+    nfb = len(faces.bdr_elem)
+    nft = nfi + nfb
+
+    f_elem_l = np.concatenate([faces.int_elem_l, faces.bdr_elem]).astype(np.int32)
+    f_slot_l = np.concatenate([faces.int_lf_l, faces.bdr_lf]).astype(np.int32)
+    f_elem_r = faces.int_elem_r.astype(np.int32)
+    f_slot_r = faces.int_lf_r.astype(np.int32)
+    f_bdr_attr = faces.bdr_attr.astype(np.int32)
+
+    f_nor = nor_all[f_elem_l, f_slot_l]  # [nft, nqf, dim] in L ordering
+    f_xyz = fq_xyz_all[f_elem_l, f_slot_l]
+    f_wts = np.broadcast_to(fq_w, (nft, nqf)).copy()
+
+    # ---- R-side point permutations by coordinate matching ----
+    f_qperm_r = np.zeros((nfi, nqf), dtype=np.int32)
+    if nfi:
+        xl = f_xyz[:nfi] + faces.int_shift[:, None, :]  # L coords shifted to R frame
+        xr = fq_xyz_all[f_elem_r, f_slot_r]  # [nfi, nqf, dim] R ordering
+        d2 = np.sum((xl[:, :, None, :] - xr[:, None, :, :]) ** 2, axis=-1)
+        f_qperm_r = np.argmin(d2, axis=-1).astype(np.int32)
+        mind = np.sqrt(np.take_along_axis(d2, f_qperm_r[..., None].astype(np.int64), -1))
+        scale = np.sqrt(np.sum((f_xyz[:nfi].max(axis=1) - f_xyz[:nfi].min(axis=1)) ** 2, -1))
+        if np.any(mind[..., 0] > 1e-8 * np.maximum(scale[:, None], 1.0)):
+            raise ValueError("face quad point matching failed (non-conforming mesh?)")
+        # each permutation must be a bijection
+        if np.any(np.sort(f_qperm_r, axis=1) != np.arange(nqf)[None, :]):
+            raise ValueError("face point permutation is not a bijection")
+
+    # ---- element-side scatter-back tables ----
+    ef_face = np.full((ne, nlf), -1, dtype=np.int32)
+    ef_qmap = np.zeros((ne, nlf, nqf), dtype=np.int32)
+    ef_sign = np.zeros((ne, nlf))
+    identity = np.arange(nqf, dtype=np.int32)
+    for fidx in range(nft):
+        e, lf = int(f_elem_l[fidx]), int(f_slot_l[fidx])
+        ef_face[e, lf] = fidx
+        ef_qmap[e, lf] = identity
+        ef_sign[e, lf] = 1.0
+    inv_perm = np.empty(nqf, dtype=np.int32)
+    for fidx in range(nfi):
+        e, lf = int(f_elem_r[fidx]), int(f_slot_r[fidx])
+        ef_face[e, lf] = fidx
+        # L-ordered point i lives at R-ordered slot qperm[i]; invert
+        inv_perm[f_qperm_r[fidx]] = identity
+        ef_qmap[e, lf] = inv_perm.copy()
+        ef_sign[e, lf] = -1.0
+    if np.any(ef_face < 0):
+        raise ValueError("unassigned (element, local face) slot — topology bug")
+
+    return DGTables(
+        dim=dim,
+        order=order,
+        ne=ne,
+        ndof=ndof,
+        nq=nq,
+        nlf=nlf,
+        nqf=nqf,
+        nfi=nfi,
+        nfb=nfb,
+        Bvol=Bvol,
+        Gvol=Gvol,
+        wq=wq,
+        adjJ=adjJ,
+        detJ=detJ,
+        Minv=Minv,
+        xyz_dof=xyz_dof,
+        delta=delta,
+        Btr=Btr,
+        f_elem_l=f_elem_l,
+        f_slot_l=f_slot_l,
+        f_elem_r=f_elem_r,
+        f_slot_r=f_slot_r,
+        f_qperm_r=f_qperm_r,
+        f_nor=f_nor,
+        f_wts=f_wts,
+        f_xyz=f_xyz,
+        f_bdr_attr=f_bdr_attr,
+        ef_face=ef_face,
+        ef_qmap=ef_qmap,
+        ef_sign=ef_sign,
+        distance=None,
+    )

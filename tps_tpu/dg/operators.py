@@ -1,0 +1,120 @@
+"""Core DG operator pipeline: trace interpolation, face gather/scatter,
+weak divergence, DG gradients, inverse mass.
+
+These are the TPU-native counterparts of the reference's GPU kernel sweeps
+(reference: src/dgNonlinearForm.cpp interpFaceData/evalFaceFlux/faceIntegration,
+src/gradients.cpp computeGradients) expressed as batched matmuls (MXU) and
+static gathers: trace = one [nlf*nqf, ndof] matmul over the element batch,
+face alignment = flat takes with precomputed index maps, scatter-back = one
+transposed matmul.  No dynamic shapes, no scatter-adds.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def elem_traces(tab, X):
+    """Interpolate element dof data to all local-face quadrature points.
+
+    X: [ne, ndof, k] -> [ne, nlf*nqf, k]
+    """
+    return jnp.einsum("fd,ndk->nfk", tab.Btr, X)
+
+
+def face_gather(tab, Xtr):
+    """Gather both sides of every face from stacked traces.
+
+    Xtr: [ne, nlf*nqf, k] (from elem_traces)
+    Returns XL [nft, nqf, k] (interior then boundary) and XR [nfi, nqf, k],
+    with XR aligned to the L-side quadrature-point ordering.
+    """
+    ne = Xtr.shape[0]
+    k = Xtr.shape[-1]
+    nqf = tab.nqf
+    flat = Xtr.reshape(ne * tab.nlf, nqf, k)
+    XL = flat[tab.f_elem_l * tab.nlf + tab.f_slot_l]
+    XRr = flat[tab.f_elem_r * tab.nlf + tab.f_slot_r]  # R's own ordering
+    XR = jnp.take_along_axis(XRr, tab.f_qperm_r[..., None], axis=1)
+    return XL, XR
+
+
+def face_scatter_gather(tab, Fq):
+    """Map per-face quadrature data back to (element, local face) slots.
+
+    Fq: [nft, nqf, k] in each face's L ordering.
+    Returns Fel [ne, nlf*nqf, k] re-ordered into each element's own trace
+    ordering (no side sign applied; see tab.ef_sign).
+    """
+    k = Fq.shape[-1]
+    flat = Fq.reshape(tab.nft * tab.nqf, k)
+    gidx = tab.ef_face[..., None] * tab.nqf + tab.ef_qmap  # [ne, nlf, nqf]
+    out = flat[gidx.reshape(tab.ne, tab.nlf * tab.nqf)]
+    return out
+
+
+def trace_transpose(tab, Fel):
+    """Accumulate face-point data into element residuals: B_tr^T apply.
+
+    Fel: [ne, nlf*nqf, k] -> [ne, ndof, k]
+    """
+    return jnp.einsum("fd,nfk->ndk", tab.Btr, Fel)
+
+
+def volume_weak_div(tab, Fdof):
+    """Volume term sum_q w_q grad(phi_i) . F, with F given at solution nodes.
+
+    Fdof: [ne, ndof, neq, dim] -> z [ne, ndof, neq]
+    (reference: src/domain_integrator.cpp:45-99 assembled form, applied at
+    rhs_operator.cpp:379-391; here evaluated matrix-free at quad points)
+    """
+    Fq = jnp.einsum("qd,ndek->nqek", tab.Bvol, Fdof)
+    # grad_x(phi_i) detJ = G_ref[q,i,k] adjJ[q,k,d]
+    Fk = jnp.einsum("nqkd,nqed->nqek", tab.adjJ, Fq)
+    return jnp.einsum("q,qik,nqek->nie", tab.wq, tab.Gvol, Fk)
+
+
+def apply_minv(tab, Z):
+    """Element-wise inverse mass: [ne, ndof, k] -> [ne, ndof, k]."""
+    return jnp.einsum("nij,njk->nik", tab.Minv, Z)
+
+
+def dg_gradient(tab, Up, bdr_up2=None):
+    """DG gradient of primitives with central face fluxes.
+
+    gradUp = M^-1 [ int phi grad(u) dx + oint phi (mean - u^-) n ds ]
+    (reference: src/gradients.cpp:144-232, src/faceGradientIntegration.cpp:40-140)
+
+    Up: [ne, ndof, neq]
+    bdr_up2: optional [nfb, nqf, neq] exterior primitive state on boundary
+             faces (useBCinGrad); defaults to the interior trace (zero jump).
+    Returns gradUp [ne, ndof, neq, dim].
+    """
+    ne, ndof, neq = Up.shape
+    dim = tab.dim
+
+    # volume: int phi_j du/dx_d = sum_q w_q B[q,j] (G u)_k adjJ[k,d]
+    du_ref = jnp.einsum("qdk,nde->nqek", tab.Gvol, Up)
+    du_phys = jnp.einsum("nqek,nqkd->nqed", du_ref, tab.adjJ)
+    rvol = jnp.einsum("q,qj,nqed->njed", tab.wq, tab.Bvol, du_phys)
+
+    # face central correction
+    Uptr = elem_traces(tab, Up)
+    UL, UR = face_gather(tab, Uptr)
+    if bdr_up2 is None:
+        U2b = UL[tab.nfi :]
+    else:
+        U2b = bdr_up2
+    U2 = jnp.concatenate([UR, U2b], axis=0)  # [nft, nqf, neq]
+    mean_minus_ul = 0.5 * (U2 - UL)
+    # (mean - u^-) n w for BOTH sides equals the same L-ordered value
+    jumpn = (
+        mean_minus_ul[..., :, None]
+        * tab.f_nor[..., None, :]
+        * tab.f_wts[..., None, None]
+    )  # [nft, nqf, neq, dim]
+    Fel = face_scatter_gather(tab, jumpn.reshape(tab.nft, tab.nqf, neq * dim))
+    rface = trace_transpose(tab, Fel).reshape(ne, ndof, neq, dim)
+
+    rhs = rvol + rface
+    return apply_minv(tab, rhs.reshape(ne, ndof, neq * dim)).reshape(ne, ndof, neq, dim)

@@ -1,0 +1,190 @@
+"""Structured mesh generators (Cartesian boxes, stretched beams).
+
+TPU-native equivalents of the reference's test-mesh utilities
+(reference: utils/beam_mesh.cpp, utils/simple_periodic_mesh.cpp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mesh import Mesh
+
+
+def _grid_vertices(xs: list[np.ndarray]) -> np.ndarray:
+    grids = np.meshgrid(*xs, indexing="ij")
+    return np.stack([g.ravel(order="F") for g in grids], axis=-1)
+
+
+def box_2d(
+    nx: int,
+    ny: int,
+    x0: float = 0.0,
+    x1: float = 1.0,
+    y0: float = 0.0,
+    y1: float = 1.0,
+    periodic_x: bool = False,
+    periodic_y: bool = False,
+    x_coords: np.ndarray | None = None,
+    y_coords: np.ndarray | None = None,
+) -> Mesh:
+    """Quad mesh of an axis-aligned rectangle.
+
+    Boundary attributes (MFEM-style, 1-based): 1=bottom, 2=right, 3=top,
+    4=left.
+    """
+    xs = np.linspace(x0, x1, nx + 1) if x_coords is None else np.asarray(x_coords)
+    ys = np.linspace(y0, y1, ny + 1) if y_coords is None else np.asarray(y_coords)
+    nvx, nvy = len(xs), len(ys)
+    verts = _grid_vertices([xs, ys])
+
+    def vid(i, j):
+        return i + nvx * j
+
+    elems = np.empty((nx * ny, 4), dtype=np.int64)
+    k = 0
+    for j in range(ny):
+        for i in range(nx):
+            elems[k] = [vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)]
+            k += 1
+
+    bdr_faces, bdr_attrs = [], []
+    for i in range(nx):  # bottom (attr 1), top (attr 3)
+        bdr_faces.append((vid(i, 0), vid(i + 1, 0)))
+        bdr_attrs.append(1)
+        bdr_faces.append((vid(i, nvy - 1), vid(i + 1, nvy - 1)))
+        bdr_attrs.append(3)
+    for j in range(ny):  # right (attr 2), left (attr 4)
+        bdr_faces.append((vid(nvx - 1, j), vid(nvx - 1, j + 1)))
+        bdr_attrs.append(2)
+        bdr_faces.append((vid(0, j), vid(0, j + 1)))
+        bdr_attrs.append(4)
+
+    bdr_faces = np.asarray(bdr_faces, dtype=np.int64)
+    bdr_attrs = np.asarray(bdr_attrs, dtype=np.int64)
+
+    periodic_pairs = []
+    if periodic_x:
+        Lx = xs[-1] - xs[0]
+        left = {}
+        right = {}
+        for idx, (f, a) in enumerate(zip(bdr_faces, bdr_attrs)):
+            if a == 4:
+                jmin = min(f) // nvx
+                left[jmin] = idx
+            elif a == 2:
+                jmin = min(f) // nvx
+                right[jmin] = idx
+        for j in left:
+            periodic_pairs.append((right[j], left[j], np.array([-Lx, 0.0])))
+    if periodic_y:
+        Ly = ys[-1] - ys[0]
+        bot = {}
+        top = {}
+        for idx, (f, a) in enumerate(zip(bdr_faces, bdr_attrs)):
+            if a == 1:
+                bot[min(f) % nvx] = idx
+            elif a == 3:
+                top[min(f) % nvx] = idx
+        for i in bot:
+            periodic_pairs.append((top[i], bot[i], np.array([0.0, -Ly])))
+
+    return Mesh(
+        dim=2,
+        geom="quad",
+        vertices=verts,
+        elements=elems,
+        bdr_faces=bdr_faces,
+        bdr_attrs=bdr_attrs,
+        periodic_pairs=periodic_pairs,
+    )
+
+
+def box_3d(
+    nx: int,
+    ny: int,
+    nz: int,
+    bounds=((0.0, 1.0), (0.0, 1.0), (0.0, 1.0)),
+    periodic=(False, False, False),
+) -> Mesh:
+    """Hex mesh of an axis-aligned box.
+
+    Boundary attributes: 1=x-min, 2=x-max, 3=y-min, 4=y-max, 5=z-min, 6=z-max.
+    """
+    (x0, x1), (y0, y1), (z0, z1) = bounds
+    xs = np.linspace(x0, x1, nx + 1)
+    ys = np.linspace(y0, y1, ny + 1)
+    zs = np.linspace(z0, z1, nz + 1)
+    nvx, nvy, nvz = len(xs), len(ys), len(zs)
+    verts = _grid_vertices([xs, ys, zs])
+
+    def vid(i, j, k):
+        return i + nvx * (j + nvy * k)
+
+    elems = np.empty((nx * ny * nz, 8), dtype=np.int64)
+    c = 0
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                elems[c] = [
+                    vid(i, j, k), vid(i + 1, j, k), vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                    vid(i, j, k + 1), vid(i + 1, j, k + 1), vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1),
+                ]
+                c += 1
+
+    bdr_faces, bdr_attrs = [], []
+
+    def quad_face(vids, attr):
+        bdr_faces.append(tuple(vids))
+        bdr_attrs.append(attr)
+
+    for j in range(ny):
+        for k in range(nz):
+            quad_face((vid(0, j, k), vid(0, j + 1, k), vid(0, j + 1, k + 1), vid(0, j, k + 1)), 1)
+            quad_face((vid(nvx - 1, j, k), vid(nvx - 1, j + 1, k), vid(nvx - 1, j + 1, k + 1), vid(nvx - 1, j, k + 1)), 2)
+    for i in range(nx):
+        for k in range(nz):
+            quad_face((vid(i, 0, k), vid(i + 1, 0, k), vid(i + 1, 0, k + 1), vid(i, 0, k + 1)), 3)
+            quad_face((vid(i, nvy - 1, k), vid(i + 1, nvy - 1, k), vid(i + 1, nvy - 1, k + 1), vid(i, nvy - 1, k + 1)), 4)
+    for i in range(nx):
+        for j in range(ny):
+            quad_face((vid(i, j, 0), vid(i + 1, j, 0), vid(i + 1, j + 1, 0), vid(i, j + 1, 0)), 5)
+            quad_face((vid(i, j, nvz - 1), vid(i + 1, j, nvz - 1), vid(i + 1, j + 1, nvz - 1), vid(i, j + 1, nvz - 1)), 6)
+
+    bdr_faces = np.asarray(bdr_faces, dtype=np.int64)
+    bdr_attrs = np.asarray(bdr_attrs, dtype=np.int64)
+
+    periodic_pairs = []
+    axis_attrs = [(1, 2), (3, 4), (5, 6)]
+    lengths = [xs[-1] - xs[0], ys[-1] - ys[0], zs[-1] - zs[0]]
+    for ax in range(3):
+        if not periodic[ax]:
+            continue
+        amin, amax = axis_attrs[ax]
+        # key a face by the min-corner coordinates in the other two axes
+        mins = {}
+        maxs = {}
+        for idx, (f, a) in enumerate(zip(bdr_faces, bdr_attrs)):
+            if a not in (amin, amax):
+                continue
+            pts = verts[list(f)]
+            other = [d for d in range(3) if d != ax]
+            key = tuple(np.round(pts[:, other].min(axis=0), 12))
+            if a == amin:
+                mins[key] = idx
+            else:
+                maxs[key] = idx
+        shift = np.zeros(3)
+        shift[ax] = -lengths[ax]
+        for key in mins:
+            periodic_pairs.append((maxs[key], mins[key], shift.copy()))
+
+    return Mesh(
+        dim=3,
+        geom="hex",
+        vertices=verts,
+        elements=elems,
+        bdr_faces=bdr_faces,
+        bdr_attrs=bdr_attrs,
+        periodic_pairs=periodic_pairs,
+    )

@@ -1,0 +1,158 @@
+"""Unstructured mesh container and face-topology construction.
+
+A Mesh holds vertices, single-type element connectivity, boundary faces with
+integer attributes, and optional periodic face identifications.  Faces are
+discovered by canonical vertex-key matching (the moral equivalent of MFEM's
+face table used by the reference at src/M2ulPhyS.cpp:816-1487, rebuilt here
+setup-side in numpy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .reference_element import HEX_FACES, QUAD_FACES
+
+
+@dataclass
+class FaceInfo:
+    """Topological face lists produced by Mesh.build_faces()."""
+
+    # interior faces (including glued periodic faces)
+    int_elem_l: np.ndarray  # [nfi]
+    int_lf_l: np.ndarray  # [nfi] local face id in elem L
+    int_elem_r: np.ndarray  # [nfi]
+    int_lf_r: np.ndarray  # [nfi]
+    int_shift: np.ndarray  # [nfi, dim] coordinate shift from L side to R side
+    # boundary faces
+    bdr_elem: np.ndarray  # [nfb]
+    bdr_lf: np.ndarray  # [nfb]
+    bdr_attr: np.ndarray  # [nfb] integer attribute (1-based, MFEM style)
+
+
+@dataclass
+class Mesh:
+    dim: int
+    geom: str  # "quad" | "hex"
+    vertices: np.ndarray  # [nv, dim] float64
+    elements: np.ndarray  # [ne, nverts_per_elem] int
+    # boundary faces given as vertex tuples + attributes
+    bdr_faces: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), dtype=int))
+    bdr_attrs: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=int))
+    # periodic identification: list of (bdr_face_idx_a, bdr_face_idx_b, shift)
+    # where shift maps side-a coordinates onto side-b coordinates.
+    periodic_pairs: list = field(default_factory=list)
+    # optional high-order geometry nodes (curved meshes); None = straight
+    curved_nodes: np.ndarray | None = None
+
+    @property
+    def num_elements(self) -> int:
+        return self.elements.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    @property
+    def local_faces(self) -> list[tuple[int, ...]]:
+        return QUAD_FACES if self.geom == "quad" else HEX_FACES
+
+    def element_vertices(self, e: int) -> np.ndarray:
+        return self.vertices[self.elements[e]]
+
+    # ------------------------------------------------------------------
+    def build_faces(self) -> FaceInfo:
+        """Discover interior/boundary faces by canonical vertex keys."""
+        lf_defs = self.local_faces
+        ne = self.num_elements
+        nlf = len(lf_defs)
+
+        # canonical key for each (elem, local face)
+        face_map: dict[tuple, list[tuple[int, int]]] = {}
+        for e in range(ne):
+            ev = self.elements[e]
+            for lf, fv in enumerate(lf_defs):
+                key = tuple(sorted(int(ev[v]) for v in fv))
+                face_map.setdefault(key, []).append((e, lf))
+
+        int_l, int_lfl, int_r, int_lfr, int_shift = [], [], [], [], []
+        unmatched: dict[tuple, tuple[int, int]] = {}
+        for key, owners in face_map.items():
+            if len(owners) == 2:
+                (e1, lf1), (e2, lf2) = owners
+                int_l.append(e1)
+                int_lfl.append(lf1)
+                int_r.append(e2)
+                int_lfr.append(lf2)
+                int_shift.append(np.zeros(self.dim))
+            elif len(owners) == 1:
+                unmatched[key] = owners[0]
+            else:
+                raise ValueError(f"face {key} shared by {len(owners)} elements")
+
+        # boundary faces: match unmatched faces to bdr_faces list for attrs
+        bdr_key_to_idx = {}
+        for i in range(self.bdr_faces.shape[0]):
+            bdr_key_to_idx[tuple(sorted(int(v) for v in self.bdr_faces[i]))] = i
+
+        # periodic gluing: pairs of boundary-face indices
+        periodic_handled = set()
+        for (ia, ib, shift) in self.periodic_pairs:
+            key_a = tuple(sorted(int(v) for v in self.bdr_faces[ia]))
+            key_b = tuple(sorted(int(v) for v in self.bdr_faces[ib]))
+            ea, lfa = unmatched[key_a]
+            eb, lfb = unmatched[key_b]
+            int_l.append(ea)
+            int_lfl.append(lfa)
+            int_r.append(eb)
+            int_lfr.append(lfb)
+            int_shift.append(np.asarray(shift, dtype=np.float64))
+            periodic_handled.add(key_a)
+            periodic_handled.add(key_b)
+
+        bdr_e, bdr_lf, bdr_attr = [], [], []
+        for key, (e, lf) in unmatched.items():
+            if key in periodic_handled:
+                continue
+            if key in bdr_key_to_idx:
+                attr = int(self.bdr_attrs[bdr_key_to_idx[key]])
+            else:
+                attr = 1  # default attribute
+            bdr_e.append(e)
+            bdr_lf.append(lf)
+            bdr_attr.append(attr)
+
+        def _ai(x):
+            return np.asarray(x, dtype=np.int32)
+
+        return FaceInfo(
+            int_elem_l=_ai(int_l),
+            int_lf_l=_ai(int_lfl),
+            int_elem_r=_ai(int_r),
+            int_lf_r=_ai(int_lfr),
+            int_shift=(
+                np.asarray(int_shift, dtype=np.float64).reshape(-1, self.dim)
+                if int_shift
+                else np.zeros((0, self.dim))
+            ),
+            bdr_elem=_ai(bdr_e),
+            bdr_lf=_ai(bdr_lf),
+            bdr_attr=_ai(bdr_attr),
+        )
+
+    # ------------------------------------------------------------------
+    def scaled(self, factor: float) -> "Mesh":
+        """Uniformly scale mesh coordinates (reference: src/mesh_base.cpp)."""
+        out = Mesh(
+            dim=self.dim,
+            geom=self.geom,
+            vertices=self.vertices * factor,
+            elements=self.elements,
+            bdr_faces=self.bdr_faces,
+            bdr_attrs=self.bdr_attrs,
+            periodic_pairs=[(a, b, np.asarray(s) * factor) for a, b, s in self.periodic_pairs],
+            curved_nodes=None if self.curved_nodes is None else self.curved_nodes * factor,
+        )
+        return out

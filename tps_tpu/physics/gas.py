@@ -1,0 +1,117 @@
+"""Equations of state as pure, batched functions.
+
+The reference implements a polymorphic GasMixture hierarchy placement-new'ed
+on the GPU (reference: src/equation_of_state.hpp:72, src/gpu_constructor.hpp);
+here mixtures are lightweight frozen dataclasses whose methods are
+jnp-vectorized over arbitrary leading axes, selected at trace time from the
+run configuration.
+
+State conventions (identical to the reference, src/equation_of_state.cpp:298-340):
+  conserved  U  = [rho, rho*u (nvel), rho*E, rho*Y_s (active species), rho*e_e]
+  primitive  Up = [rho, u (nvel), T  at index iTh=nvel+1, n_s ..., T_e]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..constants import DRY_AIR_GAMMA, DRY_AIR_GAS_CONSTANT, UNIVERSAL_GAS_CONSTANT
+
+
+@dataclass(frozen=True)
+class DryAir:
+    """Calorically perfect single-species gas.
+
+    Mirrors reference DryAir (src/equation_of_state.cpp:146-372).
+    """
+
+    dim: int
+    nvel: int
+    gas_constant: float = DRY_AIR_GAS_CONSTANT
+    specific_heat_ratio: float = DRY_AIR_GAMMA
+    n_passive: int = 0  # extra passive-scalar equations (NS_PASSIVE)
+
+    @property
+    def num_equations(self) -> int:
+        return self.nvel + 2 + self.n_passive
+
+    @property
+    def num_species(self) -> int:
+        return 2 if self.n_passive else 1
+
+    @property
+    def num_active_species(self) -> int:
+        return self.n_passive
+
+    @property
+    def two_temperature(self) -> bool:
+        return False
+
+    @property
+    def i_th(self) -> int:
+        """Index of rho*E in conserved / temperature in primitive."""
+        return self.nvel + 1
+
+    # -- thermodynamics ----------------------------------------------------
+
+    def pressure(self, U):
+        """p from conserved state; U[..., neq]."""
+        rho = U[..., 0]
+        ke = 0.5 * jnp.sum(U[..., 1 : 1 + self.nvel] ** 2, axis=-1) / rho
+        return (self.specific_heat_ratio - 1.0) * (U[..., self.i_th] - ke)
+
+    def electron_pressure(self, U):
+        return jnp.zeros_like(U[..., 0])
+
+    def temperature(self, U):
+        return self.pressure(U) / (self.gas_constant * U[..., 0])
+
+    def pressure_from_primitives(self, Up):
+        return self.gas_constant * Up[..., 0] * Up[..., self.i_th]
+
+    def sound_speed_from_T(self, T):
+        return jnp.sqrt(self.specific_heat_ratio * self.gas_constant * T)
+
+    def max_char_speed(self, U):
+        """|u| + c (reference: src/equation_of_state.cpp:278-292)."""
+        rho = U[..., 0]
+        v2 = jnp.sum(U[..., 1 : 1 + self.nvel] ** 2, axis=-1) / (rho * rho)
+        p = self.pressure(U)
+        c = jnp.sqrt(self.specific_heat_ratio * p / rho)
+        return jnp.sqrt(v2) + c
+
+    def species_enthalpies(self, U):
+        return jnp.zeros(U.shape[:-1] + (self.num_species,), dtype=U.dtype)
+
+    # -- conversions -------------------------------------------------------
+
+    def primitives(self, U):
+        """Conserved -> primitive (reference: equation_of_state.cpp:321-340)."""
+        rho = U[..., 0:1]
+        vel = U[..., 1 : 1 + self.nvel] / rho
+        T = self.temperature(U)[..., None]
+        rest = U[..., self.nvel + 2 :] / rho  # passive scalars (mass fractions)
+        return jnp.concatenate([rho, vel, T, rest], axis=-1)
+
+    def conservatives(self, Up):
+        """Primitive -> conserved (reference: equation_of_state.cpp:298-315)."""
+        rho = Up[..., 0:1]
+        mom = rho * Up[..., 1 : 1 + self.nvel]
+        v2 = jnp.sum(Up[..., 1 : 1 + self.nvel] ** 2, axis=-1, keepdims=True)
+        rhoE = (
+            self.gas_constant * rho * Up[..., self.i_th : self.i_th + 1]
+            / (self.specific_heat_ratio - 1.0)
+            + 0.5 * rho * v2
+        )
+        rest = rho * Up[..., self.nvel + 2 :]
+        return jnp.concatenate([rho, mom, rhoE, rest], axis=-1)
+
+    def total_energy(self, rho, vel, T):
+        """rho*E from rho, velocity vector, temperature."""
+        v2 = jnp.sum(vel * vel, axis=-1)
+        return rho * (self.gas_constant * T / (self.specific_heat_ratio - 1.0) + 0.5 * v2)
+
+    def molar_mass(self):
+        return UNIVERSAL_GAS_CONSTANT / self.gas_constant

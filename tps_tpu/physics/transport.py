@@ -1,0 +1,71 @@
+"""Molecular transport models (viscosity, conductivity, diffusion).
+
+Mirrors the behavior of the reference TransportProperties hierarchy
+(reference: src/transport_properties.hpp:52-311) as pure batched functions.
+Each model returns a dict with keys:
+  visc       dynamic viscosity mu
+  bulk_visc  bulk viscosity (before the -2/3 mu Stokes correction)
+  kappa      heavy-species thermal conductivity
+  kappa_e    electron thermal conductivity (0 for neutral gases)
+  diff_vel   species diffusion velocities [..., nspecies, dim] (or None)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class ConstantTransport:
+    """Fixed transport coefficients (reference: transport_properties.hpp:275)."""
+
+    visc: float
+    bulk_visc: float
+    kappa: float
+    kappa_e: float = 0.0
+
+    def flux_properties(self, mixture, U, Up, grad_up):
+        shape = U.shape[:-1]
+        dt = U.dtype
+        return {
+            "visc": jnp.full(shape, self.visc, dtype=dt),
+            "bulk_visc": jnp.full(shape, self.bulk_visc, dtype=dt),
+            "kappa": jnp.full(shape, self.kappa, dtype=dt),
+            "kappa_e": jnp.full(shape, self.kappa_e, dtype=dt),
+            "diff_vel": None,
+        }
+
+
+@dataclass(frozen=True)
+class DryAirTransport:
+    """Sutherland-law air transport (reference: transport_properties.hpp:227-273).
+
+    mu = C1 * T^1.5 / (T + S0); k = cp/Pr * mu; bulk viscosity via multiplier.
+    """
+
+    gas_constant: float
+    specific_heat_ratio: float
+    visc_mult: float = 1.0
+    bulk_visc_mult: float = 0.0
+    C1: float = 1.458e-6
+    S0: float = 110.4
+    Pr: float = 0.71
+    Sc: float = 0.71
+
+    def viscosity(self, T):
+        return self.C1 * self.visc_mult * T**1.5 / (T + self.S0)
+
+    def flux_properties(self, mixture, U, Up, grad_up):
+        T = Up[..., mixture.i_th]
+        mu = self.viscosity(T)
+        cp = self.specific_heat_ratio * self.gas_constant / (self.specific_heat_ratio - 1.0)
+        kappa = cp / self.Pr * mu
+        return {
+            "visc": mu,
+            "bulk_visc": self.bulk_visc_mult * mu,
+            "kappa": kappa,
+            "kappa_e": jnp.zeros_like(mu),
+            "diff_vel": None,
+        }
