@@ -91,6 +91,15 @@ class DGTables:
     # distance function (wall distance) at dofs; zeros if unused
     distance: np.ndarray | None = None
 
+    # ---- domain-decomposition fields (None on single-device tables) ----
+    # When built by parallel.partition.build_sharded_tables, every per-entity
+    # array above carries a leading shard axis [P, ...] and these are set:
+    own_mask: np.ndarray | None = None  # [.., ne] 1.0 for owned elements
+    halo_send_idx: np.ndarray | None = None  # [.., S] local elems to pack
+    halo_recv_idx: np.ndarray | None = None  # [.., H] index into [P*S] gathered
+    halo_slots: np.ndarray | None = None  # [.., H] local slots receiving halo
+    global_ids: np.ndarray | None = None  # [.., ne] global element ids (-1 pad)
+
     @property
     def nft(self) -> int:
         return self.nfi + self.nfb
@@ -110,6 +119,42 @@ class DGTables:
             else:
                 out[f.name] = v
         return DGTables(**out)
+
+
+def build_ef_tables(ne, nlf, nqf, nfi, nft, f_elem_l, f_slot_l, f_elem_r, f_slot_r,
+                    f_qperm_r, allow_unassigned=False):
+    """Per-(element, local face) scatter-back maps: owning face, point
+    permutation into the face's L ordering, and side sign (+1 L / -1 R).
+
+    Unassigned slots (halo elements under domain decomposition) point at the
+    null face index `nft`, which gathers zero flux (see
+    operators.face_scatter_gather)."""
+    ef_face = np.full((ne, nlf), -1, dtype=np.int32)
+    ef_qmap = np.zeros((ne, nlf, nqf), dtype=np.int32)
+    ef_sign = np.zeros((ne, nlf))
+    identity = np.arange(nqf, dtype=np.int32)
+    for fidx in range(nft):
+        e, lf = int(f_elem_l[fidx]), int(f_slot_l[fidx])
+        if e < 0:
+            continue  # padding face
+        ef_face[e, lf] = fidx
+        ef_qmap[e, lf] = identity
+        ef_sign[e, lf] = 1.0
+    inv_perm = np.empty(nqf, dtype=np.int32)
+    for fidx in range(nfi):
+        e, lf = int(f_elem_r[fidx]), int(f_slot_r[fidx])
+        if e < 0:
+            continue
+        ef_face[e, lf] = fidx
+        # L-ordered point i lives at R-ordered slot qperm[i]; invert
+        inv_perm[f_qperm_r[fidx]] = identity
+        ef_qmap[e, lf] = inv_perm.copy()
+        ef_sign[e, lf] = -1.0
+    if np.any(ef_face < 0):
+        if not allow_unassigned:
+            raise ValueError("unassigned (element, local face) slot — topology bug")
+        ef_face[ef_face < 0] = nft  # null face: zero flux
+    return ef_face, ef_qmap, ef_sign
 
 
 def _register_dgtables_pytree():
@@ -269,25 +314,10 @@ def build_tables(
             raise ValueError("face point permutation is not a bijection")
 
     # ---- element-side scatter-back tables ----
-    ef_face = np.full((ne, nlf), -1, dtype=np.int32)
-    ef_qmap = np.zeros((ne, nlf, nqf), dtype=np.int32)
-    ef_sign = np.zeros((ne, nlf))
-    identity = np.arange(nqf, dtype=np.int32)
-    for fidx in range(nft):
-        e, lf = int(f_elem_l[fidx]), int(f_slot_l[fidx])
-        ef_face[e, lf] = fidx
-        ef_qmap[e, lf] = identity
-        ef_sign[e, lf] = 1.0
-    inv_perm = np.empty(nqf, dtype=np.int32)
-    for fidx in range(nfi):
-        e, lf = int(f_elem_r[fidx]), int(f_slot_r[fidx])
-        ef_face[e, lf] = fidx
-        # L-ordered point i lives at R-ordered slot qperm[i]; invert
-        inv_perm[f_qperm_r[fidx]] = identity
-        ef_qmap[e, lf] = inv_perm.copy()
-        ef_sign[e, lf] = -1.0
-    if np.any(ef_face < 0):
-        raise ValueError("unassigned (element, local face) slot — topology bug")
+    ef_face, ef_qmap, ef_sign = build_ef_tables(
+        ne, nlf, nqf, nfi, nft, f_elem_l, f_slot_l, f_elem_r, f_slot_r, f_qperm_r,
+        allow_unassigned=False,
+    )
 
     return DGTables(
         dim=dim,

@@ -11,7 +11,24 @@ transposed matmul.  No dynamic shapes, no scatter-adds.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def halo_exchange(tab, X, axis_name):
+    """Refresh halo-element rows of X from their owning shards.
+
+    Pack own rows needed by peers (static index list), all-gather over the
+    device mesh axis (rides ICI), and unpack into local halo slots.  The
+    TPU-native equivalent of the reference's packed nonblocking MPI halo
+    exchange (reference: src/rhs_operator.cpp:775-830).
+
+    X: [ne_loc, ...] shard-local element data.
+    """
+    send = X[tab.halo_send_idx]  # [S, ...]
+    allg = jax.lax.all_gather(send, axis_name, axis=0, tiled=True)  # [P*S, ...]
+    recv = allg[tab.halo_recv_idx]
+    return X.at[tab.halo_slots].set(recv)
 
 
 def elem_traces(tab, X):
@@ -45,9 +62,15 @@ def face_scatter_gather(tab, Fq):
     Fq: [nft, nqf, k] in each face's L ordering.
     Returns Fel [ne, nlf*nqf, k] re-ordered into each element's own trace
     ordering (no side sign applied; see tab.ef_sign).
+
+    A zero "null face" row is appended at index nft: ef_face entries equal
+    to nft (used for halo-element slots under domain decomposition) gather
+    exactly zero flux.
     """
     k = Fq.shape[-1]
-    flat = Fq.reshape(tab.nft * tab.nqf, k)
+    flat = jnp.concatenate(
+        [Fq.reshape(tab.nft * tab.nqf, k), jnp.zeros((tab.nqf, k), dtype=Fq.dtype)]
+    )
     gidx = tab.ef_face[..., None] * tab.nqf + tab.ef_qmap  # [ne, nlf, nqf]
     out = flat[gidx.reshape(tab.ne, tab.nlf * tab.nqf)]
     return out

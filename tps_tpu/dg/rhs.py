@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 
 from .operators import (
@@ -19,6 +20,7 @@ from .operators import (
     elem_traces,
     face_gather,
     face_scatter_gather,
+    halo_exchange,
     trace_transpose,
     volume_weak_div,
 )
@@ -40,6 +42,9 @@ class RHSContext:
     bcs: tuple = ()
     forcings: tuple = ()
     use_bc_in_grad: bool = False
+    # set to the device-mesh axis name when running sharded under shard_map;
+    # enables halo exchanges and cross-shard reductions
+    axis_name: str | None = None
 
     @property
     def mixture(self):
@@ -64,6 +69,11 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0):
     ne, ndof = U.shape[0], U.shape[1]
     viscous = ctx.fluxes.eq_system != "euler"
 
+    if ctx.axis_name is not None:
+        # refresh halo-element state from owning shards (first of the two
+        # overlapped exchanges in the reference, src/rhs_operator.cpp:349-372)
+        U = halo_exchange(tab, U, ctx.axis_name)
+
     Up = mix.primitives(_clip_species(mix, U))
 
     # ---- gradients of primitives ----
@@ -78,6 +88,12 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0):
                 parts.append(s.bc.ghost_primitive(mix, UpLb[s.start : s.stop]))
             bdr_up2 = jnp.concatenate(parts, axis=0)
         grad_up = dg_gradient(tab, Up, bdr_up2=bdr_up2)
+        if ctx.axis_name is not None:
+            # halo elements' locally-computed gradients miss their exterior
+            # faces; fetch owner-computed values (second exchange)
+            grad_up = halo_exchange(
+                tab, grad_up.reshape(ne, ndof, neq * dim), ctx.axis_name
+            ).reshape(ne, ndof, neq, dim)
 
     # ---- face sweep ----
     Utr = elem_traces(tab, U)
@@ -159,5 +175,16 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0):
     for f in ctx.forcings:
         y = y + f(t, tab, U, Up, grad_up)
 
-    aux = {"max_char_speed": jnp.max(mix.max_char_speed(U))}
+    mcs_field = mix.max_char_speed(U)
+    if ctx.axis_name is not None:
+        # zero residuals on halo/padding rows and reduce the wave speed
+        # globally (reference: MPI_Allreduce at src/rhs_operator.cpp:557)
+        y = y * tab.own_mask[:, None, None]
+        mcs = jax.lax.pmax(
+            jnp.max(jnp.where(tab.own_mask > 0.5, jnp.max(mcs_field, axis=-1), 0.0)),
+            ctx.axis_name,
+        )
+    else:
+        mcs = jnp.max(mcs_field)
+    aux = {"max_char_speed": mcs}
     return y, aux
