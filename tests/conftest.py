@@ -5,13 +5,15 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# NOTE: the hosted axon TPU plugin ignores the JAX_PLATFORMS env var; the
+# config API is the reliable way to pin tests to the (8-virtual-device) CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: repeated test runs skip XLA recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
