@@ -1,0 +1,220 @@
+"""Argon ternary collision-integral transport (ArgonMinimalTransport).
+
+Vectorized re-implementation of the reference GasMinimalTransport behavior
+(reference: src/gas_transport.cpp:39-520) for the Ar / Ar+ / e- system:
+Chapman-Enskog first-order species viscosities and conductivities averaged
+by mole fraction, optional third-order electron thermal conductivity
+(Devoto L-matrix form, reference :403-487), Curtiss-Hirschfelder averaged
+diffusivities from binary diffusion coefficients, ambipolar field and
+mixture drift, and mass-conservation-corrected diffusion velocities
+(reference: src/transport_properties.cpp:59-200).
+
+Mixture species ordering expected: [Ar+, e-, Ar] (ion, electron, background).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    AVOGADRO_NUMBER,
+    BOLTZMANN_CONSTANT,
+    ELECTRON_CHARGE,
+    PI,
+    VACUUM_PERMITTIVITY,
+)
+from . import collision_integrals as ci
+
+_KB = BOLTZMANN_CONSTANT
+_XEPS = 1.0e-30
+_DEBYE_FACTOR = _KB * VACUUM_PERMITTIVITY / ELECTRON_CHARGE / ELECTRON_CHARGE
+_QE_OVER_KB = ELECTRON_CHARGE / _KB
+
+VISCOSITY_FACTOR = 5.0 / 16.0 * np.sqrt(PI * _KB)
+K_OVER_ETA_FACTOR = 15.0 / 4.0 * _KB
+DIFFUSIVITY_FACTOR = 3.0 / 16.0 * np.sqrt(2.0 * PI * _KB) / AVOGADRO_NUMBER
+MF_FREQ_FACTOR = 4.0 / 3.0 * AVOGADRO_NUMBER * np.sqrt(8.0 * _KB / PI)
+
+
+@dataclass(frozen=True, eq=False)
+class ArgonMinimalTransport:
+    """Transport for the [Ar+, e-, Ar] mixture."""
+
+    mixture: object
+    third_order_electron_thermal_conductivity: bool = True
+    # artificial multipliers (reference setArtificialMultipliers)
+    visc_mult: float = 1.0
+    bulk_visc_mult: float = 1.0
+    kappa_mult: float = 1.0
+    kappa_e_mult: float = 1.0
+    diff_mult: float = 1.0
+    mobil_mult: float = 1.0
+
+    @property
+    def i_ion(self):
+        return 0
+
+    @property
+    def i_electron(self):
+        return self.mixture.i_electron  # = 1 for the ternary mixture
+
+    @property
+    def i_neutral(self):
+        return self.mixture.i_background  # = 2
+
+    def _masses(self):
+        """Per-molecule masses (reference divides MW by Avogadro)."""
+        return np.asarray(self.mixture.mw) / AVOGADRO_NUMBER
+
+    # ------------------------------------------------------------------
+    def _collision_inputs(self, n_sp, Th, Te):
+        ne = n_sp[..., self.i_electron]
+        ni = n_sp[..., self.i_ion]
+        n_over_t = (ne + _XEPS) / Te + (ni + _XEPS) / Th
+        debye_len = jnp.sqrt(_DEBYE_FACTOR / AVOGADRO_NUMBER / n_over_t)
+        debye_circle = PI * debye_len**2
+        ndim_te = debye_len * 4.0 * PI * _DEBYE_FACTOR * Te
+        ndim_th = debye_len * 4.0 * PI * _DEBYE_FACTOR * Th
+        return debye_len, debye_circle, ndim_te, ndim_th
+
+    def _third_order_ke(self, X_sp, debye_circle, Te, ndim_te):
+        """Devoto third-order electron thermal conductivity
+        (reference: gas_transport.cpp:403-487)."""
+        m = self._masses()
+        Q2 = [debye_circle * f(ndim_te) for f in (ci.rep22, ci.rep23, ci.rep24)]
+        Q1i = [debye_circle * f(ndim_te)
+               for f in (ci.att11, ci.att12, ci.att13, ci.att14, ci.att15)]
+        Q1n = [f(Te) for f in (ci.eAr11, ci.eAr12, ci.eAr13, ci.eAr14, ci.eAr15)]
+
+        def L11(Q):
+            return 6.25 * Q[0] - 15.0 * Q[1] + 12.0 * Q[2]
+
+        def L12(Q):
+            return 10.9375 * Q[0] - 39.375 * Q[1] + 57.0 * Q[2] - 30.0 * Q[3]
+
+        def L22(Q):
+            return (19.140625 * Q[0] - 91.875 * Q[1] + 199.5 * Q[2]
+                    - 210.0 * Q[3] + 90.0 * Q[4])
+
+        Xe = X_sp[..., self.i_electron]
+        Xi = X_sp[..., self.i_ion]
+        Xn = X_sp[..., self.i_neutral]
+        sq2 = np.sqrt(2.0)
+        l11 = sq2 * Xe * Q2[0] + Xi * L11(Q1i) + Xn * L11(Q1n)
+        l12 = (sq2 * Xe * (1.75 * Q2[0] - 2.0 * Q2[1]) + Xi * L12(Q1i)
+               + Xn * L12(Q1n))
+        l22 = (sq2 * Xe * (4.8125 * Q2[0] - 7.0 * Q2[1] + 5.0 * Q2[2])
+               + Xi * L22(Q1i) + Xn * L22(Q1n))
+        return (VISCOSITY_FACTOR * K_OVER_ETA_FACTOR
+                * jnp.sqrt(2.0 * Te / m[self.i_electron]) * Xe
+                / (l11 - l12 * l12 / l22))
+
+    # ------------------------------------------------------------------
+    def flux_properties(self, mixture, U, Up, grad_up, efield=None):
+        """Viscosity, conductivities, and species diffusion velocities."""
+        mix = self.mixture
+        m = self._masses()
+        ii, ie, ib = self.i_ion, self.i_electron, self.i_neutral
+
+        X_sp, Y_sp, n_sp = mix.species_primitives(U)
+        n_tot = jnp.sum(n_sp, axis=-1)
+        Th = Up[..., mix.i_th]
+        Te = Up[..., mix.i_te] if mix.two_temperature else Th
+
+        dl, dc, ndim_te, ndim_th = self._collision_inputs(n_sp, Th, Te)
+
+        # species viscosities (electron viscosity neglected)
+        visc_i = VISCOSITY_FACTOR * jnp.sqrt(m[ii] * Th) / (ci.rep22(ndim_th) * dc)
+        visc_n = VISCOSITY_FACTOR * jnp.sqrt(m[ib] * Th) / ci.ArAr22(Th)
+        sp_visc = jnp.stack([visc_i, jnp.zeros_like(visc_i), visc_n], axis=-1)
+        sp_kappa = sp_visc * K_OVER_ETA_FACTOR / m
+
+        visc = jnp.einsum("...s,...s->...", X_sp, sp_visc)
+        kappa = jnp.einsum("...s,...s->...", X_sp, sp_kappa)
+
+        if self.third_order_electron_thermal_conductivity:
+            kappa_e = self._third_order_ke(X_sp, dc, Te, ndim_te)
+        else:
+            kappa_e = (VISCOSITY_FACTOR * K_OVER_ETA_FACTOR
+                       * jnp.sqrt(Te / m[ie]) * X_sp[..., ie]
+                       / (ci.rep22(ndim_te) * dc))
+
+        # binary diffusion coefficients (symmetric, diagonal unused)
+        def muw(a, b):
+            return m[a] * m[b] / (m[a] + m[b])
+
+        d_en = DIFFUSIVITY_FACTOR * jnp.sqrt(Te / muw(ie, ib)) / n_tot / ci.eAr11(Te)
+        d_ni = DIFFUSIVITY_FACTOR * jnp.sqrt(Th / muw(ib, ii)) / n_tot / ci.ArAr1P11(Th)
+        d_ei = (DIFFUSIVITY_FACTOR * jnp.sqrt(Te / muw(ii, ie)) / n_tot
+                / (ci.att11(ndim_te) * dc))
+
+        # Curtiss-Hirschfelder: D_s = (1 - Y_s) / sum_{j != s} (X_j+eps)/D_sj
+        Xe_ = X_sp[..., ie] + _XEPS
+        Xi_ = X_sp[..., ii] + _XEPS
+        Xn_ = X_sp[..., ib] + _XEPS
+        D_ion = (1.0 - Y_sp[..., ii]) / (Xe_ / d_ei + Xn_ / d_ni)
+        D_ele = (1.0 - Y_sp[..., ie]) / (Xi_ / d_ei + Xn_ / d_en)
+        D_neu = (1.0 - Y_sp[..., ib]) / (Xi_ / d_ni + Xe_ / d_en)
+        diff = jnp.stack([D_ion, D_ele, D_neu], axis=-1) * self.diff_mult
+
+        charges = jnp.asarray(np.asarray(mix.charges))
+        Tsp = jnp.stack([Th, Te, Th], axis=-1)
+        mobility = _QE_OVER_KB * charges / Tsp * diff * self.mobil_mult
+
+        # concentration-driven diffusion velocities
+        gradX = mix.mole_fraction_gradient(n_sp, grad_up)  # [..., nsp, dim]
+        dv = -diff[..., None] * gradX / (X_sp[..., None] + _XEPS)
+
+        if mix.ambipolar:
+            dv = _add_ambipolar_efield(mobility, n_sp, charges, dv)
+        if efield is not None:
+            dv = dv + jnp.where(charges[..., None] != 0.0,
+                                mobility[..., None] * efield[..., None, :], 0.0)
+        dv = _correct_mass_diffusion_flux(Y_sp, dv)
+
+        return {
+            "visc": visc * self.visc_mult,
+            "bulk_visc": jnp.zeros_like(visc),
+            "kappa": kappa * self.kappa_mult,
+            "kappa_e": kappa_e * self.kappa_e_mult,
+            "diff_vel": dv,
+            "diffusivity": diff,
+            "mobility": mobility,
+            "n_sp": n_sp,
+        }
+
+    # ------------------------------------------------------------------
+    def electric_conductivity(self, U, Up):
+        """Mixture electric conductivity sigma = sum_s mu_s n_s z_s * F
+        (reference computeMixtureElectricConductivity; used for Joule
+        coupling)."""
+        mix = self.mixture
+        props = self.flux_properties(mix, U, Up,
+                                     jnp.zeros(U.shape[:-1] + (mix.num_equations, mix.dim), U.dtype))
+        charges = jnp.asarray(np.asarray(mix.charges))
+        # mobility [m^2/(V s) * mol] convention follows the reference: sigma
+        # in reference units uses molar number densities and MOLARELECTRONCHARGE
+        from ..constants import MOLAR_ELECTRON_CHARGE
+
+        return MOLAR_ELECTRON_CHARGE * jnp.einsum(
+            "...s,...s,s->...", props["mobility"], props["n_sp"], charges
+        )
+
+
+def _add_ambipolar_efield(mobility, n_sp, charges, dv):
+    """Zero-current ambipolar electric field correction
+    (reference: transport_properties.cpp:115-135)."""
+    mho = jnp.einsum("...s,...s,s->...", mobility, n_sp, charges)
+    ambE = -jnp.einsum("...sd,...s,s->...d", dv, n_sp, charges)
+    ambE = ambE / (mho[..., None] + _XEPS)
+    return dv + mobility[..., None] * ambE[..., None, :]
+
+
+def _correct_mass_diffusion_flux(Y_sp, dv):
+    """Subtract the mass-averaged drift so sum_s Y_s V_s = 0
+    (reference: transport_properties.cpp:59-71)."""
+    Vc = jnp.einsum("...s,...sd->...d", Y_sp, dv)
+    return dv - Vc[..., None, :]
