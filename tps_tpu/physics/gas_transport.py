@@ -187,6 +187,74 @@ class ArgonMinimalTransport:
         }
 
     # ------------------------------------------------------------------
+    def source_properties(self, U, Up, grad_up, efield=None):
+        """Transport for the source terms: electric conductivity, e-heavy
+        momentum-transfer collision frequencies, diffusion velocities
+        (reference: GasMinimalTransport::ComputeSourceMolecularTransport,
+        src/gas_transport.cpp:592-790)."""
+        mix = self.mixture
+        m = self._masses()
+        ii, ie, ib = self.i_ion, self.i_electron, self.i_neutral
+
+        X_sp, Y_sp, n_sp = mix.species_primitives(U)
+        n_tot = jnp.sum(n_sp, axis=-1)
+        Th = Up[..., mix.i_th]
+        Te = Up[..., mix.i_te] if mix.two_temperature else Th
+
+        dl, dc, ndim_te, ndim_th = self._collision_inputs(n_sp, Th, Te)
+
+        Qea = ci.eAr11(Te)
+        Qie = ci.att11(ndim_te) * dc
+
+        # momentum-transfer collision frequencies of electrons with heavies
+        vfac = MF_FREQ_FACTOR * jnp.sqrt(Te / m[ie])
+        mf = jnp.zeros_like(n_sp)
+        mf = mf.at[..., ii].set(vfac * n_sp[..., ii] * Qie)
+        mf = mf.at[..., ib].set(vfac * n_sp[..., ib] * Qea)
+
+        # binary diffusion + Curtiss-Hirschfelder (same as flux path)
+        def muw(a, b):
+            return m[a] * m[b] / (m[a] + m[b])
+
+        d_en = DIFFUSIVITY_FACTOR * jnp.sqrt(Te / muw(ie, ib)) / n_tot / Qea
+        d_ni = DIFFUSIVITY_FACTOR * jnp.sqrt(Th / muw(ib, ii)) / n_tot / ci.ArAr1P11(Th)
+        d_ei = DIFFUSIVITY_FACTOR * jnp.sqrt(Te / muw(ii, ie)) / n_tot / Qie
+        Xe_ = X_sp[..., ie] + _XEPS
+        Xi_ = X_sp[..., ii] + _XEPS
+        Xn_ = X_sp[..., ib] + _XEPS
+        D_ion = (1.0 - Y_sp[..., ii]) / (Xe_ / d_ei + Xn_ / d_ni)
+        D_ele = (1.0 - Y_sp[..., ie]) / (Xi_ / d_ei + Xn_ / d_en)
+        D_neu = (1.0 - Y_sp[..., ib]) / (Xi_ / d_ni + Xe_ / d_en)
+        diff = jnp.stack([D_ion, D_ele, D_neu], axis=-1) * self.diff_mult
+
+        charges = jnp.asarray(np.asarray(mix.charges))
+        Tsp = jnp.stack([Th, Te, Th], axis=-1)
+        mobility = _QE_OVER_KB * charges / Tsp * diff * self.mobil_mult
+
+        from ..constants import MOLAR_ELECTRON_CHARGE
+
+        sigma = MOLAR_ELECTRON_CHARGE * jnp.einsum(
+            "...s,...s,s->...", mobility, n_sp, charges
+        )
+
+        gradX = mix.mole_fraction_gradient(n_sp, grad_up)
+        dv = -diff[..., None] * gradX / (X_sp[..., None] + _XEPS)
+        if mix.ambipolar:
+            dv = _add_ambipolar_efield(mobility, n_sp, charges, dv)
+        if efield is not None:
+            dv = dv + jnp.where(charges[..., None] != 0.0,
+                                mobility[..., None] * efield[..., None, :], 0.0)
+        dv = _correct_mass_diffusion_flux(Y_sp, dv)
+
+        return {
+            "sigma": sigma,
+            "mf_freq": mf,
+            "diff_vel": dv,
+            "n_sp": n_sp,
+            "mobility": mobility,
+            "diffusivity": diff,
+        }
+
     def electric_conductivity(self, U, Up):
         """Mixture electric conductivity sigma = sum_s mu_s n_s z_s * F
         (reference computeMixtureElectricConductivity; used for Joule
