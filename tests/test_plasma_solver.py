@@ -1,0 +1,47 @@
+"""Argon plasma end-to-end through the harness (role of the reference
+argon_minimal regression test)."""
+
+import os
+
+import numpy as np
+
+from tps_tpu.harness import Tps
+
+HERE = os.path.dirname(__file__)
+
+
+def test_argon_minimal_lifecycle():
+    tps = Tps()
+    tps.input_file = os.path.join(HERE, "inputs", "argon_minimal.ini")
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    solver = tps.solver
+
+    mix = solver.mixture
+    assert mix.num_species == 3
+    assert mix.ambipolar and mix.two_temperature
+    assert solver.plasma.species_names == ["Ar.+1", "E", "Ar"]
+    # with ambipolar + 2T: neq = nvel + 2 + 1 active + 1 Te = 2+2+1+1 = 6
+    assert mix.num_equations == 6
+
+    U0 = np.asarray(solver.U)
+    # initial state: p = 101300 everywhere
+    p0 = np.asarray(mix.pressure(solver.U))
+    assert np.allclose(p0, 101300.0, rtol=1e-10)
+
+    tps.solve()
+    assert solver.iter == 4
+    assert solver.check_nan() == 0
+    Up = np.asarray(solver.primitives())
+    assert Up[..., 0].min() > 0
+    # temperatures remain physical
+    assert 200 < Up[..., mix.i_th].mean() < 5000
+    assert 200 < Up[..., mix.i_te].mean() < 5000
+    # uniform periodic state with uniform chemistry stays uniform
+    U1 = np.asarray(solver.U)
+    for eq in range(mix.num_equations):
+        spread = U1[..., eq].max() - U1[..., eq].min()
+        scale = max(abs(U1[..., eq]).max(), 1e-10 * abs(U1).max())
+        assert spread < 1e-8 * scale, (eq, spread, scale)

@@ -95,7 +95,10 @@ class IniInput:
                 return False
             raise InputError(f"cannot parse bool from {raw!r}")
         if typ in (int, float):
-            return typ(raw.strip().strip("'\""))
+            v = raw.strip().strip("'\"")
+            if v.lower() in ("true", "false"):  # bool-ish ints (GRVY-compatible)
+                return typ(v.lower() == "true")
+            return typ(v)
         if typ is str:
             return raw.strip().strip("'\"")
         raise InputError(f"unsupported type {typ}")

@@ -95,29 +95,44 @@ class CompressibleSolver(PlasmaSolver):
         dim = self.mesh.dim
         nvel = 3 if (rc.axisymmetric and dim == 2) else dim
 
-        # physics models (plasma mixtures plug in here)
+        # physics models
+        self.plasma = None
+        forcings = []
+        eq = rc.equation_system
         if rc.fluid == "dry_air":
             self.mixture = DryAir(dim=dim, nvel=nvel)
+            if eq == "euler":
+                transport = None
+            elif rc.transport_model == "constant":
+                raw = rc.raw
+                transport = ConstantTransport(
+                    visc=raw.get("plasma_models/transport_model/constant/viscosity", 0.0),
+                    bulk_visc=raw.get("plasma_models/transport_model/constant/bulkViscosity", 0.0),
+                    kappa=raw.get("plasma_models/transport_model/constant/thermalConductivity", 0.0),
+                )
+            else:
+                transport = DryAirTransport(
+                    gas_constant=self.mixture.gas_constant,
+                    specific_heat_ratio=self.mixture.specific_heat_ratio,
+                    visc_mult=rc.visc_mult,
+                    bulk_visc_mult=rc.bulk_visc_mult,
+                )
+        elif rc.fluid == "user_defined":
+            from ..dg.source_term import SourceTerm
+            from ..physics.plasma_config import build_plasma
+
+            self.plasma = build_plasma(rc.raw, dim, nvel)
+            self.mixture = self.plasma.mixture
+            transport = self.plasma.transport
+            self._source_term = SourceTerm(
+                mixture=self.mixture,
+                transport=transport,
+                chemistry=self.plasma.chemistry,
+                radiation=self.plasma.radiation,
+            )
+            forcings.append(self._source_term)
         else:
             raise NotImplementedError(f"fluid '{rc.fluid}' not yet available")
-
-        eq = rc.equation_system
-        if eq == "euler":
-            transport = None
-        elif rc.transport_model == "constant":
-            raw = rc.raw
-            transport = ConstantTransport(
-                visc=raw.get("plasma_models/transport_model/constant/viscosity", 0.0),
-                bulk_visc=raw.get("plasma_models/transport_model/constant/bulkViscosity", 0.0),
-                kappa=raw.get("plasma_models/transport_model/constant/thermalConductivity", 0.0),
-            )
-        else:
-            transport = DryAirTransport(
-                gas_constant=self.mixture.gas_constant,
-                specific_heat_ratio=self.mixture.specific_heat_ratio,
-                visc_mult=rc.visc_mult,
-                bulk_visc_mult=rc.bulk_visc_mult,
-            )
         self.transport = transport
 
         self.fluxes = Fluxes(
@@ -135,6 +150,7 @@ class CompressibleSolver(PlasmaSolver):
             fluxes=self.fluxes,
             riemann=self.riemann,
             bcs=tuple(self.bc_slices),
+            forcings=tuple(forcings),
         )
 
         # initial condition
@@ -229,6 +245,23 @@ class CompressibleSolver(PlasmaSolver):
         vel = [rc.ic.rhoU / rho, rc.ic.rhoV / rho, rc.ic.rhoW / rho]
         T = rc.ic.pressure / (mix.gas_constant * rho)
         Up = uniform_state(xyz, mix, rho, vel, T)
+        if self.plasma is not None and self.plasma.initial_mass_fractions is not None:
+            # species initial mass fractions -> number densities (mixture order)
+            Y = self.plasma.initial_mass_fractions
+            mw = np.asarray(mix.mw)
+            na = mix.num_active_species
+            for s in range(na):
+                Up = Up.at[..., mix.nvel + 2 + s].set(Y[s] * rho / mw[s])
+            # temperature consistent with total pressure: p = sum n_s R T
+            import jax.numpy as jnp_
+
+            n_sp = mix._n_sp_from_primitives(Up)
+            from ..constants import UNIVERSAL_GAS_CONSTANT as _R
+
+            T_adj = rc.ic.pressure / (_R * jnp_.sum(n_sp, axis=-1))
+            Up = Up.at[..., mix.i_th].set(T_adj)
+            if mix.two_temperature:
+                Up = Up.at[..., mix.i_te].set(T_adj)
         return mix.conservatives(Up).astype(self.dtype)
 
     # ------------------------------------------------------------------
