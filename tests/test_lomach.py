@@ -1,0 +1,130 @@
+"""Low-Mach solver family tests: TGV decay (lomach-flow analog), heat
+equation (heatEq analog), lid-driven smoke (lomach.lid analog)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tps_tpu.fem import h1
+from tps_tpu.harness import Tps
+from tps_tpu.mesh.generators import box_2d
+from tps_tpu.solvers.lomach.base import (
+    ConstantPropertyThermoChem,
+    TemporalCoefficients,
+    ZeroFlow,
+)
+from tps_tpu.solvers.lomach.thermo_chem import (
+    CaloricallyPerfectThermoChem,
+    TemperatureDirichlet,
+)
+from tps_tpu.solvers.lomach.tomboulides import Tomboulides, VelocityDirichlet
+
+HERE = os.path.dirname(__file__)
+
+
+def test_tgv2d_harness_decay():
+    """TGV kinetic energy decays at the analytic viscous rate."""
+    tps = Tps()
+    tps.input_file = os.path.join(HERE, "inputs", "lomach_tgv2d.ini")
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    s = tps.solver
+    tab = s.tab
+    u0 = s.flow.velocity()
+    ke0 = float(h1.integrate(tab, jnp.sum(u0**2, -1)))
+    tps.solve()
+    nu = 0.01
+    t = s.time
+    # TGV on [0,2pi]^2 with k=1: u decays as exp(-2 nu t)
+    decay = np.exp(-2 * nu * t)
+    u = s.flow.velocity()
+    ke = float(h1.integrate(tab, jnp.sum(u**2, -1)))
+    assert abs(np.sqrt(ke / ke0) - decay) < 2e-3
+    div = h1.divergence_at_dofs(tab, u)
+    assert float(jnp.abs(div).max()) < 1e-4
+
+
+def test_heat_equation_decay():
+    """Zero flow + calorically-perfect thermo = heat equation; analytic
+    decay of a sine perturbation (reference heatEq.test analog)."""
+    mesh = box_2d(8, 8, periodic_x=True, periodic_y=True)
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+    flow = ZeroFlow(tab)
+    thermo = CaloricallyPerfectThermoChem(
+        tab, flow=flow, constant_mu=1.68e-5, T_init=300.0,
+    )
+    x, y = tab.xyz[:, 0], tab.xyz[:, 1]
+    two_pi = 2 * np.pi
+    T0 = 300.0 + 10.0 * jnp.sin(two_pi * x) * jnp.sin(two_pi * y)
+    thermo.set_temperature(T0)
+
+    # alpha = kappa/(rho cp); rho ~ p/(R*300)
+    kappa = float(np.asarray(thermo.conductivity())[0])
+    rho = float(np.asarray(thermo.density())[0])
+    cp = thermo.cp
+    # NOTE: rho varies slightly with T; use mean-field alpha
+    alpha = kappa / (rho * cp)
+
+    dt = 0.05
+    n = 40
+    for i in range(n):
+        thermo.step(TemporalCoefficients.bdf(min(i + 1, 3)), dt)
+    t = n * dt
+    decay = np.exp(-2 * two_pi**2 * alpha * t)
+    T = np.asarray(thermo.T)
+    amp = 0.5 * (T.max() - T.min()) / 10.0
+    assert abs(amp - decay) < 0.05 * decay + 5e-3, (amp, decay)
+
+
+def test_lid_driven_smoke():
+    """Lid-driven cavity: runs stably, top-wall velocity enforced,
+    interior flow develops (lomach.lid analog)."""
+    mesh = box_2d(8, 8)
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+    thermo = ConstantPropertyThermoChem(tab, rho=1.0, mu=0.01)
+    # attrs: 1 bottom, 2 right, 3 top, 4 left
+    bcs = [
+        VelocityDirichlet(attrs=(1, 2, 4), value=(0.0, 0.0)),
+        VelocityDirichlet(attrs=(3,), value=(1.0, 0.0)),
+    ]
+    flow = Tomboulides(tab, thermo, vel_bcs=bcs, cg_tol=1e-10, cg_maxiter=500)
+    dt = 5e-3
+    for i in range(30):
+        flow.step(TemporalCoefficients.bdf(min(i + 1, 2)), dt)
+    u = np.asarray(flow.velocity())
+    assert np.isfinite(u).all()
+    xyz = np.asarray(tab.xyz)
+    top = xyz[:, 1] > 1 - 1e-10
+    corner = top & ((xyz[:, 0] < 1e-10) | (xyz[:, 0] > 1 - 1e-10))
+    assert np.allclose(u[top, 0], 1.0, atol=1e-12)
+    # interior flow has developed and is bounded
+    inner = (~top) & (xyz[:, 1] < 0.9)
+    assert 1e-4 < np.abs(u[inner]).max() < 1.0
+
+
+def test_thermo_buoyant_coupling_smoke():
+    """Calorically-perfect thermo + Tomboulides two-way coupling runs and
+    produces variable density (lequere-style differentially heated box)."""
+    mesh = box_2d(6, 6)
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+    temp_bcs = [
+        TemperatureDirichlet(attrs=(4,), value=350.0),  # hot left wall
+        TemperatureDirichlet(attrs=(2,), value=250.0),  # cold right wall
+    ]
+    thermo = CaloricallyPerfectThermoChem(tab, temp_bcs=temp_bcs, T_init=300.0)
+    vel_bcs = [VelocityDirichlet(attrs=(1, 2, 3, 4), value=(0.0, 0.0))]
+    flow = Tomboulides(tab, thermo, vel_bcs=vel_bcs)
+    thermo.flow = flow
+    dt = 1e-3
+    for i in range(10):
+        coeff = TemporalCoefficients.bdf(min(i + 1, 2))
+        thermo.step(coeff, dt)
+        flow.step(coeff, dt)
+    rho = np.asarray(thermo.density())
+    assert np.isfinite(rho).all()
+    assert rho.max() / rho.min() > 1.1  # hot/cold walls -> density contrast
+    assert np.isfinite(np.asarray(flow.velocity())).all()

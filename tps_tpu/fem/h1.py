@@ -1,0 +1,368 @@
+"""Continuous H1 finite-element substrate for the low-Mach solver family.
+
+The reference's low-Mach path runs on MFEM H1 spaces with assembled hypre
+matrices (reference: src/loMach.cpp, src/tomboulides.cpp).  The TPU-native
+design keeps everything matrix-free and element-batched: fields live in a
+global dof vector, operators gather element dofs, do dense per-element
+quadrature contractions (MXU), and scatter back with segment-sum.  Krylov
+solves use jax CG with diagonal preconditioning (hypre/BoomerAMG has no TPU
+analog; CG + Jacobi over moderate-order spaces plays that role).
+
+Elements are tensor-product Gauss-Lobatto (nodes include the element
+boundary, giving C0 continuity through shared global dofs discovered by
+coordinate matching).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.mesh import Mesh
+from ..mesh.reference_element import ReferenceElement, gauss_legendre_1d
+
+
+@dataclass
+class H1Tables:
+    """Static tables for one H1 space (numpy; to_jax like DGTables)."""
+
+    dim: int
+    order: int
+    ne: int
+    ndof_el: int
+    nq: int
+    ndofs: int  # global dofs
+    nqf: int
+    nbf: int  # boundary faces
+
+    elem_dofs: np.ndarray  # [ne, ndof_el] global ids
+    Bvol: np.ndarray  # [nq, ndof_el]
+    Gvol: np.ndarray  # [nq, ndof_el, dim]
+    wq: np.ndarray  # [nq]
+    adjJ: np.ndarray  # [ne, nq, dim, dim]
+    detJ: np.ndarray  # [ne, nq]
+    xyz: np.ndarray  # [ndofs, dim] global dof coordinates
+
+    # boundary faces (for Dirichlet marking + surface integrals)
+    bf_elem: np.ndarray  # [nbf]
+    bf_attr: np.ndarray  # [nbf]
+    bf_Btr: np.ndarray  # [nbf, nqf, ndof_el] element-basis trace
+    bf_nor: np.ndarray  # [nbf, nqf, dim] scaled outward normal
+    bf_wts: np.ndarray  # [nbf, nqf]
+    bf_xyz: np.ndarray  # [nbf, nqf, dim]
+
+    def to_jax(self, dtype):
+        out = {}
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                if np.issubdtype(v.dtype, np.floating):
+                    out[f.name] = jnp.asarray(v, dtype=dtype)
+                else:
+                    out[f.name] = jnp.asarray(v)
+            else:
+                out[f.name] = v
+        return H1Tables(**out)
+
+
+def _register_pytree():
+    meta = ["dim", "order", "ne", "ndof_el", "nq", "ndofs", "nqf", "nbf"]
+    data = [f.name for f in fields(H1Tables) if f.name not in meta]
+    jax.tree_util.register_dataclass(H1Tables, data_fields=data, meta_fields=meta)
+
+
+_register_pytree()
+
+
+def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
+    ref = ReferenceElement(geom=mesh.geom, order=order, basis="gauss-lobatto")
+    dim = ref.dim
+    ne = mesh.num_elements
+    ndof_el = ref.ndof
+    if quad_order is None:
+        quad_order = 2 * order + 2
+
+    nq1d = quad_order // 2 + 1
+    xq1, wq1 = gauss_legendre_1d(nq1d)
+    grids = np.meshgrid(*([xq1] * dim), indexing="ij")
+    pts = np.stack([g.ravel(order="F") for g in grids], axis=-1)
+    wgrids = np.meshgrid(*([wq1] * dim), indexing="ij")
+    wq = np.ones(pts.shape[0])
+    for g in wgrids:
+        wq = wq * g.ravel(order="F")
+
+    Bvol = ref.eval_basis(pts)
+    Gvol = ref.eval_basis_grad(pts)
+
+    elem_verts = mesh.vertices[mesh.elements]
+    dN = ref.eval_geom_basis_grad(pts)
+    J = np.einsum("nvi,qvj->nqij", elem_verts, dN)
+    detJ = np.linalg.det(J)
+    if np.any(detJ <= 0):
+        raise ValueError("non-positive Jacobians in H1 build")
+    adjJ = detJ[..., None, None] * np.linalg.inv(J)
+
+    # global dof numbering by coordinate matching (handles conforming meshes)
+    Ng = ref.eval_geom_basis(ref.nodes)
+    node_xyz = np.einsum("dv,nvi->ndi", Ng, elem_verts)  # [ne, ndof_el, dim]
+    flat = node_xyz.reshape(-1, dim)
+    scale = max(np.abs(mesh.vertices).max(), 1.0)
+
+    def _key(arr):
+        return np.round(arr / scale * 1e10).astype(np.int64)
+
+    key = _key(flat)
+    _, inverse = np.unique(key, axis=0, return_inverse=True)
+    ndofs = int(inverse.max()) + 1
+    xyz = np.zeros((ndofs, dim))
+    xyz[inverse] = flat
+
+    # periodic gluing: merge dofs identified by the mesh's periodic shifts
+    # (side-a coords + shift land on side-b dofs; interior dofs shift out of
+    # the domain and never collide)
+    if mesh.periodic_pairs:
+        keymap = {tuple(k): i for i, k in enumerate(_key(xyz))}
+        parent = np.arange(ndofs)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        shifts = {tuple(np.round(np.asarray(s), 12)) for _, _, s in mesh.periodic_pairs}
+        for s in shifts:
+            shifted = _key(xyz + np.asarray(s))
+            for i, k in enumerate(shifted):
+                j = keymap.get(tuple(k))
+                if j is not None and j != i:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(ndofs)])
+        uniq_roots, new_ids = np.unique(roots, return_inverse=True)
+        inverse = new_ids[inverse]
+        ndofs = len(uniq_roots)
+        xyz = xyz[uniq_roots]
+
+    elem_dofs = inverse.reshape(ne, ndof_el).astype(np.int32)
+
+    # boundary faces
+    faces = mesh.build_faces()
+    nbf = len(faces.bdr_elem)
+    from ..dg.discretization import _face_quad_1d
+
+    fq_pts, fq_w = _face_quad_1d(order + 2, dim)
+    nqf = fq_pts.shape[0]
+    bf_Btr = np.zeros((nbf, nqf, ndof_el))
+    bf_nor = np.zeros((nbf, nqf, dim))
+    bf_wts = np.broadcast_to(fq_w, (nbf, nqf)).copy()
+    bf_xyz = np.zeros((nbf, nqf, dim))
+    elem_centers = elem_verts.mean(axis=1)
+    for k in range(nbf):
+        e, lf = int(faces.bdr_elem[k]), int(faces.bdr_lf[k])
+        rc = ref.face_ref_coords(lf, fq_pts)
+        bf_Btr[k] = ref.eval_basis(rc)
+        Nf = ref.eval_geom_basis(rc)
+        bf_xyz[k] = Nf @ elem_verts[e]
+        tang = ref.face_ref_tangents(lf, fq_pts)
+        dNf = ref.eval_geom_basis_grad(rc)
+        Jf = np.einsum("vi,qvj->qij", elem_verts[e], dNf)
+        tph = np.einsum("qij,qjk->qik", Jf, tang)
+        if dim == 2:
+            nor = np.stack([tph[:, 1, 0], -tph[:, 0, 0]], axis=-1)
+        else:
+            nor = np.cross(tph[..., 0], tph[..., 1])
+        sgn = np.sign(nor[0] @ (bf_xyz[k].mean(axis=0) - elem_centers[e]))
+        bf_nor[k] = nor * (sgn if sgn != 0 else 1.0)
+
+    return H1Tables(
+        dim=dim, order=order, ne=ne, ndof_el=ndof_el, nq=pts.shape[0],
+        ndofs=ndofs, nqf=nqf, nbf=nbf,
+        elem_dofs=elem_dofs, Bvol=Bvol, Gvol=Gvol, wq=wq, adjJ=adjJ,
+        detJ=detJ, xyz=xyz,
+        bf_elem=faces.bdr_elem.astype(np.int32),
+        bf_attr=faces.bdr_attr.astype(np.int32),
+        bf_Btr=bf_Btr, bf_nor=bf_nor, bf_wts=bf_wts, bf_xyz=bf_xyz,
+    )
+
+
+# --------------------------------------------------------------------------
+# matrix-free operator applications
+#
+# Fields are [ndofs] (scalar) or [ndofs, k] (k-component).  All operators
+# promote to [ndofs, k] internally and return the caller's shape.
+# --------------------------------------------------------------------------
+
+
+def gather(tab, u):
+    return u[tab.elem_dofs]
+
+
+def scatter_add(tab, r_el):
+    """[ne, ndof_el, ...] -> [ndofs, ...] by segment sum over global ids."""
+    flat = r_el.reshape((tab.ne * tab.ndof_el,) + r_el.shape[2:])
+    seg = tab.elem_dofs.reshape(-1)
+    return jax.ops.segment_sum(flat, seg, num_segments=tab.ndofs)
+
+
+def _promote(u):
+    if u.ndim == 1:
+        return u[:, None], True
+    return u, False
+
+
+def _coef_q(tab, coef):
+    """Coefficient field evaluated at quad points: None | scalar | [ndofs]."""
+    if coef is None:
+        return None
+    coef = jnp.asarray(coef)
+    if coef.ndim == 0:
+        return coef  # scalar
+    return jnp.einsum("qd,nd->nq", tab.Bvol, gather(tab, coef))
+
+
+def mass_apply(tab, u, coef=None):
+    """(v, c u)."""
+    uu, squeeze = _promote(u)
+    uq = jnp.einsum("qd,ndk->nqk", tab.Bvol, gather(tab, uu))
+    w = tab.wq[None, :] * tab.detJ
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    re = jnp.einsum("qd,nqk->ndk", tab.Bvol, w[..., None] * uq)
+    out = scatter_add(tab, re)
+    return out[:, 0] if squeeze else out
+
+
+def diffusion_apply(tab, u, coef=None):
+    """(grad v, c grad u) — the stiffness apply."""
+    uu, squeeze = _promote(u)
+    gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, uu))  # l=ref dir
+    # metric: A[k,l] = adjJ adjJ^T / detJ
+    A = jnp.einsum("nqkd,nqld->nqkl", tab.adjJ, tab.adjJ) / tab.detJ[..., None, None]
+    w = tab.wq[None, :]
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    Ag = jnp.einsum("nqml,nqlk->nqmk", A, gq)
+    re = jnp.einsum("qdm,nqmk->ndk", tab.Gvol, w[..., None, None] * Ag)
+    out = scatter_add(tab, re)
+    return out[:, 0] if squeeze else out
+
+
+def mass_lumped_diag(tab, coef=None):
+    """Row-sum (lumped) mass diagonal for Jacobi preconditioning."""
+    w = tab.wq[None, :] * tab.detJ
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    re = jnp.einsum("qd,nq->nd", tab.Bvol, w)
+    return scatter_add(tab, re)
+
+
+def stiffness_diag(tab, coef=None):
+    """Diagonal of the stiffness operator (Jacobi preconditioner)."""
+    A = jnp.einsum("nqkd,nqld->nqkl", tab.adjJ, tab.adjJ) / tab.detJ[..., None, None]
+    w = tab.wq[None, :]
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    re = jnp.einsum("qdk,nqkl,qdl,nq->nd", tab.Gvol, A, tab.Gvol, w)
+    return scatter_add(tab, re)
+
+
+def grad_at_dofs(tab, u):
+    """Lumped-mass L2 projection of grad(u): [ndofs] -> [ndofs, dim]."""
+    gq = jnp.einsum("qdk,nd->nqk", tab.Gvol, gather(tab, u))
+    gphys = jnp.einsum("nqk,nqkd->nqd", gq, tab.adjJ)  # carries detJ
+    re = jnp.einsum("qd,nqi->ndi", tab.Bvol * tab.wq[:, None], gphys)
+    num = scatter_add(tab, re)
+    return num / mass_lumped_diag(tab)[:, None]
+
+
+def convection_apply(tab, u, vel):
+    """(v, (w . grad) u) with advecting velocity [ndofs, dim]."""
+    uu, squeeze = _promote(u)
+    vq = jnp.einsum("qd,ndi->nqi", tab.Bvol, gather(tab, vel))
+    gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, uu))
+    gphys = jnp.einsum("nqlk,nqld->nqdk", gq, tab.adjJ)  # carries detJ
+    conv = jnp.einsum("nqi,nqik->nqk", vq, gphys)
+    re = jnp.einsum("qd,nqk->ndk", tab.Bvol, tab.wq[None, :, None] * conv)
+    out = scatter_add(tab, re)
+    return out[:, 0] if squeeze else out
+
+
+def weak_divergence(tab, vel, coef=None):
+    """(grad v, w): RHS form for the pressure Poisson; vel [ndofs, dim]."""
+    vq = jnp.einsum("qd,ndi->nqi", tab.Bvol, gather(tab, vel))
+    w = tab.wq[None, :]
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    vk = jnp.einsum("nqi,nqki->nqk", w[..., None] * vq, tab.adjJ)
+    re = jnp.einsum("qdk,nqk->nd", tab.Gvol, vk)
+    return scatter_add(tab, re)
+
+
+def divergence_at_dofs(tab, vel):
+    """Lumped-mass projected div(vel): [ndofs, dim] -> [ndofs]."""
+    gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, vel))
+    div = jnp.einsum("nqlk,nqlk->nq", gq, tab.adjJ)  # carries detJ
+    re = jnp.einsum("qd,nq->nd", tab.Bvol * tab.wq[:, None], div)
+    return scatter_add(tab, re) / mass_lumped_diag(tab)
+
+
+def integrate(tab, u):
+    """Domain integral of a nodal field."""
+    uq = jnp.einsum("qd,nd->nq", tab.Bvol, gather(tab, u))
+    return jnp.sum(tab.wq[None, :] * tab.detJ * uq)
+
+
+def boundary_dofs(tab, attrs=None) -> np.ndarray:
+    """Global dof ids on boundary faces (optionally restricted to attrs).
+    Setup-side numpy."""
+    bf_attr = np.asarray(tab.bf_attr)
+    sel = np.ones(len(bf_attr), dtype=bool) if attrs is None else np.isin(
+        bf_attr, list(attrs)
+    )
+    btr = np.abs(np.asarray(tab.bf_Btr)).max(axis=1) > 1e-8  # [nbf, ndof_el]
+    ed = np.asarray(tab.elem_dofs)
+    be = np.asarray(tab.bf_elem)
+    ids = set()
+    for k in np.where(sel)[0]:
+        for d in ed[be[k]][btr[k]]:
+            ids.add(int(d))
+    return np.array(sorted(ids), dtype=np.int32)
+
+
+# --------------------------------------------------------------------------
+# Krylov solve with Dirichlet constraints
+# --------------------------------------------------------------------------
+
+
+def cg_solve(apply_fn, b, x0=None, diag=None, dirichlet_mask=None, tol=1e-10,
+             maxiter=500):
+    """Preconditioned CG on the constrained system.
+
+    `dirichlet_mask` [ndofs] is 1 on free dofs, 0 on constrained dofs; the
+    caller lifts inhomogeneous values into x0 and b beforehand.
+    """
+    mask = 1.0 if dirichlet_mask is None else dirichlet_mask
+
+    def A(x):
+        y = apply_fn(x * mask) * mask
+        if dirichlet_mask is not None:
+            y = y + x * (1.0 - dirichlet_mask)
+        return y
+
+    if diag is not None:
+        dinv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
+        M = lambda x: x * dinv
+    else:
+        M = None
+    x, _ = jax.scipy.sparse.linalg.cg(A, b, x0=x0, tol=tol, maxiter=maxiter, M=M)
+    return x

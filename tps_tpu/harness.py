@@ -26,6 +26,7 @@ from .config.ini import IniInput
 from .config.run_config import parse_run_configuration
 from .solvers import base as solver_base
 from .solvers.compressible import CompressibleSolver  # noqa: F401 (registry)
+from .solvers.lomach.solver import LoMachSolver  # noqa: F401 (registry)
 
 # exit statuses (reference: src/tps.hpp Tps::getStatus -> main.cpp:57-66)
 NORMAL = 0

@@ -1,0 +1,155 @@
+"""Low-Mach thermo-chemistry models.
+
+CaloricallyPerfectThermoChem mirrors the reference's implicit
+advection-diffusion temperature equation with Sutherland viscosity and
+open/closed thermodynamic pressure (reference: src/calorically_perfect.cpp):
+  rho cp (dT/dt + u . grad T) = div(kappa grad T) + dp_th/dt + sources
+solved with BDF/EXT in time and matrix-free CG in space; density follows the
+thermodynamic (not hydrodynamic) pressure: rho = p_th / (R T).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...fem import h1
+from .base import TemporalCoefficients, ThermoChemBase
+
+
+@dataclass
+class TemperatureDirichlet:
+    attrs: tuple
+    value: float
+
+
+class CaloricallyPerfectThermoChem(ThermoChemBase):
+    def __init__(self, tab, flow=None, gas_constant=287.058, gamma=1.4,
+                 p_thermo=101325.0, closed_system=False,
+                 mu0=1.68e-5, sutherland_T0=273.0, sutherland_S0=110.4,
+                 Pr=0.71, constant_mu=None, temp_bcs=(), heat_source=None,
+                 T_init=300.0, cg_tol=1e-10, cg_maxiter=1000):
+        self.tab = tab
+        self.flow = flow
+        self.R = gas_constant
+        self.gamma = gamma
+        self.cp = gamma * gas_constant / (gamma - 1.0)
+        self.p_thermo = p_thermo
+        self.closed_system = closed_system
+        self.mu0 = mu0
+        self.sT0 = sutherland_T0
+        self.sS0 = sutherland_S0
+        self.Pr = Pr
+        self.constant_mu = constant_mu
+        self.heat_source = heat_source
+        self.cg_tol = cg_tol
+        self.cg_maxiter = cg_maxiter
+
+        nd = tab.ndofs
+        self.T = jnp.full(nd, float(T_init))
+        self.T_hist = [self.T, self.T]
+        self.Qt = jnp.zeros(nd)
+
+        if temp_bcs:
+            free = np.ones(nd)
+            vals = jnp.zeros(nd)
+            for bc in temp_bcs:
+                dofs = h1.boundary_dofs(tab, bc.attrs)
+                free[dofs] = 0.0
+                vals = vals.at[jnp.asarray(dofs)].set(bc.value)
+            self.T_mask = jnp.asarray(free)
+            self.T_bc_values = vals
+            self.T = self.T * self.T_mask + vals * (1.0 - self.T_mask)
+            self.T_hist = [self.T, self.T]
+        else:
+            self.T_mask = jnp.ones(nd)
+            self.T_bc_values = jnp.zeros(nd)
+
+        # closed system: conserve initial mass (reference updateThermoP)
+        if closed_system:
+            rho0 = self.p_thermo / (self.R * self.T)
+            self._mass0 = float(h1.integrate(tab, rho0))
+
+        self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
+
+    # -- interfaces --------------------------------------------------------
+    def set_temperature(self, T0):
+        self.T = jnp.asarray(T0)
+        self.T = self.T * self.T_mask + self.T_bc_values * (1.0 - self.T_mask)
+        self.T_hist = [self.T, self.T]
+
+    def density(self):
+        return self.p_thermo / (self.R * self.T)
+
+    def viscosity(self):
+        if self.constant_mu is not None:
+            return jnp.full(self.tab.ndofs, self.constant_mu)
+        return self.mu0 * (self.T / self.sT0) ** 1.5 * (
+            (self.sT0 + self.sS0) / (self.T + self.sS0)
+        )
+
+    def conductivity(self):
+        return self.cp / self.Pr * self.viscosity()
+
+    def thermal_divergence(self):
+        return self.Qt
+
+    def step(self, coeff: TemporalCoefficients, dt: float):
+        vel = (
+            self.flow.velocity()
+            if self.flow is not None
+            else jnp.zeros((self.tab.ndofs, self.tab.dim))
+        )
+        rho = self.density()
+        kappa = self.conductivity()
+        self.T, self.Qt, hist = self._step_jit(
+            self.T, tuple(self.T_hist), vel, rho, kappa, jnp.asarray(dt),
+            order=coeff.order,
+        )
+        self.T_hist = list(hist)
+        if self.closed_system:
+            # adjust p_thermo to conserve mass: M = int p/(R T)
+            inv_T = float(h1.integrate(self.tab, 1.0 / self.T))
+            self.p_thermo = self._mass0 * self.R / inv_T
+
+    # -- internals ---------------------------------------------------------
+    def _step_impl(self, T, T_hist, vel, rho, kappa, dt, order):
+        tab = self.tab
+        coeff = TemporalCoefficients.bdf(order)
+        bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
+
+        rho_cp = rho * self.cp
+        hist = -(bd[1] * T + bd[2] * T_hist[0] + bd[3] * T_hist[1]) / dt
+
+        # explicit advection at time n: nodal u.grad(T), mass-weighted by rho cp
+        adv = h1.convection_apply(tab, T, vel) / h1.mass_lumped_diag(tab)
+        rhs = h1.mass_apply(tab, rho_cp * (hist - adv))
+        if self.heat_source is not None:
+            rhs = rhs + h1.mass_apply(tab, self.heat_source(tab.xyz))
+
+        mask = self.T_mask
+        Tbc = self.T_bc_values
+
+        def helm(v):
+            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v) + \
+                h1.diffusion_apply(tab, v, kappa)
+
+        diag = (bd[0] / dt) * h1.mass_lumped_diag(tab, rho_cp) + \
+            h1.stiffness_diag(tab, kappa)
+        rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
+        diag_c = diag * mask + (1.0 - mask)
+        T_new = h1.cg_solve(helm, rhs, x0=T * mask, diag=diag_c,
+                            dirichlet_mask=mask, tol=self.cg_tol,
+                            maxiter=self.cg_maxiter)
+        T_new = T_new * mask + Tbc * (1.0 - mask)
+
+        # thermal divergence Qt = (1/T) DT/Dt (open system, constant p_th)
+        dTdt = (bd[0] * T_new + bd[1] * T + bd[2] * T_hist[0]
+                + bd[3] * T_hist[1]) / dt
+        ugT = h1.convection_apply(tab, T_new, vel) / h1.mass_lumped_diag(tab)
+        Qt = (dTdt + ugT) / T_new
+
+        return T_new, Qt, (T, T_hist[0])

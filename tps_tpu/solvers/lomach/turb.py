@@ -1,0 +1,61 @@
+"""Algebraic LES subgrid models for the low-Mach path.
+
+Smagorinsky / Sigma eddy viscosity over H1 velocity gradients (mirrors
+reference: src/algebraicSubgridModels.cpp behavior; model constants follow
+the reference defaults).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...fem import h1
+from .base import TurbModelBase
+
+
+class AlgebraicSubgridModel(TurbModelBase):
+    """model: 'smagorinsky' (Cs ~ 0.12) or 'sigma' (Cs ~ 1.35)."""
+
+    def __init__(self, tab, flow, model="smagorinsky", const=None):
+        self.tab = tab
+        self.flow = flow
+        self.model = model
+        if const is None:
+            const = 0.12 if model == "smagorinsky" else 1.35
+        self.const = const
+        # grid scale: per-dof length from element volumes
+        detJc = np.asarray(tab.detJ).mean(axis=1)  # ~ elem volume
+        h_el = detJc ** (1.0 / tab.dim)
+        h_dof = np.zeros(tab.ndofs)
+        cnt = np.zeros(tab.ndofs)
+        ed = np.asarray(tab.elem_dofs)
+        for e in range(tab.ne):
+            h_dof[ed[e]] += h_el[e]
+            cnt[ed[e]] += 1
+        self.delta = jnp.asarray(h_dof / np.maximum(cnt, 1)) / max(tab.order, 1)
+        self._nut = jnp.zeros(tab.ndofs)
+
+    def step(self, coeff, dt):
+        tab = self.tab
+        u = self.flow.velocity()
+        # nodal velocity gradient via lumped projection, per component
+        g = jnp.stack(
+            [h1.grad_at_dofs(tab, u[:, d]) for d in range(tab.dim)], axis=1
+        )  # [ndofs, comp, dim] = du_comp/dx_dim
+        S = 0.5 * (g + jnp.swapaxes(g, 1, 2))
+        if self.model == "smagorinsky":
+            smag = jnp.sqrt(2.0 * jnp.einsum("nij,nij->n", S, S))
+            self._nut = (self.const * self.delta) ** 2 * smag
+        else:  # sigma model (Nicoud et al. 2011)
+            G = jnp.einsum("nki,nkj->nij", g, g)
+            # eigenvalues of symmetric G (ascending)
+            ev = jnp.linalg.eigvalsh(G)
+            ev = jnp.clip(ev, 0.0, None)
+            s3, s2, s1 = jnp.sqrt(ev[:, 0]), jnp.sqrt(ev[:, 1]), jnp.sqrt(ev[:, -1])
+            denom = jnp.maximum(s1 * s1, 1e-30)
+            D = s3 * (s1 - s2) * (s2 - s3) / denom
+            self._nut = (self.const * self.delta) ** 2 * D
+
+    def eddy_viscosity(self):
+        return self._nut
