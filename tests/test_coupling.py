@@ -1,0 +1,82 @@
+"""Cycle-averaged Joule coupling test (plasma.axisym / coupled analog):
+argon flow + axisymmetric EM on different meshes, conductivity -> EM ->
+power-controlled Joule heating -> flow energy."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from tps_tpu.config.ini import IniInput
+from tps_tpu.config.run_config import parse_run_configuration
+from tps_tpu.interop.interpolation import FieldInterpolator
+from tps_tpu.mesh.generators import box_2d
+from tps_tpu.solvers.coupling import CycleAvgJouleCoupling
+from tps_tpu.solvers.em.qms import QuasiMagnetostaticSolverAxiSym
+
+HERE = os.path.dirname(__file__)
+
+
+def test_field_interpolator_roundtrip():
+    """DG field interpolated onto another mesh's points reproduces smooth
+    functions."""
+    from tps_tpu.dg.discretization import build_tables
+
+    src = box_2d(8, 8)
+    tab = build_tables(src, order=2)
+    f = np.asarray(tab.xyz_dof[..., 0] ** 2 + tab.xyz_dof[..., 1])
+    pts = np.random.RandomState(0).rand(40, 2) * 0.98 + 0.01
+    interp = FieldInterpolator.build(src, 2, "gauss-legendre", pts)
+    assert interp.found.all()
+    vals = np.asarray(interp.from_dg(jnp.asarray(f)))
+    exact = pts[:, 0] ** 2 + pts[:, 1]
+    assert np.abs(vals - exact).max() < 1e-10
+
+
+def test_cycle_avg_joule_coupling():
+    ini_path = os.path.join(HERE, "inputs", "argon_minimal.ini")
+    inp = IniInput.read(ini_path)
+    # make flow mesh non-periodic & matching the EM domain region near axis
+    inp.values["mesh/periodic_x"] = "1"
+    inp.values["mesh/periodic_y"] = "1"
+    inp.values["em/order"] = "1"
+    inp.values["em/current_amplitude"] = "1e6"
+    inp.values["em/current_frequency"] = "1e5"
+    inp.values["cycle-avg-joule-coupled/solve-em-every-n"] = "2"
+    # modest power + realistic seed ionization so the electron-energy
+    # equation stays non-stiff over explicit steps
+    inp.values["cycle-avg-joule-coupled/input-power"] = "0.5"
+    inp.values["species/species3/initialMassFraction"] = "1.0e-4"
+    inp.values["species/species2/initialMassFraction"] = "0.9999"
+    # the explicit two-temperature relaxation is stiff; keep dt small
+    inp.values["time/dt_fixed"] = "5e-8"
+    rc = parse_run_configuration(inp)
+    rc.max_iters = 4
+
+    # EM mesh covering the flow box ([0,0.01]^2) plus coil ring outside
+    em_mesh = box_2d(12, 12, x0=0.0, x1=0.04, y0=-0.015, y1=0.025)
+    cent = em_mesh.vertices[em_mesh.elements].mean(axis=1)
+    attrs = np.ones(em_mesh.num_elements, dtype=np.int64)
+    ring = (np.abs(cent[:, 0] - 0.02) < 0.004) & (np.abs(cent[:, 1] - 0.005) < 0.004)
+    attrs[ring] = 2
+    em_mesh.elem_attrs = attrs
+
+    coupled = CycleAvgJouleCoupling(rc)
+    coupled._em_in = QuasiMagnetostaticSolverAxiSym(rc, mesh=em_mesh)
+    coupled._em_in.initialize()
+    coupled.initialize()
+
+    E0 = float(jnp.sum(coupled.flow.U[..., coupled.flow.mixture.i_th]))
+    coupled.solve()
+    assert coupled.iter == 4
+    assert coupled.flow.check_nan() == 0
+
+    # power control: total EM joule heating == target
+    total = coupled.em.total_joule_heating()
+    assert abs(total - 0.5) / 0.5 < 1e-8
+
+    # heating reached the flow: energy increased
+    E1 = float(jnp.sum(coupled.flow.U[..., coupled.flow.mixture.i_th]))
+    assert E1 > E0
+    qj = np.asarray(coupled.flow.get_joule_heating())
+    assert qj.max() > 0 and np.isfinite(qj).all()

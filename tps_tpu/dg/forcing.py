@@ -26,7 +26,7 @@ class ConstantPressureGradient:
     mixture: object
     press_grad: tuple  # dim components
 
-    def __call__(self, t, tab, U, Up, grad_up):
+    def __call__(self, t, tab, U, Up, grad_up, fields=None):
         mix = self.mixture
         dim = mix.dim
         g = jnp.asarray(self.press_grad[:dim], dtype=U.dtype)
@@ -53,7 +53,7 @@ class HeatSource:
     point2: tuple
     radius: float
 
-    def __call__(self, t, tab, U, Up, grad_up):
+    def __call__(self, t, tab, U, Up, grad_up, fields=None):
         mix = self.mixture
         xyz = tab.xyz_dof
         p1 = jnp.asarray(self.point1[: xyz.shape[-1]], dtype=U.dtype)
@@ -86,7 +86,7 @@ class SpongeZone:
     length: float
     mult: float = 1.0
 
-    def __call__(self, t, tab, U, Up, grad_up):
+    def __call__(self, t, tab, U, Up, grad_up, fields=None):
         mix = self.mixture
         dtype = U.dtype
         n = jnp.asarray(self.normal[: mix.dim], dtype)
@@ -99,6 +99,27 @@ class SpongeZone:
         U_t = self.mixture.conservatives(up_t)
         c = self.mixture.sound_speed_from_T(up_t[mix.i_th])
         return -(c * self.mult) * sigma[..., None] * (U - U_t)
+
+
+@dataclass(frozen=True)
+class JouleHeating:
+    """EM Joule heating source read from the runtime `fields` dict
+    ("joule_heating" [ne, ndof]); positive heating is added to total energy
+    and, for two-temperature mixtures, to the electron energy
+    (reference: src/forcing_terms.cpp:443-472)."""
+
+    mixture: object
+
+    def __call__(self, t, tab, U, Up, grad_up, fields=None):
+        mix = self.mixture
+        out = jnp.zeros_like(U)
+        if not fields or "joule_heating" not in fields:
+            return out
+        q = jnp.maximum(fields["joule_heating"], 0.0)
+        out = out.at[..., mix.i_th].add(q)
+        if mix.two_temperature:
+            out = out.at[..., mix.i_te].add(q)
+        return out
 
 
 def make_mms_forcing(exact_primitive_fn, ctx, tab):
@@ -121,7 +142,7 @@ def make_mms_forcing(exact_primitive_fn, ctx, tab):
     def exact_U(t):
         return mix.conservatives(exact_primitive_fn(tab.xyz_dof, t))
 
-    def forcing(t, tab_in, U, Up, grad_up):
+    def forcing(t, tab_in, U, Up, grad_up, fields=None):
         t = jnp.asarray(t, dtype=tab_in.xyz_dof.dtype)
         dUdt = jax.jacfwd(exact_U)(t)
         rhs_exact, _ = compute_rhs(ctx, tab_in, exact_U(t), t)

@@ -61,7 +61,7 @@ def _clip_species(mix, U):
     return U.at[..., mix.nvel + 2 : mix.nvel + 2 + nact].set(jnp.maximum(sp, 0.0))
 
 
-def compute_rhs(ctx: RHSContext, tab, U, t=0.0):
+def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
     """Return (dU/dt, aux) with aux containing max_char_speed."""
     mix = ctx.mixture
     neq = mix.num_equations
@@ -173,7 +173,7 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0):
 
     # ---- forcing (added to dU/dt directly; reference rhs_operator.cpp:452-461)
     for f in ctx.forcings:
-        y = y + f(t, tab, U, Up, grad_up)
+        y = y + f(t, tab, U, Up, grad_up, fields)
 
     mcs_field = mix.max_char_speed(U)
     if ctx.axis_name is not None:

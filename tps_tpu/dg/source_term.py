@@ -29,7 +29,8 @@ class SourceTerm:
     efield: object | None = None  # optional [..., nvel] electric field
     extern_rate: object | None = None  # injected reaction rates (Boltzmann bus)
 
-    def __call__(self, t, tab, U, Up, grad_up):
+    def __call__(self, t, tab, U, Up, grad_up, fields=None):
+        fields = fields or {}
         mix = self.mixture
         nvel = mix.nvel
         neq = mix.num_equations
@@ -42,7 +43,8 @@ class SourceTerm:
         Uc = U.at[..., sl].set(jnp.maximum(U[..., sl], 0.0))
         Upc = Up.at[..., sl].set(jnp.maximum(Up[..., sl], 0.0))
 
-        props = self.transport.source_properties(Uc, Upc, grad_up, efield=self.efield)
+        efield = fields.get("efield", self.efield)
+        props = self.transport.source_properties(Uc, Upc, grad_up, efield=efield)
         n_sp = props["n_sp"]
         Th = Upc[..., mix.i_th]
         Te = Upc[..., mix.i_te] if mix.two_temperature else Th
@@ -52,7 +54,7 @@ class SourceTerm:
         progress = None
         if self.chemistry is not None and self.chemistry.num_reactions > 0:
             progress, creation = self.chemistry.source(
-                n_sp, Th, Te, extern_rate=self.extern_rate
+                n_sp, Th, Te, extern_rate=fields.get("extern_rate", self.extern_rate)
             )
             src = src.at[..., sl].add(creation[..., :na])
 

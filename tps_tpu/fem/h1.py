@@ -45,6 +45,7 @@ class H1Tables:
     adjJ: np.ndarray  # [ne, nq, dim, dim]
     detJ: np.ndarray  # [ne, nq]
     xyz: np.ndarray  # [ndofs, dim] global dof coordinates
+    xyz_q: np.ndarray  # [ne, nq, dim] quad-point coordinates
 
     # boundary faces (for Dirichlet marking + surface integrals)
     bf_elem: np.ndarray  # [nbf]
@@ -98,6 +99,8 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
     Gvol = ref.eval_basis_grad(pts)
 
     elem_verts = mesh.vertices[mesh.elements]
+    Nq = ref.eval_geom_basis(pts)  # [nq, nverts]
+    xyz_q = np.einsum("qv,nvi->nqi", Nq, elem_verts)
     dN = ref.eval_geom_basis_grad(pts)
     J = np.einsum("nvi,qvj->nqij", elem_verts, dN)
     detJ = np.linalg.det(J)
@@ -183,7 +186,7 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
         dim=dim, order=order, ne=ne, ndof_el=ndof_el, nq=pts.shape[0],
         ndofs=ndofs, nqf=nqf, nbf=nbf,
         elem_dofs=elem_dofs, Bvol=Bvol, Gvol=Gvol, wq=wq, adjJ=adjJ,
-        detJ=detJ, xyz=xyz,
+        detJ=detJ, xyz=xyz, xyz_q=xyz_q,
         bf_elem=faces.bdr_elem.astype(np.int32),
         bf_attr=faces.bdr_attr.astype(np.int32),
         bf_Btr=bf_Btr, bf_nor=bf_nor, bf_wts=bf_wts, bf_xyz=bf_xyz,
@@ -216,12 +219,15 @@ def _promote(u):
 
 
 def _coef_q(tab, coef):
-    """Coefficient field evaluated at quad points: None | scalar | [ndofs]."""
+    """Coefficient at quad points: None | scalar | nodal [ndofs] |
+    quad-point [ne, nq]."""
     if coef is None:
         return None
     coef = jnp.asarray(coef)
     if coef.ndim == 0:
         return coef  # scalar
+    if coef.ndim == 2:
+        return coef  # already at quad points
     return jnp.einsum("qd,nd->nq", tab.Bvol, gather(tab, coef))
 
 

@@ -46,6 +46,13 @@ class Mesh:
     periodic_pairs: list = field(default_factory=list)
     # optional high-order geometry nodes (curved meshes); None = straight
     curved_nodes: np.ndarray | None = None
+    # per-element integer attributes (regions; MFEM/Gmsh physical tags)
+    elem_attrs: np.ndarray | None = None
+
+    def attributes(self) -> np.ndarray:
+        if self.elem_attrs is None:
+            return np.ones(self.num_elements, dtype=np.int64)
+        return self.elem_attrs
 
     @property
     def num_elements(self) -> int:

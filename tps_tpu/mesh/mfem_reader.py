@@ -42,9 +42,11 @@ def read_mfem_mesh(path: str) -> Mesh:
     i = section("elements")
     ne = int(lines[i])
     elems = []
+    eattrs = []
     geom_seen = set()
     for k in range(ne):
         parts = lines[i + 1 + k].split()
+        eattrs.append(int(parts[0]))
         geom = int(parts[1])
         if geom not in _MFEM_GEOM:
             raise ValueError(f"{path}: unsupported element geometry {geom}")
@@ -103,6 +105,7 @@ def read_mfem_mesh(path: str) -> Mesh:
         elements=elements,
         bdr_faces=bf,
         bdr_attrs=np.asarray(bdr_attrs, dtype=np.int64),
+        elem_attrs=np.asarray(eattrs, dtype=np.int64),
     )
 
 
@@ -154,7 +157,7 @@ def read_gmsh_mesh(path: str) -> Mesh:
             continue
         g, nvt = _GMSH_ELEM[etype]
         if g in ("quad", "hex"):
-            vols.append((g, verts))
+            vols.append((g, verts, phys))
             vol_geom.add(g)
         else:
             bdrs.append((phys, verts))
@@ -167,11 +170,10 @@ def read_gmsh_mesh(path: str) -> Mesh:
     geom = "hex" if "hex" in vol_geom else "quad"
     dim = 3 if geom == "hex" else 2
     if geom == "hex":
-        vols = [(g, v) for g, v in vols if g == "hex"]
-        bdrs = [(a, v) for a, v in bdrs if len(v) == 4] + [
-            (a, v) for a, v in bdrs if len(v) != 4 and False
-        ]
-    elements = np.asarray([v for _, v in vols], dtype=np.int64)
+        vols = [t for t in vols if t[0] == "hex"]
+        bdrs = [(a, v) for a, v in bdrs if len(v) == 4]
+    elements = np.asarray([v for _, v, _ in vols], dtype=np.int64)
+    eattrs = np.asarray([a for _, _, a in vols], dtype=np.int64)
 
     if bdrs:
         width = max(len(v) for _, v in bdrs)
@@ -191,6 +193,7 @@ def read_gmsh_mesh(path: str) -> Mesh:
         elements=elements,
         bdr_faces=bf,
         bdr_attrs=ba,
+        elem_attrs=eattrs,
     )
 
 

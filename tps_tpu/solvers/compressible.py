@@ -131,6 +131,9 @@ class CompressibleSolver(PlasmaSolver):
                 radiation=self.plasma.radiation,
             )
             forcings.append(self._source_term)
+            from ..dg.forcing import JouleHeating as _JouleHeatingForcing
+
+            forcings.append(_JouleHeatingForcing(mixture=self.mixture))
         else:
             raise NotImplementedError(f"fluid '{rc.fluid}' not yet available")
         self.transport = transport
@@ -162,9 +165,12 @@ class CompressibleSolver(PlasmaSolver):
         self.hmin = float(np.min(self.tables_np.delta) * max(rc.order, 1))
         self._integrator = get_integrator(rc.integrator)
 
+        # runtime fields injected into the jitted RHS (EM coupling etc.)
+        self.fields = {}
+
         @jax.jit
-        def _step(tab, U, t, dt):
-            rhs = lambda u, tt: compute_rhs(self.ctx, tab, u, tt)
+        def _step(tab, U, t, dt, fields):
+            rhs = lambda u, tt: compute_rhs(self.ctx, tab, u, tt, fields=fields)
             U2, aux = self._integrator(rhs, U, t, dt)
             return U2, aux["max_char_speed"]
 
@@ -272,7 +278,7 @@ class CompressibleSolver(PlasmaSolver):
         rc = self.config
         U2, mcs = self._step(
             self.tables, self.U, jnp.asarray(self.time, self.dtype),
-            jnp.asarray(self.dt, self.dtype),
+            jnp.asarray(self.dt, self.dtype), self.fields,
         )
         self.U = U2
         self.time += self.dt
@@ -329,11 +335,16 @@ class CompressibleSolver(PlasmaSolver):
         self._init_io() if self._io is None else None
         self._io.read(self)
 
-    # -- plasma-coupling contract (full implementation with plasma fluid) --
+    # -- plasma-coupling contract (reference: src/solver.hpp:121-144) -------
     def evaluate_plasma_conductivity(self):
+        """sigma at solution dofs [ne, ndof] (reference:
+        M2ulPhyS::evaluatePlasmaConductivityGF, src/M2ulPhyS.cpp:4265)."""
         import jax.numpy as jnp
 
-        return jnp.zeros(self.U.shape[:-1], dtype=self.dtype)
+        if self.plasma is None or not hasattr(self, "_source_term"):
+            return jnp.zeros(self.U.shape[:-1], dtype=self.dtype)
+        Up = self.mixture.primitives(self.U)
+        return self._source_term.plasma_conductivity(self.U, Up)
 
     def get_plasma_conductivity(self):
         return self.evaluate_plasma_conductivity()
@@ -341,4 +352,11 @@ class CompressibleSolver(PlasmaSolver):
     def get_joule_heating(self):
         import jax.numpy as jnp
 
-        return jnp.zeros(self.U.shape[:-1], dtype=self.dtype)
+        return self.fields.get(
+            "joule_heating", jnp.zeros(self.U.shape[:-1], dtype=self.dtype)
+        )
+
+    def set_joule_heating(self, qj):
+        import jax.numpy as jnp
+
+        self.fields["joule_heating"] = jnp.asarray(qj, self.dtype)

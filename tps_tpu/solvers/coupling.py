@@ -1,0 +1,129 @@
+"""EM <-> flow coupling drivers.
+
+CycleAvgJouleCoupling (reference: src/cycle_avg_joule_coupling.cpp:49-555):
+two meshes (flow + EM); every `solve_em_every_n` flow steps, evaluate the
+plasma conductivity on the flow mesh, interpolate to the EM mesh, solve the
+quasimagnetostatic system, rescale Joule heating toward a target power
+(power control), and interpolate the heating (and E-field) back to the flow
+mesh where it enters the energy equations as a forcing.
+
+IndependentCoupling (reference: src/independent_coupling.cpp): runs the two
+solvers with no data exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..interop.interpolation import FieldInterpolator
+from .base import Solver, create_solver, register_solver
+from .em.qms import QuasiMagnetostaticSolverAxiSym
+
+
+@register_solver("cycle-avg-joule-coupled")
+class CycleAvgJouleCoupling(Solver):
+    def __init__(self, config, tps=None, flow_solver=None, em_solver=None):
+        super().__init__(config, tps)
+        self._flow_in = flow_solver
+        self._em_in = em_solver
+
+    def initialize(self):
+        inp = self.config.raw
+        self.solve_em_every_n = inp.get("cycle-avg-joule-coupled/solve-em-every-n", 100)
+        self.input_power = inp.get("cycle-avg-joule-coupled/input-power", -1.0)
+        self.initial_input_power = inp.get(
+            "cycle-avg-joule-coupled/initial-input-power", -1.0
+        )
+        self.fixed_conductivity = bool(
+            inp.get("cycle-avg-joule-coupled/fixed-conductivity", 0)
+        )
+
+        # flow solver ("flow" registry entry on the flow mesh)
+        if self._flow_in is not None:
+            self.flow = self._flow_in
+        else:
+            self.flow = create_solver("flow", self.config, tps=self.tps)
+            self.flow.initialize()
+        if self._em_in is not None:
+            self.em = self._em_in
+        else:
+            self.em = QuasiMagnetostaticSolverAxiSym(self.config, tps=self.tps)
+            self.em.initialize()
+
+        self._build_interpolators()
+        self.iter = 0
+        self.time = 0.0
+
+    def _build_interpolators(self):
+        """Static cross-mesh interpolation tables (gslib analog;
+        reference interpConductivityFromFlowToEM :185 etc.)."""
+        # flow (DG dofs) -> EM (H1 nodes)
+        em_pts = np.asarray(self.em.tab.xyz)
+        self.flow_to_em = FieldInterpolator.build(
+            self.flow.mesh, self.flow.config.order,
+            "gauss-legendre" if self.flow.config.basis_type == 0 else "gauss-lobatto",
+            em_pts,
+        )
+        # EM (H1) -> flow (DG dofs)
+        flow_pts = np.asarray(self.flow.tables_np.xyz_dof).reshape(-1, self.flow.mesh.dim)
+        self.em_to_flow = FieldInterpolator.build(
+            self.em.mesh, self.em.tab.order, "gauss-lobatto", flow_pts,
+        )
+
+    @property
+    def max_iters(self):
+        return self.flow.max_iters
+
+    def solve_step(self):
+        import jax.numpy as jnp
+
+        if self.iter % self.solve_em_every_n == 0:
+            # 1) sigma on flow mesh -> EM mesh
+            if not self.fixed_conductivity or self.iter == 0:
+                sigma = self.flow.evaluate_plasma_conductivity()  # [ne, ndof]
+                sigma_em = self.flow_to_em.from_dg(sigma)
+                self.em.set_plasma_conductivity(sigma_em)
+            # 2) EM solve
+            self.em.solve_step()
+            # 3) power control (reference :434-516)
+            target = self.input_power
+            if self.initial_input_power > 0 and self.iter == 0:
+                target = self.initial_input_power
+            if target > 0:
+                total = self.em.total_joule_heating()
+                if total > 0:
+                    self.em.scale_joule_heating(target / total)
+            # 4) Joule heating back to flow dofs
+            qj_flow = self.em_to_flow.from_h1(self.em.tab, self.em.joule_heating)
+            ne, ndof = self.flow.U.shape[:2]
+            self.flow.set_joule_heating(qj_flow.reshape(ne, ndof))
+
+        self.flow.solve_step()
+        self.iter = self.flow.iter
+        self.time = self.flow.time
+
+    def solve_end(self):
+        self.flow.solve_end()
+
+
+@register_solver("independent-coupled")
+class IndependentCoupling(Solver):
+    """Run flow and EM with no coupling (reference independent_coupling.cpp)."""
+
+    def initialize(self):
+        self.flow = create_solver("flow", self.config, tps=self.tps)
+        self.flow.initialize()
+        self.em = QuasiMagnetostaticSolverAxiSym(self.config, tps=self.tps)
+        self.em.initialize()
+        self.iter = 0
+
+    @property
+    def max_iters(self):
+        return self.flow.max_iters
+
+    def solve_step(self):
+        if self.iter == 0:
+            self.em.solve_step()
+        self.flow.solve_step()
+        self.iter = self.flow.iter
+        self.time = self.flow.time

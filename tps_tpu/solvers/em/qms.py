@@ -1,0 +1,221 @@
+"""Quasimagnetostatic EM solvers (frequency domain).
+
+Axisymmetric A_theta formulation mirroring the reference
+(reference: src/quasimagnetostatic.cpp:790-1400):
+
+  block system  [ K          -w M_sigma ] [A_re]   [r]
+                [ w M_sigma   K         ] [A_im] = [0]
+
+  K        = (grad v, r grad A) + (v, A/r)           (:855-857)
+  M_sigma  = (v, mu0 sigma 2 pi f  r A)              (:1014-1019)
+  r        = (v, mu0 I/2 r) over coil-ring elements  (InitializeCurrent)
+  A = 0 on the outer boundary; solved with preconditioned GMRES
+  (the reference uses FGMRES + BoomerAMG; here diagonal-preconditioned
+  jax GMRES on the matrix-free block operator).
+
+Outputs: Joule heating q_J = 2 w^2 sigma (A_re^2 + A_im^2) (:1073-1086),
+electric field E = i w A (:1088-1094), total Joule heating, coil current,
+and magnetic energy for the power-control loop of the coupling driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...constants import PI
+from ...fem import h1
+from ..base import Solver, register_solver
+
+
+class QuasiMagnetostaticSolverAxiSym(Solver):
+    """Standalone axisymmetric EM solver ('em-axi' in the registry)."""
+
+    def __init__(self, config, tps=None, mesh=None):
+        super().__init__(config, tps)
+        self._mesh_in = mesh
+
+    def initialize(self):
+        import jax
+        import jax.numpy as jnp
+
+        inp = self.config.raw if hasattr(self.config, "raw") else self.config
+        self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+        if self._mesh_in is not None:
+            self.mesh = self._mesh_in
+        else:
+            from ...mesh.mfem_reader import read_mesh
+
+            self.mesh = read_mesh(inp.get_required("em/mesh"))
+        order = inp.get("em/order", 1)
+        self.tab = h1.build_h1(self.mesh, order=order).to_jax(self.dtype)
+
+        self.mu0 = inp.get("em/mu0", 1.25663706e-6)
+        self.current_amplitude = inp.get("em/current_amplitude", 1.0)
+        self.current_frequency = inp.get("em/current_frequency", 1.0)
+        self.rtol = inp.get("em/rtol", 1e-10)
+        self.max_iter = inp.get("em/max_iter", 200)
+        top_only = bool(inp.get("em/top_only", 0))
+        bot_only = bool(inp.get("em/bot_only", 0))
+
+        # ring-current source by element attribute (attr 1 = no source;
+        # attrs 2..5 = rings, reference InitializeCurrent)
+        attrs = self.mesh.attributes()
+        max_attr = int(attrs.max())
+        J0 = np.zeros(max_attr + 1)
+        mu0J = self.mu0 * self.current_amplitude * 0.5
+        if max_attr >= 5:
+            if bot_only:
+                J0[2] = J0[3] = mu0J
+            elif top_only:
+                J0[4] = J0[5] = mu0J
+            else:
+                J0[2] = J0[3] = J0[4] = J0[5] = mu0J
+        elif max_attr >= 2:
+            J0[2:] = mu0J
+        self._J0_attr = J0
+        self._ring_attr = 2  # attr used for coilCurrent reporting
+
+        # per-quad-point coefficient fields
+        xq = self.tab.xyz_q
+        self.r_q = xq[..., 0]
+        self.inv_r_q = 1.0 / jnp.maximum(self.r_q, 1e-14)
+        J0_q = jnp.asarray(J0)[jnp.asarray(attrs)][:, None] * jnp.ones_like(self.r_q)
+        self.J0_q = J0_q
+
+        # Dirichlet on all boundary (A=0): reference ess_bdr on exterior
+        bdofs = h1.boundary_dofs(self.tab)
+        self.mask = jnp.ones(self.tab.ndofs).at[jnp.asarray(bdofs)].set(0.0)
+
+        # plasma conductivity field (set by the coupling driver)
+        self.plasma_conductivity = jnp.zeros(self.tab.ndofs, self.dtype)
+        self.A_re = jnp.zeros(self.tab.ndofs, self.dtype)
+        self.A_im = jnp.zeros(self.tab.ndofs, self.dtype)
+        self.joule_heating = jnp.zeros(self.tab.ndofs, self.dtype)
+
+        self.iter = 0
+        self.time = 0.0
+
+    @property
+    def max_iters(self):
+        return 1
+
+    # ------------------------------------------------------------------
+    def set_plasma_conductivity(self, sigma):
+        import jax.numpy as jnp
+
+        self.plasma_conductivity = jnp.asarray(sigma, self.dtype)
+
+    def _K_apply(self, tab, v):
+        return h1.diffusion_apply(tab, v, self.r_q) + h1.mass_apply(
+            tab, v, self.inv_r_q
+        )
+
+    def solve_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        tab = self.tab
+        omega = 2.0 * PI * self.current_frequency
+        mu0_omega = self.mu0 * omega
+
+        # sigma at quad points (nodal field)
+        import jax.numpy as jnp  # noqa: F811
+
+        sig_q = jnp.einsum(
+            "qd,nd->nq", tab.Bvol, h1.gather(tab, self.plasma_conductivity)
+        )
+        msw_q = mu0_omega * sig_q * self.r_q
+
+        mask = self.mask
+        nd = tab.ndofs
+
+        def block_apply(w):
+            a_re, a_im = w[:nd], w[nd:]
+            a_re = a_re * mask
+            a_im = a_im * mask
+            y_re = self._K_apply(tab, a_re) - h1.mass_apply(tab, a_im, msw_q)
+            y_im = h1.mass_apply(tab, a_re, msw_q) + self._K_apply(tab, a_im)
+            y_re = y_re * mask + w[:nd] * (1 - mask)
+            y_im = y_im * mask + w[nd:] * (1 - mask)
+            return jnp.concatenate([y_re, y_im])
+
+        # rhs: (v, J0 r) on the real block
+        rhs_re = h1.mass_apply(tab, jnp.ones(nd, self.dtype), self.J0_q * self.r_q)
+        b = jnp.concatenate([rhs_re * mask, jnp.zeros(nd, self.dtype)])
+
+        # diagonal preconditioner from K's diagonal
+        kdiag = h1.stiffness_diag(tab, self.r_q) + h1.mass_lumped_diag(
+            tab, self.inv_r_q
+        )
+        kdiag = kdiag * mask + (1 - mask)
+        dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
+
+        w, _ = jax.scipy.sparse.linalg.gmres(
+            block_apply, b, tol=self.rtol, maxiter=self.max_iter,
+            M=lambda x: x * dinv, solve_method="batched", restart=30,
+        )
+        self.A_re = w[:nd] * mask
+        self.A_im = w[nd:] * mask
+
+        # Joule heating q_J = 2 w^2 sigma |A|^2 (reference :1073-1086)
+        self.joule_heating = (
+            2.0 * omega**2 * self.plasma_conductivity * (self.A_re**2 + self.A_im**2)
+        )
+        self.iter += 1
+
+    def solve(self):
+        self.solve_step()
+
+    # -- diagnostics (reference :1186-1380) --------------------------------
+    def electric_field(self):
+        """E_theta = i w A: returns (E_re, E_im)."""
+        omega = 2.0 * PI * self.current_frequency
+        return -omega * self.A_im, omega * self.A_re
+
+    def total_joule_heating(self):
+        """int q_J r dr dz (reference totalJouleHeating, elementJouleHeating
+        integrates jh * radius)."""
+        import jax.numpy as jnp
+
+        tab = self.tab
+        jq = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, self.joule_heating))
+        return float(jnp.sum(tab.wq[None, :] * tab.detJ * jq * self.r_q))
+
+    def coil_current(self):
+        """Area integral of I/2 over one ring (reference coilCurrent)."""
+        import jax.numpy as jnp
+
+        tab = self.tab
+        attrs = np.asarray(self.mesh.attributes())
+        sel = jnp.asarray((attrs == self._ring_attr).astype(np.float64))
+        val = 0.5 * self.current_amplitude
+        return float(
+            jnp.sum(tab.wq[None, :] * tab.detJ * sel[:, None]) * val
+        )
+
+    def magnetic_energy(self):
+        """(pi/mu0) int [ (dA/dz)^2 + (1/r d(rA)/dr)^2 ] r dr dz over both
+        phase components (time-averaged magnetic energy)."""
+        import jax.numpy as jnp
+
+        tab = self.tab
+        total = 0.0
+        for A in (self.A_re, self.A_im):
+            g = h1.grad_at_dofs(tab, A)  # [nd, (r,z)]
+            gq = jnp.einsum("qd,ndi->nqi", tab.Bvol, h1.gather(tab, g))
+            Aq = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, A))
+            Br = -gq[..., 1]
+            Bz = gq[..., 0] + Aq * self.inv_r_q
+            total += float(
+                jnp.sum(tab.wq[None, :] * tab.detJ * (Br**2 + Bz**2) * self.r_q)
+            )
+        return PI / self.mu0 * 0.5 * total
+
+    def scale_joule_heating(self, factor):
+        self.joule_heating = self.joule_heating * factor
+
+
+@register_solver("em-axi")
+class _EmAxiFromConfig(QuasiMagnetostaticSolverAxiSym):
+    pass
