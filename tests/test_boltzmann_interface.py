@@ -1,0 +1,78 @@
+"""Tps2Boltzmann bus test: the reference's Python-driven coupled loop
+(src/tps-time-loop.py with its toy ArrheniusSolver) re-enacted through the
+framework API."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from tps_tpu.config.ini import IniInput
+from tps_tpu.config.run_config import parse_run_configuration
+from tps_tpu.constants import AVOGADRO_NUMBER, UNIVERSAL_GAS_CONSTANT
+from tps_tpu.harness import Tps
+from tps_tpu.interop.boltzmann import Tps2Boltzmann
+
+HERE = os.path.dirname(__file__)
+
+
+class ToyArrheniusSolver:
+    """External 'Boltzmann' solver computing one ionization rate from the
+    interface fields (the reference's ArrheniusSolver, tps-time-loop.py:8-47)."""
+
+    A, b, E = 4.7, 1.2, 6.49e4
+
+    def fetch(self, interface):
+        self.Te = np.asarray(interface.Field(interface.ElectronTemperature))[..., 0]
+
+    def solve(self):
+        T = np.maximum(self.Te, 200.0)
+        self.rate = self.A * T**self.b * np.exp(-self.E / (UNIVERSAL_GAS_CONSTANT * T))
+
+    def push(self, interface):
+        interface.setField(
+            interface.ReactionRates, jnp.asarray(self.rate)[..., None]
+        )
+
+
+def test_python_time_loop_with_external_rates():
+    inp = IniInput.read(os.path.join(HERE, "inputs", "argon_minimal.ini"))
+    inp.values["reactions/reaction1/model"] = "bte"  # external rates
+    inp.values["reactions/reaction1/detailed_balance"] = "False"
+    inp.values["species/species3/initialMassFraction"] = "1.0e-5"
+    inp.values["species/species2/initialMassFraction"] = "0.99999"
+    rc = parse_run_configuration(inp)
+    rc.max_iters = 3
+
+    tps = Tps()
+    tps.config = rc
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+
+    interface = Tps2Boltzmann(tps)
+    tps.init_interface(interface)
+    assert interface.is_initialized()
+    assert interface.Nspecies() == 3
+
+    boltzmann = ToyArrheniusSolver()
+    solver = tps.solver
+    for _ in range(rc.max_iters):
+        tps.solve_step()
+        tps.push(interface)
+        boltzmann.fetch(interface)
+        boltzmann.solve()
+        boltzmann.push(interface)
+        tps.fetch(interface)
+
+    # push populated physical fields
+    n_sp = interface.host(interface.SpeciesDensities)
+    assert n_sp.min() >= 0 and n_sp.max() > 1e20  # molecules/m^3 via Avogadro
+    Th = interface.host(interface.HeavyTemperature)
+    assert 250 < Th.mean() < 400
+    assert interface.dt == solver.dt and interface.time == solver.time
+
+    # fetch wired external rates into the solver's runtime fields
+    assert "extern_rate" in solver.fields
+    assert np.asarray(solver.fields["extern_rate"]).shape[-1] == 1
+    assert solver.check_nan() == 0

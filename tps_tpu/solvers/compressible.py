@@ -196,6 +196,24 @@ class CompressibleSolver(PlasmaSolver):
         if rc.restart_cycle:
             self.read_restart()
 
+        # statistics + history (reference: Averaging engine, history.hist)
+        from ..io.averaging import Averaging, HistoryFile
+
+        self.averaging = Averaging(
+            start_iter=rc.avg_start_iter,
+            sample_interval=max(rc.avg_sample_interval, 1),
+            enabled=rc.avg_enabled,
+        )
+        self._history = None
+        if rc.raw is not None and rc.raw.get("io/enableHistory", 0):
+            import os as _os
+
+            _os.makedirs(rc.outdir, exist_ok=True)
+            self._history = HistoryFile(_os.path.join(rc.outdir, "history.hist"))
+        self._enable_paraview = bool(
+            rc.raw.get("io/enableParaview", 0) if rc.raw is not None else 0
+        )
+
     # ------------------------------------------------------------------
     def _build_bcs(self):
         rc = self.config
@@ -280,10 +298,21 @@ class CompressibleSolver(PlasmaSolver):
             self.tables, self.U, jnp.asarray(self.time, self.dtype),
             jnp.asarray(self.dt, self.dtype), self.fields,
         )
+        U_prev = self.U
         self.U = U2
         self.time += self.dt
         self.iter += 1
         mcs = float(mcs)
+
+        if self._history is not None:
+            dUdt = np.asarray(
+                jnp.mean(jnp.abs(U2 - U_prev), axis=(0, 1)) / self.dt
+            )
+            self._history.write(self.iter, self.time, dUdt)
+        if self.averaging.enabled:
+            self.averaging.add_sample(
+                self.iter, self.mixture.primitives(self.U), self.mixture.nvel
+            )
 
         if not np.isfinite(mcs):
             self.check_nan(verbose=True)
@@ -308,6 +337,42 @@ class CompressibleSolver(PlasmaSolver):
     def solve_end(self):
         if self._io is not None:
             self.write_restart()
+        if self._enable_paraview:
+            self.visualization()
+        if self._history is not None:
+            self._history.close()
+
+    def visualization(self):
+        """ParaView VTK dump of primitive fields (+ statistics if sampled);
+        the reference's paraviewColl->Save() and `tps --visual` analog."""
+        import os as _os
+
+        from ..io.visualization import write_vtk_dg
+
+        mix = self.mixture
+        Up = self.mixture.primitives(self.U)
+        fields = {
+            "density": np.asarray(Up[..., 0]),
+            "velocity": np.asarray(Up[..., 1 : 1 + mix.nvel]),
+            "temperature": np.asarray(Up[..., mix.i_th]),
+            "pressure": np.asarray(mix.pressure(self.U)),
+        }
+        for s in range(mix.num_active_species):
+            fields[f"species_{s}"] = np.asarray(Up[..., mix.nvel + 2 + s])
+        if mix.two_temperature:
+            fields["electron_temperature"] = np.asarray(Up[..., mix.i_te])
+        if self.averaging.n_samples:
+            fields["mean_velocity"] = np.asarray(
+                self.averaging.mean()[..., 1 : 1 + mix.nvel]
+            )
+            rey = self.averaging.reynolds_stresses(mix.nvel)
+            fields["reynolds_stress"] = np.asarray(rey)
+        _os.makedirs(self.config.outdir, exist_ok=True)
+        path = _os.path.join(
+            self.config.outdir, f"solution_{self.iter:08d}.vtk"
+        )
+        write_vtk_dg(path, self.tables_np, fields, mesh=self.mesh)
+        return path
 
     def check_nan(self, verbose=False) -> int:
         """Count NaN entries (reference: Check_NaN_GPU :2509)."""
@@ -334,6 +399,22 @@ class CompressibleSolver(PlasmaSolver):
     def read_restart(self):
         self._init_io() if self._io is None else None
         self._io.read(self)
+
+    # -- Boltzmann interface bus (reference: src/M2ulPhyS2Boltzmann.cpp) ----
+    def init_interface(self, interface):
+        from ..interop.boltzmann import compressible_init_interface
+
+        compressible_init_interface(self, interface)
+
+    def push(self, interface):
+        from ..interop.boltzmann import compressible_push
+
+        compressible_push(self, interface)
+
+    def fetch(self, interface):
+        from ..interop.boltzmann import compressible_fetch
+
+        compressible_fetch(self, interface)
 
     # -- plasma-coupling contract (reference: src/solver.hpp:121-144) -------
     def evaluate_plasma_conductivity(self):
