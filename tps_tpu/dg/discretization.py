@@ -91,6 +91,14 @@ class DGTables:
     # distance function (wall distance) at dofs; zeros if unused
     distance: np.ndarray | None = None
 
+    # ---- axisymmetric fields (None for planar/3D runs) ----
+    # radius (x-coordinate) at volume/face quadrature points, and the
+    # radius-weighted inverse mass used for the final RHS apply
+    # (reference: Me_inv_rad, src/rhs_operator.hpp:105)
+    rad_vol: np.ndarray | None = None
+    rad_face: np.ndarray | None = None
+    Minv_rad: np.ndarray | None = None
+
     # ---- domain-decomposition fields (None on single-device tables) ----
     # When built by parallel.partition.build_sharded_tables, every per-entity
     # array above carries a leading shard axis [P, ...] and these are set:
@@ -175,6 +183,7 @@ def build_tables(
     vol_quad_order: int | None = None,
     face_quad_order: int | None = None,
     faces: FaceInfo | None = None,
+    axisymmetric: bool = False,
 ) -> DGTables:
     """Build all DG tables for a mesh (single element type)."""
     ref = ReferenceElement(geom=mesh.geom, order=order, basis=basis)
@@ -229,6 +238,12 @@ def build_tables(
     # M[n,i,j] = sum_q w_q B[q,i] B[q,j] detJ[n,q]
     M = np.einsum("q,qi,qj,nq->nij", wm, Bm, Bm, detJm)
     Minv = np.linalg.inv(M)
+    Minv_rad = None
+    if axisymmetric:
+        Nm = ref.eval_geom_basis(m_pts)
+        rm = np.einsum("qv,nv->nq", Nm, elem_verts[..., 0])
+        M_rad = np.einsum("q,qi,qj,nq,nq->nij", wm, Bm, Bm, detJm, rm)
+        Minv_rad = np.linalg.inv(M_rad)
 
     # ---- dof coordinates & element size ----
     Ndof = ref.eval_geom_basis(ref.nodes)  # [ndof, nverts]
@@ -319,6 +334,13 @@ def build_tables(
         allow_unassigned=False,
     )
 
+    rad_vol = None
+    rad_face = None
+    if axisymmetric:
+        Nv = ref.eval_geom_basis(vol_pts)
+        rad_vol = np.einsum("qv,nv->nq", Nv, elem_verts[..., 0])
+        rad_face = f_xyz[..., 0].copy()
+
     return DGTables(
         dim=dim,
         order=order,
@@ -351,4 +373,7 @@ def build_tables(
         ef_qmap=ef_qmap,
         ef_sign=ef_sign,
         distance=None,
+        rad_vol=rad_vol,
+        rad_face=rad_face,
+        Minv_rad=Minv_rad,
     )

@@ -102,6 +102,72 @@ class SpongeZone:
 
 
 @dataclass(frozen=True)
+class AxisymmetricSource:
+    """Geometric source terms of the axisymmetric (r, z) + swirl formulation
+    (reference: src/forcing_terms.cpp:255-380):
+       d(rho u_r)/dt     += (p + rho u_t^2 - tau_tt) / r
+       d(rho u_theta)/dt += (-rho u_r u_theta + tau_tr) / r
+    with tau_tt = 2 mu u_r/r + (mu_b - 2/3 mu) div(u),
+         tau_tr = mu (du_t/dr - u_t/r).
+    Nodal radii are strictly positive for Gauss-Legendre bases (nodes are
+    element-interior)."""
+
+    mixture: object
+    fluxes: object  # for transport access (viscous terms); None for Euler
+
+    def __call__(self, t, tab, U, Up, grad_up, fields=None):
+        mix = self.mixture
+        r = jnp.maximum(tab.xyz_dof[..., 0], 1e-14)
+        rho = Up[..., 0]
+        ur = Up[..., 1]
+        ut = Up[..., 3]
+        p = mix.pressure_from_primitives(Up)
+
+        tau_tt = jnp.zeros_like(p)
+        tau_tr = jnp.zeros_like(p)
+        if self.fluxes is not None and self.fluxes.eq_system != "euler" \
+                and grad_up is not None:
+            props = self.fluxes.transport.flux_properties(mix, U, Up, grad_up)
+            visc = props["visc"]
+            bulk = props["bulk_visc"] - (2.0 / 3.0) * visc
+            ur_r = grad_up[..., 1, 0]
+            uz_z = grad_up[..., 2, 1]
+            ut_r = grad_up[..., 3, 0]
+            divV = ur_r + uz_z + ur / r
+            tau_tt = 2.0 * visc * ur / r + bulk * divV
+            tau_tr = visc * (ut_r - ut / r)
+
+        out = jnp.zeros_like(U)
+        out = out.at[..., 1].add((p + rho * ut * ut - tau_tt) / r)
+        out = out.at[..., 3].add((-rho * ur * ut + tau_tr) / r)
+        return out
+
+
+@dataclass(frozen=True)
+class PassiveScalar:
+    """Passive-scalar injection: relax the last equation toward rho*Z inside
+    a ball of given radius around `xyz`, at the local advective rate
+    (reference: src/forcing_terms.cpp:820-842)."""
+
+    mixture: object
+    xyz: tuple
+    radius: float
+    value: float
+
+    def __call__(self, t, tab, U, Up, grad_up, fields=None):
+        mix = self.mixture
+        dim = mix.dim
+        x0 = jnp.asarray(self.xyz[:dim], dtype=U.dtype)
+        dist = jnp.linalg.norm(tab.xyz_dof - x0, axis=-1)
+        inside = dist <= self.radius
+        vel = jnp.linalg.norm(Up[..., 1 : 1 + dim], axis=-1)
+        scalar = U[..., -1]
+        rate = -vel * (scalar - U[..., 0] * self.value) / self.radius
+        out = jnp.zeros_like(U)
+        return out.at[..., -1].add(jnp.where(inside, rate, 0.0))
+
+
+@dataclass(frozen=True)
 class JouleHeating:
     """EM Joule heating source read from the runtime `fields` dict
     ("joule_heating" [ne, ndof]); positive heating is added to total energy

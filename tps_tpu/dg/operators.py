@@ -94,12 +94,18 @@ def volume_weak_div(tab, Fdof):
     Fq = jnp.einsum("qd,ndek->nqek", tab.Bvol, Fdof)
     # grad_x(phi_i) detJ = G_ref[q,i,k] adjJ[q,k,d]
     Fk = jnp.einsum("nqkd,nqed->nqek", tab.adjJ, Fq)
+    if tab.rad_vol is not None:  # axisymmetric: dV = r dr dz
+        Fk = Fk * tab.rad_vol[..., None, None]
     return jnp.einsum("q,qik,nqek->nie", tab.wq, tab.Gvol, Fk)
 
 
-def apply_minv(tab, Z):
-    """Element-wise inverse mass: [ne, ndof, k] -> [ne, ndof, k]."""
-    return jnp.einsum("nij,njk->nik", tab.Minv, Z)
+def apply_minv(tab, Z, radial=False):
+    """Element-wise inverse mass: [ne, ndof, k] -> [ne, ndof, k].
+
+    radial=True uses the radius-weighted mass (axisymmetric RHS apply,
+    reference: src/rhs_operator.cpp:443-445)."""
+    M = tab.Minv_rad if (radial and tab.Minv_rad is not None) else tab.Minv
+    return jnp.einsum("nij,njk->nik", M, Z)
 
 
 def dg_gradient(tab, Up, bdr_up2=None):

@@ -155,7 +155,10 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
             )
 
     flux_all = jnp.concatenate([flux_i] + bdr_fluxes, axis=0) if tab.nfb else flux_i
-    flux_w = flux_all * tab.f_wts[..., None]
+    fw = tab.f_wts
+    if tab.rad_face is not None:  # axisymmetric face weight (x radius)
+        fw = fw * tab.rad_face
+    flux_w = flux_all * fw[..., None]
 
     # scatter back: side L gets -flux, side R gets +flux (normal flip)
     Fel = face_scatter_gather(tab, flux_w)
@@ -169,7 +172,7 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
     )
     z_vol = volume_weak_div(tab, Fdof)
 
-    y = apply_minv(tab, z_vol + z_face)
+    y = apply_minv(tab, z_vol + z_face, radial=True)
 
     # ---- forcing (added to dU/dt directly; reference rhs_operator.cpp:452-461)
     for f in ctx.forcings:

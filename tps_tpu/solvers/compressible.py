@@ -89,7 +89,10 @@ class CompressibleSolver(PlasmaSolver):
 
         self.mesh = _build_mesh(rc)
         basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
-        self.tables_np = build_tables(self.mesh, order=rc.order, basis=basis)
+        self.tables_np = build_tables(
+            self.mesh, order=rc.order, basis=basis,
+            axisymmetric=rc.axisymmetric,
+        )
         self.tables = self.tables_np.to_jax(self.dtype)
 
         dim = self.mesh.dim
@@ -145,6 +148,27 @@ class CompressibleSolver(PlasmaSolver):
             axisymmetric=rc.axisymmetric,
         )
         self.riemann = Roe(self.fluxes) if rc.use_roe else Rusanov(self.fluxes)
+
+        if rc.axisymmetric:
+            from ..dg.forcing import AxisymmetricSource
+
+            forcings.append(
+                AxisymmetricSource(mixture=self.mixture, fluxes=self.fluxes)
+            )
+        # passive-scalar injection points ([passiveScalars] sections)
+        if rc.raw is not None and rc.raw.get("passiveScalars/numScalars", 0):
+            from ..dg.forcing import PassiveScalar as _PS
+
+            n_ps = rc.raw.get("passiveScalars/numScalars", 0)
+            for k in range(1, n_ps + 1):
+                forcings.append(
+                    _PS(
+                        mixture=self.mixture,
+                        xyz=tuple(rc.raw.get_vec(f"passiveScalar{k}/xyz")),
+                        radius=rc.raw.get(f"passiveScalar{k}/radius", 0.1),
+                        value=rc.raw.get(f"passiveScalar{k}/value", 1.0),
+                    )
+                )
 
         # boundary conditions: per-attr static slices over sorted bdr faces
         self.bc_slices = self._build_bcs()
@@ -333,6 +357,28 @@ class CompressibleSolver(PlasmaSolver):
             self._wall0 = _time.perf_counter()
         if self._io is not None and self.iter % rc.output_freq == 0:
             self.write_restart()
+
+        # job management (reference: Check_JobResubmit / DIE-file hooks,
+        # src/M2ulPhyS.cpp:2160-2177)
+        if self.iter % max(rc.exit_check_freq, 1) == 0:
+            from ..utils.job_management import (
+                STATUS_EARLY_EXIT,
+                STATUS_JOB_RESTART,
+                check_die_file,
+                job_almost_done,
+            )
+
+            if check_die_file(rc.outdir):
+                print("DIE file detected: exiting early", flush=True)
+                if self._io is not None:
+                    self.write_restart()
+                self.status = STATUS_EARLY_EXIT
+            elif rc.enable_auto_restart and job_almost_done(rc.rm_threshold):
+                print("walltime threshold reached: checkpoint + resubmit",
+                      flush=True)
+                self._init_io() if self._io is None else None
+                self.write_restart()
+                self.status = STATUS_JOB_RESTART
 
     def solve_end(self):
         if self._io is not None:
