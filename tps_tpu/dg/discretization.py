@@ -137,6 +137,15 @@ def build_ef_tables(ne, nlf, nqf, nfi, nft, f_elem_l, f_slot_l, f_elem_r, f_slot
     Unassigned slots (halo elements under domain decomposition) point at the
     null face index `nft`, which gathers zero flux (see
     operators.face_scatter_gather)."""
+    from .. import native as _native
+
+    out = _native.build_ef_tables(
+        ne, nlf, nqf, nfi, nft, f_elem_l, f_slot_l, f_elem_r, f_slot_r,
+        f_qperm_r, allow_unassigned=allow_unassigned,
+    )
+    if out is not None:
+        return out
+
     ef_face = np.full((ne, nlf), -1, dtype=np.int32)
     ef_qmap = np.zeros((ne, nlf, nqf), dtype=np.int32)
     ef_sign = np.zeros((ne, nlf))
@@ -318,13 +327,20 @@ def build_tables(
     if nfi:
         xl = f_xyz[:nfi] + faces.int_shift[:, None, :]  # L coords shifted to R frame
         xr = fq_xyz_all[f_elem_r, f_slot_r]  # [nfi, nqf, dim] R ordering
-        d2 = np.sum((xl[:, :, None, :] - xr[:, None, :, :]) ** 2, axis=-1)
-        f_qperm_r = np.argmin(d2, axis=-1).astype(np.int32)
-        mind = np.sqrt(np.take_along_axis(d2, f_qperm_r[..., None].astype(np.int64), -1))
+        from .. import native as _native
+
+        qp = _native.match_face_points(xl, xr)
+        if qp is not None:
+            f_qperm_r = qp
+        else:  # numpy fallback
+            d2 = np.sum((xl[:, :, None, :] - xr[:, None, :, :]) ** 2, axis=-1)
+            f_qperm_r = np.argmin(d2, axis=-1).astype(np.int32)
+        # validate: bijection + matched distances small
+        xr_perm = np.take_along_axis(xr, f_qperm_r[..., None].astype(np.int64), 1)
+        mind = np.linalg.norm(xl - xr_perm, axis=-1)
         scale = np.sqrt(np.sum((f_xyz[:nfi].max(axis=1) - f_xyz[:nfi].min(axis=1)) ** 2, -1))
-        if np.any(mind[..., 0] > 1e-8 * np.maximum(scale[:, None], 1.0)):
+        if np.any(mind > 1e-8 * np.maximum(scale[:, None], 1.0)):
             raise ValueError("face quad point matching failed (non-conforming mesh?)")
-        # each permutation must be a bijection
         if np.any(np.sort(f_qperm_r, axis=1) != np.arange(nqf)[None, :]):
             raise ValueError("face point permutation is not a bijection")
 

@@ -50,6 +50,18 @@ class FieldInterpolator:
         npt = pts.shape[0]
         dim = src_mesh.dim
         ev = src_mesh.vertices[src_mesh.elements]  # [ne, nverts, dim]
+
+        from .. import native as _native
+
+        nat = _native.locate_points(ev, pts, tol=tol)
+        if nat is not None:
+            elem_ids, ref_coords, found = nat
+            weights = np.zeros((npt, ref.ndof))
+            if found.any():
+                weights[found] = ref.eval_basis(ref_coords[found])
+            return cls(elem_ids=elem_ids.astype(np.int32), weights=weights,
+                       found=found)
+
         lo = ev.min(axis=1) - tol
         hi = ev.max(axis=1) + tol
 
