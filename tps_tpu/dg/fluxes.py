@@ -81,7 +81,9 @@ class Fluxes:
         if self.eq_system == "euler":
             return jnp.zeros(U.shape[:-1] + (neq, dim), dtype=U.dtype)
 
-        props = self.transport.flux_properties(mix, U, Up, grad_up)
+        props = self.transport.flux_properties(
+            mix, U, Up, grad_up, distance=distance
+        )
         visc = props["visc"]
         bulk = props["bulk_visc"] - (2.0 / 3.0) * visc
         kappa = props["kappa"]

@@ -113,7 +113,7 @@ class ArgonMinimalTransport:
                 / (l11 - l12 * l12 / l22))
 
     # ------------------------------------------------------------------
-    def flux_properties(self, mixture, U, Up, grad_up, efield=None):
+    def flux_properties(self, mixture, U, Up, grad_up, efield=None, **kw):
         """Viscosity, conductivities, and species diffusion velocities."""
         mix = self.mixture
         m = self._masses()

@@ -153,7 +153,7 @@ class LteTransport:
     kappa_table: object
     sigma_table: object | None = None
 
-    def flux_properties(self, mixture, U, Up, grad_up):
+    def flux_properties(self, mixture, U, Up, grad_up, **kw):
         rho = U[..., 0]
         T = Up[..., mixture.i_th]
         mu = _eval2(self.mu_table, T, rho)

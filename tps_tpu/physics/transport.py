@@ -26,7 +26,7 @@ class ConstantTransport:
     kappa: float
     kappa_e: float = 0.0
 
-    def flux_properties(self, mixture, U, Up, grad_up):
+    def flux_properties(self, mixture, U, Up, grad_up, **kw):
         shape = U.shape[:-1]
         dt = U.dtype
         return {
@@ -57,7 +57,7 @@ class DryAirTransport:
     def viscosity(self, T):
         return self.C1 * self.visc_mult * T**1.5 / (T + self.S0)
 
-    def flux_properties(self, mixture, U, Up, grad_up):
+    def flux_properties(self, mixture, U, Up, grad_up, **kw):
         T = Up[..., mixture.i_th]
         mu = self.viscosity(T)
         cp = self.specific_heat_ratio * self.gas_constant / (self.specific_heat_ratio - 1.0)
@@ -69,3 +69,34 @@ class DryAirTransport:
             "kappa_e": jnp.zeros_like(mu),
             "diff_vel": None,
         }
+
+
+@dataclass(frozen=True, eq=False)
+class MixingLengthTransport:
+    """Algebraic mixing-length RANS closure wrapping a molecular transport
+    (reference: src/mixing_length_transport.cpp:66-135):
+      mu_t = rho * min(0.41 d_wall, max_mixing_length)^2 * |S|
+      kappa_t = mu_t * (cp/Pr) * Prt ; bulk += bulk_mult * mu_t
+    `distance` is the wall-distance field at the evaluation points."""
+
+    molecular: object
+    max_mixing_length: float
+    Prt: float = 0.91
+    bulk_mult: float = 0.0
+
+    def flux_properties(self, mixture, U, Up, grad_up, distance=None, **kw):
+        props = dict(self.molecular.flux_properties(mixture, U, Up, grad_up))
+        if distance is None or grad_up is None:
+            return props
+        dim = mixture.dim
+        rho = U[..., 0]
+        gv = grad_up[..., 1 : 1 + dim, :dim]
+        S2 = 2.0 * jnp.sum((0.5 * (gv + jnp.swapaxes(gv, -1, -2))) ** 2, (-2, -1))
+        S = jnp.sqrt(S2)
+        lmix = jnp.minimum(0.41 * distance, self.max_mixing_length)
+        mut = rho * lmix * lmix * S
+        cp_over_pr = props["kappa"] / props["visc"]
+        props["visc"] = props["visc"] + mut
+        props["bulk_visc"] = props["bulk_visc"] + self.bulk_mult * mut
+        props["kappa"] = props["kappa"] + mut * cp_over_pr * self.Prt
+        return props

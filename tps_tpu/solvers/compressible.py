@@ -141,11 +141,23 @@ class CompressibleSolver(PlasmaSolver):
             raise NotImplementedError(f"fluid '{rc.fluid}' not yet available")
         self.transport = transport
 
+        sgs = None
+        if rc.sgs_model == "smagorinsky":
+            from ..dg.sgs import Smagorinsky
+
+            sgs = Smagorinsky(mixture=self.mixture,
+                              const=rc.sgs_const or 0.12)
+        elif rc.sgs_model == "sigma":
+            from ..dg.sgs import Sigma
+
+            sgs = Sigma(mixture=self.mixture, const=rc.sgs_const or 0.135)
+
         self.fluxes = Fluxes(
             mixture=self.mixture,
             transport=transport,
             eq_system=eq,
             axisymmetric=rc.axisymmetric,
+            sgs_model=sgs,
         )
         self.riemann = Roe(self.fluxes) if rc.use_roe else Rusanov(self.fluxes)
 
