@@ -91,6 +91,24 @@ class DGTables:
     # distance function (wall distance) at dofs; zeros if unused
     distance: np.ndarray | None = None
 
+    # ---- oriented-trace fast path (gather-friendly face sweep) ----
+    # Orientation permutations are baked into extra trace-matrix row blocks
+    # ("combos" = (local face, point permutation) pairs) so every face-side
+    # quantity is produced directly in the needed quadrature ordering and all
+    # runtime gathers are wide row gathers (no take_along_axis / per-point
+    # index maps).  n_combo is static; Btr_or is [n_combo*nqf, ndof].
+    n_combo: int = 0
+    Btr_or: np.ndarray | None = None
+    f_combo_l: np.ndarray | None = None  # [nft] L trace, L ordering
+    f_combo_r_inL: np.ndarray | None = None  # [nfi] R trace, L ordering
+    f_combo_l_inR: np.ndarray | None = None  # [nfi] L trace, R ordering
+    f_combo_r_own: np.ndarray | None = None  # [nfi] R trace, R ordering
+    f_nor_r: np.ndarray | None = None  # [nfi, nqf, dim] normal in R ordering
+    f_wts_r: np.ndarray | None = None  # [nfi, nqf]
+    f_xyz_r: np.ndarray | None = None  # [nfi, nqf, dim]
+    rad_face_r: np.ndarray | None = None  # [nfi, nqf] (axisymmetric)
+    ef_row: np.ndarray | None = None  # [ne, nlf] row into [FL; FR] flux stack
+
     # ---- axisymmetric fields (None for planar/3D runs) ----
     # radius (x-coordinate) at volume/face quadrature points, and the
     # radius-weighted inverse mass used for the final RHS apply
@@ -174,10 +192,99 @@ def build_ef_tables(ne, nlf, nqf, nfi, nft, f_elem_l, f_slot_l, f_elem_r, f_slot
     return ef_face, ef_qmap, ef_sign
 
 
+def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
+                          f_qperm_r, f_nor, f_wts, f_xyz, ef_face, ef_sign,
+                          rad_face=None):
+    """Build the oriented-trace face tables (see DGTables docstring).
+
+    Each face side is served by a "combo" = (local face, point permutation)
+    trace-row block, so runtime face sweeps are wide row gathers only."""
+    # unique permutations across faces (identity always present)
+    identity = tuple(range(nqf))
+    perm_ids = {identity: 0}
+    perms = [identity]
+    f_perm = np.zeros(nfi, dtype=np.int64)
+    f_iperm = np.zeros(nfi, dtype=np.int64)
+    inv = np.empty(nqf, dtype=np.int64)
+    for f in range(nfi):
+        p = tuple(int(x) for x in f_qperm_r[f])
+        if p not in perm_ids:
+            perm_ids[p] = len(perms)
+            perms.append(p)
+        f_perm[f] = perm_ids[p]
+        inv[list(p)] = np.arange(nqf)
+        ip = tuple(int(x) for x in inv)
+        if ip not in perm_ids:
+            perm_ids[ip] = len(perms)
+            perms.append(ip)
+        f_iperm[f] = perm_ids[ip]
+
+    # combos actually used
+    combo_ids = {}
+    combo_list = []
+
+    def combo(lf, pid):
+        key = (int(lf), int(pid))
+        if key not in combo_ids:
+            combo_ids[key] = len(combo_list)
+            combo_list.append(key)
+        return combo_ids[key]
+
+    f_combo_l = np.array([combo(f_slot_l[f], 0) for f in range(nft)], np.int32)
+    f_combo_r_inL = np.array(
+        [combo(f_slot_r[f], f_perm[f]) for f in range(nfi)], np.int32)
+    f_combo_l_inR = np.array(
+        [combo(f_slot_l[f], f_iperm[f]) for f in range(nfi)], np.int32)
+    f_combo_r_own = np.array(
+        [combo(f_slot_r[f], 0) for f in range(nfi)], np.int32)
+
+    n_combo = len(combo_list)
+    Btr_or = np.zeros((n_combo * nqf, Btr.shape[1]))
+    for c, (lf, pid) in enumerate(combo_list):
+        p = perms[pid]
+        for j in range(nqf):
+            Btr_or[c * nqf + j] = Btr[lf * nqf + p[j]]
+
+    # R-ordered geometric face data: value at R-ordered point j equals the
+    # L-ordered value at invperm[j]
+    f_nor_r = np.zeros((nfi, nqf, dim))
+    f_wts_r = np.zeros((nfi, nqf))
+    f_xyz_r = np.zeros((nfi, nqf, dim))
+    rad_face_r = np.zeros((nfi, nqf)) if rad_face is not None else None
+    for f in range(nfi):
+        ip = np.asarray(perms[f_iperm[f]])
+        f_nor_r[f] = f_nor[f][ip]
+        f_wts_r[f] = f_wts[f][ip]
+        f_xyz_r[f] = f_xyz[f][ip]
+        if rad_face is not None:
+            rad_face_r[f] = rad_face[f][ip]
+
+    # scatter-back row map: L slots read FL rows [0, nft); R slots read FR
+    # rows [nft, nft+nfi); unassigned slots read the null row nft+nfi
+    ef_row = np.where(
+        ef_sign > 0, ef_face,
+        np.where(ef_sign < 0, nft + ef_face, nft + nfi),
+    ).astype(np.int32)
+
+    return {
+        "n_combo": n_combo,
+        "Btr_or": Btr_or,
+        "f_combo_l": f_combo_l,
+        "f_combo_r_inL": f_combo_r_inL,
+        "f_combo_l_inR": f_combo_l_inR,
+        "f_combo_r_own": f_combo_r_own,
+        "f_nor_r": f_nor_r,
+        "f_wts_r": f_wts_r,
+        "f_xyz_r": f_xyz_r,
+        "rad_face_r": rad_face_r,
+        "ef_row": ef_row,
+    }
+
+
 def _register_dgtables_pytree():
     import jax
 
-    meta = ["dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb"]
+    meta = ["dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb", "n_combo"]
     data = [f.name for f in fields(DGTables) if f.name not in meta]
     jax.tree_util.register_dataclass(DGTables, data_fields=data, meta_fields=meta)
 
@@ -350,12 +457,21 @@ def build_tables(
         allow_unassigned=False,
     )
 
+
+
     rad_vol = None
     rad_face = None
     if axisymmetric:
         Nv = ref.eval_geom_basis(vol_pts)
         rad_vol = np.einsum("qv,nv->nq", Nv, elem_verts[..., 0])
         rad_face = f_xyz[..., 0].copy()
+
+    # ---- oriented-trace tables (fast gather path) ----
+    oriented = build_oriented_tables(
+        Btr, nlf, nqf, dim, nfi, nft,
+        f_slot_l, f_slot_r, f_qperm_r, f_nor, f_wts, f_xyz,
+        ef_face, ef_sign, rad_face=rad_face,
+    )
 
     return DGTables(
         dim=dim,
@@ -392,4 +508,5 @@ def build_tables(
         rad_vol=rad_vol,
         rad_face=rad_face,
         Minv_rad=Minv_rad,
+        **oriented,
     )

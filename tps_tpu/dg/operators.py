@@ -76,6 +76,47 @@ def face_scatter_gather(tab, Fq):
     return out
 
 
+def elem_traces_or(tab, X):
+    """Oriented traces: X [ne, ndof, k] -> [ne, n_combo*nqf, k].
+
+    Row block c covers (local face, orientation) combo c, so every face side
+    can be gathered directly in the quadrature ordering it needs."""
+    return jnp.einsum("fd,ndk->nfk", tab.Btr_or, X)
+
+
+def face_gather_sides(tab, Xtr_or):
+    """Gather all four face-side views from oriented traces.
+
+    Returns (XL [nft, nqf, k]      — L trace, L ordering (incl. boundary),
+             XR_inL [nfi, nqf, k]  — R trace, L ordering,
+             XL_inR [nfi, nqf, k]  — L trace, R ordering,
+             XR_own [nfi, nqf, k]) — R trace, R ordering.
+    All are single wide row gathers (no per-point index maps)."""
+    ne = Xtr_or.shape[0]
+    k = Xtr_or.shape[-1]
+    flat = Xtr_or.reshape(ne * tab.n_combo, tab.nqf, k)
+    XL = flat[tab.f_elem_l * tab.n_combo + tab.f_combo_l]
+    XR_inL = flat[tab.f_elem_r * tab.n_combo + tab.f_combo_r_inL]
+    XL_inR = flat[tab.f_elem_l[: tab.nfi] * tab.n_combo + tab.f_combo_l_inR]
+    XR_own = flat[tab.f_elem_r * tab.n_combo + tab.f_combo_r_own]
+    return XL, XR_inL, XL_inR, XR_own
+
+
+def face_rows_scatter(tab, FL, FR):
+    """Row-granular scatter-back: FL [nft, nqf, k] (each face's L ordering,
+    boundary included), FR [nfi, nqf, k] (R ordering).  Every (element,
+    local face) slot reads one whole row in its own ordering via ef_row;
+    the appended null row serves halo slots under domain decomposition.
+
+    Returns Fel [ne, nlf*nqf, k]."""
+    k = FL.shape[-1]
+    rows = jnp.concatenate(
+        [FL, FR, jnp.zeros((1, tab.nqf, k), dtype=FL.dtype)], axis=0
+    )
+    out = rows[tab.ef_row.reshape(-1)]  # [ne*nlf, nqf, k]
+    return out.reshape(tab.ne, tab.nlf * tab.nqf, k)
+
+
 def trace_transpose(tab, Fel):
     """Accumulate face-point data into element residuals: B_tr^T apply.
 
@@ -127,22 +168,39 @@ def dg_gradient(tab, Up, bdr_up2=None):
     du_phys = jnp.einsum("nqek,nqkd->nqed", du_ref, tab.adjJ)
     rvol = jnp.einsum("q,qj,nqed->njed", tab.wq, tab.Bvol, du_phys)
 
-    # face central correction
-    Uptr = elem_traces(tab, Up)
-    UL, UR = face_gather(tab, Uptr)
-    if bdr_up2 is None:
-        U2b = UL[tab.nfi :]
-    else:
-        U2b = bdr_up2
-    U2 = jnp.concatenate([UR, U2b], axis=0)  # [nft, nqf, neq]
-    mean_minus_ul = 0.5 * (U2 - UL)
-    # (mean - u^-) n w for BOTH sides equals the same L-ordered value
-    jumpn = (
-        mean_minus_ul[..., :, None]
-        * tab.f_nor[..., None, :]
-        * tab.f_wts[..., None, None]
-    )  # [nft, nqf, neq, dim]
-    Fel = face_scatter_gather(tab, jumpn.reshape(tab.nft, tab.nqf, neq * dim))
+    # face central correction, evaluated per side in its own ordering so the
+    # scatter-back is one wide row gather (oriented fast path)
+    if tab.Btr_or is not None:
+        Uptr = elem_traces_or(tab, Up)
+        UL, UR_inL, UL_inR, UR_own = face_gather_sides(tab, Uptr)
+        U2b = UL[tab.nfi :] if bdr_up2 is None else bdr_up2
+        U2 = jnp.concatenate([UR_inL, U2b], axis=0)
+        JL = (
+            (0.5 * (U2 - UL))[..., :, None]
+            * tab.f_nor[..., None, :]
+            * tab.f_wts[..., None, None]
+        )
+        JR = (
+            (0.5 * (UR_own - UL_inR))[..., :, None]
+            * tab.f_nor_r[..., None, :]
+            * tab.f_wts_r[..., None, None]
+        )
+        Fel = face_rows_scatter(
+            tab,
+            JL.reshape(tab.nft, tab.nqf, neq * dim),
+            JR.reshape(tab.nfi, tab.nqf, neq * dim),
+        )
+    else:  # legacy point-permutation path (sharded tables)
+        Uptr = elem_traces(tab, Up)
+        UL, UR = face_gather(tab, Uptr)
+        U2b = UL[tab.nfi :] if bdr_up2 is None else bdr_up2
+        U2 = jnp.concatenate([UR, U2b], axis=0)  # [nft, nqf, neq]
+        jumpn = (
+            (0.5 * (U2 - UL))[..., :, None]
+            * tab.f_nor[..., None, :]
+            * tab.f_wts[..., None, None]
+        )
+        Fel = face_scatter_gather(tab, jumpn.reshape(tab.nft, tab.nqf, neq * dim))
     rface = trace_transpose(tab, Fel).reshape(ne, ndof, neq, dim)
 
     rhs = rvol + rface

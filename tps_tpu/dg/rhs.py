@@ -18,7 +18,10 @@ from .operators import (
     apply_minv,
     dg_gradient,
     elem_traces,
+    elem_traces_or,
     face_gather,
+    face_gather_sides,
+    face_rows_scatter,
     face_scatter_gather,
     halo_exchange,
     trace_transpose,
@@ -96,34 +99,62 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
             ).reshape(ne, ndof, neq, dim)
 
     # ---- face sweep ----
-    Utr = elem_traces(tab, U)
-    UL, UR = face_gather(tab, Utr)
-    UL = _clip_species(mix, UL)
-    UR = _clip_species(mix, UR)
-    deltaL = tab.delta[tab.f_elem_l][:, None]
-
-    if viscous:
-        gtr = elem_traces(tab, grad_up.reshape(ne, ndof, neq * dim))
-        gL, gR = face_gather(tab, gtr)
-        gL = gL.reshape(gL.shape[0], tab.nqf, neq, dim)
-        gR = gR.reshape(gR.shape[0], tab.nqf, neq, dim)
-    else:
-        gL = gR = None
-
-    # interior faces: Riemann + mean one-sided viscous fluxes
     nfi = tab.nfi
-    ULi = UL[:nfi]
-    nor_i = tab.f_nor[:nfi]
-    flux_i = ctx.riemann(ULi, UR, nor_i)
-    if viscous:
-        UpLi = mix.primitives(ULi)
-        UpRi = mix.primitives(UR)
-        deltaR = tab.delta[tab.f_elem_r][:, None]
-        xyz_i = tab.f_xyz[:nfi]
-        FvL = ctx.fluxes.viscous(ULi, UpLi, gL[:nfi], xyz=xyz_i, delta=deltaL[:nfi])
-        FvR = ctx.fluxes.viscous(UR, UpRi, gR[:nfi], xyz=xyz_i, delta=deltaR)
-        visc_n = jnp.einsum("fqed,fqd->fqe", 0.5 * (FvL + FvR), nor_i)
-        flux_i = flux_i - visc_n
+    deltaL = tab.delta[tab.f_elem_l][:, None]
+    deltaR = tab.delta[tab.f_elem_r][:, None]
+
+    def _face_flux(U1, U2, g1, g2, nor, xyz, d1, d2):
+        """Riemann + mean one-sided viscous normal flux at face points."""
+        flux = ctx.riemann(U1, U2, nor)
+        if viscous:
+            Fv1 = ctx.fluxes.viscous(U1, mix.primitives(U1), g1, xyz=xyz, delta=d1)
+            Fv2 = ctx.fluxes.viscous(U2, mix.primitives(U2), g2, xyz=xyz, delta=d2)
+            flux = flux - jnp.einsum("fqed,fqd->fqe", 0.5 * (Fv1 + Fv2), nor)
+        return flux
+
+    if tab.Btr_or is not None:
+        # oriented fast path: fuse U and gradUp into ONE trace + gathers per
+        # side, evaluate the flux twice (once per side's own quadrature
+        # ordering) so the scatter-back is a single wide row gather
+        if viscous:
+            X = jnp.concatenate([U, grad_up.reshape(ne, ndof, neq * dim)], -1)
+        else:
+            X = U
+        Xtr = elem_traces_or(tab, X)
+        XL, XR_inL, XL_inR, XR_own = face_gather_sides(tab, Xtr)
+
+        def _split(Z):
+            Uz = _clip_species(mix, Z[..., :neq])
+            gz = Z[..., neq:].reshape(Z.shape[0], tab.nqf, neq, dim) if viscous else None
+            return Uz, gz
+
+        UL, gL = _split(XL)
+        UR_l, gR_l = _split(XR_inL)
+        UL_r, gL_r = _split(XL_inR)
+        UR_r, gR_r = _split(XR_own)
+
+        flux_L_int = _face_flux(UL[:nfi], UR_l, gL[:nfi] if viscous else None,
+                                gR_l, tab.f_nor[:nfi], tab.f_xyz[:nfi],
+                                deltaL[:nfi], deltaR)
+        flux_R = _face_flux(UL_r, UR_r, gL_r, gR_r, tab.f_nor_r,
+                            tab.f_xyz_r, deltaL[:nfi], deltaR)
+    else:
+        # legacy path (sharded tables): single-ordering + point permutations
+        Utr = elem_traces(tab, U)
+        ULg, URg = face_gather(tab, Utr)
+        UL = _clip_species(mix, ULg)
+        UR_l = _clip_species(mix, URg)
+        if viscous:
+            gtr = elem_traces(tab, grad_up.reshape(ne, ndof, neq * dim))
+            gLg, gRg = face_gather(tab, gtr)
+            gL = gLg.reshape(gLg.shape[0], tab.nqf, neq, dim)
+            gR_l = gRg.reshape(gRg.shape[0], tab.nqf, neq, dim)
+        else:
+            gL = gR_l = None
+        flux_L_int = _face_flux(UL[:nfi], UR_l, gL[:nfi] if viscous else None,
+                                gR_l, tab.f_nor[:nfi], tab.f_xyz[:nfi],
+                                deltaL[:nfi], deltaR)
+        flux_R = None
 
     # boundary faces, one static slice per BC
     bdr_fluxes = []
@@ -154,16 +185,26 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
                 f"boundary faces not fully covered by BCs: {covered} != {tab.nfb}"
             )
 
-    flux_all = jnp.concatenate([flux_i] + bdr_fluxes, axis=0) if tab.nfb else flux_i
+    flux_all = (
+        jnp.concatenate([flux_L_int] + bdr_fluxes, axis=0) if tab.nfb else flux_L_int
+    )
     fw = tab.f_wts
     if tab.rad_face is not None:  # axisymmetric face weight (x radius)
         fw = fw * tab.rad_face
     flux_w = flux_all * fw[..., None]
 
-    # scatter back: side L gets -flux, side R gets +flux (normal flip)
-    Fel = face_scatter_gather(tab, flux_w)
-    sign = jnp.repeat(tab.ef_sign.reshape(tab.ne, tab.nlf), tab.nqf, axis=1)
-    z_face = trace_transpose(tab, -sign[..., None] * Fel)
+    if tab.Btr_or is not None:
+        fwr = tab.f_wts_r
+        if tab.rad_face_r is not None:
+            fwr = fwr * tab.rad_face_r
+        # scatter convention: L slots subtract, R slots add (normal flip);
+        # bake the R sign into FR so ef_row gathers are sign-free
+        Fel = face_rows_scatter(tab, -flux_w, flux_R * fwr[..., None])
+        z_face = trace_transpose(tab, Fel)
+    else:
+        Fel = face_scatter_gather(tab, flux_w)
+        sign = jnp.repeat(tab.ef_sign.reshape(tab.ne, tab.nlf), tab.nqf, axis=1)
+        z_face = trace_transpose(tab, -sign[..., None] * Fel)
 
     # ---- volume term ----
     Uv = _clip_species(mix, U)
