@@ -99,3 +99,60 @@ def test_cli_main(tmp_path, capsys):
     ini = os.path.join(HERE, "inputs", "vortex2d.ini")
     status = main(["tps-tpu", "--runFile", ini])
     assert status == 0
+
+
+def test_nonreflecting_outlet():
+    """Characteristic outlet: an outgoing pressure pulse leaves with less
+    reflection than the reflecting pressure BC."""
+    import jax
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.bc import InletBC, OutletBC, WallBC
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.rhs import BCSlice, RHSContext, compute_rhs
+    from tps_tpu.dg.riemann import Rusanov
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.physics.gas import DryAir
+    from tps_tpu.time.integrators import rk4
+
+    mix = DryAir(dim=2, nvel=2)
+    mesh = box_2d(24, 3, x1=1.0, y1=0.125, periodic_y=True)
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    fl = Fluxes(mixture=mix, transport=None, eq_system="euler")
+
+    def run(outlet_kind):
+        attrs = np.asarray(tab.f_bdr_attr)
+        bcs = []
+        for a in sorted(set(attrs.tolist())):
+            rows = np.where(attrs == a)[0]
+            if a in (2, 4):  # both ends: outlets under test
+                bc = OutletBC(pressure=101300.0, kind=outlet_kind)
+            else:
+                bc = WallBC(kind="inviscid")
+            bcs.append(BCSlice(bc=bc, start=int(rows.min()), stop=int(rows.max()) + 1))
+        ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl), bcs=tuple(bcs))
+        x = tab.xyz_dof[..., 0]
+        # right-going acoustic pulse: p-u-rho perturbations on the same
+        # characteristic so exactly one wave exits through x=1
+        rho0, p_inf = 1.2, 101300.0
+        c0 = float(np.sqrt(1.4 * p_inf / rho0))
+        dp = 2000.0 * jnp.exp(-((x - 0.6) / 0.06) ** 2)
+        rho = rho0 + dp / c0**2
+        u = dp / (rho0 * c0)
+        T = (p_inf + dp) / (mix.gas_constant * rho)
+        Up = jnp.stack([rho, u, jnp.zeros_like(x), T], axis=-1)
+        U = mix.conservatives(Up)
+        step = jax.jit(lambda u_, t, dt: rk4(
+            lambda uu, tt: compute_rhs(ctx, tab, uu, tt), u_, t, dt)[0])
+        dt = 2e-6
+        # pulse exits right by ~1.4 ms; run to 2 ms
+        for i in range(1000):
+            U = step(U, i * dt, dt)
+        p = np.asarray(mix.pressure(U))
+        return np.abs(p - 101300.0).max()
+
+    resid_nr = run("nonReflectingPressure")
+    resid_ref = run("subsonicPressure")
+    assert resid_nr < 0.5 * resid_ref, (resid_nr, resid_ref)
+    assert resid_nr < 300.0, resid_nr

@@ -159,9 +159,18 @@ class InletBC:
 
 @dataclass(frozen=True)
 class OutletBC:
-    """Subsonic reflecting pressure outlet (src/outletBC.cpp:731-737)."""
+    """Pressure outlets (reference: src/outletBC.cpp).
+
+    kind = "subsonicPressure": reflecting ghost with target pressure and
+    interior density/velocity (reference :731-737).
+    kind = "nonReflectingPressure": characteristic (LODI) far-field ghost —
+    outgoing invariants (entropy, tangential velocity, u_n + 2c/(gamma-1))
+    taken from the interior, the incoming invariant set by the target
+    pressure.  A stateless formulation of the role of the reference's
+    time-integrated nonreflecting outlet (:739+)."""
 
     pressure: float
+    kind: str = "subsonicPressure"
 
     def ghost_primitive(self, mixture, UpL):
         return UpL
@@ -169,8 +178,38 @@ class OutletBC:
     def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
         mix = ctx.fluxes.mixture
         nvel = mix.nvel
-        ke = 0.5 * jnp.sum(UL[..., 1 : 1 + nvel] ** 2, axis=-1) / UL[..., 0]
-        ghost = UL.at[..., mix.i_th].set(
-            self.pressure / (mix.specific_heat_ratio - 1.0) + ke
-        )
+        if self.kind == "subsonicPressure":
+            ke = 0.5 * jnp.sum(UL[..., 1 : 1 + nvel] ** 2, axis=-1) / UL[..., 0]
+            ghost = UL.at[..., mix.i_th].set(
+                self.pressure / (mix.specific_heat_ratio - 1.0) + ke
+            )
+            return ctx.riemann(UL, ghost, nor)
+
+        # characteristic far-field ghost: outgoing invariant + entropy from
+        # the interior, incoming invariant from the quiescent far field at
+        # the target pressure
+        gam = mix.specific_heat_ratio
+        nhat, _ = _unit(nor)
+        rho = UL[..., 0]
+        vel = UL[..., 1 : 1 + nvel] / rho[..., None]
+        p_in = mix.pressure(UL)
+        c_in = jnp.sqrt(gam * p_in / rho)
+        un = jnp.einsum("...d,...d->...", vel[..., : mix.dim], nhat)
+        Rplus = un + 2.0 * c_in / (gam - 1.0)
+        s_ent = p_in / rho**gam
+
+        p_inf = jnp.asarray(self.pressure, UL.dtype)
+        rho_inf = (p_inf / s_ent) ** (1.0 / gam)  # far field on local isentrope
+        c_inf = jnp.sqrt(gam * p_inf / rho_inf)
+        Rminus = -2.0 * c_inf / (gam - 1.0)  # u_inf = 0
+
+        un_g = 0.5 * (Rplus + Rminus)
+        c_g = 0.25 * (gam - 1.0) * (Rplus - Rminus)
+        rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))
+        p_g = rho_g * c_g * c_g / gam
+        vel_g = vel.at[..., : mix.dim].add((un_g - un)[..., None] * nhat)
+        ke_g = 0.5 * rho_g * jnp.sum(vel_g * vel_g, axis=-1)
+        ghost = UL.at[..., 0].set(rho_g)
+        ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_g)
+        ghost = ghost.at[..., mix.i_th].set(p_g / (gam - 1.0) + ke_g)
         return ctx.riemann(UL, ghost, nor)

@@ -289,6 +289,9 @@ class CompressibleSolver(PlasmaSolver):
             return InletBC(input_state=state)
         if kind == "subsonicPressure":
             return OutletBC(pressure=fget("pressure"))
+        if kind in ("nonReflectingPressure", "nonreflectingPressure"):
+            return OutletBC(pressure=fget("pressure"),
+                            kind="nonReflectingPressure")
         raise NotImplementedError(f"boundary condition type '{kind}'")
 
     def _initial_condition(self):
