@@ -156,3 +156,33 @@ def test_nonreflecting_outlet():
     resid_ref = run("subsonicPressure")
     assert resid_nr < 0.5 * resid_ref, (resid_nr, resid_ref)
     assert resid_nr < 300.0, resid_nr
+
+
+def test_variable_order_restart(tmp_path):
+    """Restart a p=1 run into a p=2 solver (reference variableP mode,
+    test/cyl3d.test p1->p2 scenario)."""
+    tps1 = _run("channel2d.ini", max_iters=2)
+    tps1.config.outdir = str(tmp_path)
+    tps1.solve()
+    s1 = tps1.solver
+    assert tps1.config.order == 2
+
+    # new solver at higher order
+    tps2 = Tps()
+    tps2.input_file = os.path.join(HERE, "inputs", "channel2d.ini")
+    tps2.parse_input()
+    tps2.config.order = 3
+    tps2.config.outdir = str(tmp_path)
+    tps2.choose_devices()
+    tps2.choose_solver()
+    tps2.initialize()
+    tps2.solver.read_restart()
+    s2 = tps2.solver
+    assert s2.iter == s1.iter and abs(s2.time - s1.time) < 1e-15
+    # p2 -> p3 nodal interpolation is exact, so integrals must agree
+    assert abs(_total_mass(s1) - _total_mass(s2)) < 1e-12 * _total_mass(s1)
+    # run a few steps at the new order without blowing up
+    tps2.config.max_iters = s2.iter + 2
+    while s2.iter < tps2.config.max_iters:
+        tps2.solve_step()
+    assert s2.check_nan() == 0

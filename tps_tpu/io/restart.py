@@ -34,10 +34,13 @@ class RestartIO:
 
     def __init__(self, config, solver):
         self.config = config
-        self.outdir = config.outdir
-        os.makedirs(self.outdir, exist_ok=True)
+
+    @property
+    def outdir(self):
+        return self.config.outdir
 
     def path(self):
+        os.makedirs(self.outdir, exist_ok=True)
         return os.path.join(self.outdir, "restart_output.sol.h5")
 
     def write(self, solver):
@@ -68,12 +71,35 @@ class RestartIO:
             solver.iter = int(f.attrs["iteration"])
             solver.time = float(f.attrs["time"])
             solver.dt = float(f.attrs["dt"])
+            stored_order = int(f.attrs.get("order", solver.config.order))
             ne, ndof, neq = solver.U.shape
             cols = []
             for name in names:
-                cols.append(np.asarray(f["solution"][name]).reshape(ne, ndof))
+                cols.append(np.asarray(f["solution"][name]).reshape(ne, -1))
             U = np.stack(cols, axis=-1)
+        if stored_order != solver.config.order:
+            # variable-order restart (reference [io]/restartMode variableP,
+            # IOFamily::readChangeOrder src/io.hpp:219): resample each
+            # element's nodal values onto the new order's node set
+            U = _resample_order(
+                U, solver.mesh.geom, stored_order, solver.config.order,
+                "gauss-legendre" if solver.config.basis_type == 0
+                else "gauss-lobatto",
+            )
         import jax.numpy as jnp
 
         solver.U = jnp.asarray(U, dtype=solver.dtype)
         return solver
+
+
+def _resample_order(U, geom, order_from, order_to, basis):
+    """Per-element nodal resampling between polynomial orders.
+
+    U: [ne, ndof_from, neq] -> [ne, ndof_to, neq].  Interpolation when
+    raising order (exact); least-squares-free collocation when lowering."""
+    from ..mesh.reference_element import ReferenceElement
+
+    ref_from = ReferenceElement(geom=geom, order=order_from, basis=basis)
+    ref_to = ReferenceElement(geom=geom, order=order_to, basis=basis)
+    R = ref_from.eval_basis(ref_to.nodes)  # [ndof_to, ndof_from]
+    return np.einsum("td,ndk->ntk", R, U)
