@@ -109,6 +109,19 @@ class DGTables:
     rad_face_r: np.ndarray | None = None  # [nfi, nqf] (axisymmetric)
     ef_row: np.ndarray | None = None  # [ne, nlf] row into [FL; FR] flux stack
 
+    # ---- neighbor-slot formulation (single-gather face sweep) ----
+    # Every (element, local face) slot evaluates its own outward flux from
+    # (own trace slice, ONE neighbor-trace gather); combos 0..nlf-1 are the
+    # identity combos so own traces are a plain slice of the oriented traces.
+    nbr_row: np.ndarray | None = None  # [ne, nlf] row into trace-flat array
+    nor_slot: np.ndarray | None = None  # [ne, nlf, nqf, dim] outward normal
+    wts_slot: np.ndarray | None = None  # [ne, nlf, nqf]
+    xyz_slot: np.ndarray | None = None  # [ne, nlf, nqf, dim]
+    rad_slot: np.ndarray | None = None  # [ne, nlf, nqf] (axisymmetric)
+    delta_nbr: np.ndarray | None = None  # [ne, nlf] neighbor length scale
+    interior_mask: np.ndarray | None = None  # [ne, nlf] 1 interior, 0 bdr
+    bdr_slot: np.ndarray | None = None  # [nfb] flat slot id e*nlf+lf
+
     # ---- axisymmetric fields (None for planar/3D runs) ----
     # radius (x-coordinate) at volume/face quadrature points, and the
     # radius-weighted inverse mass used for the final RHS apply
@@ -219,7 +232,8 @@ def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
             perms.append(ip)
         f_iperm[f] = perm_ids[ip]
 
-    # combos actually used
+    # combos actually used; identity combos first so own-side traces are a
+    # plain slice of the oriented trace array (neighbor-slot formulation)
     combo_ids = {}
     combo_list = []
 
@@ -229,6 +243,9 @@ def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
             combo_ids[key] = len(combo_list)
             combo_list.append(key)
         return combo_ids[key]
+
+    for lf in range(nlf):
+        combo(lf, 0)
 
     f_combo_l = np.array([combo(f_slot_l[f], 0) for f in range(nft)], np.int32)
     f_combo_r_inL = np.array(
@@ -278,6 +295,78 @@ def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
         "f_xyz_r": f_xyz_r,
         "rad_face_r": rad_face_r,
         "ef_row": ef_row,
+    }
+
+
+def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
+                      f_elem_l, f_slot_l, f_elem_r, f_slot_r,
+                      f_nor, f_wts, f_xyz, delta, rad_face=None):
+    """Neighbor-slot tables: one gather serves the whole face sweep.
+
+    For slot (e, lf) on side L of face f the neighbor row is elemR with
+    combo (lfR, perm) [R data in L ordering]; on side R it is elemL with
+    combo (lfL, invperm) [L data in R ordering].  Geometry is stored per
+    slot in the slot's own ordering with OUTWARD normals."""
+    n_combo = oriented["n_combo"]
+    f_combo_r_inL = oriented["f_combo_r_inL"]
+    f_combo_l_inR = oriented["f_combo_l_inR"]
+    f_nor_r = oriented["f_nor_r"]
+    f_wts_r = oriented["f_wts_r"]
+    f_xyz_r = oriented["f_xyz_r"]
+    rad_face_r = oriented["rad_face_r"]
+
+    nbr_row = np.zeros((ne, nlf), dtype=np.int32)
+    nor_slot = np.zeros((ne, nlf, nqf, dim))
+    wts_slot = np.zeros((ne, nlf, nqf))
+    xyz_slot = np.zeros((ne, nlf, nqf, dim))
+    rad_slot = np.zeros((ne, nlf, nqf)) if rad_face is not None else None
+    delta_nbr = np.zeros((ne, nlf))
+    interior_mask = np.zeros((ne, nlf))
+    bdr_slot = np.zeros(nft - nfi, dtype=np.int32)
+
+    for f in range(nft):
+        e, lf = int(f_elem_l[f]), int(f_slot_l[f])
+        if e < 0:
+            continue
+        if f < nfi:
+            er = int(f_elem_r[f])
+            nbr_row[e, lf] = er * n_combo + int(f_combo_r_inL[f])
+            interior_mask[e, lf] = 1.0
+            delta_nbr[e, lf] = delta[er]
+        else:
+            # boundary: zero jump against own data; BC overrides the flux
+            nbr_row[e, lf] = e * n_combo + lf  # identity combo == lf
+            delta_nbr[e, lf] = delta[e]
+            bdr_slot[f - nfi] = e * nlf + lf
+        nor_slot[e, lf] = f_nor[f]
+        wts_slot[e, lf] = f_wts[f]
+        xyz_slot[e, lf] = f_xyz[f]
+        if rad_face is not None:
+            rad_slot[e, lf] = rad_face[f]
+
+    for f in range(nfi):
+        e, lf = int(f_elem_r[f]), int(f_slot_r[f])
+        el = int(f_elem_l[f])
+        if e < 0:
+            continue
+        nbr_row[e, lf] = el * n_combo + int(f_combo_l_inR[f])
+        interior_mask[e, lf] = 1.0
+        delta_nbr[e, lf] = delta[el]
+        nor_slot[e, lf] = -f_nor_r[f]  # outward for the R side
+        wts_slot[e, lf] = f_wts_r[f]
+        xyz_slot[e, lf] = f_xyz_r[f]
+        if rad_face is not None:
+            rad_slot[e, lf] = rad_face_r[f]
+
+    return {
+        "nbr_row": nbr_row,
+        "nor_slot": nor_slot,
+        "wts_slot": wts_slot,
+        "xyz_slot": xyz_slot,
+        "rad_slot": rad_slot,
+        "delta_nbr": delta_nbr,
+        "interior_mask": interior_mask,
+        "bdr_slot": bdr_slot,
     }
 
 
@@ -472,6 +561,12 @@ def build_tables(
         f_slot_l, f_slot_r, f_qperm_r, f_nor, f_wts, f_xyz,
         ef_face, ef_sign, rad_face=rad_face,
     )
+    slots = build_slot_tables(
+        oriented, ne, nlf, nqf, dim, nfi, nft,
+        f_elem_l, f_slot_l, f_elem_r, f_slot_r,
+        f_nor, f_wts, f_xyz, delta, rad_face=rad_face,
+    )
+    oriented = {**oriented, **slots}
 
     return DGTables(
         dim=dim,

@@ -102,6 +102,21 @@ def face_gather_sides(tab, Xtr_or):
     return XL, XR_inL, XL_inR, XR_own
 
 
+def slot_traces(tab, X):
+    """Neighbor-slot views of the oriented traces.
+
+    X: [ne, ndof, k] ->
+      own  [ne, nlf, nqf, k]  (plain slice: identity combos come first)
+      nbr  [ne, nlf, nqf, k]  (ONE row gather via tab.nbr_row)
+    This single gather serves the entire face sweep."""
+    ne, _, k = X.shape
+    Xtr = elem_traces_or(tab, X)  # [ne, n_combo*nqf, k]
+    own = Xtr[:, : tab.nlf * tab.nqf, :].reshape(ne, tab.nlf, tab.nqf, k)
+    flat = Xtr.reshape(ne * tab.n_combo, tab.nqf, k)
+    nbr = flat[tab.nbr_row.reshape(-1)].reshape(ne, tab.nlf, tab.nqf, k)
+    return own, nbr
+
+
 def face_rows_scatter(tab, FL, FR):
     """Row-granular scatter-back: FL [nft, nqf, k] (each face's L ordering,
     boundary included), FR [nfi, nqf, k] (R ordering).  Every (element,
@@ -168,28 +183,23 @@ def dg_gradient(tab, Up, bdr_up2=None):
     du_phys = jnp.einsum("nqek,nqkd->nqed", du_ref, tab.adjJ)
     rvol = jnp.einsum("q,qj,nqed->njed", tab.wq, tab.Bvol, du_phys)
 
-    # face central correction, evaluated per side in its own ordering so the
-    # scatter-back is one wide row gather (oriented fast path)
-    if tab.Btr_or is not None:
-        Uptr = elem_traces_or(tab, Up)
-        UL, UR_inL, UL_inR, UR_own = face_gather_sides(tab, Uptr)
-        U2b = UL[tab.nfi :] if bdr_up2 is None else bdr_up2
-        U2 = jnp.concatenate([UR_inL, U2b], axis=0)
-        JL = (
-            (0.5 * (U2 - UL))[..., :, None]
-            * tab.f_nor[..., None, :]
-            * tab.f_wts[..., None, None]
+    # face central correction: per slot, (mean - u_own).n_out in the slot's
+    # own ordering — one neighbor gather, no scatter maps
+    if tab.nbr_row is not None:
+        own, nbr = slot_traces(tab, Up)
+        jump = 0.5 * (nbr - own)
+        if bdr_up2 is not None:
+            # useBCinGrad: boundary exterior state from the BCs
+            own_b = own.reshape(ne * tab.nlf, tab.nqf, neq)[tab.bdr_slot]
+            jump = jump.reshape(ne * tab.nlf, tab.nqf, neq).at[tab.bdr_slot].set(
+                0.5 * (bdr_up2 - own_b)
+            ).reshape(ne, tab.nlf, tab.nqf, neq)
+        J = (
+            jump[..., :, None]
+            * tab.nor_slot[..., None, :]
+            * tab.wts_slot[..., None, None]
         )
-        JR = (
-            (0.5 * (UR_own - UL_inR))[..., :, None]
-            * tab.f_nor_r[..., None, :]
-            * tab.f_wts_r[..., None, None]
-        )
-        Fel = face_rows_scatter(
-            tab,
-            JL.reshape(tab.nft, tab.nqf, neq * dim),
-            JR.reshape(tab.nfi, tab.nqf, neq * dim),
-        )
+        Fel = J.reshape(ne, tab.nlf * tab.nqf, neq * dim)
     else:  # legacy point-permutation path (sharded tables)
         Uptr = elem_traces(tab, Up)
         UL, UR = face_gather(tab, Uptr)

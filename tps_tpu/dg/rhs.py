@@ -109,35 +109,73 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
         if viscous:
             Fv1 = ctx.fluxes.viscous(U1, mix.primitives(U1), g1, xyz=xyz, delta=d1)
             Fv2 = ctx.fluxes.viscous(U2, mix.primitives(U2), g2, xyz=xyz, delta=d2)
-            flux = flux - jnp.einsum("fqed,fqd->fqe", 0.5 * (Fv1 + Fv2), nor)
+            flux = flux - jnp.einsum("...ed,...d->...e", 0.5 * (Fv1 + Fv2), nor)
         return flux
 
-    if tab.Btr_or is not None:
-        # oriented fast path: fuse U and gradUp into ONE trace + gathers per
-        # side, evaluate the flux twice (once per side's own quadrature
-        # ordering) so the scatter-back is a single wide row gather
+    if tab.nbr_row is not None:
+        # neighbor-slot fast path: every (element, local face) slot computes
+        # its own outward-flux from (own trace slice, one neighbor gather);
+        # Riemann conservativity F(a,b,n) = -F(b,a,-n) makes both sides of a
+        # face consistent with no sign bookkeeping and no scatter maps.
+        from .operators import slot_traces
+
         if viscous:
             X = jnp.concatenate([U, grad_up.reshape(ne, ndof, neq * dim)], -1)
         else:
             X = U
-        Xtr = elem_traces_or(tab, X)
-        XL, XR_inL, XL_inR, XR_own = face_gather_sides(tab, Xtr)
+        own, nbr = slot_traces(tab, X)
 
         def _split(Z):
             Uz = _clip_species(mix, Z[..., :neq])
-            gz = Z[..., neq:].reshape(Z.shape[0], tab.nqf, neq, dim) if viscous else None
+            gz = (
+                Z[..., neq:].reshape(Z.shape[:-1] + (neq, dim))
+                if viscous else None
+            )
             return Uz, gz
 
-        UL, gL = _split(XL)
-        UR_l, gR_l = _split(XR_inL)
-        UL_r, gL_r = _split(XL_inR)
-        UR_r, gR_r = _split(XR_own)
+        U_own, g_own = _split(own)
+        U_nbr, g_nbr = _split(nbr)
 
-        flux_L_int = _face_flux(UL[:nfi], UR_l, gL[:nfi] if viscous else None,
-                                gR_l, tab.f_nor[:nfi], tab.f_xyz[:nfi],
-                                deltaL[:nfi], deltaR)
-        flux_R = _face_flux(UL_r, UR_r, gL_r, gR_r, tab.f_nor_r,
-                            tab.f_xyz_r, deltaL[:nfi], deltaR)
+        d_own = tab.delta[:, None, None]
+        d_nbr = tab.delta_nbr[..., None]
+        flux_slot = _face_flux(U_own, U_nbr, g_own, g_nbr, tab.nor_slot,
+                               tab.xyz_slot, d_own, d_nbr)
+        flux_slot = flux_slot * tab.interior_mask[..., None, None]
+
+        # boundary slots: BC fluxes override (slots are attr-ordered)
+        if tab.nfb:
+            own_b = own.reshape(ne * tab.nlf, tab.nqf, own.shape[-1])[tab.bdr_slot]
+            ULb, gLb = _split(own_b)
+            UpLb_cons = mix.primitives(ULb)
+            norb = tab.f_nor[nfi:]
+            xyzb = tab.f_xyz[nfi:]
+            deltab = deltaL[nfi:]
+            bdr_fluxes = []
+            for s in ctx.bcs:
+                sl = slice(s.start, s.stop)
+                bdr_fluxes.append(
+                    s.bc.flux(ctx, ULb[sl], UpLb_cons[sl],
+                              None if gLb is None else gLb[sl],
+                              norb[sl], xyzb[sl], deltab[sl], t)
+                )
+            covered = sum(s.stop - s.start for s in ctx.bcs)
+            if covered != tab.nfb:
+                raise ValueError(
+                    f"boundary faces not fully covered by BCs: {covered} != {tab.nfb}"
+                )
+            flux_b = jnp.concatenate(bdr_fluxes, axis=0)
+            flux_slot = (
+                flux_slot.reshape(ne * tab.nlf, tab.nqf, neq)
+                .at[tab.bdr_slot].set(flux_b)
+                .reshape(ne, tab.nlf, tab.nqf, neq)
+            )
+
+        ws = tab.wts_slot
+        if tab.rad_slot is not None:  # axisymmetric face weight (x radius)
+            ws = ws * tab.rad_slot
+        z_face = -trace_transpose(
+            tab, (flux_slot * ws[..., None]).reshape(ne, tab.nlf * tab.nqf, neq)
+        )
     else:
         # legacy path (sharded tables): single-ordering + point permutations
         Utr = elem_traces(tab, U)
@@ -154,54 +192,38 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
         flux_L_int = _face_flux(UL[:nfi], UR_l, gL[:nfi] if viscous else None,
                                 gR_l, tab.f_nor[:nfi], tab.f_xyz[:nfi],
                                 deltaL[:nfi], deltaR)
-        flux_R = None
 
-    # boundary faces, one static slice per BC
-    bdr_fluxes = []
-    if tab.nfb:
-        ULb = UL[nfi:]
-        gLb = gL[nfi:] if viscous else None
-        norb = tab.f_nor[nfi:]
-        xyzb = tab.f_xyz[nfi:]
-        deltab = deltaL[nfi:]
-        UpLb_cons = mix.primitives(ULb)
-        for s in ctx.bcs:
-            sl = slice(s.start, s.stop)
-            bdr_fluxes.append(
-                s.bc.flux(
-                    ctx,
-                    ULb[sl],
-                    UpLb_cons[sl],
-                    None if gLb is None else gLb[sl],
-                    norb[sl],
-                    xyzb[sl],
-                    deltab[sl],
-                    t,
+        # boundary faces, one static slice per BC
+        bdr_fluxes = []
+        if tab.nfb:
+            ULb = UL[nfi:]
+            gLb = gL[nfi:] if viscous else None
+            norb = tab.f_nor[nfi:]
+            xyzb = tab.f_xyz[nfi:]
+            deltab = deltaL[nfi:]
+            UpLb_cons = mix.primitives(ULb)
+            for s in ctx.bcs:
+                sl = slice(s.start, s.stop)
+                bdr_fluxes.append(
+                    s.bc.flux(ctx, ULb[sl], UpLb_cons[sl],
+                              None if gLb is None else gLb[sl],
+                              norb[sl], xyzb[sl], deltab[sl], t)
                 )
-            )
-        covered = sum(s.stop - s.start for s in ctx.bcs)
-        if covered != tab.nfb:
-            raise ValueError(
-                f"boundary faces not fully covered by BCs: {covered} != {tab.nfb}"
-            )
+            covered = sum(s.stop - s.start for s in ctx.bcs)
+            if covered != tab.nfb:
+                raise ValueError(
+                    f"boundary faces not fully covered by BCs: {covered} != {tab.nfb}"
+                )
 
-    flux_all = (
-        jnp.concatenate([flux_L_int] + bdr_fluxes, axis=0) if tab.nfb else flux_L_int
-    )
-    fw = tab.f_wts
-    if tab.rad_face is not None:  # axisymmetric face weight (x radius)
-        fw = fw * tab.rad_face
-    flux_w = flux_all * fw[..., None]
+        flux_all = (
+            jnp.concatenate([flux_L_int] + bdr_fluxes, axis=0)
+            if tab.nfb else flux_L_int
+        )
+        fw = tab.f_wts
+        if tab.rad_face is not None:  # axisymmetric face weight (x radius)
+            fw = fw * tab.rad_face
+        flux_w = flux_all * fw[..., None]
 
-    if tab.Btr_or is not None:
-        fwr = tab.f_wts_r
-        if tab.rad_face_r is not None:
-            fwr = fwr * tab.rad_face_r
-        # scatter convention: L slots subtract, R slots add (normal flip);
-        # bake the R sign into FR so ef_row gathers are sign-free
-        Fel = face_rows_scatter(tab, -flux_w, flux_R * fwr[..., None])
-        z_face = trace_transpose(tab, Fel)
-    else:
         Fel = face_scatter_gather(tab, flux_w)
         sign = jnp.repeat(tab.ef_sign.reshape(tab.ne, tab.nlf), tab.nqf, axis=1)
         z_face = trace_transpose(tab, -sign[..., None] * Fel)
