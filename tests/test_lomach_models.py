@@ -1,0 +1,80 @@
+"""Low-Mach RANS + LTE thermo-chem model tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tps_tpu.fem import h1
+from tps_tpu.mesh.generators import box_2d
+from tps_tpu.physics.radiation import NetEmission
+from tps_tpu.physics.tables import LinearTable
+from tps_tpu.solvers.lomach.base import (
+    ConstantPropertyThermoChem,
+    TemporalCoefficients,
+    ZeroFlow,
+)
+from tps_tpu.solvers.lomach.lte_thermo import LteThermoChem
+from tps_tpu.solvers.lomach.rans import AlgebraicRans, StaticRans
+from tps_tpu.solvers.lomach.tomboulides import Tomboulides, VelocityDirichlet
+
+
+def test_algebraic_rans_shear_layer():
+    """Vorticity-based eddy viscosity grows with wall distance."""
+    mesh = box_2d(8, 8)
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+    thermo = ConstantPropertyThermoChem(tab, rho=1.0, mu=1e-3)
+    flow = Tomboulides(tab, thermo, vel_bcs=[
+        VelocityDirichlet(attrs=(1, 2, 3, 4), value=(0.0, 0.0))])
+    # impose a shear field directly
+    y = tab.xyz[:, 1]
+    flow.u = jnp.stack([y * 2.0, jnp.zeros_like(y)], axis=-1)
+    dist = np.minimum(np.asarray(y), 1.0 - np.asarray(y))
+    rans = AlgebraicRans(tab, flow, thermo, wall_distance=dist)
+    rans.step(TemporalCoefficients.bdf(1), 1e-3)
+    nut = np.asarray(rans.eddy_viscosity())
+    # nu_t = (0.41 d)^2 * |omega| with omega = -du/dy = -2
+    expect = (0.41 * dist) ** 2 * 2.0
+    assert np.allclose(nut, expect, atol=1e-8)
+
+    st = StaticRans(tab, 0.5)
+    assert np.allclose(np.asarray(st.eddy_viscosity()), 0.5)
+
+
+def test_lte_thermo_joule_heating():
+    """LTE energy equation: Joule heating raises T; radiation sinks it;
+    Qt reflects table density variation."""
+    mesh = box_2d(6, 6, periodic_x=True, periodic_y=True)
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+    T = np.linspace(200.0, 20000.0, 200)
+    lte = LteThermoChem(
+        tab,
+        flow=ZeroFlow(tab),
+        rho_table=LinearTable(x=T, f=101325.0 * 0.029 / (8.314 * T)),
+        cp_table=LinearTable(x=T, f=np.full_like(T, 1004.0)),
+        mu_table=LinearTable(x=T, f=1.8e-5 * (T / 300.0) ** 0.7),
+        kappa_table=LinearTable(x=T, f=0.025 * (T / 300.0) ** 0.8),
+        sigma_table=LinearTable(x=T, f=np.where(T > 6000, (T - 6000.0), 0.0)),
+        T_init=300.0,
+    )
+    lte.set_joule_heating(jnp.full(tab.ndofs, 5.0e5))  # W/m^3
+    dt = 1e-3
+    for i in range(10):
+        lte.step(TemporalCoefficients.bdf(min(i + 1, 2)), dt)
+    T1 = np.asarray(lte.T)
+    # dT/dt = q/(rho cp) ~ 5e5/(1.17*1004) ~ 425 K/s -> ~4.3 K in 10 ms
+    assert 2.0 < T1.mean() - 300.0 < 8.0
+    # heating => expansion => positive divergence constraint
+    assert np.asarray(lte.Qt).mean() > 0
+    assert np.allclose(np.asarray(lte.plasma_conductivity()), 0.0)  # cold
+
+    # radiation sink reduces the heating rate
+    lte2 = LteThermoChem(
+        tab, flow=ZeroFlow(tab),
+        rho_table=lte.rho_table, cp_table=lte.cp_table,
+        mu_table=lte.mu_table, kappa_table=lte.kappa_table,
+        radiation=NetEmission(LinearTable(x=[200.0, 20000.0], f=[2.0e4, 2.0e4])),
+        T_init=300.0,
+    )
+    lte2.set_joule_heating(jnp.full(tab.ndofs, 5.0e5))
+    for i in range(10):
+        lte2.step(TemporalCoefficients.bdf(min(i + 1, 2)), dt)
+    assert np.asarray(lte2.T).mean() < T1.mean()

@@ -1,0 +1,138 @@
+"""LTE table-based low-Mach thermo-chemistry.
+
+The role of the reference LteThermoChem (reference: src/lte_thermo_chem.cpp):
+an implicit energy equation with all properties from equilibrium tables
+rho(T), cp(T), mu(T), kappa(T), sigma(T) (1-D in T at the operating
+pressure, or 2-D in (T, rho)), plus the Joule-heating source and optional
+net-emission radiation sink used by the coupled plasma-torch cases.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...fem import h1
+from ...physics.lte import _eval2
+from .base import TemporalCoefficients, ThermoChemBase
+
+
+class LteThermoChem(ThermoChemBase):
+    def __init__(self, tab, flow=None, rho_table=None, cp_table=None,
+                 mu_table=None, kappa_table=None, sigma_table=None,
+                 radiation=None, temp_bcs=(), T_init=300.0,
+                 cg_tol=1e-10, cg_maxiter=500):
+        self.tab = tab
+        self.flow = flow
+        self.rho_table = rho_table
+        self.cp_table = cp_table
+        self.mu_table = mu_table
+        self.kappa_table = kappa_table
+        self.sigma_table = sigma_table
+        self.radiation = radiation
+        self.cg_tol = cg_tol
+        self.cg_maxiter = cg_maxiter
+
+        import numpy as np
+
+        nd = tab.ndofs
+        self.T = jnp.full(nd, float(T_init))
+        self.T_hist = [self.T, self.T]
+        self.Qt = jnp.zeros(nd)
+        self.joule_heating = jnp.zeros(nd)
+
+        if temp_bcs:
+            free = np.ones(nd)
+            vals = jnp.zeros(nd)
+            for bc in temp_bcs:
+                dofs = h1.boundary_dofs(tab, bc.attrs)
+                free[dofs] = 0.0
+                vals = vals.at[jnp.asarray(dofs)].set(bc.value)
+            self.T_mask = jnp.asarray(free)
+            self.T_bc = vals
+            self.T = self.T * self.T_mask + vals * (1.0 - self.T_mask)
+            self.T_hist = [self.T, self.T]
+        else:
+            self.T_mask = jnp.ones(nd)
+            self.T_bc = jnp.zeros(nd)
+
+        self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
+
+    # -- property fields ---------------------------------------------------
+    def density(self):
+        return _eval2(self.rho_table, self.T, self.T)
+
+    def viscosity(self):
+        return _eval2(self.mu_table, self.T, self.T)
+
+    def conductivity(self):
+        return _eval2(self.kappa_table, self.T, self.T)
+
+    def plasma_conductivity(self):
+        """sigma(T) for the EM coupling (reference lte_thermo_chem Joule path)."""
+        if self.sigma_table is None:
+            return jnp.zeros_like(self.T)
+        return _eval2(self.sigma_table, self.T, self.T)
+
+    def set_joule_heating(self, qj):
+        self.joule_heating = jnp.asarray(qj)
+
+    def thermal_divergence(self):
+        return self.Qt
+
+    def step(self, coeff: TemporalCoefficients, dt: float):
+        vel = (
+            self.flow.velocity()
+            if self.flow is not None
+            else jnp.zeros((self.tab.ndofs, self.tab.dim))
+        )
+        self.T, self.Qt, hist = self._step_jit(
+            self.T, tuple(self.T_hist), vel, self.joule_heating,
+            jnp.asarray(dt), order=coeff.order,
+        )
+        self.T_hist = list(hist)
+
+    def _step_impl(self, T, T_hist, vel, qj, dt, order):
+        tab = self.tab
+        coeff = TemporalCoefficients.bdf(order)
+        bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
+
+        rho = _eval2(self.rho_table, T, T)
+        cp = _eval2(self.cp_table, T, T)
+        kappa = _eval2(self.kappa_table, T, T)
+        rho_cp = rho * cp
+
+        hist = -(bd[1] * T + bd[2] * T_hist[0] + bd[3] * T_hist[1]) / dt
+        adv = h1.convection_apply(tab, T, vel) / h1.mass_lumped_diag(tab)
+        src = qj
+        if self.radiation is not None:
+            src = src + self.radiation.energy_sink(T)
+        rhs = h1.mass_apply(tab, rho_cp * (hist - adv) + src)
+
+        mask = self.T_mask
+        Tbc = self.T_bc
+
+        def helm(v):
+            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v) + \
+                h1.diffusion_apply(tab, v, kappa)
+
+        diag = (bd[0] / dt) * h1.mass_lumped_diag(tab, rho_cp) + \
+            h1.stiffness_diag(tab, kappa)
+        rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
+        diag = diag * mask + (1.0 - mask)
+        T_new = h1.cg_solve(helm, rhs, x0=T * mask, diag=diag,
+                            dirichlet_mask=mask, tol=self.cg_tol,
+                            maxiter=self.cg_maxiter)
+        T_new = T_new * mask + Tbc * (1.0 - mask)
+
+        # Qt from the density table: Qt = -(1/rho) Drho/Dt = -(drho/dT / rho) DT/Dt
+        dT = 1e-3 * jnp.maximum(T_new, 1.0)
+        drho_dT = (_eval2(self.rho_table, T_new + dT, T_new)
+                   - _eval2(self.rho_table, T_new - dT, T_new)) / (2 * dT)
+        rho_new = _eval2(self.rho_table, T_new, T_new)
+        dTdt = (bd[0] * T_new + bd[1] * T + bd[2] * T_hist[0]
+                + bd[3] * T_hist[1]) / dt
+        ugT = h1.convection_apply(tab, T_new, vel) / h1.mass_lumped_diag(tab)
+        Qt = -(drho_dT / rho_new) * (dTdt + ugT)
+
+        return T_new, Qt, (T, T_hist[0])
