@@ -13,12 +13,16 @@ from tps_tpu.harness import Tps
 HERE = os.path.dirname(__file__)
 
 
-def _run(ini, max_iters=None):
+def _run(ini, max_iters=None, outdir=None, enable_restart=None):
     tps = Tps()
     tps.input_file = os.path.join(HERE, "inputs", ini)
     tps.parse_input()
     if max_iters is not None:
         tps.config.max_iters = max_iters
+    if outdir is not None:
+        tps.config.outdir = str(outdir)
+    if enable_restart is not None:
+        tps.config.enable_restart = enable_restart
     tps.choose_devices()
     tps.choose_solver()
     tps.initialize()
@@ -78,16 +82,15 @@ def test_channel_bcs_run():
 
 
 def test_restart_roundtrip(tmp_path):
-    tps = _run("channel2d.ini", max_iters=2)
-    tps.config.outdir = str(tmp_path)
+    tps = _run("channel2d.ini", max_iters=2, outdir=tmp_path)
     tps.solve()
     solver = tps.solver
     U_end = np.asarray(solver.U).copy()
     it_end, t_end = solver.iter, solver.time
 
-    tps2 = _run("channel2d.ini")
-    tps2.config.outdir = str(tmp_path)
-    tps2.solver.read_restart()
+    # enableRestart => the solver reads the checkpoint at initialize()
+    # (reference: src/M2ulPhyS.cpp:1930-1946)
+    tps2 = _run("channel2d.ini", outdir=tmp_path, enable_restart=True)
     assert tps2.solver.iter == it_end
     assert abs(tps2.solver.time - t_end) < 1e-15
     assert np.array_equal(np.asarray(tps2.solver.U), U_end)

@@ -320,9 +320,11 @@ def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
     wts_slot = np.zeros((ne, nlf, nqf))
     xyz_slot = np.zeros((ne, nlf, nqf, dim))
     rad_slot = np.zeros((ne, nlf, nqf)) if rad_face is not None else None
-    delta_nbr = np.zeros((ne, nlf))
+    delta_nbr = np.ones((ne, nlf))
     interior_mask = np.zeros((ne, nlf))
-    bdr_slot = np.zeros(nft - nfi, dtype=np.int32)
+    # padded boundary faces (sharded tables) point at the out-of-range
+    # sentinel and are dropped by the runtime scatter
+    bdr_slot = np.full(nft - nfi, ne * nlf, dtype=np.int32)
 
     for f in range(nft):
         e, lf = int(f_elem_l[f]), int(f_slot_l[f])

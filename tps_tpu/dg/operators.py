@@ -192,7 +192,7 @@ def dg_gradient(tab, Up, bdr_up2=None):
             # useBCinGrad: boundary exterior state from the BCs
             own_b = own.reshape(ne * tab.nlf, tab.nqf, neq)[tab.bdr_slot]
             jump = jump.reshape(ne * tab.nlf, tab.nqf, neq).at[tab.bdr_slot].set(
-                0.5 * (bdr_up2 - own_b)
+                0.5 * (bdr_up2 - own_b), mode="drop"
             ).reshape(ne, tab.nlf, tab.nqf, neq)
         J = (
             jump[..., :, None]

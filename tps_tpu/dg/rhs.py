@@ -166,7 +166,7 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
             flux_b = jnp.concatenate(bdr_fluxes, axis=0)
             flux_slot = (
                 flux_slot.reshape(ne * tab.nlf, tab.nqf, neq)
-                .at[tab.bdr_slot].set(flux_b)
+                .at[tab.bdr_slot].set(flux_b, mode="drop")
                 .reshape(ne, tab.nlf, tab.nqf, neq)
             )
 

@@ -226,10 +226,12 @@ class CompressibleSolver(PlasmaSolver):
             self.dt = rc.cfl * self.hmin / mcs0 / dim
 
         self._wall0 = _time.perf_counter()
+        # restart files are written every outputFreq unconditionally, as in
+        # the reference (src/M2ulPhyS.cpp:1988,2041); enableRestart /
+        # restartCycle only gate *reading* at startup (:1930-1946)
         self._io = None
+        self._init_io()
         if rc.enable_restart or rc.restart_cycle:
-            self._init_io()
-        if rc.restart_cycle:
             self.read_restart()
 
         # statistics + history (reference: Averaging engine, history.hist)
