@@ -316,7 +316,11 @@ def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
     rad_face_r = oriented["rad_face_r"]
 
     nbr_row = np.zeros((ne, nlf), dtype=np.int32)
+    # unassigned slots (halo/padding elements under domain decomposition)
+    # keep a safe unit normal and zero weight: any flux evaluated there is
+    # finite and integrates to zero
     nor_slot = np.zeros((ne, nlf, nqf, dim))
+    nor_slot[..., 0] = 1.0
     wts_slot = np.zeros((ne, nlf, nqf))
     xyz_slot = np.zeros((ne, nlf, nqf, dim))
     rad_slot = np.zeros((ne, nlf, nqf)) if rad_face is not None else None

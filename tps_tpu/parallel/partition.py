@@ -17,11 +17,16 @@ from dataclasses import dataclass, replace
 
 import numpy as np
 
-from ..dg.discretization import DGTables, build_ef_tables, build_tables
+from ..dg.discretization import (
+    DGTables,
+    build_ef_tables,
+    build_slot_tables,
+    build_tables,
+)
 from ..mesh.mesh import Mesh
 
 # fields shared across shards (replicated, no leading shard axis)
-SHARED_FIELDS = ("Bvol", "Gvol", "wq", "Btr")
+SHARED_FIELDS = ("Bvol", "Gvol", "wq", "Btr", "Btr_or")
 # per-element fields sliced by local element list
 ELEM_FIELDS = ("adjJ", "detJ", "Minv", "xyz_dof", "delta")
 
@@ -164,6 +169,15 @@ def build_sharded_tables(
         "halo_recv_idx": zeros((H,), np.int32),
         "halo_slots": np.full((P, H), NE - 1, dtype=np.int32),
         "global_ids": np.full((P, NE), -1, dtype=np.int32),
+        # neighbor-slot fast path (same formulation as single-device; the
+        # global combo map is reused so Btr_or stays shard-replicated)
+        "nbr_row": zeros((NE, g.nlf), np.int32),
+        "nor_slot": zeros((NE, g.nlf, g.nqf, g.dim)),
+        "wts_slot": zeros((NE, g.nlf, g.nqf)),
+        "xyz_slot": zeros((NE, g.nlf, g.nqf, g.dim)),
+        "delta_nbr": zeros((NE, g.nlf)),
+        "interior_mask": zeros((NE, g.nlf)),
+        "bdr_slot": np.full((P, NFB), NE * g.nlf, dtype=np.int32),
     }
     for name in ELEM_FIELDS:
         arr = getattr(g, name)
@@ -222,6 +236,40 @@ def build_sharded_tables(
         st["ef_qmap"][p] = ef_qmap
         st["ef_sign"][p] = ef_sign
 
+        # neighbor-slot tables for this shard, reusing the GLOBAL combo map
+        # (so every shard indexes the same replicated Btr_or); padding faces
+        # have f_elem == -1 and are skipped by the builder
+        cro = np.zeros(NFI, np.int32)
+        clr = np.zeros(NFI, np.int32)
+        nr = np.zeros((NFI, g.nqf, g.dim))
+        nr[..., 0] = 1.0  # safe normal on padding lanes
+        wr = np.zeros((NFI, g.nqf))
+        xr = np.zeros((NFI, g.nqf, g.dim))
+        cro[:nfi_p] = g.f_combo_r_inL[fi]
+        clr[:nfi_p] = g.f_combo_l_inR[fi]
+        nr[:nfi_p] = g.f_nor_r[fi]
+        wr[:nfi_p] = g.f_wts_r[fi]
+        xr[:nfi_p] = g.f_xyz_r[fi]
+        slot = build_slot_tables(
+            {
+                "n_combo": g.n_combo,
+                "f_combo_r_inL": cro,
+                "f_combo_l_inR": clr,
+                "f_nor_r": nr,
+                "f_wts_r": wr,
+                "f_xyz_r": xr,
+                "rad_face_r": None,
+            },
+            NE, g.nlf, g.nqf, g.dim, NFI, NFT,
+            st["f_elem_l"][p], st["f_slot_l"][p],
+            st["f_elem_r"][p], st["f_slot_r"][p],
+            st["f_nor"][p], st["f_wts"][p], st["f_xyz"][p],
+            st["delta"][p],
+        )
+        for name in ("nbr_row", "nor_slot", "wts_slot", "xyz_slot",
+                     "delta_nbr", "interior_mask", "bdr_slot"):
+            st[name][p] = slot[name]
+
         # halo exchange maps
         sl = send_lists[p]
         st["halo_send_idx"][p, : len(sl)] = [lm[int(e)] for e in sl]
@@ -238,6 +286,7 @@ def build_sharded_tables(
         dim=g.dim, order=g.order, ne=NE, ndof=g.ndof, nq=g.nq, nlf=g.nlf,
         nqf=g.nqf, nfi=NFI, nfb=NFB,
         Bvol=g.Bvol, Gvol=g.Gvol, wq=g.wq, Btr=g.Btr,
+        n_combo=g.n_combo, Btr_or=g.Btr_or,
         distance=None,
         **st,
     )
