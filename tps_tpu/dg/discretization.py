@@ -205,6 +205,48 @@ def build_ef_tables(ne, nlf, nqf, nfi, nft, f_elem_l, f_slot_l, f_elem_r, f_slot
     return ef_face, ef_qmap, ef_sign
 
 
+def solve_orientation_baking(nlf, nqf, nfi, f_slot_l, f_slot_r, f_qperm_r):
+    """Try to find per-local-face point permutations sigma[lf] such that
+    sigma[lfR] = qperm_f o sigma[lfL] for EVERY interior face.
+
+    When such an assignment exists (all structured and consistently-oriented
+    tensor meshes), the permutations can be baked into the trace matrix rows,
+    making every runtime face pairing the identity: traces shrink from
+    n_combo*nqf to nlf*nqf rows and all face sweeps become plain row
+    gathers.  Returns a list of nlf permutations, or None when the
+    constraint graph is inconsistent (general unstructured orientations)."""
+    from collections import deque
+
+    ident = np.arange(nqf, dtype=np.int64)
+    adj = [[] for _ in range(nlf)]
+    for f in range(nfi):
+        a, b = int(f_slot_l[f]), int(f_slot_r[f])
+        q = f_qperm_r[f].astype(np.int64)
+        adj[a].append((b, q, False))  # sigma_b = q o sigma_a
+        adj[b].append((a, q, True))  # sigma_a = q^-1 o sigma_b
+    sigma = [None] * nlf
+    for start in range(nlf):
+        if sigma[start] is not None:
+            continue
+        sigma[start] = ident.copy()
+        dq = deque([start])
+        while dq:
+            u = dq.popleft()
+            for v, q, invflag in adj[u]:
+                if invflag:
+                    qi = np.empty(nqf, np.int64)
+                    qi[q] = ident
+                    cand = qi[sigma[u]]
+                else:
+                    cand = q[sigma[u]]
+                if sigma[v] is None:
+                    sigma[v] = cand
+                    dq.append(v)
+                elif not np.array_equal(sigma[v], cand):
+                    return None
+    return sigma
+
+
 def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
                           f_qperm_r, f_nor, f_wts, f_xyz, ef_face, ef_sign,
                           rad_face=None):
@@ -545,6 +587,33 @@ def build_tables(
             raise ValueError("face quad point matching failed (non-conforming mesh?)")
         if np.any(np.sort(f_qperm_r, axis=1) != np.arange(nqf)[None, :]):
             raise ValueError("face point permutation is not a bijection")
+
+    # ---- orientation baking ----
+    # If a per-local-face permutation sigma satisfies
+    # sigma[lfR] = qperm o sigma[lfL] on every interior face, bake sigma into
+    # the Btr rows and the per-face point data: every runtime face pairing
+    # becomes the identity, so the oriented-trace machinery degenerates to
+    # n_combo == nlf and the face sweep reads half the trace rows.
+    sigma = solve_orientation_baking(nlf, nqf, nfi, f_slot_l, f_slot_r, f_qperm_r)
+    ident = np.arange(nqf, dtype=np.int64)
+    if sigma is not None and any(not np.array_equal(s, ident) for s in sigma):
+        for lf in range(nlf):
+            s = sigma[lf]
+            Btr[lf * nqf : (lf + 1) * nqf] = Btr[lf * nqf : (lf + 1) * nqf][s]
+        sL = np.stack([sigma[int(lf)] for lf in f_slot_l])  # [nft, nqf]
+        f_nor = np.take_along_axis(f_nor, sL[..., None], axis=1)
+        f_xyz = np.take_along_axis(f_xyz, sL[..., None], axis=1)
+        f_wts = np.take_along_axis(f_wts, sL, axis=1)
+        if nfi:
+            sR = np.stack([sigma[int(lf)] for lf in f_slot_r])
+            inv_sR = np.empty_like(sR)
+            np.put_along_axis(
+                inv_sR, sR, np.broadcast_to(ident, sR.shape).copy(), axis=1
+            )
+            q_os = np.take_along_axis(f_qperm_r.astype(np.int64), sL[:nfi], axis=1)
+            f_qperm_r = np.take_along_axis(inv_sR, q_os, axis=1).astype(np.int32)
+            if np.any(f_qperm_r != ident[None, :]):
+                raise AssertionError("orientation baking did not normalize qperm")
 
     # ---- element-side scatter-back tables ----
     ef_face, ef_qmap, ef_sign = build_ef_tables(
