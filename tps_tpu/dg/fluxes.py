@@ -16,6 +16,27 @@ import jax.numpy as jnp
 
 
 @dataclass(frozen=True)
+class PlanarViscousSponge:
+    """Planar viscosity-multiplier ramp (reference: src/fluxes.cpp:669-687
+    viscSpongePlanar, ini section viscosityMultiplierFunction):
+    wgt(x) = 1 + (ratio-1) * 0.5 (tanh(dist/width - 2) + 1) with dist the
+    signed distance past the plane (point, normal)."""
+
+    point: tuple
+    normal: tuple
+    width: float
+    ratio: float
+
+    def __call__(self, xyz):
+        dim = xyz.shape[-1]
+        n = jnp.asarray(self.normal, xyz.dtype)[:dim]
+        p = jnp.asarray(self.point, xyz.dtype)[:dim]
+        dist = jnp.einsum("...d,d->...", xyz - p, n)
+        w = 0.5 * (jnp.tanh(dist / self.width - 2.0) + 1.0)
+        return 1.0 + (max(self.ratio, 1.0) - 1.0) * w
+
+
+@dataclass(frozen=True)
 class Fluxes:
     mixture: object
     transport: object | None = None
@@ -23,6 +44,7 @@ class Fluxes:
     axisymmetric: bool = False
     sgs_model: object | None = None
     visc_mult: float = 1.0
+    visc_sponge: object | None = None  # callable wgt(xyz), e.g. PlanarViscousSponge
 
     @property
     def dim(self):
@@ -96,6 +118,18 @@ class Fluxes:
             visc = visc + mu_sgs
             kappa = kappa + mu_sgs / pr_cp
 
+        if self.visc_sponge is not None and xyz is not None:
+            # viscous sponge multiplies all transport coefficients
+            # (reference: src/fluxes.cpp:233-246)
+            wgt = self.visc_sponge(xyz)
+            visc = visc * wgt
+            bulk = bulk * wgt
+            kappa = kappa * wgt
+            kappa_e = kappa_e * wgt
+            dv_sponge = wgt
+        else:
+            dv_sponge = None
+
         F = jnp.zeros(U.shape[:-1] + (neq, dim), dtype=U.dtype)
 
         grad_vel = grad_up[..., 1 : 1 + dim, :dim]  # du_i/dx_j
@@ -143,6 +177,8 @@ class Fluxes:
 
         # species diffusion fluxes: -rhoY_s * V_s
         dv = props.get("diff_vel")
+        if dv is not None and dv_sponge is not None:
+            dv = dv * dv_sponge[..., None, None]
         if dv is not None:
             rhoY = U[..., nvel + 2 : nvel + 2 + mix.num_active_species]
             F = F.at[..., nvel + 2 : nvel + 2 + mix.num_active_species, :].set(

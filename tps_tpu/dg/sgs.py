@@ -33,6 +33,41 @@ class Smagorinsky:
 
 
 @dataclass(frozen=True)
+class Wale:
+    """Wall-adapting local eddy viscosity (Nicoud & Ducros 1999), evaluated
+    with the Ducros direct formula for Sd:Sd
+    (role of reference: src/algebraicSubgridModels.cpp:324-452, default
+    constant 0.5 per :75):
+      G^2 = 1/6 (|S|^4 + |O|^4) + 2/3 |S|^2 |O|^2 + 2 S^2:O^2
+      nu_t = (Cd d)^2 G^3 / (|S|^5 + G^{5/2})
+    """
+
+    mixture: object
+    const: float = 0.5
+    floor: float = 0.0
+
+    def __call__(self, U, grad_up, delta):
+        mix = self.mixture
+        dim = mix.dim
+        gv = grad_up[..., 1 : 1 + dim, :dim]
+        S = 0.5 * (gv + jnp.swapaxes(gv, -1, -2))
+        O = 0.5 * (gv - jnp.swapaxes(gv, -1, -2))
+        S2 = jnp.einsum("...ik,...kj->...ij", S, S)
+        O2 = jnp.einsum("...ik,...kj->...ij", O, O)
+        Smag2 = jnp.sum(S * S, axis=(-2, -1))
+        Omag2 = jnp.sum(O * O, axis=(-2, -1))
+        SSOO = jnp.sum(S2 * O2, axis=(-2, -1))
+        G2 = jnp.maximum(
+            (Smag2**2 + Omag2**2) / 6.0 + (2.0 / 3.0) * Smag2 * Omag2 + 2.0 * SSOO,
+            0.0,
+        )
+        omega = G2**1.5 / jnp.maximum(Smag2**2.5 + G2**1.25, 1e-12)
+        dd = delta if jnp.ndim(delta) == U.ndim - 1 else delta[..., 0]
+        d = self.const * jnp.maximum(dd - self.floor, 0.0)
+        return U[..., 0] * d * d * omega
+
+
+@dataclass(frozen=True)
 class Sigma:
     """Nicoud et al. (PoF 2011) sigma model:
     mu_sgs = rho (Cd d)^2 s3 (s1 - s2)(s2 - s3) / s1^2 with s_i the singular

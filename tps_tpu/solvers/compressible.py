@@ -152,12 +152,29 @@ class CompressibleSolver(PlasmaSolver):
 
             sgs = Sigma(mixture=self.mixture, const=rc.sgs_const or 0.135)
 
+        visc_sponge = None
+        if rc.raw is not None and rc.raw.get(
+            "viscosityMultiplierFunction/isEnabled", 0
+        ):
+            # planar viscous sponge (reference: src/M2ulPhyS.cpp:2789-2807)
+            from ..dg.fluxes import PlanarViscousSponge
+
+            visc_sponge = PlanarViscousSponge(
+                point=tuple(rc.raw.get_vec("viscosityMultiplierFunction/point")),
+                normal=tuple(rc.raw.get_vec("viscosityMultiplierFunction/normal")),
+                width=rc.raw.get_required("viscosityMultiplierFunction/width"),
+                ratio=rc.raw.get_required(
+                    "viscosityMultiplierFunction/viscosityRatio"
+                ),
+            )
+
         self.fluxes = Fluxes(
             mixture=self.mixture,
             transport=transport,
             eq_system=eq,
             axisymmetric=rc.axisymmetric,
             sgs_model=sgs,
+            visc_sponge=visc_sponge,
         )
         self.riemann = Roe(self.fluxes) if rc.use_roe else Rusanov(self.fluxes)
 

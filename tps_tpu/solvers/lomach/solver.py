@@ -59,6 +59,143 @@ def _build_lomach_mesh(inp):
     return mesh
 
 
+def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter):
+    """LTE table thermo-chem from loMach/ltethermo/table-file
+    (reference: src/lte_thermo_chem.cpp:83-145, dataset T_mu_kap_sig_R_Cp)."""
+    import h5py
+
+    from ...physics.plasma_config import read_table_input
+    from ...physics.radiation import NetEmission
+    from ...physics.tables import LinearTable
+    from .lte_thermo import LteThermoChem
+
+    table_file = inp.get_required("loMach/ltethermo/table-file")
+    with h5py.File(table_file, "r") as f:
+        data = np.asarray(f["T_mu_kap_sig_R_Cp"])
+    T, mu, kap, sig, Rg, Cp = (data[:, i] for i in range(6))
+    p0 = inp.get("loMach/ambientPressure", 101325.0)
+
+    radiation = None
+    if inp.get("plasma_models/radiation_model", "none") == "net_emission":
+        radiation = NetEmission(
+            read_table_input(
+                inp, "plasma_models/radiation_model/net_emission/tabulated"
+            )
+        )
+
+    return LteThermoChem(
+        tab,
+        flow=None,
+        rho_table=LinearTable(x=T, f=p0 / (Rg * T)),
+        cp_table=LinearTable(x=T, f=Cp),
+        mu_table=LinearTable(x=T, f=mu),
+        kappa_table=LinearTable(x=T, f=kap),
+        sigma_table=LinearTable(x=T, f=sig),
+        radiation=radiation,
+        temp_bcs=tuple(temp_bcs),
+        T_init=inp.get("initialConditions/temperature", 300.0),
+        cg_tol=inp.get("loMach/ltethermo/linear-solver-rtol", cg_tol),
+        cg_maxiter=inp.get("loMach/ltethermo/linear-solver-max-iter",
+                           cg_maxiter),
+    )
+
+
+def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter):
+    """Finite-rate reacting thermo-chem from the [species]/[reactions] ini
+    schema (reference: src/reactingFlow.cpp input parsing; same schema as
+    the compressible plasma path, kept in input species order)."""
+    from ...physics.chemistry import Arrhenius, Chemistry, HoffertLien, TabulatedRate
+    from ...physics.plasma_config import _parse_composition, read_table_input
+    from .reacting_flow import ReactingFlow
+
+    atoms = {}
+    for a in range(1, inp.get("atoms/numAtoms", 0) + 1):
+        atoms[inp.get_required(f"atoms/atom{a}/name")] = inp.get_required(
+            f"atoms/atom{a}/mass", float
+        )
+    nsp = inp.get_required("species/numSpecies", int)
+    names, mws, hf, cv, imf = [], [], [], [], []
+    for s in range(1, nsp + 1):
+        base = f"species/species{s}"
+        names.append(inp.get_required(f"{base}/name"))
+        comp = _parse_composition(inp.get(f"{base}/composition", "{}"))
+        mws.append(sum(atoms[a] * c for a, c in comp.items()))
+        hf.append(inp.get(f"{base}/formation_energy", 0.0))
+        cv.append(inp.get(f"{base}/perfect_mixture/constant_molar_cv", 2.5))
+        imf.append(inp.get(f"{base}/initialMassFraction", 0.0))
+
+    class _Facade:
+        mw = tuple(mws)
+        num_species = nsp
+        i_electron = names.index("E") if "E" in names else -1
+
+    chemistry = None
+    n_react = inp.get("reactions/numberOfReactions", 0)
+    if n_react > 0:
+        r_st = np.zeros((n_react, nsp))
+        p_st = np.zeros((n_react, nsp))
+        models, energies, balances, eq_params = [], [], [], []
+        for r in range(1, n_react + 1):
+            base = f"reactions/reaction{r}"
+            r_st[r - 1] = inp.get_vec(f"{base}/reactant_stoichiometry", nsp)
+            p_st[r - 1] = inp.get_vec(f"{base}/product_stoichiometry", nsp)
+            energies.append(inp.get(f"{base}/reaction_energy", 0.0))
+            model = inp.get(f"{base}/model", "arrhenius")
+            if model == "arrhenius":
+                models.append(Arrhenius(
+                    A=inp.get_required(f"{base}/arrhenius/A", float),
+                    b=inp.get_required(f"{base}/arrhenius/b", float),
+                    E=inp.get_required(f"{base}/arrhenius/E", float),
+                ))
+            elif model == "hoffert_lien":
+                models.append(HoffertLien(
+                    A=inp.get_required(f"{base}/hoffert_lien/A", float),
+                    b=inp.get_required(f"{base}/hoffert_lien/b", float),
+                    E=inp.get_required(f"{base}/hoffert_lien/E", float),
+                ))
+            elif model == "tabulated":
+                models.append(TabulatedRate(read_table_input(inp, f"{base}/tabulated")))
+            else:
+                raise NotImplementedError(f"reaction model '{model}'")
+            db = bool(inp.get(f"{base}/detailed_balance", 0))
+            balances.append(db)
+            eq_params.append(
+                (
+                    inp.get_required(f"{base}/equilibrium_constant/A", float),
+                    inp.get_required(f"{base}/equilibrium_constant/b", float),
+                    inp.get_required(f"{base}/equilibrium_constant/E", float),
+                ) if db else (0.0, 0.0, 0.0)
+            )
+        chemistry = Chemistry(
+            mixture=_Facade(),
+            reactant_stoich=r_st,
+            product_stoich=p_st,
+            models=tuple(models),
+            reaction_energies=tuple(energies),
+            detailed_balance=tuple(balances),
+            equilibrium_params=tuple(eq_params),
+            min_temperature=inp.get("reactions/minimumTemperature", 0.0),
+        )
+
+    return ReactingFlow(
+        tab,
+        flow=None,
+        species_names=names,
+        mw=tuple(mws),
+        molar_cv_over_R=tuple(cv),
+        formation_energy=tuple(hf),
+        chemistry=chemistry,
+        p_thermo=inp.get("loMach/ambientPressure", 101325.0),
+        closed_system=not bool(inp.get("loMach/openSystem", 0)),
+        n_substeps=inp.get("loMach/reacting/sub-steps", 4),
+        temp_bcs=tuple(temp_bcs),
+        T_init=inp.get("initialConditions/temperature", 300.0),
+        Y_init=np.asarray(imf),
+        cg_tol=cg_tol,
+        cg_maxiter=cg_maxiter,
+    )
+
+
 @register_solver("loMach")
 class LoMachSolver(Solver):
     def initialize(self):
@@ -102,6 +239,55 @@ class LoMachSolver(Solver):
                 vel_bcs.append(VelocityDirichlet(attrs=(patch,), value=tuple(vel)))
             # outlets: natural (do-nothing) boundary
 
+        # geometric sponge (reference: src/geometricSponge.cpp ini keys
+        # spongeMultiplier/*)
+        self.sponge = None
+        if any(
+            inp.get(f"spongeMultiplier/{k}", 0)
+            for k in ("uniform", "plane", "cylinder", "annulus")
+        ):
+            from .sponge import (
+                AnnulusSponge,
+                CylinderSponge,
+                GeometricSponge,
+                PlaneSponge,
+            )
+
+            plane = cylinder = annulus = None
+            uniform_mult = (
+                inp.get("spongeMultiplier/uniformMult", 1.0)
+                if inp.get("spongeMultiplier/uniform", 0) else None
+            )
+            if inp.get("spongeMultiplier/plane", 0):
+                plane = PlaneSponge(
+                    point=tuple(inp.get_vec("spongeMultiplier/planePoint")),
+                    normal=tuple(inp.get_vec("spongeMultiplier/planeNormal")),
+                    width=inp.get("spongeMultiplier/planeWidth", 1e-8),
+                    mult=inp.get("spongeMultiplier/planeMult", 1.0),
+                )
+            if inp.get("spongeMultiplier/cylinder", 0):
+                cylinder = CylinderSponge(
+                    radius_x=inp.get("spongeMultiplier/cylinderRadiusX", -1.0),
+                    radius_y=inp.get("spongeMultiplier/cylinderRadiusY", -1.0),
+                    radius_z=inp.get("spongeMultiplier/cylinderRadiusZ", -1.0),
+                    width=inp.get("spongeMultiplier/cylinderWidth", 1e-8),
+                    mult=inp.get("spongeMultiplier/cylinderMult", 1.0),
+                )
+            if inp.get("spongeMultiplier/annulus", 0):
+                annulus = AnnulusSponge(
+                    point=tuple(
+                        inp.get_vec("spongeMultiplier/annulusPoint",
+                                    default=[0.0, 0.0, 0.0])
+                    ),
+                    radius_y=inp.get("spongeMultiplier/annulusRadiusY", -1.0),
+                    width=inp.get("spongeMultiplier/annulusWidth", 1e-8),
+                    mult=inp.get("spongeMultiplier/annulusMult", 1.0),
+                )
+            self.sponge = GeometricSponge(
+                self.tab, uniform_mult=uniform_mult, plane=plane,
+                cylinder=cylinder, annulus=annulus,
+            )
+
         # thermo-chem model factory (reference: src/loMach.cpp:148-208)
         tc_model = inp.get("loMach/thermo-solver", "constant-property")
         if tc_model in ("calorically-perfect", "calorically_perfect"):
@@ -121,7 +307,16 @@ class LoMachSolver(Solver):
                 Pr=inp.get("loMach/calperfect/Prandtl", 0.71),
                 temp_bcs=tuple(temp_bcs),
                 T_init=inp.get("loMach/calperfect/ic/temperature", 300.0),
+                sponge=self.sponge,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            )
+        elif tc_model == "lte-thermo-chem":
+            self.thermo = _build_lte_thermo(
+                inp, self.tab, temp_bcs, cg_tol, cg_maxiter
+            )
+        elif tc_model == "reacting-flow":
+            self.thermo = _build_reacting_flow(
+                inp, self.tab, temp_bcs, cg_tol, cg_maxiter
             )
         else:
             self.thermo = ConstantPropertyThermoChem(
@@ -135,6 +330,7 @@ class LoMachSolver(Solver):
         if flow_model == "tomboulides":
             self.flow = Tomboulides(
                 self.tab, self.thermo, vel_bcs=tuple(vel_bcs),
+                sponge=self.sponge,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             )
         elif flow_model == "zero-flow":
@@ -144,10 +340,36 @@ class LoMachSolver(Solver):
         if hasattr(self.thermo, "flow"):
             self.thermo.flow = self.flow
 
-        # turbulence model
-        turb = inp.get("loMach/turb-model", "none")
-        if turb in ("smagorinsky", "sigma"):
-            self.turb = AlgebraicSubgridModel(self.tab, self.flow, model=turb)
+        # turbulence model (reference: src/loMach.cpp:153-177 +
+        # loMach_options turb_model_map_)
+        turb = inp.get("loMach/turb-model", inp.get("loMach/sgsModel", "none"))
+        turb_const = inp.get("loMach/sgsModelConstant", 0.0) or None
+        if turb in ("smagorinsky", "sigma", "wale"):
+            self.turb = AlgebraicSubgridModel(
+                self.tab, self.flow, model=turb, const=turb_const
+            )
+            self.flow.turb = self.turb
+        elif turb == "algebraic-rans":
+            from .rans import AlgebraicRans
+
+            wall_attrs = tuple(
+                int(a) for a in inp.get_vec("loMach/algebraic-rans/walls",
+                                            default=[])
+            ) or tuple(int(a) for a in np.unique(self.mesh.bdr_attrs))
+            dist = self._h1_wall_distance(wall_attrs)
+            self.turb = AlgebraicRans(
+                self.tab, self.flow, self.thermo, wall_distance=dist,
+                max_mixing_length=inp.get(
+                    "loMach/algebraic-rans/max-mixing-length", 1.0e30
+                ),
+            )
+            self.flow.turb = self.turb
+        elif turb == "static-rans":
+            from .rans import StaticRans
+
+            self.turb = StaticRans(
+                self.tab, inp.get("loMach/static-rans/eddy-viscosity", 0.0)
+            )
             self.flow.turb = self.turb
         else:
             self.turb = ZeroTurbModel(self.tab)
@@ -165,6 +387,20 @@ class LoMachSolver(Solver):
         self.iter = 0
         self._wall0 = _time.perf_counter()
         self._timers = {"thermoChem": 0.0, "flow": 0.0, "turb": 0.0}
+
+    def _h1_wall_distance(self, wall_attrs):
+        """Distance from every H1 dof to the nearest wall-boundary dof
+        (serial wall distance; reference: src/mesh_base.cpp)."""
+        xyz = np.asarray(self.tab.xyz)
+        wd = np.asarray(h1.boundary_dofs(self.tab, tuple(wall_attrs)))
+        wxyz = xyz[wd]
+        out = np.empty(len(xyz))
+        for i in range(0, len(xyz), 4096):
+            d = np.linalg.norm(
+                xyz[i : i + 4096, None, :] - wxyz[None, :, :], axis=-1
+            )
+            out[i : i + 4096] = d.min(axis=1)
+        return out
 
     @property
     def max_iters(self):

@@ -31,9 +31,10 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
                  p_thermo=101325.0, closed_system=False,
                  mu0=1.68e-5, sutherland_T0=273.0, sutherland_S0=110.4,
                  Pr=0.71, constant_mu=None, temp_bcs=(), heat_source=None,
-                 T_init=300.0, cg_tol=1e-10, cg_maxiter=1000):
+                 sponge=None, T_init=300.0, cg_tol=1e-10, cg_maxiter=1000):
         self.tab = tab
         self.flow = flow
+        self.sponge = sponge
         self.R = gas_constant
         self.gamma = gamma
         self.cp = gamma * gas_constant / (gamma - 1.0)
@@ -105,6 +106,10 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         )
         rho = self.density()
         kappa = self.conductivity()
+        if self.sponge is not None:
+            # sponge scales the thermal diffusivity
+            # (reference: src/calorically_perfect.cpp:463)
+            kappa = kappa * self.sponge.multiplier()
         self.T, self.Qt, hist = self._step_jit(
             self.T, tuple(self.T_hist), vel, rho, kappa, jnp.asarray(dt),
             order=coeff.order,

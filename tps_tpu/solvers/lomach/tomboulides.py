@@ -29,10 +29,11 @@ class VelocityDirichlet:
 
 class Tomboulides(FlowBase):
     def __init__(self, tab, thermo, turb=None, vel_bcs=(), pres_refdof=True,
-                 body_force=None, cg_tol=1e-10, cg_maxiter=1000):
+                 body_force=None, sponge=None, cg_tol=1e-10, cg_maxiter=1000):
         self.tab = tab
         self.thermo = thermo
         self.turb = turb
+        self.sponge = sponge
         self.vel_bcs = tuple(vel_bcs)
         self.body_force = body_force
         self.cg_tol = cg_tol
@@ -79,6 +80,10 @@ class Tomboulides(FlowBase):
         mu = self.thermo.viscosity()
         if self.turb is not None:
             mu = mu + rho * self.turb.eddy_viscosity()
+        if self.sponge is not None:
+            # geometric sponge scales the total viscosity
+            # (reference: src/tomboulides.cpp:2077)
+            mu = mu * self.sponge.multiplier()
         qt = self.thermo.thermal_divergence()
         (self.u, self.p, u_hist, N_hist) = self._step_jit(
             self.u, self.p, tuple(self.u_hist), tuple(self.N_hist),

@@ -15,14 +15,15 @@ from .base import TurbModelBase
 
 
 class AlgebraicSubgridModel(TurbModelBase):
-    """model: 'smagorinsky' (Cs ~ 0.12) or 'sigma' (Cs ~ 1.35)."""
+    """model: 'smagorinsky' (Cs ~ 0.12), 'sigma' (Cs ~ 1.35), or 'wale'
+    (Cw ~ 0.5; reference: src/algebraicSubgridModels.cpp:67-78)."""
 
     def __init__(self, tab, flow, model="smagorinsky", const=None):
         self.tab = tab
         self.flow = flow
         self.model = model
         if const is None:
-            const = 0.12 if model == "smagorinsky" else 1.35
+            const = {"smagorinsky": 0.12, "sigma": 1.35, "wale": 0.5}[model]
         self.const = const
         # grid scale: per-dof length from element volumes
         detJc = np.asarray(tab.detJ).mean(axis=1)  # ~ elem volume
@@ -47,6 +48,22 @@ class AlgebraicSubgridModel(TurbModelBase):
         if self.model == "smagorinsky":
             smag = jnp.sqrt(2.0 * jnp.einsum("nij,nij->n", S, S))
             self._nut = (self.const * self.delta) ** 2 * smag
+        elif self.model == "wale":
+            # Nicoud & Ducros 1999 via the Ducros direct formula
+            # (reference: src/algebraicSubgridModels.cpp:324-452)
+            O = 0.5 * (g - jnp.swapaxes(g, 1, 2))
+            S2 = jnp.einsum("nik,nkj->nij", S, S)
+            O2 = jnp.einsum("nik,nkj->nij", O, O)
+            Smag2 = jnp.einsum("nij,nij->n", S, S)
+            Omag2 = jnp.einsum("nij,nij->n", O, O)
+            SSOO = jnp.einsum("nij,nij->n", S2, O2)
+            G2 = jnp.maximum(
+                (Smag2**2 + Omag2**2) / 6.0
+                + (2.0 / 3.0) * Smag2 * Omag2 + 2.0 * SSOO,
+                0.0,
+            )
+            omega = G2**1.5 / jnp.maximum(Smag2**2.5 + G2**1.25, 1e-12)
+            self._nut = (self.const * self.delta) ** 2 * omega
         else:  # sigma model (Nicoud et al. 2011)
             G = jnp.einsum("nki,nkj->nij", g, g)
             # eigenvalues of symmetric G (ascending)
