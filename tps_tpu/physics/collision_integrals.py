@@ -106,3 +106,83 @@ eAr12 = eAr(2)
 eAr13 = eAr(3)
 eAr14 = eAr(4)
 eAr15 = eAr(5)
+
+
+# ---------------------------------------------------------------------------
+# Nitrogen system fits (N2 / N / N+ / N2+ / e-), log-polynomial forms
+# Omega(T) = pref * exp(scale * sum_k c_k ln(T)^k).
+# Published sources (as cited by the reference src/collision_integrals.cpp):
+# N-N, N-N+ — Levin et al. 1990 / Capitelli 2000 / Su 2023; N2-N2, N2-N+ —
+# Phelps 1991 / Capitelli 2000; e-N, e-N2 — Itikawa cross sections.
+# ---------------------------------------------------------------------------
+
+def _logpoly(coeffs, scale=1.0, pref=1.0):
+    c = np.asarray(coeffs, dtype=np.float64)
+
+    def f(T):
+        lt = jnp.log(T)
+        acc = jnp.zeros_like(lt)
+        for ck in c[::-1]:
+            acc = acc * lt + ck
+        return pref * jnp.exp(scale * acc)
+
+    return f
+
+
+_PI_ = float(np.pi)
+
+NiNi11 = _logpoly([-41.999345922993626, -0.294552697364472], pref=_PI_)
+NiNi22 = _logpoly([-42.134170027961517, -0.264742466936063], pref=_PI_)
+NiNi1P11 = _logpoly(
+    [-38.031557701992455, -1.615788958431633, 0.232342802535233,
+     -0.015601342343555, 0.000385790678744], pref=_PI_)
+N2N211 = _logpoly([-42.225712551892755, -0.229958945507976], pref=_PI_)
+N2N222 = _logpoly([-42.077467697607034, -0.229160550336776], pref=_PI_)
+N2N21P11 = _logpoly(
+    [-96.770585022102779, 29.148723006721372, -5.530060545847180,
+     0.455326558461576, -0.013842724823926])
+N2Ni1P11 = _logpoly(
+    [-7.070758182949830, 4.845317363412498, -1.458758839937497,
+     0.233156378931474, -0.020896682219994, 0.000996062674946,
+     -0.000019731218085], scale=100.0)
+NiN21P11 = N2Ni1P11
+N2Ni11 = _logpoly(
+    [24.496049925340895, -27.786968224881310, 4.261190501951376,
+     -0.293139208272160, 0.007561754781801], pref=_PI_)
+N2Ni22 = _logpoly(
+    [-62.712016967753847, 7.212207597803123, -0.988167069227977,
+     0.056255946061936, -0.001145315858929], pref=_PI_)
+
+eNi11 = _logpoly(
+    [2.583657310241357, -3.338700252668392, 1.384354837198594,
+     -0.284334080031242, 0.031157728257488, -0.001750672149711,
+     0.000039758329849], scale=100.0)
+eNi12 = _logpoly(
+    [-1.934755833917042, 1.396606776346035, -0.422114799937392,
+     0.067093051236947, -0.005928358157850, 0.000276540278651,
+     -0.000005326503633], scale=1000.0)
+eNi13 = _logpoly(
+    [-2.837349005539165, 2.184292700049795, -0.700859738170989,
+     0.118480284536834, -0.011150119826904, 0.000554606302530,
+     -0.000011402466225], scale=1000.0)
+eNi14 = _logpoly(
+    [-1.673254218486384, 1.339721615950149, -0.448694918786985,
+     0.078770108123025, -0.007668193507749, 0.000393314841564,
+     -0.000008317289766], scale=1000.0)
+eNi15 = _logpoly(
+    [-1.245791078716272, 1.535014697501557, -0.740292376788452,
+     0.162391831811548, -0.018468300738766, 0.001064873335057,
+     -0.000024703118057], scale=100.0)
+eN211 = _logpoly(
+    [-3.847278097767338, 2.151944606452283, -0.537317123236616,
+     0.066165032113028, -0.004009615832468, 0.000095579640766], scale=100.0)
+eN212 = _logpoly(
+    [-5.337534425696322, 3.238333171420736, -0.845936604069987,
+     0.109071857868453, -0.006934205079810, 0.000173872831529], scale=100.0)
+eN213 = _logpoly(
+    [-6.527006679994851, 4.109423857482659, -1.096380242694045,
+     0.144466323778224, -0.009393664358810, 0.000241114854285], scale=100.0)
+eN214 = eN213
+eN215 = _logpoly(
+    [-5.131403805671025, 3.295203439069785, -0.914505280894294,
+     0.125300650936993, -0.008464520705942, 0.000225459901920], scale=100.0)

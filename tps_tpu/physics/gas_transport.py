@@ -286,3 +286,257 @@ def _correct_mass_diffusion_flux(Y_sp, dv):
     (reference: transport_properties.cpp:59-71)."""
     Vc = jnp.einsum("...s,...sd->...d", Y_sp, dv)
     return dv - Vc[..., None, :]
+
+
+# ---------------------------------------------------------------------------
+# General mixture transport from per-pair collision integrals
+# ---------------------------------------------------------------------------
+
+# collision kinds -> {(l, r): Omega(T)} evaluators; Coulomb kinds take the
+# nondimensional temperature and are scaled by the Debye circle at runtime
+_NEUTRAL_KINDS = {
+    "AR_AR": {(1, 1): ci.ArAr11, (2, 2): ci.ArAr22},
+    "AR_AR1P": {(1, 1): ci.ArAr1P11},
+    "AR_E": {(1, r): getattr(ci, f"eAr1{r}") for r in range(1, 6)},
+    "N2_N2": {(1, 1): ci.N2N211, (2, 2): ci.N2N222},
+    "N2_N21P": {(1, 1): ci.N2N21P11},
+    "N2_NI": {(1, 1): ci.N2Ni11, (2, 2): ci.N2Ni22},
+    "N2_NI1P": {(1, 1): ci.N2Ni1P11},
+    "NI_NI": {(1, 1): ci.NiNi11, (2, 2): ci.NiNi22},
+    "NI_NI1P": {(1, 1): ci.NiNi1P11},
+    "N2_E": {(1, r): getattr(ci, f"eN21{r}") for r in range(1, 6)},
+    "NI_E": {(1, r): getattr(ci, f"eNi1{r}") for r in range(1, 6)},
+}
+_CLMB = {
+    "CLMB_ATT": {(1, 1): ci.att11, (1, 2): ci.att12, (1, 3): ci.att13,
+                 (1, 4): ci.att14, (1, 5): ci.att15, (2, 2): ci.att22,
+                 (2, 3): ci.att23, (2, 4): ci.att24},
+    "CLMB_REP": {(1, 1): ci.rep11, (1, 2): ci.rep12, (1, 3): ci.rep13,
+                 (1, 4): ci.rep14, (1, 5): ci.rep15, (2, 2): ci.rep22,
+                 (2, 3): ci.rep23, (2, 4): ci.rep24},
+}
+
+# species-name pair -> collision kind (order-insensitive), mirroring the
+# valid tags of the reference dispatch (src/gas_transport.cpp:995-1283)
+_NAME_PAIR_KINDS = {
+    frozenset(["Ar"]): "AR_AR",
+    frozenset(["Ar", "Ar.+1"]): "AR_AR1P",
+    frozenset(["Ar", "E"]): "AR_E",
+    frozenset(["N2"]): "N2_N2",
+    frozenset(["N2", "N2.+1"]): "N2_N21P",
+    frozenset(["N2", "N"]): "N2_NI",
+    frozenset(["N2", "N.+1"]): "N2_NI1P",
+    frozenset(["N"]): "NI_NI",
+    frozenset(["N", "N.+1"]): "NI_NI1P",
+    frozenset(["N2", "E"]): "N2_E",
+    frozenset(["N", "E"]): "NI_E",
+}
+
+
+@dataclass(frozen=True, eq=False)
+class GasMixtureTransport(ArgonMinimalTransport):
+    """General N-species collision-integral transport.
+
+    The role of the reference GasMixtureTransport (src/gas_transport.cpp:
+    874-1660): the same Chapman-Enskog machinery as the ternary argon model,
+    driven by a per-species-pair collision-integral dispatch table.  Charged
+    pairs use the screened-Coulomb fits (attractive/repulsive by the product
+    of charges); neutral/name-specific pairs use the tabulated argon or
+    nitrogen fits.  Unknown neutral pairs may be supplied via
+    `extra_pairs` {(i, j): {(l, r): callable}}.
+
+    `species_names` are in MIXTURE order (same ordering as mixture.mw).
+    """
+
+    species_names: tuple = ()
+    extra_pairs: object = None
+
+    def __post_init__(self):
+        mix = self.mixture
+        names = list(self.species_names)
+        nsp = mix.num_species
+        if len(names) != nsp:
+            raise ValueError("species_names must match mixture.num_species")
+        charges = np.asarray(mix.charges)
+        table = {}
+        for i in range(nsp):
+            for j in range(i, nsp):
+                if self.extra_pairs and (i, j) in self.extra_pairs:
+                    table[(i, j)] = dict(self.extra_pairs[(i, j)])
+                    continue
+                zi, zj = charges[i], charges[j]
+                if zi != 0.0 and zj != 0.0:  # charged pair -> screened Coulomb
+                    kind = "CLMB_REP" if zi * zj > 0 else "CLMB_ATT"
+                    table[(i, j)] = ("CLMB", _CLMB[kind])
+                    continue
+                key = frozenset([names[i]] if i == j else [names[i], names[j]])
+                if key in _NAME_PAIR_KINDS:
+                    table[(i, j)] = ("T", _NEUTRAL_KINDS[_NAME_PAIR_KINDS[key]])
+                else:
+                    raise NotImplementedError(
+                        f"no collision-integral data for pair "
+                        f"({names[i]}, {names[j]}); pass extra_pairs"
+                    )
+        object.__setattr__(self, "_pair_table", table)
+
+    def _omega(self, i, j, l, r, Th, Te, dc, ndim_th, ndim_te):
+        """Q^(l,r)(i, j) at the pair's governing temperature."""
+        mix = self.mixture
+        key = (min(i, j), max(i, j))
+        entry = self._pair_table[key]
+        is_e = (i == mix.i_electron) or (j == mix.i_electron)
+        if isinstance(entry, tuple) and entry[0] == "CLMB":
+            fns = entry[1]
+            T = ndim_te if is_e else ndim_th
+            return dc * fns[(l, r)](T)
+        fns = entry[1]
+        T = Te if is_e else Th
+        return fns[(l, r)](T)
+
+    def _third_order_ke_general(self, X_sp, Th, Te, dc, ndim_th, ndim_te):
+        """Devoto third-order electron thermal conductivity, summed over all
+        species (reference: gas_transport.cpp:1388-1407)."""
+        mix = self.mixture
+        m = self._masses()
+        ie = mix.i_electron
+
+        def L_funcs(Q):
+            l11 = 6.25 * Q[0] - 15.0 * Q[1] + 12.0 * Q[2]
+            l12 = 10.9375 * Q[0] - 39.375 * Q[1] + 57.0 * Q[2] - 30.0 * Q[3]
+            l22 = (19.140625 * Q[0] - 91.875 * Q[1] + 199.5 * Q[2]
+                   - 210.0 * Q[3] + 90.0 * Q[4])
+            return l11, l12, l22
+
+        Q2 = [self._omega(ie, ie, 2, r, Th, Te, dc, ndim_th, ndim_te)
+              for r in (2, 3, 4)]
+        Xe = X_sp[..., ie]
+        sq2 = np.sqrt(2.0)
+        l11 = sq2 * Xe * Q2[0]
+        l12 = sq2 * Xe * (1.75 * Q2[0] - 2.0 * Q2[1])
+        l22 = sq2 * Xe * (4.8125 * Q2[0] - 7.0 * Q2[1] + 5.0 * Q2[2])
+        for sp in range(mix.num_species):
+            if sp == ie:
+                continue
+            Q1 = [self._omega(ie, sp, 1, r, Th, Te, dc, ndim_th, ndim_te)
+                  for r in (1, 2, 3, 4, 5)]
+            a11, a12, a22 = L_funcs(Q1)
+            Xs = X_sp[..., sp]
+            l11 = l11 + Xs * a11
+            l12 = l12 + Xs * a12
+            l22 = l22 + Xs * a22
+        return (VISCOSITY_FACTOR * K_OVER_ETA_FACTOR
+                * jnp.sqrt(2.0 * Te / m[ie]) * Xe
+                / (l11 - l12 * l12 / l22))
+
+    def _common(self, U, Up, grad_up, efield):
+        mix = self.mixture
+        m = self._masses()
+        nsp = mix.num_species
+        ie = mix.i_electron
+
+        X_sp, Y_sp, n_sp = mix.species_primitives(U)
+        n_tot = jnp.sum(n_sp, axis=-1)
+        Th = Up[..., mix.i_th]
+        Te = Up[..., mix.i_te] if mix.two_temperature else Th
+
+        dl, dc, ndim_te, ndim_th = self._collision_inputs(n_sp, Th, Te)
+
+        # binary diffusion for all pairs; Curtiss-Hirschfelder average
+        denom = [jnp.zeros_like(Th) for _ in range(nsp)]
+        for i in range(nsp):
+            for j in range(i + 1, nsp):
+                is_e = (i == ie) or (j == ie)
+                Tij = Te if is_e else Th
+                muw = m[i] * m[j] / (m[i] + m[j])
+                Q11 = self._omega(i, j, 1, 1, Th, Te, dc, ndim_th, ndim_te)
+                d_ij = DIFFUSIVITY_FACTOR * jnp.sqrt(Tij / muw) / n_tot / Q11
+                denom[i] = denom[i] + (X_sp[..., j] + _XEPS) / d_ij
+                denom[j] = denom[j] + (X_sp[..., i] + _XEPS) / d_ij
+        diff = jnp.stack(
+            [(1.0 - Y_sp[..., s]) / denom[s] for s in range(nsp)], axis=-1
+        ) * self.diff_mult
+
+        charges = jnp.asarray(np.asarray(mix.charges))
+        Tsp = jnp.stack([Te if s == ie else Th for s in range(nsp)], axis=-1)
+        mobility = _QE_OVER_KB * charges / Tsp * diff * self.mobil_mult
+
+        gradX = mix.mole_fraction_gradient(n_sp, grad_up)
+        dv = -diff[..., None] * gradX / (X_sp[..., None] + _XEPS)
+        if mix.ambipolar:
+            dv = _add_ambipolar_efield(mobility, n_sp, charges, dv)
+        if efield is not None:
+            dv = dv + jnp.where(charges[..., None] != 0.0,
+                                mobility[..., None] * efield[..., None, :], 0.0)
+        dv = _correct_mass_diffusion_flux(Y_sp, dv)
+        return (X_sp, Y_sp, n_sp, n_tot, Th, Te, dc, ndim_th, ndim_te,
+                diff, mobility, dv, charges)
+
+    def flux_properties(self, mixture, U, Up, grad_up, efield=None, **kw):
+        mix = self.mixture
+        m = self._masses()
+        nsp = mix.num_species
+        ie = mix.i_electron
+
+        (X_sp, Y_sp, n_sp, n_tot, Th, Te, dc, ndim_th, ndim_te,
+         diff, mobility, dv, charges) = self._common(U, Up, grad_up, efield)
+
+        visc = jnp.zeros_like(Th)
+        kappa = jnp.zeros_like(Th)
+        for sp in range(nsp):
+            if sp == ie:
+                continue  # electron viscosity neglected
+            Q22 = self._omega(sp, sp, 2, 2, Th, Te, dc, ndim_th, ndim_te)
+            v = VISCOSITY_FACTOR * jnp.sqrt(m[sp] * Th) / Q22
+            visc = visc + X_sp[..., sp] * v
+            kappa = kappa + X_sp[..., sp] * v * K_OVER_ETA_FACTOR / m[sp]
+
+        if self.third_order_electron_thermal_conductivity:
+            kappa_e = self._third_order_ke_general(
+                X_sp, Th, Te, dc, ndim_th, ndim_te)
+        else:
+            Qee = self._omega(ie, ie, 2, 2, Th, Te, dc, ndim_th, ndim_te)
+            kappa_e = (VISCOSITY_FACTOR * K_OVER_ETA_FACTOR
+                       * jnp.sqrt(Te / m[ie]) * X_sp[..., ie] / Qee)
+
+        return {
+            "visc": visc * self.visc_mult,
+            "bulk_visc": jnp.zeros_like(visc),
+            "kappa": kappa * self.kappa_mult,
+            "kappa_e": kappa_e * self.kappa_e_mult,
+            "diff_vel": dv,
+            "diffusivity": diff,
+            "mobility": mobility,
+            "n_sp": n_sp,
+        }
+
+    def source_properties(self, U, Up, grad_up, efield=None):
+        mix = self.mixture
+        m = self._masses()
+        nsp = mix.num_species
+        ie = mix.i_electron
+
+        (X_sp, Y_sp, n_sp, n_tot, Th, Te, dc, ndim_th, ndim_te,
+         diff, mobility, dv, charges) = self._common(U, Up, grad_up, efield)
+
+        # electron momentum-transfer collision frequencies with every heavy
+        vfac = MF_FREQ_FACTOR * jnp.sqrt(Te / m[ie])
+        mf = jnp.zeros_like(n_sp)
+        for sp in range(nsp):
+            if sp == ie:
+                continue
+            Q11 = self._omega(ie, sp, 1, 1, Th, Te, dc, ndim_th, ndim_te)
+            mf = mf.at[..., sp].set(vfac * n_sp[..., sp] * Q11)
+
+        from ..constants import MOLAR_ELECTRON_CHARGE
+
+        sigma = MOLAR_ELECTRON_CHARGE * jnp.einsum(
+            "...s,...s,s->...", mobility, n_sp, charges
+        )
+        return {
+            "sigma": sigma,
+            "mf_freq": mf,
+            "diff_vel": dv,
+            "n_sp": n_sp,
+            "mobility": mobility,
+            "diffusivity": diff,
+        }

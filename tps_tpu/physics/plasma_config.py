@@ -114,16 +114,27 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
 
     # ---- transport ----
     tmodel = inp.get("plasma_models/transport_model", "argon_minimal")
-    if tmodel in ("argon_minimal", "argon_mixture"):
+    third_order = bool(
+        inp.get(
+            "plasma_models/transport_model/argon_minimal/"
+            "third_order_thermal_conductivity",
+            1,
+        )
+    )
+    if tmodel == "argon_minimal":
         transport = ArgonMinimalTransport(
             mixture=mixture,
-            third_order_electron_thermal_conductivity=bool(
-                inp.get(
-                    "plasma_models/transport_model/argon_minimal/"
-                    "third_order_thermal_conductivity",
-                    1,
-                )
-            ),
+            third_order_electron_thermal_conductivity=third_order,
+        )
+    elif tmodel in ("argon_mixture", "gas_mixture", "mixture"):
+        # general per-pair collision-integral transport
+        # (reference: GasMixtureTransport, src/gas_transport.cpp:874-1660)
+        from .gas_transport import GasMixtureTransport
+
+        transport = GasMixtureTransport(
+            mixture=mixture,
+            species_names=tuple(names[i] for i in order),
+            third_order_electron_thermal_conductivity=third_order,
         )
     elif tmodel == "constant":
         from .transport import ConstantTransport
