@@ -189,3 +189,51 @@ def test_variable_order_restart(tmp_path):
     while s2.iter < tps2.config.max_iters:
         tps2.solve_step()
     assert s2.check_nan() == 0
+
+
+def test_nonreflecting_inlet_and_massflow_outlet_exactness():
+    """Characteristic inlets/outlets are exact on a matching uniform flow:
+    the ghost state equals the interior, so the boundary flux equals the
+    analytic convective normal flux."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.bc import NonReflectingInletBC, OutletBC
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.rhs import RHSContext
+    from tps_tpu.dg.riemann import Rusanov
+    from tps_tpu.physics.gas import DryAir
+
+    mix = DryAir(dim=2, nvel=2)
+    fl = Fluxes(mixture=mix, transport=None, eq_system="euler")
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
+
+    rho, u, T = 1.2, 20.0, 300.0
+    p = rho * mix.gas_constant * T
+    n = 4
+    UL = jnp.tile(jnp.asarray(
+        [rho, rho * u, 0.0, p / (mix.specific_heat_ratio - 1.0)
+         + 0.5 * rho * u * u]), (n, 1))
+    grad = jnp.zeros((n, 4, 2))
+    xyz = jnp.zeros((n, 2))
+    delta = jnp.ones((n, 1))
+
+    # analytic convective flux dotted with the outward normal
+    def exact(nhat):
+        F = np.asarray(fl.convective(UL))
+        return np.einsum("ned,d->ne", F, nhat)
+
+    # inlet: outward normal is -x (flow enters)
+    nor_in = jnp.tile(jnp.asarray([-1.0, 0.0]), (n, 1))
+    for kind in ("nonreflecting", "nonreflectingConstEntropy"):
+        bc = NonReflectingInletBC(input_state=(rho, u, 0.0), kind=kind)
+        f = np.asarray(bc.flux(ctx, UL, mix.primitives(UL), grad,
+                               nor_in, xyz, delta, 0.0))
+        assert np.allclose(f, exact(np.array([-1.0, 0.0])), atol=1e-10), kind
+
+    # mass-flow outlet: outward normal +x, target mdot = rho*u*area
+    nor_out = jnp.tile(jnp.asarray([1.0, 0.0]), (n, 1))
+    bc = OutletBC(kind="nonReflectingMassFlow", mass_flow=rho * u * 2.0,
+                  area=2.0)
+    f = np.asarray(bc.flux(ctx, UL, mix.primitives(UL), grad,
+                           nor_out, xyz, delta, 0.0))
+    assert np.allclose(f, exact(np.array([1.0, 0.0])), atol=1e-10)

@@ -129,6 +129,156 @@ class WallBC:
 
 
 @dataclass(frozen=True)
+class GeneralWallBC:
+    """Multi-species no-slip wall with independently prescribed heavy and
+    electron thermal conditions (reference: WallType VISC_GNRL,
+    src/wallBC.cpp:100-141,510-560).
+
+    heavy:    "isothermal" | "adiabatic"
+    electron: "isothermal" | "adiabatic" | "sheath"
+    The sheath condition prescribes Bohm outflow of positive ions, the
+    current-balancing electron flux, a fully-catalytic background influx,
+    and the sheath electron energy flux
+    (reference: PerfectMixture::computeSheathBdrFlux,
+    src/equation_of_state.cpp:1909-1945)."""
+
+    heavy: str = "isothermal"
+    electron: str = "isothermal"
+    wall_temp: float = 300.0
+    wall_temp_e: float = 300.0
+
+    def ghost_primitive(self, mixture, UpL):
+        out = UpL.at[..., 1 : 1 + mixture.nvel].set(0.0)
+        if self.heavy == "isothermal":
+            out = out.at[..., mixture.i_th].set(self.wall_temp)
+        if mixture.two_temperature and self.electron == "isothermal":
+            out = out.at[..., mixture.i_te].set(self.wall_temp_e)
+        return out
+
+    def _wall_state(self, mix, UL, UpL):
+        """No-slip wall state at prescribed temperatures (conservative)."""
+        Upw = self.ghost_primitive(mix, UpL)
+        return mix.conservatives(Upw), Upw
+
+    def _sheath_flux(self, mix, Uw, Upw):
+        """Prescribed normal diffusion velocities + electron energy flux."""
+        import numpy as np
+
+        from ..constants import PI, UNIVERSAL_GAS_CONSTANT as R
+
+        X, Y, n_sp = mix.species_primitives(Uw)
+        Th = Upw[..., mix.i_th]
+        Te = Upw[..., mix.i_te] if mix.two_temperature else Th
+        charges = np.asarray(mix.charges)
+        mw = np.asarray(mix.mw)
+        nsp = mix.num_species
+        ie, ib = mix.i_electron, nsp - 1
+
+        Vn = [jnp.zeros_like(Th) for _ in range(nsp)]
+        flux_e = jnp.zeros_like(Th)  # sum Z n VB
+        mass_bg = jnp.zeros_like(Th)  # - sum m n VB
+        for sp in range(nsp):
+            if charges[sp] > 0.0:
+                VB = jnp.sqrt((Th + charges[sp] * Te) * R / mw[sp])
+                Vn[sp] = VB
+                flux_e = flux_e + charges[sp] * n_sp[..., sp] * VB
+                mass_bg = mass_bg - mw[sp] * n_sp[..., sp] * VB
+        ne = n_sp[..., ie] + 1e-100
+        Vn[ie] = flux_e / ne
+        mass_bg = mass_bg - mw[ie] * ne * Vn[ie]
+        Vn[ib] = mass_bg / (mw[ib] * (n_sp[..., ib] + 1e-100))
+
+        q_sheath = None
+        if mix.two_temperature:
+            vTe = jnp.sqrt(8.0 * R * Te / PI / mw[ie])
+            gam = -jnp.log(jnp.maximum(4.0 / vTe * Vn[ie], 1e-100))
+            q_sheath = Vn[ie] * (gam + 2.0) * ne * R * Te
+        return jnp.stack(Vn, axis=-1), q_sheath
+
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+        mix = ctx.fluxes.mixture
+        dim = mix.dim
+        nhat, mag = _unit(nor)
+
+        Uw, Upw = self._wall_state(mix, UL, UpL)
+        flux = ctx.riemann(UL, Uw, nor)
+        if ctx.fluxes.eq_system == "euler":
+            return flux
+
+        fv_wall = self._wall_visc_general(ctx, Uw, Upw, gradL, nhat, xyz, delta)
+        fv_in = _interior_visc_dot_n(ctx.fluxes, UL, UpL, gradL, nor, xyz, delta)
+        corr = 0.5 * (fv_wall * mag[..., None] + fv_in)
+        return flux.at[..., 1:].add(-corr[..., 1:])
+
+    def _wall_visc_general(self, ctx, Uw, Upw, grad, nhat, xyz, delta):
+        """One-sided wall viscous normal flux with prescribed primitive
+        fluxes (reference: Fluxes::ComputeBdrViscousFluxes)."""
+        mix = ctx.fluxes.mixture
+        dim, nvel, neq = mix.dim, mix.nvel, mix.num_equations
+        nsp = mix.num_species
+        nact = mix.num_active_species
+        ie = mix.i_electron
+
+        props = ctx.fluxes.transport.flux_properties(mix, Uw, Upw, grad)
+        visc = props["visc"]
+        bulk = props["bulk_visc"] - (2.0 / 3.0) * visc
+        kappa = props["kappa"]
+        kappa_e = props["kappa_e"]
+
+        grad_vel = grad[..., 1 : 1 + dim, :dim]
+        div_v = jnp.trace(grad_vel, axis1=-2, axis2=-1)
+        stress = visc[..., None, None] * (grad_vel + jnp.swapaxes(grad_vel, -1, -2))
+        dd = jnp.arange(dim)
+        stress = stress.at[..., dd, dd].add((bulk * div_v)[..., None])
+        sn = jnp.einsum("...ij,...j->...i", stress, nhat)
+
+        # prescribed species normal diffusion velocities
+        if self.electron == "sheath":
+            Vn, q_sheath = self._sheath_flux(mix, Uw, Upw)
+        else:
+            Vn = jnp.zeros(Uw.shape[:-1] + (nsp,), Uw.dtype)
+            q_sheath = jnp.zeros_like(visc)
+
+        h_sp = mix.species_enthalpies(Uw)
+
+        # heavy heat slot: -k dTh/dn + sum_{sp != e} h_sp Vn_sp
+        if self.heavy == "adiabatic":
+            q_h = jnp.zeros_like(visc)
+        else:
+            gradT = grad[..., mix.i_th, :]
+            q_h = -kappa * jnp.einsum("...d,...d->...", gradT, nhat)
+            for sp in range(nsp):
+                if mix.two_temperature and sp == ie:
+                    continue
+                q_h = q_h + h_sp[..., sp] * Vn[..., sp]
+
+        # electron heat slot
+        if mix.two_temperature:
+            if self.electron == "isothermal":
+                gradTe = grad[..., neq - 1, :]
+                q_e = (-kappa_e * jnp.einsum("...d,...d->...", gradTe, nhat)
+                       + h_sp[..., ie] * Vn[..., ie])
+            elif self.electron == "adiabatic":
+                q_e = jnp.zeros_like(visc)
+            else:  # sheath
+                q_e = q_sheath
+        else:
+            q_e = jnp.zeros_like(visc)
+
+        out = jnp.zeros(Uw.shape[:-1] + (neq,), dtype=Uw.dtype)
+        out = out.at[..., 1 : 1 + dim].set(sn)
+        # wall state is no-slip: sn . vel0 = 0
+        out = out.at[..., mix.i_th].set(-q_h - q_e)
+        for a in range(nact):
+            out = out.at[..., nvel + 2 + a].set(
+                -Uw[..., nvel + 2 + a] * Vn[..., a]
+            )
+        if mix.two_temperature:
+            out = out.at[..., neq - 1].set(-q_e)
+        return out
+
+
+@dataclass(frozen=True)
 class InletBC:
     """Subsonic reflecting density-velocity inlet (src/inletBC.cpp:729-756).
 
@@ -158,6 +308,57 @@ class InletBC:
 
 
 @dataclass(frozen=True)
+class NonReflectingInletBC:
+    """Characteristic subsonic inlets (reference: src/inletBC.cpp
+    SUB_DENS_VEL_NR 'nonreflecting' and SUB_VEL_CONST_ENT
+    'nonreflectingConstEntropy').
+
+    The outgoing acoustic invariant R- = u_n - 2c/(gamma-1) leaves through
+    the inlet and is taken from the interior; density (or entropy) and
+    velocity come from the target state, and the ghost sound speed follows
+    from the invariant so acoustic waves exit without reflection.
+
+    input_state = (rho, u, v[, w]); rho is ignored for const-entropy.
+    """
+
+    input_state: tuple
+    kind: str = "nonreflecting"  # | "nonreflectingConstEntropy"
+
+    def ghost_primitive(self, mixture, UpL):
+        return UpL
+
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+        mix = ctx.fluxes.mixture
+        nvel, dim = mix.nvel, mix.dim
+        gam = mix.specific_heat_ratio
+        nhat, _ = _unit(nor)
+
+        rho = UL[..., 0]
+        vel = UL[..., 1 : 1 + nvel] / rho[..., None]
+        p_in = mix.pressure(UL)
+        c_in = jnp.sqrt(gam * p_in / rho)
+        un = jnp.einsum("...d,...d->...", vel[..., :dim], nhat)
+        Rminus = un - 2.0 * c_in / (gam - 1.0)  # leaves the domain
+
+        vel_t = jnp.asarray(self.input_state[1 : 1 + nvel], UL.dtype)
+        un_t = jnp.einsum("d,...d->...", vel_t[:dim], nhat)
+        c_g = 0.5 * (gam - 1.0) * (un_t - Rminus)
+
+        if self.kind == "nonreflectingConstEntropy":
+            s_ent = p_in / rho**gam  # interior entropy
+            rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))
+        else:
+            rho_g = jnp.full_like(rho, self.input_state[0])
+        p_g = rho_g * c_g * c_g / gam
+
+        ghost = UL.at[..., 0].set(rho_g)
+        ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_t)
+        ke = 0.5 * rho_g * jnp.sum(vel_t * vel_t, axis=-1)
+        ghost = ghost.at[..., mix.i_th].set(p_g / (gam - 1.0) + ke)
+        return ctx.riemann(UL, ghost, nor)
+
+
+@dataclass(frozen=True)
 class OutletBC:
     """Pressure outlets (reference: src/outletBC.cpp).
 
@@ -169,8 +370,14 @@ class OutletBC:
     pressure.  A stateless formulation of the role of the reference's
     time-integrated nonreflecting outlet (:739+)."""
 
-    pressure: float
+    pressure: float = 0.0
     kind: str = "subsonicPressure"
+    # nonReflectingMassFlow / nonReflectingPointBasedMassFlow (reference:
+    # src/outletBC.cpp SUB_MF_NR / SUB_MF_NR_PW): target mass flow [kg/s]
+    # over the patch area; the normal velocity u*_n = mdot/(A rho) is
+    # imposed through the incoming characteristic.
+    mass_flow: float = 0.0
+    area: float = 1.0
 
     def ghost_primitive(self, mixture, UpL):
         return UpL
@@ -178,6 +385,28 @@ class OutletBC:
     def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
         mix = ctx.fluxes.mixture
         nvel = mix.nvel
+        if self.kind in ("nonReflectingMassFlow",
+                         "nonReflectingPointBasedMassFlow"):
+            gam = mix.specific_heat_ratio
+            nhat, _ = _unit(nor)
+            rho = UL[..., 0]
+            vel = UL[..., 1 : 1 + nvel] / rho[..., None]
+            p_in = mix.pressure(UL)
+            c_in = jnp.sqrt(gam * p_in / rho)
+            un = jnp.einsum("...d,...d->...", vel[..., : mix.dim], nhat)
+            s_ent = p_in / rho**gam
+            Rplus = un + 2.0 * c_in / (gam - 1.0)  # outgoing
+            un_t = self.mass_flow / (self.area * rho)  # target normal vel
+            Rminus = 2.0 * un_t - Rplus  # impose u_n = un_t at the face
+            c_g = 0.25 * (gam - 1.0) * (Rplus - Rminus)
+            rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))
+            p_g = rho_g * c_g * c_g / gam
+            vel_g = vel.at[..., : mix.dim].add((un_t - un)[..., None] * nhat)
+            ke_g = 0.5 * rho_g * jnp.sum(vel_g * vel_g, axis=-1)
+            ghost = UL.at[..., 0].set(rho_g)
+            ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_g)
+            ghost = ghost.at[..., mix.i_th].set(p_g / (gam - 1.0) + ke_g)
+            return ctx.riemann(UL, ghost, nor)
         if self.kind == "subsonicPressure":
             ke = 0.5 * jnp.sum(UL[..., 1 : 1 + nvel] ** 2, axis=-1) / UL[..., 0]
             ghost = UL.at[..., mix.i_th].set(

@@ -300,18 +300,48 @@ class CompressibleSolver(PlasmaSolver):
 
         if kind in ("inviscid", "slip", "viscous_adiabatic", "viscous_isothermal"):
             return WallBC(kind=kind, wall_temp=fget("temperature", 300.0))
+        if kind == "viscous_general":
+            # reference: src/M2ulPhyS.cpp:3516-3585
+            from ..dg.bc import GeneralWallBC
+
+            Th = fget("temperature", 300.0)
+            return GeneralWallBC(
+                heavy=str(p.get("heavy_thermal_condition", "isothermal")),
+                electron=str(p.get("electron_thermal_condition", "isothermal")),
+                wall_temp=Th,
+                wall_temp_e=fget("electron_temperature", Th),
+            )
         if kind == "subsonic":
             rho = fget("density")
             uvw = [float(x) for x in str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
             nvel = self.mixture.nvel
             state = (rho, *uvw[:nvel])
             return InletBC(input_state=state)
+        if kind in ("nonreflecting", "nonreflectingConstEntropy"):
+            from ..dg.bc import NonReflectingInletBC
+
+            rho = fget("density", 1.0)
+            uvw = [float(x) for x in str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
+            return NonReflectingInletBC(
+                input_state=(rho, *uvw[: self.mixture.nvel]), kind=kind
+            )
         if kind == "subsonicPressure":
             return OutletBC(pressure=fget("pressure"))
         if kind in ("nonReflectingPressure", "nonreflectingPressure"):
             return OutletBC(pressure=fget("pressure"),
                             kind="nonReflectingPressure")
+        if kind in ("nonReflectingMassFlow", "nonReflectingPointBasedMassFlow"):
+            return OutletBC(kind=kind, mass_flow=fget("massFlow"),
+                            area=fget("area", self._patch_area(spec)))
         raise NotImplementedError(f"boundary condition type '{kind}'")
+
+    def _patch_area(self, spec):
+        """Quadrature area of a boundary patch (for mass-flow outlets)."""
+        tab = self.tables_np
+        attrs = np.asarray(tab.f_bdr_attr)
+        sel = attrs == spec.patch
+        nrm = np.linalg.norm(np.asarray(tab.f_nor[tab.nfi :])[sel], axis=-1)
+        return float(np.sum(np.asarray(tab.f_wts[tab.nfi :])[sel] * nrm))
 
     def _initial_condition(self):
         import jax.numpy as jnp
