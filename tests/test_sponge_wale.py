@@ -234,3 +234,38 @@ E = 0.0
     assert Y[:, 0].max() < 0.3  # A consumed
     assert np.abs(Y.sum(axis=1) - 1.0).max() < 1e-10
     assert (np.asarray(s.thermo.T) > 400.0).all()  # exothermic
+
+
+def test_lomach_restart_roundtrip(tmp_path):
+    ini = """
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 6
+ny = 6
+periodic_x = 1
+periodic_y = 1
+[loMach]
+order = 2
+flow-solver = tomboulides
+thermo-solver = constant-property
+maxIters = 4
+[loMach/tomboulides]
+ic = tgv2d
+[time]
+dt_fixed = 1e-3
+[io]
+outdirBase = %s
+""" % tmp_path
+    s1 = _run_lomach_ini(ini, tmp_path, nsteps=4)
+    s1.write_restart()
+    u1 = np.asarray(s1.flow.velocity())
+
+    s2 = _run_lomach_ini(ini + "enableRestart = 1\n", tmp_path, nsteps=0)
+    assert s2.iter == 4
+    assert abs(s2.time - s1.time) < 1e-15
+    assert np.array_equal(np.asarray(s2.flow.velocity()), u1)
+    # continue stepping after restart without blowing up
+    s2.solve_step()
+    assert np.isfinite(np.asarray(s2.flow.velocity())).all()

@@ -388,6 +388,12 @@ class LoMachSolver(Solver):
         self._wall0 = _time.perf_counter()
         self._timers = {"thermoChem": 0.0, "flow": 0.0, "turb": 0.0}
 
+        # restart IO (reference: src/loMachIO.cpp; written every outputFreq,
+        # enableRestart gates the startup read, like the compressible path)
+        self.outdir = inp.get("io/outdirBase", "output")
+        if inp.get("io/enableRestart", 0):
+            self.read_restart()
+
     def _h1_wall_distance(self, wall_attrs):
         """Distance from every H1 dof to the nearest wall-boundary dof
         (serial wall distance; reference: src/mesh_base.cpp)."""
@@ -432,6 +438,75 @@ class LoMachSolver(Solver):
                 flush=True,
             )
             self._wall0 = _time.perf_counter()
+            self.write_restart()
+
+    # -- restart (reference: src/loMachIO.cpp restart_files_hdf5) ----------
+    @property
+    def _restart_path(self):
+        import os as _os
+
+        return _os.path.join(self.outdir, "restart_lomach.sol.h5")
+
+    def _restart_fields(self):
+        """Model state registered for checkpointing."""
+        import jax.numpy as jnp
+
+        fields = {"velocity": self.flow.velocity()}
+        if hasattr(self.flow, "p"):
+            fields["pressure"] = self.flow.p
+        if hasattr(self.thermo, "T"):
+            fields["temperature"] = self.thermo.T
+        if hasattr(self.thermo, "Y"):
+            fields["species"] = self.thermo.Y
+        nut = self.turb.eddy_viscosity()
+        if nut is not None:
+            fields["eddy_viscosity"] = jnp.asarray(nut)
+        return fields
+
+    def write_restart(self):
+        import os as _os
+
+        import h5py
+
+        _os.makedirs(self.outdir, exist_ok=True)
+        with h5py.File(self._restart_path, "w") as f:
+            f.attrs["iteration"] = self.iter
+            f.attrs["time"] = self.time
+            f.attrs["order"] = int(self.tab.order)
+            f.attrs["dofs_global"] = int(self.tab.ndofs)
+            g = f.create_group("solution")
+            for name, arr in self._restart_fields().items():
+                g[name] = np.asarray(arr)
+
+    def read_restart(self):
+        import os as _os
+
+        import h5py
+        import jax.numpy as jnp
+
+        path = self._restart_path
+        if not _os.path.exists(path):
+            raise FileNotFoundError(f"restart file not found: {path}")
+        with h5py.File(path, "r") as f:
+            self.iter = int(f.attrs["iteration"])
+            self.time = float(f.attrs["time"])
+            g = f["solution"]
+            if hasattr(self.flow, "set_velocity"):
+                self.flow.set_velocity(jnp.asarray(np.asarray(g["velocity"])))
+            if "pressure" in g and hasattr(self.flow, "p"):
+                self.flow.p = jnp.asarray(np.asarray(g["pressure"]))
+            if "temperature" in g and hasattr(self.thermo, "set_temperature"):
+                self.thermo.set_temperature(
+                    jnp.asarray(np.asarray(g["temperature"]))
+                )
+            elif "temperature" in g and hasattr(self.thermo, "T"):
+                self.thermo.T = jnp.asarray(np.asarray(g["temperature"]))
+                self.thermo.T_hist = [self.thermo.T, self.thermo.T]
+            if "species" in g and hasattr(self.thermo, "Y"):
+                self.thermo.Y = jnp.asarray(np.asarray(g["species"]))
+
+    def solve_end(self):
+        self.write_restart()
 
     def print_timing(self):
         """Per-stage timing table (reference: loMach.cpp:442-480)."""
