@@ -364,6 +364,20 @@ class LoMachSolver(Solver):
                 ),
             )
             self.flow.turb = self.turb
+        elif turb == "zeta-f":
+            from .zeta_model import ZetaModel
+
+            wall_attrs = tuple(
+                int(a) for a in inp.get_vec("ransModel/walls", default=[])
+            ) or tuple(int(a) for a in np.unique(self.mesh.bdr_attrs))
+            self.turb = ZetaModel(
+                self.tab, self.flow, self.thermo, wall_attrs=wall_attrs,
+                tke_ic=inp.get("ransModel/tke-ic", 1.0e-4),
+                tdr_ic=inp.get("ransModel/tdr-ic", 1.0e-8),
+                cg_tol=inp.get("ransModel/hsolve-rtol", 1e-10),
+                cg_maxiter=inp.get("ransModel/hsolve-maxIters", 500),
+            )
+            self.flow.turb = self.turb
         elif turb == "static-rans":
             from .rans import StaticRans
 
