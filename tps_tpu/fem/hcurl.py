@@ -1,0 +1,271 @@
+"""Lowest-order Nedelec H(curl) elements on hex meshes (matrix-free).
+
+The TPU-native backbone of the 3-D quasimagnetostatic solver (role of the
+reference's MFEM ND_FECollection path, src/quasimagnetostatic.cpp:134-660):
+12 edge dofs per hex, covariant Piola transform A_phys = J^{-T} A_ref,
+curl transform curl_phys = J curl_ref / detJ.  All operators are
+element-batched einsums + segment_sum scatters, so applies are jit/XLA
+friendly; systems are solved matrix-free (CG/GMRES).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..mesh.reference_element import gauss_legendre_1d
+
+# local hex edges: (v0, v1) pairs in MFEM hex vertex ordering, grouped as
+# 4 x-edges, 4 y-edges, 4 z-edges; direction v0 -> v1 is the +axis direction
+_HEX_EDGES = [
+    (0, 1), (3, 2), (4, 5), (7, 6),  # x: (y,z) = (0,0),(1,0),(0,1),(1,1)
+    (0, 3), (1, 2), (4, 7), (5, 6),  # y: (x,z) = (0,0),(1,0),(0,1),(1,1)
+    (0, 4), (1, 5), (3, 7), (2, 6),  # z: (x,y) = (0,0),(1,0),(0,1),(1,1)
+]
+_EDGE_AXIS = [0] * 4 + [1] * 4 + [2] * 4
+_EDGE_TRANS = [  # (a, b): transverse reference coordinates of the edge
+    (0, 0), (1, 0), (0, 1), (1, 1),
+    (0, 0), (1, 0), (0, 1), (1, 1),
+    (0, 0), (1, 0), (0, 1), (1, 1),
+]
+
+
+def _psi(t, a):
+    return t if a else 1.0 - t
+
+
+def _dpsi(a):
+    return 1.0 if a else -1.0
+
+
+def _edge_basis_at(pts):
+    """W [nq, 12, 3] and curl W [nq, 12, 3] on the reference cube."""
+    nq = pts.shape[0]
+    W = np.zeros((nq, 12, 3))
+    C = np.zeros((nq, 12, 3))
+    for e in range(12):
+        d = _EDGE_AXIS[e]
+        d1, d2 = [x for x in range(3) if x != d]
+        a, b = _EDGE_TRANS[e]
+        pa = _psi(pts[:, d1], a)
+        pb = _psi(pts[:, d2], b)
+        W[:, e, d] = pa * pb
+        # curl(e_d f(x_{d1}) g(x_{d2})) has components along d1 and d2:
+        # (curl W)_{d1} = dW_d/dx_{d2} * eps(d1,d2,d)...
+        # use explicit formula: curl(F) = (dFz/dy - dFy/dz, ...)
+        grad = np.zeros((nq, 3))
+        grad[:, d1] = _dpsi(a) * pb
+        grad[:, d2] = pa * _dpsi(b)
+        # W = e_d * f -> curl W = grad f x e_d
+        ed = np.zeros(3)
+        ed[d] = 1.0
+        C[:, e, :] = np.cross(grad, ed[None, :])
+    return W, C
+
+
+@dataclass
+class HCurlTables:
+    dim: int
+    ne: int
+    nedge: int  # global edges
+    elem_edges: np.ndarray  # [ne, 12] global edge ids
+    edge_sign: np.ndarray  # [ne, 12] +-1
+    W: np.ndarray  # [nq, 12, 3] reference basis
+    Cw: np.ndarray  # [nq, 12, 3] reference curls
+    wq: np.ndarray  # [nq]
+    Jinv: np.ndarray  # [ne, nq, 3, 3]
+    Jmat: np.ndarray  # [ne, nq, 3, 3]
+    detJ: np.ndarray  # [ne, nq]
+    xyz_q: np.ndarray  # [ne, nq, 3]
+    bdr_edges: np.ndarray  # boundary edge ids (for PEC A x n = 0)
+
+    @property
+    def ndofs(self):
+        return self.nedge
+
+    def to_jax(self, dtype):
+        import jax.numpy as jnp
+
+        out = HCurlTables.__new__(HCurlTables)
+        for name, v in self.__dict__.items():
+            if isinstance(v, np.ndarray) and np.issubdtype(v.dtype, np.floating):
+                setattr(out, name, jnp.asarray(v, dtype))
+            elif isinstance(v, np.ndarray):
+                setattr(out, name, jnp.asarray(v))
+            else:
+                setattr(out, name, v)
+        return out
+
+
+def build_hcurl(mesh, quad_order=3) -> HCurlTables:
+    from ..mesh.reference_element import ReferenceElement
+
+    if mesh.dim != 3:
+        raise ValueError("H(curl) tables require a hex mesh")
+    ne = mesh.num_elements
+    elems = mesh.elements  # [ne, 8]
+
+    # global edges by sorted vertex pair (periodic meshes: vertex ids are
+    # already glued by the mesh generator's periodic mapping if any)
+    edge_ids = {}
+    elem_edges = np.zeros((ne, 12), dtype=np.int64)
+    edge_sign = np.zeros((ne, 12))
+    for n in range(ne):
+        for e, (l0, l1) in enumerate(_HEX_EDGES):
+            g0, g1 = int(elems[n, l0]), int(elems[n, l1])
+            key = (min(g0, g1), max(g0, g1))
+            if key not in edge_ids:
+                edge_ids[key] = len(edge_ids)
+            elem_edges[n, e] = edge_ids[key]
+            edge_sign[n, e] = 1.0 if g0 < g1 else -1.0
+    nedge = len(edge_ids)
+
+    # quadrature + geometry
+    x1, w1 = gauss_legendre_1d(quad_order)
+    X, Y, Z = np.meshgrid(x1, x1, x1, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+    wq = np.einsum("i,j,k->ijk", w1, w1, w1).ravel()
+    W, Cw = _edge_basis_at(pts)
+
+    ref = ReferenceElement(geom=mesh.geom, order=1, basis="gauss-lobatto")
+    dN = ref.eval_geom_basis_grad(pts)  # [nq, nverts, 3]
+    Ngeo = ref.eval_geom_basis(pts)  # [nq, nverts]
+    ev = mesh.vertices[elems]  # [ne, 8, 3]
+    J = np.einsum("nvi,qvj->nqij", ev, dN)
+    detJ = np.linalg.det(J)
+    Jinv = np.linalg.inv(J)
+    xyz_q = np.einsum("qv,nvi->nqi", Ngeo, ev)
+
+    # boundary edges: edges of boundary faces
+    bset = set()
+    face_pairs = {4: [(0, 1), (1, 2), (2, 3), (3, 0)]}
+    for bf in range(len(mesh.bdr_faces)):
+        verts = mesh.bdr_faces[bf]
+        nv = len(verts)
+        for i in range(nv):
+            g0, g1 = int(verts[i]), int(verts[(i + 1) % nv])
+            key = (min(g0, g1), max(g0, g1))
+            if key in edge_ids:
+                bset.add(edge_ids[key])
+    bdr_edges = np.array(sorted(bset), dtype=np.int64)
+
+    return HCurlTables(
+        dim=3, ne=ne, nedge=nedge, elem_edges=elem_edges,
+        edge_sign=edge_sign, W=W, Cw=Cw, wq=wq, Jinv=Jinv, Jmat=J,
+        detJ=detJ, xyz_q=xyz_q, bdr_edges=bdr_edges,
+    )
+
+
+# -- operators (jax) --------------------------------------------------------
+
+def gather(tab, x):
+    """x [nedge] -> [ne, 12] signed local dofs."""
+    return x[tab.elem_edges] * tab.edge_sign
+
+
+def scatter_add(tab, xl):
+    """[ne, 12] signed local values -> [nedge] assembly."""
+    import jax.numpy as jnp
+    from jax.ops import segment_sum
+
+    return segment_sum(
+        (xl * tab.edge_sign).reshape(-1),
+        tab.elem_edges.reshape(-1),
+        num_segments=tab.nedge,
+    )
+
+
+def field_at_quad(tab, x):
+    """Physical vector field at quadrature points: [ne, nq, 3]."""
+    import jax.numpy as jnp
+
+    xl = gather(tab, x)  # [ne, 12]
+    Aref = jnp.einsum("qed,ne->nqd", tab.W, xl)
+    return jnp.einsum("nqji,nqj->nqi", tab.Jinv, Aref)  # J^{-T} A_ref
+
+
+def curl_at_quad(tab, x):
+    """curl of the field at quadrature points: [ne, nq, 3]."""
+    import jax.numpy as jnp
+
+    xl = gather(tab, x)
+    Cref = jnp.einsum("qed,ne->nqd", tab.Cw, xl)
+    return jnp.einsum("nqij,nqj->nqi", tab.Jmat, Cref) / tab.detJ[..., None]
+
+
+def mass_apply(tab, x, coef=None):
+    """y_i = int coef W_i . W_j x_j (coef given at quad points or None)."""
+    import jax.numpy as jnp
+
+    Aq = field_at_quad(tab, x)
+    w = tab.wq[None, :] * tab.detJ
+    if coef is not None:
+        w = w * coef
+    Zq = Aq * w[..., None]
+    # test functions: (J^{-T} W_e) . Zq
+    Wphys = jnp.einsum("nqji,qej->nqei", tab.Jinv, tab.W)
+    yl = jnp.einsum("nqei,nqi->ne", Wphys, Zq)
+    return scatter_add(tab, yl)
+
+
+def curlcurl_apply(tab, x, coef=None):
+    """y_i = int coef curl W_i . curl W_j x_j."""
+    import jax.numpy as jnp
+
+    Cq = curl_at_quad(tab, x)
+    w = tab.wq[None, :] * tab.detJ
+    if coef is not None:
+        w = w * coef
+    Zq = Cq * w[..., None]
+    Cphys = jnp.einsum("nqij,qej->nqei", tab.Jmat, tab.Cw) / tab.detJ[..., None, None]
+    yl = jnp.einsum("nqei,nqi->ne", Cphys, Zq)
+    return scatter_add(tab, yl)
+
+
+def rhs_vector(tab, Jsrc_q):
+    """b_i = int W_i . J_src with J_src given at quad points [ne, nq, 3]."""
+    import jax.numpy as jnp
+
+    w = tab.wq[None, :] * tab.detJ
+    Zq = Jsrc_q * w[..., None]
+    Wphys = jnp.einsum("nqji,qej->nqei", tab.Jinv, tab.W)
+    yl = jnp.einsum("nqei,nqi->ne", Wphys, Zq)
+    return scatter_add(tab, yl)
+
+
+def mass_diag(tab, coef=None):
+    import jax.numpy as jnp
+
+    w = tab.wq[None, :] * tab.detJ
+    if coef is not None:
+        w = w * coef
+    Wphys = jnp.einsum("nqji,qej->nqei", tab.Jinv, tab.W)
+    dl = jnp.einsum("nq,nqei,nqei->ne", w, Wphys, Wphys)
+    return scatter_add_unsigned(tab, dl)
+
+
+def curlcurl_diag(tab, coef=None):
+    import jax.numpy as jnp
+
+    w = tab.wq[None, :] * tab.detJ
+    if coef is not None:
+        w = w * coef
+    Cphys = jnp.einsum("nqij,qej->nqei", tab.Jmat, tab.Cw) / tab.detJ[..., None, None]
+    dl = jnp.einsum("nq,nqei,nqei->ne", w, Cphys, Cphys)
+    return scatter_add_unsigned(tab, dl)
+
+
+def scatter_add_unsigned(tab, xl):
+    from jax.ops import segment_sum
+
+    return segment_sum(
+        xl.reshape(-1), tab.elem_edges.reshape(-1), num_segments=tab.nedge
+    )
+
+
+def integrate(tab, fq):
+    """int f dV for f at quadrature points [ne, nq]."""
+    import jax.numpy as jnp
+
+    return jnp.sum(tab.wq[None, :] * tab.detJ * fq)

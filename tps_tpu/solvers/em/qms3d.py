@@ -1,0 +1,227 @@
+"""3-D quasimagnetostatic solver on H(curl) Nedelec elements.
+
+The role of the reference QuasiMagnetostaticSolver3D
+(src/quasimagnetostatic.cpp:134-660): frequency-domain vector potential
+  curl (1/mu0) curl A + i sigma omega A = J_coil
+with PEC boundary (A x n = 0, edge dofs zeroed), divergence-free coil
+current projection (H1 Poisson solve), complex system solved as a 2x2 real
+block GMRES, B = curl A, cycle-averaged Joule heating
+q_J = 2 omega^2 sigma |A|^2 matching the axisymmetric solver convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...constants import PI
+from ...fem import h1, hcurl
+from ..base import Solver, register_solver
+
+MU0 = 4.0e-7 * PI
+
+
+class QuasiMagnetostatic3D(Solver):
+    def __init__(self, mesh, coils=(), current_frequency=6.0e6,
+                 current_amplitude=2.0e6, rtol=1e-8, max_iter=600,
+                 quad_order=3):
+        """coils: tuple of rings (z0, r1, r2, half_height) carrying the
+        azimuthal (about the z axis) source current density."""
+        import jax.numpy as jnp
+
+        self.mesh = mesh
+        self.coils = tuple(coils)
+        self.current_frequency = current_frequency
+        self.current_amplitude = current_amplitude
+        self.rtol = rtol
+        self.max_iter = max_iter
+        self.dtype = jnp.float64
+
+        self.tab = hcurl.build_hcurl(mesh, quad_order=quad_order).to_jax(self.dtype)
+        self.h1tab = h1.build_h1(mesh, order=1).to_jax(self.dtype)
+
+        nedge = self.tab.nedge
+        mask = np.ones(nedge)
+        mask[np.asarray(self.tab.bdr_edges)] = 0.0  # PEC
+        self.mask = jnp.asarray(mask)
+
+        self.A_re = jnp.zeros(nedge)
+        self.A_im = jnp.zeros(nedge)
+        self.plasma_conductivity_q = jnp.zeros(self.tab.detJ.shape)
+        self.iter = 0
+
+        self._Jq = self._coil_current_density()
+
+    # -- source -----------------------------------------------------------
+    def _coil_current_density(self):
+        """Azimuthal ring current density at quadrature points, with a
+        discrete divergence-free projection (reference InitializeCurrent +
+        DivergenceFreeProjector, src/quasimagnetostatic.cpp:227-330)."""
+        import jax.numpy as jnp
+
+        xyz = self.tab.xyz_q  # [ne, nq, 3]
+        r = jnp.sqrt(xyz[..., 0] ** 2 + xyz[..., 1] ** 2)
+        Jq = jnp.zeros_like(xyz)
+        for (z0, r1, r2, hh) in self.coils:
+            inside = ((r >= r1) & (r <= r2)
+                      & (jnp.abs(xyz[..., 2] - z0) <= hh))
+            # unit azimuthal direction (-y/r, x/r, 0)
+            rs = jnp.maximum(r, 1e-12)
+            ephi = jnp.stack(
+                [-xyz[..., 1] / rs, xyz[..., 0] / rs, jnp.zeros_like(rs)],
+                axis=-1,
+            )
+            area = (r2 - r1) * 2.0 * hh
+            Jq = Jq + jnp.where(
+                inside[..., None], self.current_amplitude / area * ephi, 0.0
+            )
+
+        # divergence-free projection: J <- J - grad(phi), lap(phi) = div(J)
+        # (pure Neumann; orthogonalized against constants)
+        ht = self.h1tab
+        divJ = self._div_at_dofs(Jq)
+        rhs = -h1.mass_apply(ht, divJ)
+        rhs = rhs - jnp.mean(rhs)
+
+        def lap(v):
+            return h1.diffusion_apply(ht, v)
+
+        diag = h1.stiffness_diag(ht) + 1e-30
+        phi = h1.cg_solve(lap, rhs, x0=jnp.zeros(ht.ndofs), diag=diag,
+                          tol=1e-10, maxiter=400)
+        gphi = jnp.stack(
+            [h1.grad_at_dofs(ht, phi)[:, d] for d in range(3)], axis=-1
+        )
+        # interpolate grad(phi) to quadrature points
+        gq = jnp.einsum("qd,ndk->nqk", ht.Bvol, gphi[ht.elem_dofs])
+        return Jq - gq
+
+    def _div_at_dofs(self, Fq):
+        """Weak divergence of a quad-point vector field onto H1 dofs."""
+        import jax.numpy as jnp
+
+        ht = self.h1tab
+        # int grad(w) . F = -int w div F (Neumann): nodal div via lumped mass
+        Fk = jnp.einsum("nqkd,nqd->nqk", ht.adjJ, Fq)
+        z = jnp.einsum("q,qik,nqk->ni", ht.wq, ht.Gvol, Fk)
+        out = h1.scatter_add(ht, z)
+        return -out / h1.mass_lumped_diag(ht)
+
+    # -- coupling interface ------------------------------------------------
+    def set_plasma_conductivity(self, sigma_nodal):
+        """sigma given at H1 nodes; stored at quadrature points."""
+        import jax.numpy as jnp
+
+        ht = self.h1tab
+        self.plasma_conductivity_q = jnp.einsum(
+            "qd,nd->nq", ht.Bvol, h1.gather(ht, jnp.asarray(sigma_nodal))
+        )
+
+    def initialize(self):
+        pass
+
+    @property
+    def max_iters(self):
+        return 1
+
+    def solve_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        tab = self.tab
+        omega = 2.0 * PI * self.current_frequency
+        msw_q = MU0 * omega * self.plasma_conductivity_q
+        mask = self.mask
+        nd = tab.nedge
+
+        # small mass regularization lifts the curl-curl gradient nullspace
+        # (role of the reference's AMS preconditioner; the divergence-free
+        # projected RHS keeps gradient components out of the solution)
+        kd = hcurl.curlcurl_diag(tab)
+        md = hcurl.mass_diag(tab)
+        eps_reg = 1e-6 * float(jnp.sum(kd) / jnp.sum(md))
+
+        def block_apply(w):
+            a_re = w[:nd] * mask
+            a_im = w[nd:] * mask
+            k_re = hcurl.curlcurl_apply(tab, a_re) + eps_reg * hcurl.mass_apply(tab, a_re)
+            k_im = hcurl.curlcurl_apply(tab, a_im) + eps_reg * hcurl.mass_apply(tab, a_im)
+            y_re = k_re - hcurl.mass_apply(tab, a_im, msw_q)
+            y_im = hcurl.mass_apply(tab, a_re, msw_q) + k_im
+            y_re = y_re * mask + w[:nd] * (1 - mask)
+            y_im = y_im * mask + w[nd:] * (1 - mask)
+            return jnp.concatenate([y_re, y_im])
+
+        b_re = MU0 * hcurl.rhs_vector(tab, self._Jq)
+        b = jnp.concatenate([b_re * mask, jnp.zeros(nd, self.dtype)])
+
+        kdiag = kd + eps_reg * md + hcurl.mass_diag(tab, msw_q)
+        kdiag = kdiag * mask + (1 - mask)
+        dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
+
+        w, _ = jax.scipy.sparse.linalg.gmres(
+            block_apply, b, tol=self.rtol, maxiter=self.max_iter,
+            M=lambda x: x * dinv, solve_method="batched", restart=40,
+        )
+        self.A_re = w[:nd] * mask
+        self.A_im = w[nd:] * mask
+        self.iter += 1
+
+    def solve(self):
+        self.solve_step()
+
+    # -- diagnostics -------------------------------------------------------
+    def magnetic_field(self):
+        """B = curl A at quadrature points: (B_re, B_im) [ne, nq, 3]."""
+        return (hcurl.curl_at_quad(self.tab, self.A_re),
+                hcurl.curl_at_quad(self.tab, self.A_im))
+
+    def joule_heating_q(self):
+        """q_J = 2 w^2 sigma |A|^2 at quadrature points."""
+        omega = 2.0 * PI * self.current_frequency
+        A2_re = hcurl.field_at_quad(self.tab, self.A_re)
+        A2_im = hcurl.field_at_quad(self.tab, self.A_im)
+        import jax.numpy as jnp
+
+        return (2.0 * omega**2 * self.plasma_conductivity_q
+                * jnp.sum(A2_re**2 + A2_im**2, axis=-1))
+
+    def total_joule_heating(self):
+        return float(hcurl.integrate(self.tab, self.joule_heating_q()))
+
+    def magnetic_energy(self):
+        """Cycle-averaged magnetic energy 1/(4 mu0) int (|B_re|^2+|B_im|^2)."""
+        import jax.numpy as jnp
+
+        B_re, B_im = self.magnetic_field()
+        e = jnp.sum(B_re**2 + B_im**2, axis=-1)
+        return float(hcurl.integrate(self.tab, e)) / (4.0 * MU0)
+
+
+@register_solver("em")
+class _Em3dFromConfig(QuasiMagnetostatic3D):
+    """ini-driven construction (reference em-opts: [em] section)."""
+
+    def __init__(self, config, tps=None):
+        from ...mesh.generators import box_3d
+
+        inp = config.raw
+        n = inp.get("em/mesh_n", 8)
+        L = inp.get("em/domain_size", 1.0)
+        mesh = box_3d(n, n, n, bounds=((-L / 2, L / 2),) * 3)
+        coils = []
+        ncoil = inp.get("em/numCoils", 1)
+        for i in range(1, ncoil + 1):
+            coils.append((
+                inp.get(f"em/coil{i}/z0", 0.0),
+                inp.get(f"em/coil{i}/r1", 0.25),
+                inp.get(f"em/coil{i}/r2", 0.3),
+                inp.get(f"em/coil{i}/half_height", 0.05),
+            ))
+        super().__init__(
+            mesh, coils=tuple(coils),
+            current_frequency=inp.get("em/current_frequency", 6.0e6),
+            current_amplitude=inp.get("em/current_amplitude", 2.0e6),
+            rtol=inp.get("em/rtol", 1e-8),
+            max_iter=inp.get("em/max_iter", 600),
+        )
+        self.config = config
