@@ -217,7 +217,7 @@ class LoMachSolver(Solver):
         cg_maxiter = inp.get("time/maxSolverIteration", 500)
 
         # boundary conditions
-        vel_bcs, temp_bcs = [], []
+        vel_bcs, temp_bcs, ext_specs = [], [], []
         for sub in inp.sections_under("boundaryConditions"):
             base = f"boundaryConditions/{sub}"
             if not inp.has(f"{base}/patch"):
@@ -237,6 +237,17 @@ class LoMachSolver(Solver):
             elif kind == "inlet":
                 vel = inp.get_vec(f"{base}/velocity", default=[0.0] * self.mesh.dim)
                 vel_bcs.append(VelocityDirichlet(attrs=(patch,), value=tuple(vel)))
+            elif kind == "interpolate":
+                # external-data inlet (reference: GaussianInterpExtData)
+                vel_bcs.append(
+                    VelocityDirichlet(attrs=(patch,),
+                                      value=(0.0,) * self.mesh.dim)
+                )
+                ext_specs.append((
+                    patch,
+                    inp.get(f"{base}/name", "inletPlane.csv"),
+                    inp.get(f"{base}/rampSteps", 1),
+                ))
             # outlets: natural (do-nothing) boundary
 
         # geometric sponge (reference: src/geometricSponge.cpp ini keys
@@ -340,6 +351,17 @@ class LoMachSolver(Solver):
         if hasattr(self.thermo, "flow"):
             self.thermo.flow = self.flow
 
+        # external inlet data (stepped first each iteration; reference
+        # loMach.cpp:414 extData -> thermo -> flow -> turb)
+        self.ext_data = []
+        for patch, fname, ramp in ext_specs:
+            from ...interop.ext_data import GaussianInterpExtData
+
+            self.ext_data.append(
+                GaussianInterpExtData(self.tab, fname, (patch,),
+                                      ramp_steps=ramp)
+            )
+
         # turbulence model (reference: src/loMach.cpp:153-177 +
         # loMach_options turb_model_map_)
         turb = inp.get("loMach/turb-model", inp.get("loMach/sgsModel", "none"))
@@ -429,6 +451,14 @@ class LoMachSolver(Solver):
     def solve_step(self):
         """extData -> thermo -> flow -> turb (reference: loMach.cpp:414-437)."""
         coeff = TemporalCoefficients.bdf(min(self.iter + 1, self.max_bdf_order))
+        if self.ext_data:
+            import jax.numpy as jnp
+
+            vals = self.flow.vel_bc_values
+            for ed in self.ext_data:
+                ed.step()
+                vals = vals.at[jnp.asarray(ed.dofs)].set(ed.velocity_values())
+            self.flow.vel_bc_values = vals
         t0 = _time.perf_counter()
         self.thermo.step(coeff, self.dt)
         t1 = _time.perf_counter()

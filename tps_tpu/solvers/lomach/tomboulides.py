@@ -87,7 +87,8 @@ class Tomboulides(FlowBase):
         qt = self.thermo.thermal_divergence()
         (self.u, self.p, u_hist, N_hist) = self._step_jit(
             self.u, self.p, tuple(self.u_hist), tuple(self.N_hist),
-            rho, mu, qt, jnp.asarray(dt), order=coeff.order,
+            rho, mu, qt, self.vel_bc_values, jnp.asarray(dt),
+            order=coeff.order,
         )
         self.u_hist = list(u_hist)
         self.N_hist = list(N_hist)
@@ -99,7 +100,7 @@ class Tomboulides(FlowBase):
         c = h1.convection_apply(tab, u, u)
         return -c / h1.mass_lumped_diag(tab)[:, None]
 
-    def _step_impl(self, u, p, u_hist, N_hist, rho, mu, qt, dt, order):
+    def _step_impl(self, u, p, u_hist, N_hist, rho, mu, qt, ubc_vals, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -125,8 +126,9 @@ class Tomboulides(FlowBase):
                 h1.diffusion_apply(tab, v, mu)
 
         diag = (bd[0] / dt) * h1.mass_lumped_diag(tab, rho) + h1.stiffness_diag(tab, mu)
-        # lift inhomogeneous velocity BCs
-        ubc = self.vel_bc_values
+        # lift inhomogeneous velocity BCs (argument, so ramped/interpolated
+        # inlet values don't retrace the jit)
+        ubc = ubc_vals
         rhs = (rhs - helm(ubc * (1.0 - mask)[:, None])) * mask[:, None]
         diag_c = diag * mask + (1.0 - mask)
 
