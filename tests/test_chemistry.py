@@ -114,3 +114,35 @@ def test_source_term_two_temperature():
 
     sigma = np.asarray(src.plasma_conductivity(U, Up))
     assert (sigma > 0).all() and np.isfinite(sigma).all()
+
+
+def test_radiative_decay_rate():
+    """Escape-factor radiative decay (reference: reaction.cpp RadiativeDecay):
+    optically thin at low density (eta -> 1, k -> Boltzmann-avg A) and
+    trapped (k much smaller) at high ground-state density."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tps_tpu.constants import UNIVERSAL_GAS_CONSTANT as R
+    from tps_tpu.physics.radiative_decay import AJI, E_LVL, G_LVL, RadiativeDecay
+
+    # species order: [Ar_r (upper), Ar (lower/ground)]
+    rd = RadiativeDecay(upper="Ar_r", lower="Ar", i_upper=0, i_lower=1,
+                        radius=0.01)
+    Te = jnp.full(3, 12000.0)
+    Th = jnp.full(3, 1000.0)
+
+    # optically thin: tiny ground density -> no trapping
+    n_thin = jnp.asarray([[1e-12, 1e-15]] * 3)
+    k_thin = np.asarray(rd(Te, n_sp=n_thin, Th=Th, Te=Te))
+    # expected: Boltzmann-weighted mean of the two resonance A coefficients
+    E, g = E_LVL["Ar_r"], G_LVL["Ar_r"]
+    w = g * np.exp(-E / R / 12000.0)
+    A_mean = (w * AJI[("Ar_r", "Ar")][:, 0]).sum() / w.sum()
+    assert np.allclose(k_thin, A_mean, rtol=1e-6)
+
+    # optically thick: atmospheric ground-state density traps the photons
+    n_thick = jnp.asarray([[1e-3, 40.0]] * 3)  # mol/m^3
+    k_thick = np.asarray(rd(Te, n_sp=n_thick, Th=Th, Te=Te))
+    assert (k_thick < 1e-3 * A_mean).all()
+    assert (k_thick > 0).all()

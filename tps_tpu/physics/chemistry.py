@@ -31,7 +31,7 @@ class Arrhenius:
     b: float
     E: float
 
-    def __call__(self, T, extern_rate=None):
+    def __call__(self, T, extern_rate=None, **kw):
         return self.A * T**self.b * jnp.exp(-self.E / _R / T)
 
 
@@ -44,7 +44,7 @@ class HoffertLien:
     b: float
     E: float
 
-    def __call__(self, T, extern_rate=None):
+    def __call__(self, T, extern_rate=None, **kw):
         tf = self.E / BOLTZMANN_CONSTANT / T
         return self.A * T**self.b * (tf + 2.0) * jnp.exp(-tf)
 
@@ -55,7 +55,7 @@ class TabulatedRate:
 
     table: object  # tables.LinearTable
 
-    def __call__(self, T, extern_rate=None):
+    def __call__(self, T, extern_rate=None, **kw):
         return self.table(T)
 
 
@@ -67,7 +67,7 @@ class ExternalRate:
 
     comp: int
 
-    def __call__(self, T, extern_rate=None):
+    def __call__(self, T, extern_rate=None, **kw):
         if extern_rate is None:
             return jnp.zeros_like(T)
         return extern_rate[..., self.comp]
@@ -98,7 +98,7 @@ class Chemistry:
         return [self.reactant_stoich[r, ie] > 0 for r in range(self.num_reactions)]
 
     # ------------------------------------------------------------------
-    def forward_rates(self, Th, Te, extern_rate=None):
+    def forward_rates(self, Th, Te, extern_rate=None, n_sp=None):
         """k_f per reaction: [..., nreact]."""
         Thl = jnp.maximum(Th, self.min_temperature)
         Tel = jnp.maximum(Te, self.min_temperature)
@@ -106,7 +106,8 @@ class Chemistry:
         out = []
         for r, model in enumerate(self.models):
             T = Tel if einv[r] else Thl
-            out.append(model(T, extern_rate=extern_rate))
+            out.append(model(T, extern_rate=extern_rate, n_sp=n_sp,
+                              Th=Thl, Te=Tel))
         return jnp.stack(out, axis=-1)
 
     def equilibrium_constants(self, Th, Te):
@@ -154,7 +155,7 @@ class Chemistry:
 
     # convenience: everything at once
     def source(self, n_sp, Th, Te, extern_rate=None):
-        kf = self.forward_rates(Th, Te, extern_rate)
+        kf = self.forward_rates(Th, Te, extern_rate, n_sp=n_sp)
         kc = self.equilibrium_constants(Th, Te)
         pr = self.progress_rates(n_sp, kf, kc)
         cr = self.creation_rates(pr)

@@ -183,6 +183,18 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
                 )
             elif model == "tabulated":
                 models.append(TabulatedRate(read_table_input(inp, f"{base}/tabulated")))
+            elif model == "radiative_decay":
+                # (reference: src/reactingFlow.cpp:562-566)
+                from .radiative_decay import RadiativeDecay
+
+                iu = int(np.argmax(r_stoich[r - 1]))
+                il = int(np.argmax(p_stoich[r - 1]))
+                names_mix = [names[i] for i in order]
+                models.append(RadiativeDecay(
+                    upper=names_mix[iu], lower=names_mix[il],
+                    i_upper=iu, i_lower=il,
+                    radius=inp.get_required(f"{base}/radius", float),
+                ))
             elif model == "bte":  # external rates via the Boltzmann bus
                 models.append(ExternalRate(comp=r - 1))
             else:
