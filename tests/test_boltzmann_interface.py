@@ -76,3 +76,28 @@ def test_python_time_loop_with_external_rates():
     assert "extern_rate" in solver.fields
     assert np.asarray(solver.fields["extern_rate"]).shape[-1] == 1
     assert solver.check_nan() == 0
+
+
+def test_time_loop_example(tmp_path, monkeypatch, capsys):
+    """The reference-style Python time-loop driver runs end to end with
+    external Arrhenius rates (reference: src/tps-time-loop.py)."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(HERE), "examples"))
+    import importlib
+
+    time_loop = importlib.import_module("time_loop")
+
+    src = os.path.join(HERE, "inputs", "argon_minimal.ini")
+    ini = tmp_path / "argon.ini"
+    txt = open(src).read()
+    # redirect output + shorten the run; external (bte) rates for reaction 1
+    txt = txt.replace("maxIters = 10", "maxIters = 3")
+    ini.write_text(txt + f"\n[io]\noutdirBase = {tmp_path}\n")
+    status = time_loop.main(["time_loop.py", "-run", str(ini)])
+    assert status == 0
+    out = capsys.readouterr().out
+    assert "Reaction 1" in out
+    assert (tmp_path / "boltzmann_interface_000000.h5").exists()

@@ -96,6 +96,65 @@ class Tps2Boltzmann:
     def host(self, index):
         return np.asarray(self.fields[index])
 
+    def HostRead(self, index):
+        """Flat numpy view (reference pybind HostRead semantics)."""
+        return np.asarray(self.fields[index]).reshape(-1)
+
+    def HostWrite(self, index):
+        """Mutable flat numpy copy; call commit(index, arr) to store back.
+        (The reference returns a zero-copy device pointer; jax arrays are
+        immutable, so the write-back is explicit.)"""
+        return np.array(self.fields[index]).reshape(-1)
+
+    def commit(self, index, flat):
+        import jax.numpy as jnp
+
+        self.fields[index] = jnp.asarray(
+            np.asarray(flat).reshape(self.fields[index].shape)
+        )
+
+    def EfieldAngularFreq(self):
+        cfg = getattr(self.tps, "config", None)
+        raw = getattr(cfg, "raw", None) if cfg is not None else None
+        if raw is not None:
+            return 2.0 * np.pi * raw.get("em/current_frequency", 0.0)
+        return 0.0
+
+    def getReactionEquation(self, r):
+        cfg = getattr(self.tps, "config", None)
+        raw = getattr(cfg, "raw", None) if cfg is not None else None
+        if raw is not None:
+            return raw.get(f"reactions/reaction{r + 1}/equation", f"reaction{r + 1}")
+        return f"reaction{r + 1}"
+
+    def saveDataCollection(self, cycle=0, time=0.0, outdir=None):
+        """Dump all interface fields to an HDF5 snapshot (the role of the
+        reference's ParaView data collection save)."""
+        import os
+
+        import h5py
+
+        base = outdir or getattr(
+            getattr(self.tps, "config", None), "outdir", "output"
+        )
+        os.makedirs(base, exist_ok=True)
+        names = {
+            self.ElectricField: "electric_field",
+            self.SpeciesDensities: "species_densities",
+            self.HeavyTemperature: "heavy_temperature",
+            self.ElectronTemperature: "electron_temperature",
+            self.ElectronMobility: "electron_mobility",
+            self.ElectronDiffusion: "electron_diffusion",
+            self.ReactionRates: "reaction_rates",
+        }
+        path = os.path.join(base, f"boltzmann_interface_{cycle:06d}.h5")
+        with h5py.File(path, "w") as f:
+            f.attrs["cycle"] = cycle
+            f.attrs["time"] = time
+            for idx, name in names.items():
+                f[name] = np.asarray(self.fields[idx])
+        return path
+
 
 # ---------------------------------------------------------------------------
 # solver-side push/fetch implementations (wired into CompressibleSolver)
