@@ -110,3 +110,43 @@ def test_vortex_time_integration():
     Uex = mix.conservatives(isentropic_vortex(xy, t, mix))
     err = float(jnp.sqrt(jnp.mean((U - Uex) ** 2)))
     assert err < 5e-3, err
+
+
+def test_roll_topology_matches_gather():
+    """Structured-mesh roll fast path is bitwise-equal to the general
+    neighbor gather (3D NS on a periodic box)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.mesh.generators import box_3d
+    from tps_tpu.physics.transport import DryAirTransport
+
+    mix = DryAir(dim=3, nvel=3)
+    mesh = box_3d(4, 3, 5, periodic=(True, True, False))
+    tab = build_tables(mesh, order=1)
+    assert tab.roll_info is not None
+    tabj = tab.to_jax(jnp.float64)
+    tab_nr = dataclasses.replace(tabj, roll_info=None)  # force gather path
+
+    tr = DryAirTransport(mix.gas_constant, mix.specific_heat_ratio)
+    fl = Fluxes(mixture=mix, transport=tr, eq_system="navier-stokes")
+    from tps_tpu.dg.bc import WallBC
+    from tps_tpu.dg.rhs import BCSlice, RHSContext, compute_rhs
+
+    bcs = (BCSlice(WallBC(kind="viscous_adiabatic"), 0, tab.nfb),)
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl), bcs=bcs)
+
+    rng = np.random.RandomState(5)
+    Up = np.zeros((tab.ne, tab.ndof, mix.num_equations))
+    Up[..., 0] = 1.2 + 0.05 * rng.rand(tab.ne, tab.ndof)
+    Up[..., 1:4] = 5.0 * rng.randn(tab.ne, tab.ndof, 3)
+    Up[..., 4] = 300.0 * (1 + 0.05 * rng.rand(tab.ne, tab.ndof))
+    U = mix.conservatives(jnp.asarray(Up))
+
+    y_roll, aux_r = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tabj, U)
+    y_gath, aux_g = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab_nr, U)
+    assert np.allclose(np.asarray(y_roll), np.asarray(y_gath), atol=1e-12)
+    assert abs(float(aux_r["max_char_speed"]) - float(aux_g["max_char_speed"])) < 1e-12

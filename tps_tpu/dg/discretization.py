@@ -114,6 +114,9 @@ class DGTables:
     # (own trace slice, ONE neighbor-trace gather); combos 0..nlf-1 are the
     # identity combos so own traces are a plain slice of the oriented traces.
     nbr_row: np.ndarray | None = None  # [ne, nlf] row into trace-flat array
+    # structured-topology roll metadata (static): (grid_shape, ((axis,
+    # shift, opp_lf), ...)); when set, the neighbor gather is a grid roll
+    roll_info: tuple | None = None
     nor_slot: np.ndarray | None = None  # [ne, nlf, nqf, dim] outward normal
     wts_slot: np.ndarray | None = None  # [ne, nlf, nqf]
     xyz_slot: np.ndarray | None = None  # [ne, nlf, nqf, dim]
@@ -421,12 +424,51 @@ def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
 def _register_dgtables_pytree():
     import jax
 
-    meta = ["dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb", "n_combo"]
+    meta = ["dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb",
+            "n_combo", "roll_info"]
     data = [f.name for f in fields(DGTables) if f.name not in meta]
     jax.tree_util.register_dataclass(DGTables, data_fields=data, meta_fields=meta)
 
 
 _register_dgtables_pytree()
+
+
+def detect_roll_topology(grid_shape, nlf, n_combo, nbr_row, interior_mask):
+    """If every local face's neighbor map is a uniform grid roll (the
+    generators' C-order element grids), return (grid_shape, ((axis, shift,
+    opp_lf) per lf)); else None.  Verified numerically against nbr_row, so
+    the hint can never produce wrong results."""
+    if grid_shape is None:
+        return None
+    grid_shape = tuple(int(g) for g in grid_shape)
+    ne = int(np.prod(grid_shape))
+    if nbr_row.shape[0] != ne:
+        return None
+    eid = np.arange(ne).reshape(grid_shape)
+    gdim = len(grid_shape)
+    info = []
+    for lf in range(nlf):
+        mask = interior_mask[:, lf] > 0.5
+        if not mask.any():
+            return None
+        found = None
+        for axis in range(gdim):
+            for shift in (-1, 1):
+                er = np.roll(eid, shift, axis=axis).reshape(-1)
+                for opp in range(nlf):
+                    if np.array_equal(
+                        (er * n_combo + opp)[mask], nbr_row[mask, lf]
+                    ):
+                        found = (axis, shift, opp)
+                        break
+                if found:
+                    break
+            if found:
+                break
+        if found is None:
+            return None
+        info.append(found)
+    return (grid_shape, tuple(info))
 
 
 def build_tables(
@@ -642,6 +684,12 @@ def build_tables(
         f_nor, f_wts, f_xyz, delta, rad_face=rad_face,
     )
     oriented = {**oriented, **slots}
+
+    # structured-topology roll fast path (verified against nbr_row)
+    oriented["roll_info"] = detect_roll_topology(
+        getattr(mesh, "grid_shape", None), nlf, oriented["n_combo"],
+        slots["nbr_row"], slots["interior_mask"],
+    )
 
     return DGTables(
         dim=dim,

@@ -107,11 +107,26 @@ def slot_traces(tab, X):
 
     X: [ne, ndof, k] ->
       own  [ne, nlf, nqf, k]  (plain slice: identity combos come first)
-      nbr  [ne, nlf, nqf, k]  (ONE row gather via tab.nbr_row)
+      nbr  [ne, nlf, nqf, k]  (ONE row gather via tab.nbr_row, or pure
+                               grid rolls on structured meshes)
     This single gather serves the entire face sweep."""
     ne, _, k = X.shape
     Xtr = elem_traces_or(tab, X)  # [ne, n_combo*nqf, k]
     own = Xtr[:, : tab.nlf * tab.nqf, :].reshape(ne, tab.nlf, tab.nqf, k)
+    if tab.roll_info is not None:
+        # structured topology: every neighbor trace is a roll of the
+        # opposite-face own trace over the element grid -> contiguous
+        # copies that XLA fuses, no gather (verified at table build)
+        grid, per_lf = tab.roll_info
+        og = own.reshape(tuple(grid) + (tab.nlf, tab.nqf, k))
+        nbr = jnp.stack(
+            [
+                jnp.roll(og[..., opp, :, :], shift, axis=axis)
+                for (axis, shift, opp) in per_lf
+            ],
+            axis=-3,
+        ).reshape(ne, tab.nlf, tab.nqf, k)
+        return own, nbr
     flat = Xtr.reshape(ne * tab.n_combo, tab.nqf, k)
     nbr = flat[tab.nbr_row.reshape(-1)].reshape(ne, tab.nlf, tab.nqf, k)
     return own, nbr
@@ -187,7 +202,9 @@ def dg_gradient(tab, Up, bdr_up2=None):
     # own ordering — one neighbor gather, no scatter maps
     if tab.nbr_row is not None:
         own, nbr = slot_traces(tab, Up)
-        jump = 0.5 * (nbr - own)
+        # boundary slots carry no central jump (the roll path wraps there;
+        # the gather path already has nbr == own so the mask is a no-op)
+        jump = 0.5 * (nbr - own) * tab.interior_mask[..., None, None]
         if bdr_up2 is not None:
             # useBCinGrad: boundary exterior state from the BCs
             own_b = own.reshape(ne * tab.nlf, tab.nqf, neq)[tab.bdr_slot]

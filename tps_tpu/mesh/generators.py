@@ -97,6 +97,7 @@ def box_2d(
         bdr_faces=bdr_faces,
         bdr_attrs=bdr_attrs,
         periodic_pairs=periodic_pairs,
+        grid_shape=(ny, nx),
     )
 
 
@@ -187,4 +188,25 @@ def box_3d(
         bdr_faces=bdr_faces,
         bdr_attrs=bdr_attrs,
         periodic_pairs=periodic_pairs,
+        grid_shape=(nz, ny, nx),
     )
+
+
+def beam_mesh(n_axis, n_cross, length=4.0, width=1.0, stretch=1.0,
+              dim=2, periodic_axis=True):
+    """Stretched periodic beam mesh for MMS tests (the role of the
+    reference utils/beam_mesh.cpp): element spacing along the axis follows
+    a geometric progression with ratio `stretch`."""
+    r = float(stretch)
+    if abs(r - 1.0) < 1e-14:
+        xs = np.linspace(0.0, length, n_axis + 1)
+    else:
+        w = r ** np.arange(n_axis)
+        xs = np.concatenate([[0.0], np.cumsum(w)])
+        xs = xs / xs[-1] * length
+    if dim == 2:
+        return box_2d(
+            n_axis, n_cross, x1=length, y1=width,
+            x_coords=xs, periodic_x=periodic_axis,
+        )
+    raise NotImplementedError("beam_mesh: 3-D variant pending")

@@ -48,6 +48,10 @@ class Mesh:
     curved_nodes: np.ndarray | None = None
     # per-element integer attributes (regions; MFEM/Gmsh physical tags)
     elem_attrs: np.ndarray | None = None
+    # structured-topology hint from the generators: elements form a C-order
+    # grid of this shape ((nz, ny, nx) in 3D / (ny, nx) in 2D, x fastest);
+    # discretization verifies before enabling the roll-based face sweep
+    grid_shape: tuple | None = None
 
     def attributes(self) -> np.ndarray:
         if self.elem_attrs is None:

@@ -21,7 +21,8 @@ from ..dg.discretization import DGTables
 from ..dg.rhs import compute_rhs
 from .partition import SHARED_FIELDS
 
-_META = ("dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb", "n_combo")
+_META = ("dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb",
+         "n_combo", "roll_info")
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map

@@ -424,6 +424,16 @@ class LoMachSolver(Solver):
         self._wall0 = _time.perf_counter()
         self._timers = {"thermoChem": 0.0, "flow": 0.0, "turb": 0.0}
 
+        # statistics (reference: loMach.cpp:216,482-484 Averaging engine)
+        from ...io.averaging import Averaging
+
+        self.averaging = Averaging(
+            start_iter=inp.get("averaging/startIter", 0),
+            sample_interval=max(inp.get("averaging/sampleFreq", 0), 1),
+            enabled=bool(inp.get("averaging/sampleFreq", 0))
+            or inp.has("averaging/startIter"),
+        )
+
         # restart IO (reference: src/loMachIO.cpp; written every outputFreq,
         # enableRestart gates the startup read, like the compressible path)
         self.outdir = inp.get("io/outdirBase", "output")
@@ -471,6 +481,16 @@ class LoMachSolver(Solver):
         self._timers["turb"] += t3 - t2
         self.time += self.dt
         self.iter += 1
+        if self.averaging.enabled:
+            import jax.numpy as jnp
+
+            u = self.flow.velocity()
+            T = (self.thermo.T if hasattr(self.thermo, "T")
+                 else jnp.zeros(self.tab.ndofs))
+            pseudo_up = jnp.concatenate(
+                [self.thermo.density()[:, None], u, T[:, None]], axis=-1
+            )
+            self.averaging.add_sample(self.iter, pseudo_up, self.tab.dim)
         if self.iter % self.output_freq == 0:
             wall = _time.perf_counter() - self._wall0
             print(
