@@ -138,6 +138,13 @@ def main(argv=None):
     tps.choose_devices()
     tps.choose_solver()
     tps.initialize()
+    if tps._visual:
+        # visualization mode: convert the existing checkpoint to VTK and
+        # exit without solving (reference: tps --visual,
+        # src/M2ulPhyS.cpp:4073)
+        tps.solver.read_restart()
+        tps.solver.visualization()
+        return 0
     tps.solve()
     return tps.get_status()
 

@@ -221,10 +221,19 @@ class CompressibleSolver(PlasmaSolver):
         # runtime fields injected into the jitted RHS (EM coupling etc.)
         self.fields = {}
 
+        nact = self.mixture.num_active_species
+
         @jax.jit
         def _step(tab, U, t, dt, fields):
             rhs = lambda u, tt: compute_rhs(self.ctx, tab, u, tt, fields=fields)
             U2, aux = self._integrator(rhs, U, t, dt)
+            if nact > 0:
+                # clip species-density undershoots on the stored state
+                # (reference: M2ulPhyS::Check_Undershoot, called each step)
+                sp = U2[..., self.mixture.nvel + 2 : self.mixture.nvel + 2 + nact]
+                U2 = U2.at[
+                    ..., self.mixture.nvel + 2 : self.mixture.nvel + 2 + nact
+                ].set(jnp.maximum(sp, 0.0))
             return U2, aux["max_char_speed"]
 
         self._step = _step
