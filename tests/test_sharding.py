@@ -65,3 +65,30 @@ def test_sharded_step_matches_single():
     )
     UNg = gather_state(build, np.asarray(UN1))
     assert float(np.abs(UNg - np.asarray(U1)).max()) < 1e-12
+
+
+def test_partition_persistence(tmp_path):
+    """Partition save/load roundtrip (reference partition.Np.h5 role)."""
+    from tps_tpu.parallel.partition import (
+        coordinate_partition,
+        load_partition,
+        save_partition,
+    )
+
+    mesh = box_2d(8, 8)
+    part = coordinate_partition(mesh, 4)
+    path = tmp_path / "partition.4p.h5"
+    save_partition(path, part, 4)
+    back = load_partition(path, expected_ne=mesh.num_elements,
+                          expected_nparts=4)
+    assert np.array_equal(back, part)
+    # reusing the persisted partition reproduces identical sharded tables
+    b1 = build_sharded_tables(mesh, order=1, nparts=4, partition=part)
+    b2 = build_sharded_tables(mesh, order=1, nparts=4, partition=back)
+    assert np.array_equal(b1.tables.global_ids, b2.tables.global_ids)
+    try:
+        load_partition(path, expected_nparts=8)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected nparts mismatch error")

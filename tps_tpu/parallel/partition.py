@@ -315,3 +315,31 @@ def gather_state(build: ShardedBuild, U_sharded):
     for p in range(build.nparts):
         out[gids[p][own[p]]] = Us[p][own[p]]
     return out
+
+
+def save_partition(path, partition, nparts):
+    """Persist the element partition (reference: partitioning_file_hdf5
+    'write', src/io.cpp — partition.Np.h5 keeps restarts consistent)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["nparts"] = int(nparts)
+        f["partitioning"] = np.asarray(partition, dtype=np.int32)
+
+
+def load_partition(path, expected_ne=None, expected_nparts=None):
+    """Read a persisted partition; validates sizes when given."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        part = np.asarray(f["partitioning"], dtype=np.int32)
+        nparts = int(f.attrs["nparts"])
+    if expected_ne is not None and len(part) != expected_ne:
+        raise ValueError(
+            f"partition file has {len(part)} elements, expected {expected_ne}"
+        )
+    if expected_nparts is not None and nparts != expected_nparts:
+        raise ValueError(
+            f"partition file has {nparts} parts, expected {expected_nparts}"
+        )
+    return part
