@@ -59,3 +59,59 @@ def test_history_and_viz_through_harness(tmp_path):
     assert "SCALARS density" in txt
     assert "VECTORS velocity" in txt
     assert "VECTORS mean_velocity" in txt
+
+
+def test_pfield_interpolate_cli(tmp_path):
+    """Checkpoint transfer between meshes (utils/pfield_interpolate role)."""
+    import subprocess
+    import sys
+
+    import h5py
+
+    src_ini = tmp_path / "src.ini"
+    dst_ini = tmp_path / "dst.ini"
+    base = """
+[solver]
+type = flow
+[flow]
+order = 2
+maxIters = 2
+fluid = dry_air
+equation_system = euler
+[mesh]
+generator = box2d
+nx = %d
+ny = %d
+x1 = 10.0
+y1 = 10.0
+periodic_x = 1
+periodic_y = 1
+[time]
+cfl = 0.12
+integrator = rk4
+[initialConditions]
+case = isentropic_vortex
+[io]
+outdirBase = %s
+"""
+    src_ini.write_text(base % (8, 8, tmp_path / "src_out"))
+    dst_ini.write_text(base % (12, 12, tmp_path / "dst_out"))
+
+    import tps_tpu
+    repo = os.path.dirname(os.path.dirname(tps_tpu.__file__))
+    r = subprocess.run(
+        [sys.executable, "-m", "tps_tpu.harness", "-run", str(src_ini), "--device", "cpu"],
+        cwd=repo,
+    )
+    assert r.returncode == 0
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "pfield_interpolate.py"),
+         str(src_ini), str(dst_ini), "--device", "cpu"],
+        cwd=repo,
+    )
+    assert r.returncode == 0
+    with h5py.File(tmp_path / "dst_out" / "restart_output.sol.h5") as f:
+        rho = f["solution/density"][:]
+    assert rho.shape[0] == 12 * 12 * 9  # ne * ndof at p=2
+    import numpy as np
+    assert np.isfinite(rho).all() and rho.min() > 0.3 and rho.max() < 1.1

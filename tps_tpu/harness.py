@@ -75,12 +75,14 @@ class Tps:
 
     def choose_devices(self):
         """Configure the jax execution platform (reference chooseDevices
-        selects the MFEM device backend, src/tps.cpp:196-239)."""
-        import os
+        selects the MFEM device backend, src/tps.cpp:196-239).
+
+        Uses jax.config (NOT the JAX_PLATFORMS env var, which plugin
+        backends may ignore)."""
+        import jax
 
         if self._device_config == "cpu":
-            os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        import jax  # noqa: F401  (backend initialized lazily)
+            jax.config.update("jax_platforms", "cpu")
 
     def choose_solver(self):
         self.solver = solver_base.create_solver(
