@@ -237,3 +237,85 @@ def test_nonreflecting_inlet_and_massflow_outlet_exactness():
     f = np.asarray(bc.flux(ctx, UL, mix.primitives(UL), grad,
                            nor_out, xyz, delta, 0.0))
     assert np.allclose(f, exact(np.array([1.0, 0.0])), atol=1e-10)
+
+
+def test_face_based_and_interpolated_inlets(tmp_path):
+    """subsonicFaceBasedX and interpolate inlets run through the harness."""
+    import numpy as _np
+
+    ys = _np.linspace(0.0, 0.2, 20)
+    csv = tmp_path / "inlet.csv"
+    with open(csv, "w") as fh:
+        fh.write("# no,x,y,z,T,u,v,w\n")
+        for i, y in enumerate(ys):
+            fh.write(f"{i},0.0,{y},0.0,300.0,20.0,0.0,0.0\n")
+
+    ini = tmp_path / "run.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+order = 1
+maxIters = 3
+fluid = dry_air
+equation_system = navier-stokes
+[mesh]
+generator = box2d
+nx = 8
+ny = 4
+x1 = 1.0
+y1 = 0.2
+[time]
+cfl = 0.1
+integrator = rk3
+[initialConditions]
+rho = 1.2
+rhoU = 24.0
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[boundaryConditions/inlet1]
+patch = 4
+type = interpolate
+name = {csv}
+[boundaryConditions/outlet1]
+patch = 2
+type = subsonicPressure
+pressure = 101300
+[boundaryConditions/wall1]
+patch = 1
+type = viscous_isothermal
+temperature = 300
+[boundaryConditions/wall2]
+patch = 3
+type = viscous_isothermal
+temperature = 300
+[boundaryConditions]
+numWalls = 2
+numInlets = 1
+numOutlets = 1
+[io]
+outdirBase = {tmp_path}/out
+""")
+    tps = Tps()
+    tps.input_file = str(ini)
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    tps.solve()
+    assert tps.solver.check_nan() == 0
+
+    # face-based inlet variant on the same case
+    txt = ini.read_text().replace("type = interpolate", "type = subsonicFaceBasedX")
+    txt = txt.replace(f"name = {csv}", "density = 1.2\nuvw = '20 0 0'")
+    ini2 = tmp_path / "run2.ini"
+    ini2.write_text(txt.replace(f"{tmp_path}/out", f"{tmp_path}/out2"))
+    tps2 = Tps()
+    tps2.input_file = str(ini2)
+    tps2.parse_input()
+    tps2.choose_devices()
+    tps2.choose_solver()
+    tps2.initialize()
+    tps2.solve()
+    assert tps2.solver.check_nan() == 0

@@ -308,6 +308,88 @@ class InletBC:
 
 
 @dataclass(frozen=True)
+class FaceInletBC:
+    """Face-relative subsonic density-velocity inlet (reference:
+    subsonicReflectingDensityVelocityFace, src/inletBC.cpp:453-520;
+    ini types subsonicFaceBasedX/Y/Z).
+
+    input_state = (rho, U_normal, U_tangent); the injection velocity is
+    U_normal along the inward face normal (orthogonalized against the
+    chosen axis) plus U_tangent along n x e_axis.  Unlike the reference
+    (which leaves the rotation unapplied), the velocity is actually
+    rotated into Cartesian components."""
+
+    input_state: tuple
+    tangent_axis: int = 2  # X=0 / Y=1 / Z=2 ini variants
+
+    def ghost_primitive(self, mixture, UpL):
+        return UpL
+
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+        mix = ctx.fluxes.mixture
+        nvel, dim = mix.nvel, mix.dim
+        p = mix.pressure(UL)
+        rho, Un, Ut = self.input_state[:3]
+
+        nhat, _ = _unit(nor)
+        n_in = -nhat  # inward
+        t2 = jnp.zeros(dim).at[self.tangent_axis % dim].set(1.0)
+        # orthogonalize the inward normal against the tangent axis
+        tn = jnp.einsum("...d,d->...", n_in, t2)
+        n_in = n_in - tn[..., None] * t2
+        if dim == 3:
+            t1 = jnp.cross(n_in, jnp.broadcast_to(t2, n_in.shape))
+        else:
+            t1 = jnp.stack([n_in[..., 1], -n_in[..., 0]], axis=-1)
+        vel = Un * n_in + Ut * t1
+
+        ghost = UL.at[..., 0].set(rho)
+        ghost = ghost.at[..., 1 : 1 + dim].set(rho * vel)
+        if nvel > dim:
+            ghost = ghost.at[..., 1 + dim : 1 + nvel].set(0.0)
+        ke = 0.5 * rho * jnp.sum(vel * vel, axis=-1)
+        ghost = ghost.at[..., mix.i_th].set(
+            p / (mix.specific_heat_ratio - 1.0) + ke
+        )
+        return ctx.riemann(UL, ghost, nor)
+
+
+@dataclass(frozen=True)
+class InterpolatedInletBC:
+    """Inlet state interpolated from an external data plane (reference:
+    InletType INTERPOLATE, fed by GaussianInterpExtData).  Per-face-point
+    temperature/velocity targets with time ramping; ghost density follows
+    the interior pressure (reflecting subsonic behavior)."""
+
+    temperature: object  # [nf, nqf]
+    velocity: object  # [nf, nqf, dim]
+    gas_constant: float
+    ramp_time: float = 0.0
+
+    def ghost_primitive(self, mixture, UpL):
+        return UpL
+
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+        mix = ctx.fluxes.mixture
+        nvel = mix.nvel
+        p = mix.pressure(UL)
+        wt = 1.0 if self.ramp_time <= 0.0 else jnp.minimum(
+            t / self.ramp_time, 1.0
+        )
+        rho = p / (self.gas_constant * self.temperature)
+        vel = wt * self.velocity
+        ghost = UL.at[..., 0].set(rho)
+        ghost = ghost.at[..., 1 : 1 + mix.dim].set(rho[..., None] * vel)
+        if nvel > mix.dim:
+            ghost = ghost.at[..., 1 + mix.dim : 1 + nvel].set(0.0)
+        ke = 0.5 * rho * jnp.sum(vel * vel, axis=-1)
+        ghost = ghost.at[..., mix.i_th].set(
+            p / (mix.specific_heat_ratio - 1.0) + ke
+        )
+        return ctx.riemann(UL, ghost, nor)
+
+
+@dataclass(frozen=True)
 class NonReflectingInletBC:
     """Characteristic subsonic inlets (reference: src/inletBC.cpp
     SUB_DENS_VEL_NR 'nonreflecting' and SUB_VEL_CONST_ENT

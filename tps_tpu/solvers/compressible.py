@@ -326,6 +326,45 @@ class CompressibleSolver(PlasmaSolver):
             nvel = self.mixture.nvel
             state = (rho, *uvw[:nvel])
             return InletBC(input_state=state)
+        if kind in ("subsonicFaceBasedX", "subsonicFaceBasedY",
+                    "subsonicFaceBasedZ"):
+            from ..dg.bc import FaceInletBC
+
+            uvw = [float(x) for x in str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
+            return FaceInletBC(
+                input_state=(fget("density", 1.0), *uvw[:2]),
+                tangent_axis={"X": 0, "Y": 1, "Z": 2}[kind[-1]],
+            )
+        if kind == "interpolate":
+            # external-data inlet (reference: InletType INTERPOLATE +
+            # GaussianInterpExtData); CSV plane interpolated onto the
+            # patch's face quadrature points
+            import jax.numpy as jnp
+
+            from ..dg.bc import InterpolatedInletBC
+            from ..interop.ext_data import gaussian_interp, read_inlet_plane
+
+            tab = self.tables_np
+            sel = np.asarray(tab.f_bdr_attr) == spec.patch
+            xyz_f = np.asarray(tab.f_xyz[tab.nfi :])[sel]  # [nf, nqf, dim]
+            nf, nqf, dimm = xyz_f.shape
+            pts = xyz_f.reshape(-1, dimm)
+            if dimm < 3:
+                pts = np.concatenate(
+                    [pts, np.zeros((len(pts), 3 - dimm))], axis=1
+                )
+            src_xyz, T, vel, _ = read_inlet_plane(
+                str(p.get("name", "inletPlane.csv")).strip("'\"")
+            )
+            vals = gaussian_interp(src_xyz, np.column_stack([vel, T]), pts)
+            return InterpolatedInletBC(
+                temperature=jnp.asarray(vals[:, 3].reshape(nf, nqf)),
+                velocity=jnp.asarray(
+                    vals[:, :dimm].reshape(nf, nqf, dimm)
+                ),
+                gas_constant=self.mixture.gas_constant,
+                ramp_time=fget("rampTime", 0.0),
+            )
         if kind in ("nonreflecting", "nonreflectingConstEntropy"):
             from ..dg.bc import NonReflectingInletBC
 
