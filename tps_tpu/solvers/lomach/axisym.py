@@ -1,0 +1,263 @@
+"""Axisymmetric (r, z) Tomboulides flow with optional swirl.
+
+The role of the reference's axisymmetric low-Mach path (src/tomboulides.cpp
+axisym_/swirl support, src/loMach.cpp loMach/axisymmetric): coordinates are
+(x = r, y = z); every weak form carries the Jacobian factor r, which turns
+the r-weighted stiffness into the axisymmetric vector Laplacian except for
+the extra -mu u/r^2 terms on u_r and u_theta (added as (v, mu u / r) mass
+terms; quadrature points are strictly interior so r_q > 0 even in elements
+touching the axis).  Swirl u_theta adds the centrifugal force
+rho u_theta^2 / r to the r-momentum and the Coriolis transport
+rho u_r u_theta / r to the theta-momentum.  Axis dofs (r = 0) carry
+Dirichlet u_r = u_theta = 0.
+
+Steady analytic targets used by the tests: Poiseuille pipe flow
+u_z(r) = F/(4 mu) (R^2 - r^2) and circular Couette swirl
+u_theta(r) = A r + B / r.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...fem import h1
+from .base import TemporalCoefficients
+from .tomboulides import Tomboulides, VelocityDirichlet
+
+
+class TomboulidesAxisym(Tomboulides):
+    def __init__(self, tab, thermo, turb=None, vel_bcs=(), swirl=False,
+                 swirl_bcs=(), body_force=None, sponge=None,
+                 cg_tol=1e-10, cg_maxiter=1000, axis_tol=1e-12):
+        super().__init__(tab, thermo, turb=turb, vel_bcs=vel_bcs,
+                         body_force=body_force, sponge=sponge,
+                         cg_tol=cg_tol, cg_maxiter=cg_maxiter)
+        nd = tab.ndofs
+        self.swirl = swirl
+        self.rad_q = tab.xyz_q[..., 0]  # radius at quad points (> 0)
+        r_nodal = np.asarray(tab.xyz[:, 0])
+        axis = r_nodal < axis_tol
+
+        # component masks: u_r gets the axis Dirichlet on top of walls
+        base = np.asarray(self.vel_mask)
+        mask_r = base.copy()
+        mask_r[axis] = 0.0
+        self.vel_mask_c = jnp.asarray(np.stack([mask_r, base], axis=-1))
+
+        self.ut = jnp.zeros(nd)
+        self.ut_hist = [self.ut, self.ut, self.ut]
+        self.Nt_hist = [jnp.zeros(nd)] * 3
+        if swirl:
+            free = np.array(base)
+            vals = jnp.zeros(nd)
+            for bc in swirl_bcs:
+                dofs = np.asarray(h1.boundary_dofs(tab, tuple(bc.attrs)))
+                free[dofs] = 0.0
+                vals = vals.at[jnp.asarray(dofs)].set(
+                    bc.value if np.isscalar(bc.value) else bc.value[0]
+                )
+            free[axis] = 0.0
+            self.swirl_mask = jnp.asarray(free)
+            self.swirl_bc_values = vals
+        else:
+            self.swirl_mask = jnp.ones(nd)
+            self.swirl_bc_values = jnp.zeros(nd)
+
+        self._step_jit = jax.jit(self._step_impl_axi,
+                                 static_argnames=("order",))
+
+    def set_swirl(self, ut0):
+        self.ut = jnp.asarray(ut0)
+        self.ut = (self.ut * self.swirl_mask
+                   + self.swirl_bc_values * (1.0 - self.swirl_mask))
+        self.ut_hist = [self.ut] * 3
+
+    def swirl_velocity(self):
+        return self.ut
+
+    def step(self, coeff: TemporalCoefficients, dt: float):
+        rho = self.thermo.density()
+        mu = self.thermo.viscosity()
+        if self.turb is not None:
+            mu = mu + rho * self.turb.eddy_viscosity()
+        if self.sponge is not None:
+            mu = mu * self.sponge.multiplier()
+        qt = self.thermo.thermal_divergence()
+        (self.u, self.p, self.ut, u_hist, N_hist, ut_hist, Nt_hist) = \
+            self._step_jit(
+                self.u, self.p, self.ut,
+                tuple(self.u_hist), tuple(self.N_hist),
+                tuple(self.ut_hist), tuple(self.Nt_hist),
+                rho, mu, qt, self.vel_bc_values, jnp.asarray(dt),
+                order=coeff.order,
+            )
+        self.u_hist = list(u_hist)
+        self.N_hist = list(N_hist)
+        self.ut_hist = list(ut_hist)
+        self.Nt_hist = list(Nt_hist)
+
+    # ------------------------------------------------------------------
+    def _step_impl_axi(self, u, p, ut, u_hist, N_hist, ut_hist, Nt_hist,
+                       rho, mu, qt, ubc_vals, dt, order):
+        tab = self.tab
+        coeff = TemporalCoefficients.bdf(order)
+        bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
+        ab = (coeff.ab1, coeff.ab2, coeff.ab3)
+        rq = self.rad_q
+        r_nodal = jnp.maximum(tab.xyz[:, 0], 1e-300)
+
+        Ml = h1.mass_lumped_diag(tab)
+        # r-weighted consistent-mass diagonal (int phi_i^2 r > 0 strictly;
+        # the row-sum lumped mass has EXACTLY zero rows at axis nodes for
+        # p >= 2 and cannot be used here)
+        w_r = tab.wq[None, :] * tab.detJ * rq
+        Dr = h1.scatter_add(
+            tab, jnp.einsum("qd,nq->nd", jnp.asarray(tab.Bvol) ** 2, w_r)
+        )
+
+        # r-weighted L2 gradient projection via a consistent-mass CG solve:
+        # the discrete adjoint pair of the r-weighted pressure Laplacian.
+        # An inconsistent (planar-lumped) projection leaves a divergence
+        # residual each projection step that feeds back through p += phi
+        # and destabilizes the splitting.
+        def grad_r(s):
+            gq = jnp.einsum("qdk,nd->nqk", tab.Gvol, h1.gather(tab, s))
+            gphys = jnp.einsum("nqk,nqkd->nqd", gq, tab.adjJ)  # carries detJ
+            re = jnp.einsum(
+                "qd,nqi->ndi", tab.Bvol * tab.wq[:, None],
+                gphys * rq[..., None],
+            )
+            num = h1.scatter_add(tab, re)
+
+            def Mr(v):
+                return h1.mass_apply(tab, v, coef=rq)
+
+            return jnp.stack(
+                [
+                    h1.cg_solve(Mr, num[:, d], x0=num[:, d] / Dr, diag=Dr,
+                                tol=1e-12, maxiter=200)
+                    for d in range(2)
+                ],
+                axis=-1,
+            )
+
+        # quad-point coefficient fields
+        mu_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, mu))
+        rho_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, rho))
+
+        # nodal convection acceleration: (u.grad)q is pointwise, so the
+        # unweighted lumped projection is used (the r-weighted lumped mass
+        # degenerates at axis nodes); the radius enters only when the
+        # acceleration is integrated into the momentum weak form.
+        def conv_nodal(field):
+            return h1.convection_apply(tab, field, u) / (
+                Ml[:, None] if field.ndim > 1 else Ml
+            )
+
+        # nodal accelerations: -(u.grad)u + geometric sources
+        N_now = -conv_nodal(u)
+        if self.swirl:
+            # centrifugal rho u_t^2 / r -> r-momentum (as acceleration)
+            N_now = N_now.at[:, 0].add(ut * ut / r_nodal
+                                       * (tab.xyz[:, 0] > 0.0))
+        if self.body_force is not None:
+            N_now = N_now + self.body_force(tab.xyz) / rho[:, None]
+        N_ext = ab[0] * N_now + ab[1] * N_hist[0] + ab[2] * N_hist[1]
+
+        hist = -(bd[1] * u + bd[2] * u_hist[0] + bd[3] * u_hist[1]) / dt
+
+        gradp = grad_r(p)
+        rhs = h1.mass_apply(
+            tab, rho[:, None] * (hist + N_ext) - gradp, coef=rq
+        )
+
+        # Helmholtz with the extra r-weighted (v, mu u / r^2) -> (v, mu u / r)
+        # term on u_r (and u_theta); quad points are strictly interior so
+        # r_q > 0 even in axis elements
+        mu_over_r = mu_q / rq
+
+        def helm(v, extra):
+            out = ((bd[0] / dt) * h1.mass_apply(tab, rho[:, None] * v, coef=rq)
+                   + h1.diffusion_apply(tab, v, mu_q * rq))
+            if extra:
+                out = out + h1.mass_apply(tab, v, coef=mu_over_r)
+            return out
+
+        diag_base = ((bd[0] / dt) * h1.mass_lumped_diag(tab, rho_q * rq)
+                     + h1.stiffness_diag(tab, mu_q * rq))
+        diag_extra = h1.mass_lumped_diag(tab, mu_over_r)
+
+        ubc = ubc_vals
+        masks = self.vel_mask_c
+        u_star_cols = []
+        for d in range(2):
+            extra = d == 0
+            mask = masks[:, d]
+            lift = helm((ubc[:, d] * (1.0 - mask))[:, None], extra)[:, 0]
+            rhs_d = (rhs[:, d] - lift) * mask
+            diag = (diag_base + (diag_extra if extra else 0.0))
+            diag = diag * mask + (1.0 - mask)
+            sol = h1.cg_solve(
+                lambda v, e=extra: helm(v[:, None], e)[:, 0],
+                rhs_d, x0=u[:, d] * mask, diag=diag, dirichlet_mask=mask,
+                tol=self.cg_tol, maxiter=self.cg_maxiter,
+            )
+            u_star_cols.append(sol * mask + ubc[:, d] * (1.0 - mask))
+        u_star = jnp.stack(u_star_cols, axis=-1)
+
+        # pressure correction: (grad v, (1/rho) grad phi) r =
+        #   (bd0/dt) [ (grad v, u*) r + (v, Qt) r ]
+        b = (bd[0] / dt) * (
+            h1.weak_divergence(tab, u_star, coef=rq)
+            + h1.mass_apply(tab, qt, coef=rq)
+        )
+        if self._ortho:
+            b = b - jnp.mean(b)
+        inv_rho_q = rq / rho_q
+
+        def lap(v):
+            return h1.diffusion_apply(tab, v, inv_rho_q)
+
+        pdiag = h1.stiffness_diag(tab, inv_rho_q)
+        phi = h1.cg_solve(lap, b, x0=jnp.zeros_like(p), diag=pdiag,
+                          tol=self.cg_tol, maxiter=self.cg_maxiter)
+        if self._ortho:
+            phi = phi - jnp.mean(phi)
+
+        if getattr(self, "_debug_no_projection", False):
+            phi = jnp.zeros_like(p)
+        gphi = grad_r(phi)
+        u_new = u_star - (dt / bd[0]) * gphi / rho[:, None]
+        u_new = u_new * masks + ubc * (1.0 - masks)
+        p_new = p + phi
+
+        # ---- swirl transport ----
+        if self.swirl:
+            Nt_now = (-conv_nodal(ut)
+                      - u[:, 0] * ut / r_nodal * (tab.xyz[:, 0] > 0.0))
+            Nt_ext = ab[0] * Nt_now + ab[1] * Nt_hist[0] + ab[2] * Nt_hist[1]
+            hist_t = -(bd[1] * ut + bd[2] * ut_hist[0]
+                       + bd[3] * ut_hist[1]) / dt
+            rhs_t = h1.mass_apply(tab, rho * (hist_t + Nt_ext), coef=rq)
+            smask = self.swirl_mask
+            sbc = self.swirl_bc_values
+            lift = helm((sbc * (1.0 - smask))[:, None], True)[:, 0]
+            rhs_t = (rhs_t - lift) * smask
+            diag_t = (diag_base + diag_extra) * smask + (1.0 - smask)
+            ut_new = h1.cg_solve(
+                lambda v: helm(v[:, None], True)[:, 0],
+                rhs_t, x0=ut * smask, diag=diag_t, dirichlet_mask=smask,
+                tol=self.cg_tol, maxiter=self.cg_maxiter,
+            )
+            ut_new = ut_new * smask + sbc * (1.0 - smask)
+        else:
+            Nt_now = jnp.zeros_like(ut)
+            ut_new = ut
+
+        return (u_new, p_new, ut_new,
+                (u, u_hist[0], u_hist[1]),
+                (N_now, N_hist[0], N_hist[1]),
+                (ut, ut_hist[0], ut_hist[1]),
+                (Nt_now, Nt_hist[0], Nt_hist[1]))

@@ -338,7 +338,16 @@ class LoMachSolver(Solver):
 
         # flow model factory
         flow_model = inp.get("loMach/flow-solver", "tomboulides")
-        if flow_model == "tomboulides":
+        if flow_model == "tomboulides" and inp.get("loMach/axisymmetric", 0):
+            from .axisym import TomboulidesAxisym
+
+            self.flow = TomboulidesAxisym(
+                self.tab, self.thermo, vel_bcs=tuple(vel_bcs),
+                swirl=bool(inp.get("loMach/swirl", 0)),
+                sponge=self.sponge,
+                cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            )
+        elif flow_model == "tomboulides":
             self.flow = Tomboulides(
                 self.tab, self.thermo, vel_bcs=tuple(vel_bcs),
                 sponge=self.sponge,
