@@ -76,3 +76,31 @@ def test_couette_swirl():
     # meridional flow stays negligible
     u = np.asarray(flow.velocity())
     assert np.abs(u).max() < 0.05 * np.abs(ut_exact).max()
+
+
+def test_axisym_thermo_heat_conduction():
+    """Axisymmetric heat conduction with a centerline source: the thermo
+    r-weighted operators keep T finite and the axis hottest."""
+    from tps_tpu.solvers.lomach.base import ZeroFlow
+    from tps_tpu.solvers.lomach.thermo_chem import (
+        CaloricallyPerfectThermoChem,
+        TemperatureDirichlet,
+    )
+
+    mesh = box_2d(10, 3, x1=1.0, y1=0.5, periodic_y=True)
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+    r = np.asarray(tab.xyz[:, 0])
+    thermo = CaloricallyPerfectThermoChem(
+        tab, flow=ZeroFlow(tab), constant_mu=1e-3, Pr=0.7,
+        temp_bcs=[TemperatureDirichlet(attrs=(2,), value=300.0)],
+        weight_q=tab.xyz_q[..., 0],
+        heat_source=lambda xyz: 1e5 * jnp.exp(-(xyz[:, 0] / 0.2) ** 2),
+    )
+    for i in range(30):
+        thermo.step(TemporalCoefficients.bdf(min(i + 1, 2)), 5e-2)
+    T = np.asarray(thermo.T)
+    assert np.isfinite(T).all()
+    axis_T = T[r < 1e-10].mean()
+    wall_T = T[r > 1.0 - 1e-10].mean()
+    assert axis_T > wall_T + 1.0  # centerline heated
+    assert abs(wall_T - 300.0) < 1e-10  # Dirichlet held

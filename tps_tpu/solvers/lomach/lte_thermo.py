@@ -20,10 +20,12 @@ from .base import TemporalCoefficients, ThermoChemBase
 class LteThermoChem(ThermoChemBase):
     def __init__(self, tab, flow=None, rho_table=None, cp_table=None,
                  mu_table=None, kappa_table=None, sigma_table=None,
-                 radiation=None, temp_bcs=(), T_init=300.0,
+                 radiation=None, temp_bcs=(), weight_q=None, T_init=300.0,
                  cg_tol=1e-10, cg_maxiter=500):
         self.tab = tab
         self.flow = flow
+        # optional quad-point volume weight (radius for axisymmetric runs)
+        self.weight_q = weight_q
         self.rho_table = rho_table
         self.cp_table = cp_table
         self.mu_table = mu_table
@@ -107,17 +109,22 @@ class LteThermoChem(ThermoChemBase):
         src = qj
         if self.radiation is not None:
             src = src + self.radiation.energy_sink(T)
-        rhs = h1.mass_apply(tab, rho_cp * (hist - adv) + src)
+        wq = self.weight_q
+        kq = kappa if wq is None else (
+            jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, kappa)) * wq
+        )
+        rhs = h1.mass_apply(tab, rho_cp * (hist - adv) + src, coef=wq)
 
         mask = self.T_mask
         Tbc = self.T_bc
 
         def helm(v):
-            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v) + \
-                h1.diffusion_apply(tab, v, kappa)
+            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq) + \
+                h1.diffusion_apply(tab, v, kq)
 
-        diag = (bd[0] / dt) * h1.mass_lumped_diag(tab, rho_cp) + \
-            h1.stiffness_diag(tab, kappa)
+        diag = (bd[0] / dt) * jnp.abs(
+            h1.mass_lumped_diag(tab, rho_cp if wq is None else wq)
+        ) + h1.stiffness_diag(tab, kq)
         rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
         diag = diag * mask + (1.0 - mask)
         T_new = h1.cg_solve(helm, rhs, x0=T * mask, diag=diag,

@@ -59,7 +59,7 @@ def _build_lomach_mesh(inp):
     return mesh
 
 
-def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter):
+def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter, weight_q=None):
     """LTE table thermo-chem from loMach/ltethermo/table-file
     (reference: src/lte_thermo_chem.cpp:83-145, dataset T_mu_kap_sig_R_Cp)."""
     import h5py
@@ -93,6 +93,7 @@ def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter):
         sigma_table=LinearTable(x=T, f=sig),
         radiation=radiation,
         temp_bcs=tuple(temp_bcs),
+        weight_q=weight_q,
         T_init=inp.get("initialConditions/temperature", 300.0),
         cg_tol=inp.get("loMach/ltethermo/linear-solver-rtol", cg_tol),
         cg_maxiter=inp.get("loMach/ltethermo/linear-solver-max-iter",
@@ -300,6 +301,8 @@ class LoMachSolver(Solver):
             )
 
         # thermo-chem model factory (reference: src/loMach.cpp:148-208)
+        axisym = bool(inp.get("loMach/axisymmetric", 0))
+        weight_q = self.tab.xyz_q[..., 0] if axisym else None
         tc_model = inp.get("loMach/thermo-solver", "constant-property")
         if tc_model in ("calorically-perfect", "calorically_perfect"):
             self.thermo = CaloricallyPerfectThermoChem(
@@ -318,12 +321,13 @@ class LoMachSolver(Solver):
                 Pr=inp.get("loMach/calperfect/Prandtl", 0.71),
                 temp_bcs=tuple(temp_bcs),
                 T_init=inp.get("loMach/calperfect/ic/temperature", 300.0),
-                sponge=self.sponge,
+                sponge=self.sponge, weight_q=weight_q,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             )
         elif tc_model == "lte-thermo-chem":
             self.thermo = _build_lte_thermo(
-                inp, self.tab, temp_bcs, cg_tol, cg_maxiter
+                inp, self.tab, temp_bcs, cg_tol, cg_maxiter,
+                weight_q=weight_q,
             )
         elif tc_model == "reacting-flow":
             self.thermo = _build_reacting_flow(

@@ -31,10 +31,14 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
                  p_thermo=101325.0, closed_system=False,
                  mu0=1.68e-5, sutherland_T0=273.0, sutherland_S0=110.4,
                  Pr=0.71, constant_mu=None, temp_bcs=(), heat_source=None,
-                 sponge=None, T_init=300.0, cg_tol=1e-10, cg_maxiter=1000):
+                 sponge=None, weight_q=None, T_init=300.0, cg_tol=1e-10,
+                 cg_maxiter=1000):
         self.tab = tab
         self.flow = flow
         self.sponge = sponge
+        # optional quadrature-point volume weight (radius for axisymmetric
+        # runs; reference loMach/axisymmetric thermo path)
+        self.weight_q = weight_q
         self.R = gas_constant
         self.gamma = gamma
         self.cp = gamma * gas_constant / (gamma - 1.0)
@@ -129,21 +133,27 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         rho_cp = rho * self.cp
         hist = -(bd[1] * T + bd[2] * T_hist[0] + bd[3] * T_hist[1]) / dt
 
+        wq = self.weight_q  # None (planar) or radius at quad points (axisym)
+        kq = kappa if wq is None else (
+            jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, kappa)) * wq
+        )
+
         # explicit advection at time n: nodal u.grad(T), mass-weighted by rho cp
         adv = h1.convection_apply(tab, T, vel) / h1.mass_lumped_diag(tab)
-        rhs = h1.mass_apply(tab, rho_cp * (hist - adv))
+        rhs = h1.mass_apply(tab, rho_cp * (hist - adv), coef=wq)
         if self.heat_source is not None:
-            rhs = rhs + h1.mass_apply(tab, self.heat_source(tab.xyz))
+            rhs = rhs + h1.mass_apply(tab, self.heat_source(tab.xyz), coef=wq)
 
         mask = self.T_mask
         Tbc = self.T_bc_values
 
         def helm(v):
-            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v) + \
-                h1.diffusion_apply(tab, v, kappa)
+            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq) + \
+                h1.diffusion_apply(tab, v, kq)
 
-        diag = (bd[0] / dt) * h1.mass_lumped_diag(tab, rho_cp) + \
-            h1.stiffness_diag(tab, kappa)
+        diag = (bd[0] / dt) * jnp.abs(
+            h1.mass_lumped_diag(tab, rho_cp if wq is None else wq)
+        ) + h1.stiffness_diag(tab, kq)
         rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
         diag_c = diag * mask + (1.0 - mask)
         T_new = h1.cg_solve(helm, rhs, x0=T * mask, diag=diag_c,
