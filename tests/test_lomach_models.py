@@ -78,3 +78,38 @@ def test_lte_thermo_joule_heating():
     for i in range(10):
         lte2.step(TemporalCoefficients.bdf(min(i + 1, 2)), dt)
     assert np.asarray(lte2.T).mean() < T1.mean()
+
+
+def test_supg_damps_advective_oscillations():
+    """Streamwise SUPG stabilization reduces under/overshoots of a sharp
+    temperature front advected at high cell Peclet number (reference:
+    loMach/calperfect/streamwise-stabilization)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.solvers.lomach.thermo_chem import CaloricallyPerfectThermoChem
+
+    mesh = box_2d(24, 2, x1=1.0, y1=0.1, periodic_x=True, periodic_y=True)
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+
+    class _Flow:
+        def velocity(self):
+            return jnp.stack(
+                [jnp.ones(tab.ndofs), jnp.zeros(tab.ndofs)], axis=-1
+            )
+
+    def run(sw):
+        th = CaloricallyPerfectThermoChem(
+            tab, flow=_Flow(), constant_mu=1e-6, Pr=0.7, sw_stab=sw,
+        )
+        x = np.asarray(tab.xyz[:, 0])
+        T0 = 300.0 + 100.0 * (np.tanh((0.3 - np.abs(x - 0.35)) / 0.03) * 0.5 + 0.5)
+        th.set_temperature(jnp.asarray(T0))
+        for i in range(40):
+            th.step(TemporalCoefficients.bdf(min(i + 1, 2)), 5e-3)
+        T = np.asarray(th.T)
+        return max(T.max() - 400.0, 0.0) + max(300.0 - T.min(), 0.0)
+
+    osc_plain = run(False)
+    osc_supg = run(True)
+    assert np.isfinite(osc_supg)
+    assert osc_supg < 0.6 * osc_plain, (osc_plain, osc_supg)

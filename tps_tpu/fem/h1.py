@@ -372,3 +372,23 @@ def cg_solve(apply_fn, b, x0=None, diag=None, dirichlet_mask=None, tol=1e-10,
         M = None
     x, _ = jax.scipy.sparse.linalg.cg(A, b, x0=x0, tol=tol, maxiter=maxiter, M=M)
     return x
+
+
+def diffusion_apply_tensor(tab, u, Kq):
+    """(grad v, K grad u) with a matrix coefficient K [ne, nq, dim, dim]
+    at quadrature points (SUPG streamwise diffusion etc.)."""
+    uu, squeeze = _promote(u)
+    gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, uu))
+    # A[m,l] = adjJ[m,:] K adjJ[l,:]^T / detJ
+    A = jnp.einsum("nqmd,nqde,nqle->nqml", tab.adjJ, Kq, tab.adjJ) \
+        / tab.detJ[..., None, None]
+    Ag = jnp.einsum("nqml,nqlk->nqmk", A, gq)
+    re = jnp.einsum("qdm,nqmk->ndk", tab.Gvol,
+                    tab.wq[None, :, None, None] * Ag)
+    out = scatter_add(tab, re)
+    return out[:, 0] if squeeze else out
+
+
+def grid_scale_q(tab, order=1):
+    """Element grid scale at quadrature points: detJ^(1/dim) / order."""
+    return tab.detJ ** (1.0 / tab.dim) / max(order, 1)

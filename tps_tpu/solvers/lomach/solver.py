@@ -322,6 +322,11 @@ class LoMachSolver(Solver):
                 temp_bcs=tuple(temp_bcs),
                 T_init=inp.get("loMach/calperfect/ic/temperature", 300.0),
                 sponge=self.sponge, weight_q=weight_q,
+                sw_stab=bool(
+                    inp.get("loMach/calperfect/streamwise-stabilization", 0)
+                ),
+                reh_factor=inp.get("loMach/calperfect/Reh_factor", 0.5),
+                reh_offset=inp.get("loMach/calperfect/Reh_offset", 1.0),
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             )
         elif tc_model == "lte-thermo-chem":

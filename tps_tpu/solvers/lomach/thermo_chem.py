@@ -31,7 +31,8 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
                  p_thermo=101325.0, closed_system=False,
                  mu0=1.68e-5, sutherland_T0=273.0, sutherland_S0=110.4,
                  Pr=0.71, constant_mu=None, temp_bcs=(), heat_source=None,
-                 sponge=None, weight_q=None, T_init=300.0, cg_tol=1e-10,
+                 sponge=None, weight_q=None, sw_stab=False, reh_factor=0.5,
+                 reh_offset=1.0, T_init=300.0, cg_tol=1e-10,
                  cg_maxiter=1000):
         self.tab = tab
         self.flow = flow
@@ -39,6 +40,12 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         # optional quadrature-point volume weight (radius for axisymmetric
         # runs; reference loMach/axisymmetric thermo path)
         self.weight_q = weight_q
+        # SUPG streamwise stabilization (reference:
+        # loMach/calperfect/streamwise-stabilization, utils.cpp
+        # streamwiseTensor/csupgFactor; defaults Reh_factor 0.5, offset 1)
+        self.sw_stab = sw_stab
+        self.reh_factor = reh_factor
+        self.reh_offset = reh_offset
         self.R = gas_constant
         self.gamma = gamma
         self.cp = gamma * gas_constant / (gamma - 1.0)
@@ -147,9 +154,37 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         mask = self.T_mask
         Tbc = self.T_bc_values
 
+        if self.sw_stab:
+            # SUPG: anisotropic streamwise diffusion
+            # K = rho Csupg(Reh) h |u| (u u^T / |u|^2),
+            # Reh = rho h |u| / mu, Csupg = f (tanh(Reh) + offset)
+            uq = jnp.einsum("qd,ndi->nqi", tab.Bvol, h1.gather(tab, vel))
+            umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))
+            rho_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, rho))
+            mu_q = jnp.einsum(
+                "qd,nd->nq", tab.Bvol, h1.gather(tab, self.viscosity())
+            )
+            h_q = h1.grid_scale_q(tab, getattr(tab, "order", 1))
+            Reh = rho_q * h_q * umag / jnp.maximum(mu_q, 1e-300)
+            csupg = self.reh_factor * (jnp.tanh(Reh) + self.reh_offset)
+            # cp factor makes the streamwise addition act as a conductivity
+            # in the rho*cp-scaled temperature equation
+            coef = rho_q * self.cp * csupg * h_q * umag
+            if wq is not None:
+                coef = coef * wq
+            udir = uq / jnp.maximum(umag, 1e-8)[..., None]
+            K_supg = coef[..., None, None] * (
+                udir[..., :, None] * udir[..., None, :]
+            )
+        else:
+            K_supg = None
+
         def helm(v):
-            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq) + \
+            out = (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq) + \
                 h1.diffusion_apply(tab, v, kq)
+            if K_supg is not None:
+                out = out + h1.diffusion_apply_tensor(tab, v, K_supg)
+            return out
 
         diag = (bd[0] / dt) * jnp.abs(
             h1.mass_lumped_diag(tab, rho_cp if wq is None else wq)
