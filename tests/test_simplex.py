@@ -1,0 +1,171 @@
+"""Simplex (triangle/tetrahedron) DG support: KD nodal basis, symmetric
+face quadrature, full RHS pipeline (the reference supports MFEM tri/tet
+meshes throughout; e.g. the cyl3d tet cases)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tps_tpu.dg.bc import WallBC
+from tps_tpu.dg.discretization import build_tables
+from tps_tpu.dg.fluxes import Fluxes
+from tps_tpu.dg.rhs import BCSlice, RHSContext, compute_rhs
+from tps_tpu.dg.riemann import Rusanov
+from tps_tpu.mesh.generators import box_2d_tri, box_3d_tet
+from tps_tpu.mesh.reference_element import ReferenceElement
+from tps_tpu.physics.gas import DryAir
+from tps_tpu.time.integrators import rk4
+from tps_tpu.utils.cases import isentropic_vortex, uniform_state
+
+
+def test_simplex_basis_exactness():
+    """Nodal cardinality, partition of unity, exact linear reproduction."""
+    for geom, p in (("tri", 2), ("tet", 2), ("tri", 3)):
+        ref = ReferenceElement(geom=geom, order=p, basis="gauss-legendre")
+        B = ref.eval_basis(ref.nodes)
+        assert np.abs(B - np.eye(ref.ndof)).max() < 1e-12
+        rng = np.random.RandomState(0)
+        bary = rng.dirichlet(np.ones(ref.dim + 1), size=20)
+        pts = bary[:, 1:]
+        B = ref.eval_basis(pts)
+        G = ref.eval_basis_grad(pts)
+        assert np.abs(B.sum(1) - 1).max() < 1e-12
+        c = np.arange(1, ref.dim + 1, dtype=float)
+        f = ref.nodes @ c
+        assert np.abs(B @ f - pts @ c).max() < 1e-12
+        assert np.abs(G.transpose(0, 2, 1) @ f - c).max() < 1e-12
+
+
+def test_tet_freestream_preservation():
+    """Constant state on a periodic tet box: residual at roundoff."""
+    mesh = box_3d_tet(3, 3, 3, periodic=(True, True, True))
+    tab = build_tables(mesh, order=1).to_jax(jnp.float64)
+    mix = DryAir(dim=3, nvel=3)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
+    U = mix.conservatives(
+        uniform_state(tab.xyz_dof, mix, 1.2, (30.0, 10.0, -5.0), 300.0)
+    )
+    y, aux = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab, U)
+    scale = float(jnp.abs(U).max()) * float(aux["max_char_speed"])
+    assert float(jnp.abs(y).max()) / scale < 1e-12
+
+
+def test_tet_quiescent_walls():
+    mesh = box_3d_tet(2, 2, 2)
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    mix = DryAir(dim=3, nvel=3)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    bcs = (BCSlice(WallBC(kind="slip"), 0, tab.nfb),)
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl), bcs=bcs)
+    U = mix.conservatives(
+        uniform_state(tab.xyz_dof, mix, 1.2, (0.0, 0.0, 0.0), 300.0)
+    )
+    y, _ = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab, U)
+    assert float(jnp.abs(y).max()) / float(jnp.abs(U).max()) < 1e-11
+
+
+def test_tri_vortex_convergence_and_conservation():
+    """Isentropic vortex on periodic triangle meshes: mass conservative and
+    converging at the expected order (p=2 -> ~3rd order)."""
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+
+    def run(n):
+        mesh = box_2d_tri(n, n, x1=10.0, y1=10.0, periodic_x=True,
+                          periodic_y=True)
+        tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+        fl = Fluxes(mixture=mix, eq_system="euler")
+        ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
+        U = mix.conservatives(isentropic_vortex(tab.xyz_dof, 0.0, mix))
+
+        @jax.jit
+        def step(u, t, dt):
+            u2, aux = rk4(lambda uu, tt: compute_rhs(ctx, tab, uu, tt),
+                          u, t, dt)
+            return u2, aux["max_char_speed"]
+
+        w = tab.wq[None, :] * tab.detJ
+        rq0 = jnp.einsum("qd,nd->nq", tab.Bvol, U[..., 0])
+        m0 = float(jnp.sum(w * rq0))
+        t, dt = 0.0, 0.005
+        for _ in range(100):
+            U, mcs = step(U, t, dt)
+            t += dt
+        rq1 = jnp.einsum("qd,nd->nq", tab.Bvol, U[..., 0])
+        assert abs(float(jnp.sum(w * rq1)) - m0) / abs(m0) < 1e-12
+        Uex = mix.conservatives(isentropic_vortex(tab.xyz_dof, t, mix))
+        rq = jnp.einsum("qd,nd->nq", tab.Bvol, (U - Uex)[..., 0])
+        return float(jnp.sqrt(jnp.sum(w * rq * rq)))
+
+    e1, e2 = run(8), run(16)
+    order = np.log(e1 / e2) / np.log(2.0)
+    # solution superconvergence to p+1 is weaker on diagonal-split triangle
+    # meshes; the residual-order test below carries the operator-accuracy
+    # burden (order ~p, at parity with quads)
+    assert order > 2.0, (e1, e2, order)
+
+
+def test_tri_rhs_residual_order_matches_quads():
+    """The spatial DG residual converges at ~order p on triangles, with the
+    same rate and comparable constants as the quad discretization."""
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.utils.mms import rhs_error
+
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    exact = lambda xyz, t: isentropic_vortex(xyz, t, mix)
+
+    def errs(gen):
+        out = []
+        for n in (8, 16):
+            mesh = gen(n, n, x1=10.0, y1=10.0, periodic_x=True,
+                       periodic_y=True)
+            tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+            fl = Fluxes(mixture=mix, eq_system="euler")
+            ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
+            e, _ = rhs_error(ctx, tab, exact)
+            out.append(float(e))
+        return out
+
+    eq = errs(box_2d)
+    et = errs(box_2d_tri)
+    o_tri = np.log(et[0] / et[1]) / np.log(2.0)
+    assert o_tri > 1.6, (et, o_tri)
+    assert et[1] < 1.5 * eq[1]  # constants comparable to quads
+
+
+def test_mfem_reader_tri(tmp_path):
+    """MFEM v1.0 triangle mesh roundtrips through the reader."""
+    from tps_tpu.mesh.mfem_reader import read_mfem_mesh
+
+    txt = """MFEM mesh v1.0
+
+dimension
+2
+
+elements
+2
+1 2 0 1 2
+1 2 0 2 3
+
+boundary
+4
+1 1 0 1
+2 1 1 2
+3 1 2 3
+4 1 3 0
+
+vertices
+4
+2
+0 0
+1 0
+1 1
+0 1
+"""
+    p = tmp_path / "tri.mesh"
+    p.write_text(txt)
+    m = read_mfem_mesh(str(p))
+    assert m.geom == "tri" and m.num_elements == 2
+    tab = build_tables(m, order=2)
+    assert (tab.detJ > 0).all()
+    assert abs(float(np.einsum("q,nq->", tab.wq, tab.detJ)) - 1.0) < 1e-12

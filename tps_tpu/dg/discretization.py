@@ -493,22 +493,26 @@ def build_tables(
         face_quad_order = 2 * order + 1
 
     # ---- volume quadrature on the reference element ----
-    nq1d = vol_quad_order // 2 + 1
-    xq1, wq1 = gauss_legendre_1d(nq1d)
-    grids = np.meshgrid(*([xq1] * dim), indexing="ij")
-    vol_pts = np.stack([g.ravel(order="F") for g in grids], axis=-1)
-    wgrids = np.meshgrid(*([wq1] * dim), indexing="ij")
-    wq = np.ones(vol_pts.shape[0])
-    for g in wgrids:
-        wq = wq * g.ravel(order="F")
+    vol_pts, wq = ref.volume_quadrature(vol_quad_order)
     nq = vol_pts.shape[0]
 
     Bvol = ref.eval_basis(vol_pts)  # [nq, ndof]
     Gvol = ref.eval_basis_grad(vol_pts)  # [nq, ndof, dim]
 
     # ---- geometry: Jacobians at volume quad points ----
-    elem_verts = mesh.vertices[mesh.elements]  # [ne, nverts, dim]
-    dN = ref.eval_geom_basis_grad(vol_pts)  # [nq, nverts, dim]
+    # geometry evaluators: straight (vertex bi/tri-linear) or curved
+    # (isoparametric Lagrange nodes on the element)
+    if mesh.curved_nodes is not None:
+        gref = ReferenceElement(geom=mesh.geom, order=mesh.curved_order,
+                                basis="gauss-lobatto")
+        elem_verts = mesh.curved_nodes  # [ne, ngeo, dim]
+        geo_eval = gref.eval_basis
+        geo_grad = gref.eval_basis_grad
+    else:
+        elem_verts = mesh.vertices[mesh.elements]  # [ne, nverts, dim]
+        geo_eval = ref.eval_geom_basis
+        geo_grad = ref.eval_geom_basis_grad
+    dN = geo_grad(vol_pts)  # [nq, ngeo, dim]
     # J[n, q, i, j] = d x_i / d xi_j
     J = np.einsum("nvi,qvj->nqij", elem_verts, dN)
     detJ = np.linalg.det(J)
@@ -518,16 +522,9 @@ def build_tables(
     adjJ = detJ[..., None, None] * Jinv
 
     # ---- mass matrices (higher quadrature to cover geometry weight) ----
-    mq1d = (2 * order + dim) // 2 + 1
-    xm1, wm1 = gauss_legendre_1d(mq1d)
-    mgrids = np.meshgrid(*([xm1] * dim), indexing="ij")
-    m_pts = np.stack([g.ravel(order="F") for g in mgrids], axis=-1)
-    wmgrids = np.meshgrid(*([wm1] * dim), indexing="ij")
-    wm = np.ones(m_pts.shape[0])
-    for g in wmgrids:
-        wm = wm * g.ravel(order="F")
+    m_pts, wm = ref.volume_quadrature(2 * order + dim)
     Bm = ref.eval_basis(m_pts)
-    dNm = ref.eval_geom_basis_grad(m_pts)
+    dNm = geo_grad(m_pts)
     Jm = np.einsum("nvi,qvj->nqij", elem_verts, dNm)
     detJm = np.linalg.det(Jm)
     # M[n,i,j] = sum_q w_q B[q,i] B[q,j] detJ[n,q]
@@ -535,22 +532,22 @@ def build_tables(
     Minv = np.linalg.inv(M)
     Minv_rad = None
     if axisymmetric:
-        Nm = ref.eval_geom_basis(m_pts)
+        Nm = geo_eval(m_pts)
         rm = np.einsum("qv,nv->nq", Nm, elem_verts[..., 0])
         M_rad = np.einsum("q,qi,qj,nq,nq->nij", wm, Bm, Bm, detJm, rm)
         Minv_rad = np.linalg.inv(M_rad)
 
     # ---- dof coordinates & element size ----
-    Ndof = ref.eval_geom_basis(ref.nodes)  # [ndof, nverts]
+    Ndof = geo_eval(ref.nodes)  # [ndof, ngeo]
     xyz_dof = np.einsum("dv,nvi->ndi", Ndof, elem_verts)
     center = np.full((1, dim), 0.5)
-    dNc = ref.eval_geom_basis_grad(center)[0]  # [nverts, dim]
+    dNc = geo_grad(center)[0]  # [ngeo, dim]
     Jc = np.einsum("nvi,vj->nij", elem_verts, dNc)
     svals = np.linalg.svd(Jc, compute_uv=False)  # [ne, dim] descending
     delta = svals[:, -1] / max(order, 1)
 
     # ---- trace operator ----
-    fq_pts, fq_w = _face_quad_1d(face_quad_order // 2 + 1, dim)
+    fq_pts, fq_w = ref.face_quadrature(face_quad_order)
     nqf = fq_pts.shape[0]
     Btr = np.zeros((nlf * nqf, ndof))
     face_ref = np.zeros((nlf, nqf, dim))
@@ -560,7 +557,7 @@ def build_tables(
         Btr[lf * nqf : (lf + 1) * nqf] = ref.eval_basis(rc)
 
     # physical coords of face quad points for every (elem, local face)
-    Ngf = np.stack([ref.eval_geom_basis(face_ref[lf]) for lf in range(nlf)])  # [nlf,nqf,nverts]
+    Ngf = np.stack([geo_eval(face_ref[lf]) for lf in range(nlf)])  # [nlf,nqf,ngeo]
     # [ne, nlf, nqf, dim]
     fq_xyz_all = np.einsum("lqv,nvi->nlqi", Ngf, elem_verts)
 
@@ -569,7 +566,7 @@ def build_tables(
     nor_all = np.zeros((ne, nlf, nqf, dim))
     for lf in range(nlf):
         tang_ref = ref.face_ref_tangents(lf, fq_pts)  # [nqf, dim, dim-1]
-        dNf = ref.eval_geom_basis_grad(face_ref[lf])  # [nqf, nverts, dim]
+        dNf = geo_grad(face_ref[lf])  # [nqf, ngeo, dim]
         Jf = np.einsum("nvi,qvj->nqij", elem_verts, dNf)  # [ne,nqf,dim,dim]
         # physical tangents: Jf @ tang_ref
         tph = np.einsum("nqij,qjk->nqik", Jf, tang_ref)  # [ne,nqf,dim,dim-1]
@@ -668,7 +665,7 @@ def build_tables(
     rad_vol = None
     rad_face = None
     if axisymmetric:
-        Nv = ref.eval_geom_basis(vol_pts)
+        Nv = geo_eval(vol_pts)
         rad_vol = np.einsum("qv,nv->nq", Nv, elem_verts[..., 0])
         rad_face = f_xyz[..., 0].copy()
 

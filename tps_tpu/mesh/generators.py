@@ -210,3 +210,75 @@ def beam_mesh(n_axis, n_cross, length=4.0, width=1.0, stretch=1.0,
             x_coords=xs, periodic_x=periodic_axis,
         )
     raise NotImplementedError("beam_mesh: 3-D variant pending")
+
+
+def box_2d_tri(nx, ny, x0=0.0, x1=1.0, y0=0.0, y1=1.0,
+               periodic_x=False, periodic_y=False):
+    """Triangle mesh of a rectangle (each quad split along its diagonal).
+    Boundary attributes match box_2d: 1=bottom, 2=right, 3=top, 4=left."""
+    q = box_2d(nx, ny, x0=x0, x1=x1, y0=y0, y1=y1,
+               periodic_x=periodic_x, periodic_y=periodic_y)
+    tris = []
+    for e in q.elements:
+        v0, v1, v2, v3 = (int(v) for v in e)
+        tris.append((v0, v1, v2))
+        tris.append((v0, v2, v3))
+    return Mesh(
+        dim=2, geom="tri", vertices=q.vertices,
+        elements=np.asarray(tris, dtype=np.int64),
+        bdr_faces=q.bdr_faces, bdr_attrs=q.bdr_attrs,
+        periodic_pairs=q.periodic_pairs,
+    )
+
+
+def box_3d_tet(nx, ny, nz, bounds=((0.0, 1.0), (0.0, 1.0), (0.0, 1.0)),
+               periodic=(False, False, False)):
+    """Tetrahedral mesh of a box (each hex split into 6 tets).
+    Boundary attributes match box_3d (1..6); boundary quads are split into
+    the matching triangle pairs."""
+    hx = box_3d(nx, ny, nz, bounds=bounds, periodic=periodic)
+    # 6-tet decomposition of the hex (v0..v7 MFEM ordering), all sharing the
+    # main diagonal v0-v6 so neighbor faces are conforming
+    TETS = [(0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+            (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6)]
+    tets = []
+    for e in hx.elements:
+        v = [int(x) for x in e]
+        for t in TETS:
+            tets.append(tuple(v[i] for i in t))
+    tets = np.asarray(tets, dtype=np.int64)
+    # fix orientation: positive volume
+    ev = hx.vertices[tets]
+    vol = np.einsum(
+        "ni,ni->n",
+        np.cross(ev[:, 1] - ev[:, 0], ev[:, 2] - ev[:, 0]),
+        ev[:, 3] - ev[:, 0],
+    )
+    flip = vol < 0
+    tets[flip] = tets[flip][:, [0, 2, 1, 3]]
+
+    # split boundary quads into triangles consistent with the tet faces:
+    # collect all boundary tet faces and match to quads by vertex subset
+    bdr_tris = []
+    bdr_attrs = []
+    for f, a in zip(hx.bdr_faces, hx.bdr_attrs):
+        q = [int(v) for v in f]
+        # any diagonal that exists in the tet decomposition; both diagonals
+        # are tried and matched against faces present on the surface
+        bdr_tris.append((q[0], q[1], q[2]))
+        bdr_tris.append((q[0], q[2], q[3]))
+        bdr_attrs.extend([int(a), int(a)])
+    # periodic pairs: rebuild indices for the split faces (pair i of quads
+    # becomes pairs (2i, 2i') and (2i+1, 2i'+1))
+    pp = []
+    for (ia, ib, shift) in hx.periodic_pairs:
+        pp.append((2 * ia, 2 * ib, shift))
+        pp.append((2 * ia + 1, 2 * ib + 1, shift))
+    mesh = Mesh(
+        dim=3, geom="tet", vertices=hx.vertices,
+        elements=tets,
+        bdr_faces=np.asarray(bdr_tris, dtype=np.int64),
+        bdr_attrs=np.asarray(bdr_attrs, dtype=np.int64),
+        periodic_pairs=pp,
+    )
+    return mesh

@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .reference_element import HEX_FACES, QUAD_FACES
+from .reference_element import HEX_FACES, QUAD_FACES, TET_FACES, TRI_FACES
 
 
 @dataclass
@@ -44,8 +44,11 @@ class Mesh:
     # periodic identification: list of (bdr_face_idx_a, bdr_face_idx_b, shift)
     # where shift maps side-a coordinates onto side-b coordinates.
     periodic_pairs: list = field(default_factory=list)
-    # optional high-order geometry nodes (curved meshes); None = straight
+    # optional high-order geometry nodes (curved/isoparametric meshes):
+    # [ne, ngeo, dim] at the order-`curved_order` Gauss-Lobatto tensor nodes
+    # (x-fastest); None = straight-sided elements from the vertices
     curved_nodes: np.ndarray | None = None
+    curved_order: int = 1
     # per-element integer attributes (regions; MFEM/Gmsh physical tags)
     elem_attrs: np.ndarray | None = None
     # structured-topology hint from the generators: elements form a C-order
@@ -68,7 +71,8 @@ class Mesh:
 
     @property
     def local_faces(self) -> list[tuple[int, ...]]:
-        return QUAD_FACES if self.geom == "quad" else HEX_FACES
+        return {"quad": QUAD_FACES, "hex": HEX_FACES,
+                "tri": TRI_FACES, "tet": TET_FACES}[self.geom]
 
     def element_vertices(self, e: int) -> np.ndarray:
         return self.vertices[self.elements[e]]
@@ -152,6 +156,35 @@ class Mesh:
             bdr_lf=_ai(bdr_lf),
             bdr_attr=_ai(bdr_attr),
         )
+
+    # ------------------------------------------------------------------
+    def curved(self, mapping, order: int = 2) -> "Mesh":
+        """Return an isoparametrically curved copy: physical coordinates are
+        mapping(x) evaluated at each element's order-`order` Gauss-Lobatto
+        geometry nodes (the role of MFEM's nodes-based curved meshes).
+
+        `mapping` takes [n, dim] straight coordinates -> [n, dim] curved."""
+        from .reference_element import ReferenceElement
+
+        gref = ReferenceElement(geom=self.geom, order=order,
+                                basis="gauss-lobatto")
+        ev = self.vertices[self.elements]  # [ne, nverts, dim]
+        lin = ReferenceElement(geom=self.geom, order=1, basis="gauss-lobatto")
+        N = lin.eval_geom_basis(gref.nodes)  # [ngeo, nverts]
+        straight = np.einsum("gv,nvi->ngi", N, ev)  # [ne, ngeo, dim]
+        curved = np.asarray(
+            mapping(straight.reshape(-1, self.dim))
+        ).reshape(straight.shape)
+        # vertices themselves also move so face matching keys stay exact
+        new_verts = np.asarray(mapping(self.vertices))
+        out = Mesh(
+            dim=self.dim, geom=self.geom, vertices=new_verts,
+            elements=self.elements, bdr_faces=self.bdr_faces,
+            bdr_attrs=self.bdr_attrs, periodic_pairs=self.periodic_pairs,
+            curved_nodes=curved, curved_order=order,
+            elem_attrs=self.elem_attrs,
+        )
+        return out
 
     # ------------------------------------------------------------------
     def scaled(self, factor: float) -> "Mesh":

@@ -1,6 +1,6 @@
 """Readers for MFEM `.mesh` (v1.0 text) and Gmsh `.msh` (v2.2 ASCII) files.
 
-Covers the straight-sided quad/hex subset used by this framework (the
+Covers straight-sided quad/hex/tri/tet elements (the
 reference consumes arbitrary MFEM/Gmsh meshes through the MFEM library;
 simplex and curved support is tracked as a TODO in README).
 """
@@ -14,7 +14,7 @@ from .mesh import Mesh
 # MFEM geometry type codes
 _MFEM_GEOM = {
     1: ("segment", 2),
-    2: ("triangle", 3),
+    2: ("tri", 3),
     3: ("quad", 4),
     4: ("tet", 4),
     5: ("hex", 8),
@@ -53,10 +53,10 @@ def read_mfem_mesh(path: str) -> Mesh:
         gname, nverts = _MFEM_GEOM[geom]
         geom_seen.add(gname)
         elems.append([int(v) for v in parts[2 : 2 + nverts]])
-    if geom_seen - {"quad", "hex"}:
+    if geom_seen - {"quad", "hex", "tri", "tet"}:
         raise NotImplementedError(
-            f"{path}: element types {sorted(geom_seen)} not yet supported "
-            "(quad/hex only)"
+            f"{path}: element types {sorted(geom_seen)} not supported "
+            "(quad/hex/tri/tet)"
         )
     if len(geom_seen) != 1:
         raise NotImplementedError(f"{path}: mixed element types")
@@ -110,8 +110,10 @@ def read_mfem_mesh(path: str) -> Mesh:
 
 
 # Gmsh element type codes -> (geom, nverts)
-_GMSH_ELEM = {3: ("quad", 4), 5: ("hex", 8), 1: ("segment", 2), 2: ("triangle", 3)}
-_GMSH_BDR_FOR = {"quad": "segment", "hex": "quad"}
+_GMSH_ELEM = {3: ("quad", 4), 5: ("hex", 8), 1: ("segment", 2),
+              2: ("tri", 3), 4: ("tet", 4)}
+_GMSH_BDR_FOR = {"quad": "segment", "hex": "quad", "tri": "segment",
+                 "tet": "tri"}
 
 
 def read_gmsh_mesh(path: str) -> Mesh:

@@ -147,13 +147,17 @@ HEX_FACES = [
 class ReferenceElement:
     """Tensor-product nodal reference element of a given order."""
 
-    geom: str  # "quad" | "hex"
+    geom: str  # "quad" | "hex" | "tri" | "tet"
     order: int
-    basis: str  # "gauss-legendre" | "gauss-lobatto" node placement
+    basis: str  # node placement (tensor elements); simplices: equispaced
+
+    @property
+    def is_simplex(self) -> bool:
+        return self.geom in ("tri", "tet")
 
     @property
     def dim(self) -> int:
-        return 2 if self.geom == "quad" else 3
+        return 2 if self.geom in ("quad", "tri") else 3
 
     @property
     def n1d(self) -> int:
@@ -161,23 +165,29 @@ class ReferenceElement:
 
     @property
     def ndof(self) -> int:
+        if self.geom == "tri":
+            return (self.order + 1) * (self.order + 2) // 2
+        if self.geom == "tet":
+            return (self.order + 1) * (self.order + 2) * (self.order + 3) // 6
         return self.n1d**self.dim
 
     @property
     def nverts(self) -> int:
-        return 4 if self.geom == "quad" else 8
+        return {"quad": 4, "hex": 8, "tri": 3, "tet": 4}[self.geom]
 
     @property
     def nfaces(self) -> int:
-        return 4 if self.geom == "quad" else 6
+        return {"quad": 4, "hex": 6, "tri": 3, "tet": 4}[self.geom]
 
     @property
     def vertices(self) -> np.ndarray:
-        return QUAD_VERTS if self.geom == "quad" else HEX_VERTS
+        return {"quad": QUAD_VERTS, "hex": HEX_VERTS,
+                "tri": TRI_VERTS, "tet": TET_VERTS}[self.geom]
 
     @property
     def face_vertices(self) -> list[tuple[int, ...]]:
-        return QUAD_FACES if self.geom == "quad" else HEX_FACES
+        return {"quad": QUAD_FACES, "hex": HEX_FACES,
+                "tri": TRI_FACES, "tet": TET_FACES}[self.geom]
 
     @functools.cached_property
     def nodes_1d(self) -> np.ndarray:
@@ -194,7 +204,15 @@ class ReferenceElement:
     @functools.cached_property
     def nodes(self) -> np.ndarray:
         """Reference coords of nodal dofs, shape [ndof, dim] (x fastest)."""
+        if self.is_simplex:
+            return simplex_nodes(self.order, self.dim)
         return self._tensor_points(self.nodes_1d)
+
+    @functools.cached_property
+    def _vinv(self) -> np.ndarray:
+        """Inverse generalized Vandermonde (simplex nodal basis)."""
+        V, _ = simplex_basis(self.nodes, self.order, self.dim)
+        return np.linalg.inv(V)
 
     def _tensor_points(self, pts1d: np.ndarray) -> np.ndarray:
         """Tensor grid of 1-D points, x-fastest lexicographic ordering."""
@@ -210,6 +228,9 @@ class ReferenceElement:
     def eval_basis(self, points: np.ndarray) -> np.ndarray:
         """B[nq, ndof]: nodal basis values at reference points [nq, dim]."""
         points = np.atleast_2d(points)
+        if self.is_simplex:
+            V, _ = simplex_basis(points, self.order, self.dim)
+            return V @ self._vinv
         B1 = [lagrange_eval(self.nodes_1d, points[:, k]) for k in range(self.dim)]
         return _tensor_combine(B1)
 
@@ -217,6 +238,9 @@ class ReferenceElement:
         """G[nq, ndof, dim]: reference-space gradients at points."""
         points = np.atleast_2d(points)
         nq = points.shape[0]
+        if self.is_simplex:
+            _, dV = simplex_basis(points, self.order, self.dim)
+            return np.einsum("qmk,mn->qnk", dV, self._vinv)
         B = [lagrange_eval(self.nodes_1d, points[:, k]) for k in range(self.dim)]
         D = [lagrange_deriv(self.nodes_1d, points[:, k]) for k in range(self.dim)]
         G = np.zeros((nq, self.ndof, self.dim))
@@ -225,13 +249,49 @@ class ReferenceElement:
             G[:, :, k] = _tensor_combine(factors)
         return G
 
+    # -- quadrature ----------------------------------------------------------
+
+    def volume_quadrature(self, quad_order: int):
+        """(pts [nq, dim], wts [nq]) exact to the given polynomial degree."""
+        n1d = quad_order // 2 + 1
+        if self.is_simplex:
+            return duffy_quadrature(n1d, self.dim)
+        x, w = gauss_legendre_1d(n1d)
+        grids = np.meshgrid(*([x] * self.dim), indexing="ij")
+        pts = np.stack([g.ravel(order="F") for g in grids], axis=-1)
+        wts = np.ones(pts.shape[0])
+        for g in np.meshgrid(*([w] * self.dim), indexing="ij"):
+            wts = wts * g.ravel(order="F")
+        return pts, wts
+
+    def face_quadrature(self, quad_order: int):
+        """(tpoints [nqf, dim-1], wts [nqf]) on the face parameter domain."""
+        n1d = quad_order // 2 + 1
+        if self.geom == "tet":
+            # symmetric rule: both sides of a shared triangular face must
+            # produce the same physical point set for qperm matching
+            return symmetric_tri_quadrature(quad_order)
+        x, w = gauss_legendre_1d(n1d)
+        if self.dim == 2:
+            return x[:, None], w
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        W = np.outer(w, w)
+        pts = np.stack([X.ravel(order="F"), Y.ravel(order="F")], axis=-1)
+        return pts, W.ravel(order="F")
+
     # -- geometry mapping basis (bi/tri-linear from vertices) --------------
 
     def eval_geom_basis(self, points: np.ndarray) -> np.ndarray:
-        """N[nq, nverts]: bi/tri-linear vertex shape functions at points."""
+        """N[nq, nverts]: vertex shape functions at points (bi/tri-linear
+        for tensor elements, barycentric for simplices)."""
         points = np.atleast_2d(points)
         x = points[:, 0]
         y = points[:, 1]
+        if self.geom == "tri":
+            return np.stack([1 - x - y, x, y], axis=-1)
+        if self.geom == "tet":
+            z = points[:, 2]
+            return np.stack([1 - x - y - z, x, y, z], axis=-1)
         if self.dim == 2:
             return np.stack(
                 [(1 - x) * (1 - y), x * (1 - y), x * y, (1 - x) * y], axis=-1
@@ -257,6 +317,19 @@ class ReferenceElement:
         x = points[:, 0]
         y = points[:, 1]
         nq = points.shape[0]
+        if self.geom == "tri":
+            dN = np.broadcast_to(
+                np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]]),
+                (nq, 3, 2),
+            ).copy()
+            return dN
+        if self.geom == "tet":
+            dN = np.broadcast_to(
+                np.array([[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0],
+                          [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]),
+                (nq, 4, 3),
+            ).copy()
+            return dN
         if self.dim == 2:
             dN = np.zeros((nq, 4, 2))
             dN[:, :, 0] = np.stack([-(1 - y), (1 - y), y, -y], axis=-1)
@@ -291,6 +364,9 @@ class ReferenceElement:
             return (1 - t)[:, None] * verts[0] + t[:, None] * verts[1]
         u = tpoints[:, 0]
         v = tpoints[:, 1]
+        if self.geom == "tet":  # triangular face, barycentric parameters
+            return ((1 - u - v)[:, None] * verts[0]
+                    + u[:, None] * verts[1] + v[:, None] * verts[2])
         N = np.stack([(1 - u) * (1 - v), u * (1 - v), u * v, (1 - u) * v], axis=-1)
         return N @ verts
 
@@ -305,8 +381,230 @@ class ReferenceElement:
             return np.broadcast_to(tang, (nq, 2, 1)).copy()
         u = tpoints[:, 0]
         v = tpoints[:, 1]
+        if self.geom == "tet":
+            nq2 = tpoints.shape[0]
+            du = np.broadcast_to(verts[1] - verts[0], (nq2, 3)).copy()
+            dv = np.broadcast_to(verts[2] - verts[0], (nq2, 3)).copy()
+            return np.stack([du, dv], axis=-1)
         dNdu = np.stack([-(1 - v), (1 - v), v, -v], axis=-1)
         dNdv = np.stack([-(1 - u), -u, u, (1 - u)], axis=-1)
         du = dNdu @ verts  # [nq, 3]
         dv = dNdv @ verts
         return np.stack([du, dv], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Simplex reference elements (triangle / tetrahedron)
+#
+# Nodal basis built from the Koornwinder-Dubiner orthogonal basis through a
+# generalized Vandermonde matrix (Hesthaven & Warburton, "Nodal DG Methods",
+# ch. 3/6 formulas); quadrature from Duffy-collapsed Gauss-Legendre tensor
+# rules.  Unit simplex convention: tri (0,0)-(1,0)-(0,1);
+# tet (0,0,0)-(1,0,0)-(0,1,0)-(0,0,1).
+# --------------------------------------------------------------------------
+
+TRI_VERTS = np.array([[0, 0], [1, 0], [0, 1]], dtype=np.float64)
+TRI_FACES = [(0, 1), (1, 2), (2, 0)]
+TET_VERTS = np.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float64
+)
+TET_FACES = [(0, 2, 1), (0, 1, 3), (1, 2, 3), (0, 3, 2)]
+
+
+def jacobi_p(x, alpha, beta, n):
+    """Orthonormal Jacobi polynomial P_n^{a,b} on [-1,1] (H&W JacobiP)."""
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        x = x.astype(np.float64)
+    PL = np.zeros((n + 1,) + x.shape, dtype=x.dtype)
+    gamma0 = (2.0 ** (alpha + beta + 1) / (alpha + beta + 1.0)
+              * _gamma(alpha + 1) * _gamma(beta + 1) / _gamma(alpha + beta + 1))
+    PL[0] = 1.0 / np.sqrt(gamma0)
+    if n == 0:
+        return PL[0]
+    gamma1 = (alpha + 1.0) * (beta + 1.0) / (alpha + beta + 3.0) * gamma0
+    PL[1] = ((alpha + beta + 2.0) * x / 2.0 + (alpha - beta) / 2.0) / np.sqrt(gamma1)
+    if n == 1:
+        return PL[1]
+    aold = (2.0 / (2.0 + alpha + beta)
+            * np.sqrt((alpha + 1.0) * (beta + 1.0) / (alpha + beta + 3.0)))
+    for i in range(1, n):
+        h1v = 2.0 * i + alpha + beta
+        anew = (2.0 / (h1v + 2.0)
+                * np.sqrt((i + 1.0) * (i + 1.0 + alpha + beta)
+                          * (i + 1.0 + alpha) * (i + 1.0 + beta)
+                          / (h1v + 1.0) / (h1v + 3.0)))
+        bnew = -(alpha**2 - beta**2) / h1v / (h1v + 2.0)
+        PL[i + 1] = ((-aold * PL[i - 1] + (x - bnew) * PL[i]) / anew)
+        aold = anew
+    return PL[n]
+
+
+def _gamma(z):
+    from math import gamma
+
+    return gamma(z)
+
+
+def grad_jacobi_p(x, alpha, beta, n):
+    """d/dx of the orthonormal Jacobi polynomial."""
+    if n == 0:
+        return np.zeros_like(np.asarray(x, dtype=np.float64))
+    return np.sqrt(n * (n + alpha + beta + 1.0)) * jacobi_p(
+        x, alpha + 1.0, beta + 1.0, n - 1
+    )
+
+
+def _tri_ab(r, s):
+    """Collapsed coordinates on the (-1,1) triangle (H&W rstoab)."""
+    denom = 1.0 - s
+    safe = np.abs(denom) > 1e-12
+    a = np.where(safe, 2.0 * (1.0 + r) / np.where(safe, denom, 1.0) - 1.0, -1.0)
+    return a, s
+
+
+def tri_basis_values(points, p):
+    """KD orthonormal basis values on the UNIT triangle [nq, ndof]."""
+    pts = np.atleast_2d(points)
+    r = 2.0 * pts[:, 0] - 1.0
+    s = 2.0 * pts[:, 1] - 1.0
+    a, b = _tri_ab(r, s)
+    nd = (p + 1) * (p + 2) // 2
+    V = np.zeros((pts.shape[0], nd), dtype=pts.dtype)
+    k = 0
+    for i in range(p + 1):
+        for j in range(p + 1 - i):
+            fa = jacobi_p(a, 0.0, 0.0, i)
+            gb = jacobi_p(b, 2.0 * i + 1.0, 0.0, j)
+            V[:, k] = np.sqrt(2.0) * fa * gb * (0.5 * (1.0 - b)) ** i
+            k += 1
+    return V
+
+
+def tet_basis_values(points, p):
+    """KD orthonormal basis values on the UNIT tetrahedron [nq, ndof]."""
+    pts = np.atleast_2d(points)
+    r = 2.0 * pts[:, 0] - 1.0
+    s = 2.0 * pts[:, 1] - 1.0
+    t = 2.0 * pts[:, 2] - 1.0
+    denom1 = -(s + t)
+    safe1 = np.abs(denom1) > 1e-12
+    a = np.where(safe1, 2.0 * (1.0 + r) / np.where(safe1, denom1, 1.0) - 1.0,
+                 -1.0)
+    denom2 = 1.0 - t
+    safe2 = np.abs(denom2) > 1e-12
+    b = np.where(safe2, 2.0 * (1.0 + s) / np.where(safe2, denom2, 1.0) - 1.0,
+                 -1.0)
+    c = t
+    nd = (p + 1) * (p + 2) * (p + 3) // 6
+    V = np.zeros((pts.shape[0], nd), dtype=pts.dtype)
+    k = 0
+    for i in range(p + 1):
+        for j in range(p + 1 - i):
+            for m in range(p + 1 - i - j):
+                fa = jacobi_p(a, 0.0, 0.0, i)
+                gb = jacobi_p(b, 2.0 * i + 1.0, 0.0, j)
+                hc = jacobi_p(c, 2.0 * (i + j) + 2.0, 0.0, m)
+                V[:, k] = (2.0 * np.sqrt(2.0) * fa * gb * hc
+                           * (0.5 * (1.0 - b)) ** i
+                           * (0.5 * (1.0 - c)) ** (i + j))
+                k += 1
+    return V
+
+
+def simplex_basis(points, p, dim):
+    """(V, dV) of the KD basis at interior points; exact gradients by
+    complex-step differentiation (the basis is polynomial; evaluation
+    points — quadrature nodes — never hit the collapsed-edge guards)."""
+    fn = tri_basis_values if dim == 2 else tet_basis_values
+    pts = np.atleast_2d(points).astype(np.complex128)
+    V = np.real(fn(pts, p))
+    h = 1e-30
+    dV = []
+    for d in range(dim):
+        pc = pts.copy()
+        pc[:, d] = pc[:, d] + 1j * h
+        dV.append(np.imag(fn(pc, p)) / h)
+    return V, np.stack(dV, axis=-1)
+
+
+def simplex_nodes(p, dim):
+    """Equispaced barycentric nodes on the unit simplex (vertex-inclusive)."""
+    out = []
+    if dim == 2:
+        for j in range(p + 1):
+            for i in range(p + 1 - j):
+                out.append((i / max(p, 1), j / max(p, 1)))
+    else:
+        for k in range(p + 1):
+            for j in range(p + 1 - k):
+                for i in range(p + 1 - j - k):
+                    out.append((i / max(p, 1), j / max(p, 1), k / max(p, 1)))
+    return np.asarray(out, dtype=np.float64)
+
+
+def duffy_quadrature(n1d, dim):
+    """Collapsed Gauss-Legendre quadrature on the unit simplex."""
+    x, w = gauss_legendre_1d(n1d)
+    if dim == 1:
+        return x[:, None], w
+    if dim == 2:
+        XI, ETA = np.meshgrid(x, x, indexing="ij")
+        WI, WE = np.meshgrid(w, w, indexing="ij")
+        pts = np.stack([(XI * (1 - ETA)).ravel(), ETA.ravel()], axis=-1)
+        wts = (WI * WE * (1 - ETA)).ravel()
+        return pts, wts
+    XI, ETA, ZE = np.meshgrid(x, x, x, indexing="ij")
+    WI, WE, WZ = np.meshgrid(w, w, w, indexing="ij")
+    xx = XI * (1 - ETA) * (1 - ZE)
+    yy = ETA * (1 - ZE)
+    pts = np.stack([xx.ravel(), yy.ravel(), ZE.ravel()], axis=-1)
+    wts = (WI * WE * WZ * (1 - ETA) * (1 - ZE) ** 2).ravel()
+    return pts, wts
+
+
+def symmetric_tri_quadrature(degree):
+    """Symmetric (Dunavant) quadrature on the UNIT triangle, invariant under
+    all vertex permutations — required for face-point matching between the
+    two sides of a shared triangular face.  Weights sum to the area 1/2."""
+    orbits = {
+        1: [((1 / 3, 1 / 3, 1 / 3), 1.0)],
+        2: [((2 / 3, 1 / 6, 1 / 6), 1 / 3)],
+        4: [((0.108103018168070, 0.445948490915965, 0.445948490915965),
+             0.223381589678011),
+            ((0.816847572980459, 0.091576213509771, 0.091576213509771),
+             0.109951743655322)],
+        5: [((1 / 3, 1 / 3, 1 / 3), 0.225),
+            ((0.059715871789770, 0.470142064105115, 0.470142064105115),
+             0.132394152788506),
+            ((0.797426985353087, 0.101286507323456, 0.101286507323456),
+             0.125939180544827)],
+        7: [((1 / 3, 1 / 3, 1 / 3), -0.149570044467670),
+            ((0.479308067841923, 0.260345966079038, 0.260345966079038),
+             0.175615257433204),
+            ((0.869739794195568, 0.065130102902216, 0.065130102902216),
+             0.053347235608839),
+            ((0.638444188569809, 0.312865496004875, 0.048690315425316),
+             0.077113760890257)],
+    }
+    for d in sorted(orbits):
+        if d >= degree:
+            rule = orbits[d]
+            break
+    else:
+        raise NotImplementedError(f"triangle quadrature degree {degree}")
+    pts, wts = [], []
+    seen = set()
+    for (bary, w) in rule:
+        import itertools
+
+        for perm in set(itertools.permutations(bary)):
+            key = tuple(np.round(perm, 14))
+            if key in seen:
+                continue
+            seen.add(key)
+            pts.append((perm[1], perm[2]))  # barycentric -> (x, y)
+            wts.append(w)
+    pts = np.asarray(pts, dtype=np.float64)
+    wts = np.asarray(wts, dtype=np.float64)
+    return pts, wts * (0.5 / wts.sum())
