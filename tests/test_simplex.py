@@ -169,3 +169,45 @@ vertices
     tab = build_tables(m, order=2)
     assert (tab.detJ > 0).all()
     assert abs(float(np.einsum("q,nq->", tab.wq, tab.detJ)) - 1.0) < 1e-12
+
+
+def test_curved_mesh_geometry_and_freestream():
+    """Isoparametric curved quads: exact area under a quadratic map and
+    freestream preservation at roundoff (the quadrature degrees cover the
+    curved-metric polynomial identities)."""
+    from tps_tpu.mesh.generators import box_2d
+
+    def warp(x):
+        out = np.array(x, copy=True)
+        out[:, 0] = x[:, 0] + 0.1 * x[:, 0] * (1.0 - x[:, 0])
+        out[:, 1] = x[:, 1] + 0.05 * x[:, 1] * (1.0 - x[:, 1])
+        return out
+
+    mesh = box_2d(6, 6).curved(warp, order=2)
+    assert mesh.curved_nodes is not None
+    tab = build_tables(mesh, order=2)
+    assert (tab.detJ > 0).all()
+    area = float(np.einsum("q,nq->", tab.wq, tab.detJ))
+    assert abs(area - 1.0) < 1e-12  # the map is area-preserving in total
+
+    # periodic curved mesh: warp only the interior so periodic faces match
+    def warp_p(x):
+        out = np.array(x, copy=True)
+        bump = np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+        out[:, 0] = x[:, 0] + 0.05 * bump
+        out[:, 1] = x[:, 1] - 0.04 * bump
+        return out
+
+    mesh2 = box_2d(6, 6, x1=1.0, y1=1.0, periodic_x=True,
+                   periodic_y=True).curved(warp_p, order=2)
+    tab2 = build_tables(mesh2, order=2, vol_quad_order=8,
+                        face_quad_order=9).to_jax(jnp.float64)
+    mix = DryAir(dim=2, nvel=2)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
+    U = mix.conservatives(
+        uniform_state(tab2.xyz_dof, mix, 1.2, (25.0, -10.0), 300.0)
+    )
+    y, aux = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab2, U)
+    scale = float(jnp.abs(U).max()) * float(aux["max_char_speed"])
+    assert float(jnp.abs(y).max()) / scale < 1e-11
