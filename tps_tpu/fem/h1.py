@@ -86,14 +86,7 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
     if quad_order is None:
         quad_order = 2 * order + 2
 
-    nq1d = quad_order // 2 + 1
-    xq1, wq1 = gauss_legendre_1d(nq1d)
-    grids = np.meshgrid(*([xq1] * dim), indexing="ij")
-    pts = np.stack([g.ravel(order="F") for g in grids], axis=-1)
-    wgrids = np.meshgrid(*([wq1] * dim), indexing="ij")
-    wq = np.ones(pts.shape[0])
-    for g in wgrids:
-        wq = wq * g.ravel(order="F")
+    pts, wq = ref.volume_quadrature(quad_order)
 
     Bvol = ref.eval_basis(pts)
     Gvol = ref.eval_basis_grad(pts)
