@@ -80,3 +80,83 @@ def test_cycle_avg_joule_coupling():
     assert E1 > E0
     qj = np.asarray(coupled.flow.get_joule_heating())
     assert qj.max() > 0 and np.isfinite(qj).all()
+
+
+def test_cycle_avg_joule_coupling_lomach(tmp_path):
+    """Coupled torch with the low-Mach LTE plasma solver
+    (cycle-avg-joule-coupled/plasma-solver = lomach, the reference's newer
+    production path): sigma from the LTE table drives the EM solve, the
+    power-controlled Joule heating returns to the thermo equation, and the
+    plasma column heats up."""
+    import h5py
+
+    # LTE property table: conducting above 6 kK
+    T = np.linspace(200.0, 20000.0, 199)
+    data = np.stack(
+        [T, 1.8e-5 * (T / 300.0) ** 0.7, 0.025 * (T / 300.0) ** 0.8,
+         np.where(T > 6000.0, 50.0 * (T - 6000.0) / 14000.0, 0.0),
+         np.full_like(T, 287.0), np.full_like(T, 1004.0)], axis=1)
+    tf = tmp_path / "lte.h5"
+    with h5py.File(tf, "w") as f:
+        f["T_mu_kap_sig_R_Cp"] = data
+
+    ini = tmp_path / "torch.ini"
+    ini.write_text(f"""
+[solver]
+type = cycle-avg-joule-coupled
+[cycle-avg-joule-coupled]
+plasma-solver = lomach
+axisymmetric = 1
+solve-em-every-n = 2
+input-power = 100.0
+[mesh]
+generator = box2d
+nx = 6
+ny = 6
+x1 = 0.01
+y1 = 0.01
+periodic_y = 1
+[loMach]
+order = 1
+axisymmetric = 1
+flow-solver = zero-flow
+thermo-solver = lte-thermo-chem
+maxIters = 6
+[loMach/ltethermo]
+table-file = {tf}
+[initialConditions]
+temperature = 8000.0
+[time]
+dt_fixed = 1e-5
+[io]
+outdirBase = {tmp_path}/out
+""")
+    inp = IniInput.read(str(ini))
+    rc = parse_run_configuration(inp)
+    rc.max_iters = 6
+
+    em_mesh = box_2d(10, 10, x0=0.0, x1=0.03, y0=-0.01, y1=0.02)
+    cent = em_mesh.vertices[em_mesh.elements].mean(axis=1)
+    attrs = np.ones(em_mesh.num_elements, dtype=np.int64)
+    ring = (np.abs(cent[:, 0] - 0.018) < 0.004) & (np.abs(cent[:, 1] - 0.005) < 0.004)
+    attrs[ring] = 2
+    em_mesh.elem_attrs = attrs
+    inp.values["em/current_amplitude"] = "1e6"
+    inp.values["em/current_frequency"] = "1e5"
+
+    coupled = CycleAvgJouleCoupling(rc)
+    coupled._em_in = QuasiMagnetostaticSolverAxiSym(rc, mesh=em_mesh)
+    coupled._em_in.initialize()
+    coupled.initialize()
+    assert coupled.plasma_kind == "lomach"
+
+    T0 = float(np.asarray(coupled.flow.thermo.T).mean())
+    for _ in range(rc.max_iters):
+        coupled.solve_step()
+    T1 = np.asarray(coupled.flow.thermo.T)
+    assert np.isfinite(T1).all()
+    assert T1.mean() > T0  # Joule heating raised the plasma temperature
+    total = coupled.em.total_joule_heating()
+    assert abs(total - 100.0) / 100.0 < 1e-8  # power control on target
+    qj = np.asarray(coupled.flow.thermo.joule_heating)
+    assert qj.max() > 0 and np.isfinite(qj).all()

@@ -37,17 +37,41 @@ class CycleAvgJouleCoupling(Solver):
         self.fixed_conductivity = bool(
             inp.get("cycle-avg-joule-coupled/fixed-conductivity", 0)
         )
+        # oscillating target power (reference :66-71)
+        self.oscillating_power = bool(
+            inp.get("cycle-avg-joule-coupled/oscillating-power", 0)
+        )
+        self.power_amplitude = inp.get(
+            "cycle-avg-joule-coupled/input-power-amplitude", 0.0
+        )
+        self.power_period = inp.get(
+            "cycle-avg-joule-coupled/input-power-period", 1.0
+        )
 
-        # flow solver ("flow" registry entry on the flow mesh)
+        # plasma (flow) solver: compressible DG or low-Mach
+        # (reference: cycle-avg-joule-coupled/plasma-solver :58-85)
+        self.plasma_kind = inp.get(
+            "cycle-avg-joule-coupled/plasma-solver", "compressible"
+        )
         if self._flow_in is not None:
             self.flow = self._flow_in
+        elif self.plasma_kind == "lomach":
+            self.flow = create_solver("loMach", self.config, tps=self.tps)
+            self.flow.initialize()
         else:
             self.flow = create_solver("flow", self.config, tps=self.tps)
             self.flow.initialize()
+
+        axisym = bool(inp.get("cycle-avg-joule-coupled/axisymmetric", 1))
         if self._em_in is not None:
             self.em = self._em_in
-        else:
+        elif axisym:
             self.em = QuasiMagnetostaticSolverAxiSym(self.config, tps=self.tps)
+            self.em.initialize()
+        else:
+            from .em.qms3d import _Em3dFromConfig
+
+            self.em = _Em3dFromConfig(self.config, tps=self.tps)
             self.em.initialize()
 
         self._build_interpolators()
@@ -57,17 +81,35 @@ class CycleAvgJouleCoupling(Solver):
     def _build_interpolators(self):
         """Static cross-mesh interpolation tables (gslib analog;
         reference interpConductivityFromFlowToEM :185 etc.)."""
-        # flow (DG dofs) -> EM (H1 nodes)
-        em_pts = np.asarray(self.em.tab.xyz)
-        self.flow_to_em = FieldInterpolator.build(
-            self.flow.mesh, self.flow.config.order,
-            "gauss-legendre" if self.flow.config.basis_type == 0 else "gauss-lobatto",
-            em_pts,
-        )
-        # EM (H1) -> flow (DG dofs)
-        flow_pts = np.asarray(self.flow.tables_np.xyz_dof).reshape(-1, self.flow.mesh.dim)
+        em_tab = getattr(self.em, "h1tab", None) or self.em.tab
+        em_pts = np.asarray(em_tab.xyz)
+        self._em_h1tab = em_tab
+        if self.plasma_kind == "lomach":
+            # loMach: H1 nodal fields on the flow mesh
+            self.flow_to_em = FieldInterpolator.build(
+                self.flow.mesh, self.flow.tab.order, "gauss-lobatto", em_pts,
+            )
+            flow_pts = np.asarray(self.flow.tab.xyz)
+        else:
+            # compressible: DG dof fields
+            self.flow_to_em = FieldInterpolator.build(
+                self.flow.mesh, self.flow.config.order,
+                "gauss-legendre" if self.flow.config.basis_type == 0 else "gauss-lobatto",
+                em_pts,
+            )
+            flow_pts = np.asarray(self.flow.tables_np.xyz_dof).reshape(
+                -1, self.flow.mesh.dim
+            )
+        if em_pts.shape[1] != flow_pts.shape[1]:
+            # axisymmetric flow (r, z) against a 3-D EM mesh: interpolate on
+            # the (r, z) half-plane at y=0 / phi=0
+            flow_pts = np.concatenate(
+                [flow_pts, np.zeros((len(flow_pts), em_pts.shape[1]
+                                     - flow_pts.shape[1]))], axis=1
+            )
         self.em_to_flow = FieldInterpolator.build(
-            self.em.mesh, self.em.tab.order, "gauss-lobatto", flow_pts,
+            self.em.mesh, getattr(em_tab, "order", 1), "gauss-lobatto",
+            flow_pts,
         )
 
     @property
@@ -80,27 +122,56 @@ class CycleAvgJouleCoupling(Solver):
         if self.iter % self.solve_em_every_n == 0:
             # 1) sigma on flow mesh -> EM mesh
             if not self.fixed_conductivity or self.iter == 0:
-                sigma = self.flow.evaluate_plasma_conductivity()  # [ne, ndof]
-                sigma_em = self.flow_to_em.from_dg(sigma)
+                if self.plasma_kind == "lomach":
+                    sigma = self.flow.thermo.plasma_conductivity()  # nodal
+                    sigma_em = self.flow_to_em.from_h1(self.flow.tab, sigma)
+                else:
+                    sigma = self.flow.evaluate_plasma_conductivity()
+                    sigma_em = self.flow_to_em.from_dg(sigma)
                 self.em.set_plasma_conductivity(sigma_em)
             # 2) EM solve
             self.em.solve_step()
-            # 3) power control (reference :434-516)
+            # 3) power control (reference :434-516), with optional
+            #    sinusoidal modulation (oscillating-power)
             target = self.input_power
             if self.initial_input_power > 0 and self.iter == 0:
                 target = self.initial_input_power
+            if target > 0 and self.oscillating_power:
+                target = target * (1.0 + self.power_amplitude * np.sin(
+                    2.0 * np.pi * self.time / self.power_period
+                ))
             if target > 0:
                 total = self.em.total_joule_heating()
                 if total > 0:
                     self.em.scale_joule_heating(target / total)
-            # 4) Joule heating back to flow dofs
-            qj_flow = self.em_to_flow.from_h1(self.em.tab, self.em.joule_heating)
-            ne, ndof = self.flow.U.shape[:2]
-            self.flow.set_joule_heating(qj_flow.reshape(ne, ndof))
+            # 4) Joule heating back to the flow solver
+            qj_flow = self.em_to_flow.from_h1(
+                self._em_h1tab, self._em_joule_nodal()
+            )
+            if self.plasma_kind == "lomach":
+                self.flow.thermo.set_joule_heating(qj_flow)
+            else:
+                ne, ndof = self.flow.U.shape[:2]
+                self.flow.set_joule_heating(qj_flow.reshape(ne, ndof))
 
         self.flow.solve_step()
         self.iter = self.flow.iter
         self.time = self.flow.time
+
+    def _em_joule_nodal(self):
+        """Joule heating as an H1 nodal field on the EM mesh."""
+        if hasattr(self.em, "joule_heating"):
+            return self.em.joule_heating  # axisym solver: already nodal
+        # 3-D H(curl) solver: project the quad-point field onto H1 nodes
+        import jax.numpy as jnp
+
+        from ..fem import h1 as h1m
+
+        ht = self.em.h1tab
+        q = self.em.joule_heating_q()
+        w = ht.wq[None, :] * ht.detJ
+        re = jnp.einsum("qd,nq->nd", ht.Bvol, w * q)
+        return h1m.scatter_add(ht, re) / h1m.mass_lumped_diag(ht)
 
     def solve_end(self):
         self.flow.solve_end()
