@@ -587,6 +587,25 @@ class LoMachSolver(Solver):
             if "species" in g and hasattr(self.thermo, "Y"):
                 self.thermo.Y = jnp.asarray(np.asarray(g["species"]))
 
+    def visualization(self):
+        """ParaView VTK dump of the model fields (reference: loMach pvdc)."""
+        import os as _os
+
+        from ...io.visualization import write_vtk_h1
+
+        _os.makedirs(self.outdir, exist_ok=True)
+        fields = {"velocity": np.asarray(self.flow.velocity())}
+        if hasattr(self.flow, "p"):
+            fields["pressure"] = np.asarray(self.flow.p)
+        if hasattr(self.thermo, "T"):
+            fields["temperature"] = np.asarray(self.thermo.T)
+        nut = self.turb.eddy_viscosity()
+        if nut is not None:
+            fields["eddy_viscosity"] = np.asarray(nut)
+        path = _os.path.join(self.outdir, f"lomach_{self.iter:08d}.vtk")
+        write_vtk_h1(path, self.tab, self.mesh, fields)
+        return path
+
     def solve_end(self):
         self.write_restart()
 
