@@ -45,3 +45,21 @@ def test_argon_minimal_lifecycle():
         spread = U1[..., eq].max() - U1[..., eq].min()
         scale = max(abs(U1[..., eq]).max(), 1e-10 * abs(U1).max())
         assert spread < 1e-8 * scale, (eq, spread, scale)
+
+
+def test_saha_lte_species_init():
+    """restartFromLTE: Saha equilibrium ionization fraction has the right
+    limits and magnitude (argon at 1 atm: ~1e-4 at 10 kK, >1% at 16 kK)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.constants import AVOGADRO_NUMBER, ELECTRON_CHARGE
+    from tps_tpu.physics.perfect_mixture import saha_ionization_fraction
+
+    E_ion = 15.7596119 * ELECTRON_CHARGE * AVOGADRO_NUMBER  # J/mol
+    n_atm = 101325.0 / (8.3144598 * jnp.asarray([300.0, 10000.0, 16000.0]))
+    x = np.asarray(saha_ionization_fraction(
+        n_atm, jnp.asarray([300.0, 10000.0, 16000.0]), E_ion))
+    assert x[0] < 1e-30          # cold: neutral
+    assert 1e-6 < x[1] < 5e-2    # 10 kK: ~1% ionized
+    assert x[2] > 1e-2           # 16 kK: percent-level
+    assert x[2] > x[1] > x[0]    # monotone in T

@@ -403,3 +403,54 @@ class PerfectMixture:
         if self.two_temperature:
             out = out.at[..., self.i_te].set(Ue)
         return out
+
+
+def saha_ionization_fraction(n_total, T, ionization_energy_J_per_mol,
+                             g_ratio=6.0):
+    """Saha equilibrium ionization fraction x = n_e / n_nuclei for a single
+    positive ion species (the role of PerfectMixture::GetSpeciesFromLTE,
+    reference: src/equation_of_state.cpp:1910+, 'weakly ionized perfect
+    gas' assumptions).
+
+    n_total in mol/m^3 (nuclei), T in K; g_ratio = 2 g_ion / g_neutral
+    (argon: 2 * 6 / 1 -> ion ground multiplicity ~6 vs closed-shell 1).
+    """
+    import jax.numpy as jnp
+
+    from ..constants import (
+        AVOGADRO_NUMBER,
+        BOLTZMANN_CONSTANT,
+        ELECTRON_MASS,
+        PI,
+        PLANCK_CONSTANT,
+        UNIVERSAL_GAS_CONSTANT,
+    )
+
+    lam = PLANCK_CONSTANT / jnp.sqrt(
+        2.0 * PI * ELECTRON_MASS * BOLTZMANN_CONSTANT * T
+    )
+    # S = (g_ratio / lambda^3) exp(-E_ion / R T)  [1/m^3] -> molar
+    S = (g_ratio / lam**3) * jnp.exp(
+        -ionization_energy_J_per_mol / (UNIVERSAL_GAS_CONSTANT * T)
+    ) / AVOGADRO_NUMBER
+    # x^2 / (1 - x) = S / n  ->  x = (-s + sqrt(s^2 + 4 s)) / 2, s = S/n
+    s = S / jnp.maximum(n_total, 1e-300)
+    x = 0.5 * (-s + jnp.sqrt(s * s + 4.0 * s))
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def species_from_lte(mixture, rho, T):
+    """Primitive species number densities [.., n_active] at Saha equilibrium
+    for a ternary [ion, e, neutral] mixture at (rho, T)."""
+    import jax.numpy as jnp
+
+    mw = np.asarray(mixture.mw)
+    ib = mixture.i_background
+    n_nuc = rho / mw[ib]  # all nuclei counted as the background species
+    E_ion = mixture.formation_energy[0]  # ion formation energy [J/mol]
+    x = saha_ionization_fraction(n_nuc, T, E_ion)
+    n_ion = x * n_nuc
+    out = [n_ion]  # ion is active species 0
+    if not mixture.ambipolar and mixture.num_active_species > 1:
+        out.append(n_ion)  # explicit electron
+    return jnp.stack(out, axis=-1)

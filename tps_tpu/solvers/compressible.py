@@ -259,6 +259,8 @@ class CompressibleSolver(PlasmaSolver):
         self._init_io()
         if rc.enable_restart or rc.restart_cycle:
             self.read_restart()
+        if rc.raw is not None and rc.raw.get("io/restartFromLTE", 0):
+            self._init_species_from_lte()
 
         # statistics + history (reference: Averaging engine, history.hist)
         from ..io.averaging import Averaging, HistoryFile
@@ -544,6 +546,27 @@ class CompressibleSolver(PlasmaSolver):
     # ------------------------------------------------------------------
     def primitives(self):
         return self.mixture.primitives(self.U)
+
+    def _init_species_from_lte(self):
+        """Overwrite species with the Saha/LTE equilibrium at the local
+        (rho, T) (reference: io/restartFromLTE + GetSpeciesFromLTE)."""
+        import jax.numpy as jnp
+
+        from ..physics.perfect_mixture import species_from_lte
+
+        mix = self.mixture
+        if getattr(mix, "num_active_species", 0) == 0:
+            return
+        Up = mix.primitives(self.U)
+        rho = Up[..., 0]
+        T = Up[..., mix.i_th]
+        n_act = species_from_lte(mix, rho, T)
+        Up = Up.at[..., mix.nvel + 2 : mix.nvel + 2 + n_act.shape[-1]].set(
+            n_act
+        )
+        if mix.two_temperature:
+            Up = Up.at[..., mix.i_te].set(T)
+        self.U = mix.conservatives(Up).astype(self.dtype)
 
     def _init_io(self):
         from ..io.restart import RestartIO
