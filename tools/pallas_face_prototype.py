@@ -99,63 +99,81 @@ BtrT = jnp.asarray(tab.Btr.T, jnp.float32)  # [27, 54]
 # of the shifted element
 
 
-def kernel(btr_ref, nor_ref, wts_ref, uc, uym, uyp, uzm, uzp, out):
+def kernel(btr_ref, nor_ref, wts_ref, uc, uzm, uzp, out):
+    # slab tiles: block [1, ny, nx, NEQ, NDOF]; z neighbors from shifted
+    # refs, x/y neighbors via in-slab slice+concat rolls
     BtrT = btr_ref[...]
-    nx = uc.shape[2]
-    X2 = uc[0, 0].reshape(nx * NEQ, NDOF)
+    ny, nx = uc.shape[1], uc.shape[2]
+    X2 = uc[0].reshape(ny * nx * NEQ, NDOF)
 
     def face_tr(X2d, lf):
         cols = BtrT[:, lf * NQF:(lf + 1) * NQF]
         t = jnp.dot(X2d, cols, preferred_element_type=jnp.float32)
-        # leading-dim split + last-two transpose (both Mosaic-supported)
-        return jnp.transpose(t.reshape(nx, NEQ, NQF), (0, 2, 1))
+        return jnp.transpose(t.reshape(ny * nx, NEQ, NQF), (0, 2, 1))
 
-    refs = {(0, 1): uzm, (0, -1): uzp, (1, 1): uym, (1, -1): uyp}
-    acc = jnp.zeros((nx * NEQ, NDOF), jnp.float32)
+    def roll0(arr3, shift, period, stride):
+        # roll of the leading (ny*nx) dim by shift*stride with wraparound
+        # period*stride, via slice+concat (shift in {-1, +1})
+        k = stride if shift == 1 else (period - 1) * stride
+        # roll(x, s)[i] = x[i - s]: bring the last k rows to the front
+        flat = arr3.reshape(period * stride, -1)
+        rolled = jnp.concatenate([flat[-k:], flat[:-k]], axis=0)
+        return rolled.reshape(arr3.shape)
+
+    # shift s reads block k-s: +1 -> k-1 (uzm), -1 -> k+1 (uzp)
+    refs = {(0, 1): uzm, (0, -1): uzp}
+    acc = jnp.zeros((ny * nx * NEQ, NDOF), jnp.float32)
     for lf, (axis, shift, opp) in enumerate(per_lf):
-        o = face_tr(X2, lf)                      # [nx, nqf, neq]
-        if axis == 2:  # x direction: within-row roll via slice+concat
-            t_opp = face_tr(X2, opp)
+        o = face_tr(X2, lf)                      # [ny*nx, nqf, neq]
+        if axis == 2:  # x: roll within each row
+            t = face_tr(X2, opp).reshape(ny, nx, NQF, NEQ)
             if shift == 1:
-                b = jnp.concatenate([t_opp[-1:], t_opp[:-1]], axis=0)
+                t = jnp.concatenate([t[:, -1:], t[:, :-1]], axis=1)
             else:
-                b = jnp.concatenate([t_opp[1:], t_opp[:1]], axis=0)
+                t = jnp.concatenate([t[:, 1:], t[:, :1]], axis=1)
+            b = t.reshape(ny * nx, NQF, NEQ)
+        elif axis == 1:  # y: roll whole rows within the slab
+            t = face_tr(X2, opp).reshape(ny, nx, NQF, NEQ)
+            if shift == 1:
+                t = jnp.concatenate([t[-1:], t[:-1]], axis=0)
+            else:
+                t = jnp.concatenate([t[1:], t[:1]], axis=0)
+            b = t.reshape(ny * nx, NQF, NEQ)
         else:
-            Xn = refs[(axis, shift)][0, 0].reshape(nx * NEQ, NDOF)
+            Xn = refs[(axis, shift)][0].reshape(ny * nx * NEQ, NDOF)
             b = face_tr(Xn, opp)
-        n_f = nor_ref[lf]                        # [nqf, 3] static load
+        n_f = nor_ref[lf]
         w_f = wts_ref[lf]
-        f = rusanov(o, b, n_f[None])             # [nx, nqf, neq]
+        f = rusanov(o, b, n_f[None])
         fw = f * w_f[None, :, None]
-        fw2 = jnp.transpose(fw, (0, 2, 1)).reshape(nx * NEQ, NQF)
+        fw2 = jnp.transpose(fw, (0, 2, 1)).reshape(ny * nx * NEQ, NQF)
         acc = acc + jnp.dot(
             fw2, jnp.transpose(BtrT[:, lf * NQF:(lf + 1) * NQF]),
             preferred_element_type=jnp.float32,
         )
-    out[0, 0] = acc.reshape(nx, NEQ, NDOF)
+    out[0] = acc.reshape(ny, nx, NEQ, NDOF)
 
 
 def pallas_chain(Uk):
     nz, ny, nx = N, N, N
-    bs = (1, 1, nx, NEQ, NDOF)
+    bs = (1, ny, nx, NEQ, NDOF)
 
-    def mk(dz, dy):
-        return pl.BlockSpec(bs, lambda k, j, dz=dz, dy=dy:
-                            ((k + dz) % nz, (j + dy) % ny, 0, 0, 0),
+    def mk(dz):
+        return pl.BlockSpec(bs, lambda k, dz=dz: ((k + dz) % nz, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    full = lambda a: pl.BlockSpec(a.shape, lambda k, j: (0,) * a.ndim,
+    full = lambda a: pl.BlockSpec(a.shape, lambda k: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx, NEQ, NDOF), jnp.float32),
-        grid=(nz, ny),
+        grid=(nz,),
         in_specs=[full(BtrT), full(nor), full(wts),
-                  mk(0, 0), mk(0, -1), mk(0, 1), mk(-1, 0), mk(1, 0)],
-        out_specs=pl.BlockSpec(bs, lambda k, j: (k, j, 0, 0, 0),
+                  mk(0), mk(-1), mk(1)],
+        out_specs=pl.BlockSpec(bs, lambda k: (k, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=INTERPRET,
-    )(BtrT, nor, wts, Uk, Uk, Uk, Uk, Uk)
+    )(BtrT, nor, wts, Uk, Uk, Uk)
 
 
 pallas_jit = jax.jit(pallas_chain)
