@@ -150,3 +150,49 @@ def test_roll_topology_matches_gather():
     y_gath, aux_g = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab_nr, U)
     assert np.allclose(np.asarray(y_roll), np.asarray(y_gath), atol=1e-12)
     assert abs(float(aux_r["max_char_speed"]) - float(aux_g["max_char_speed"])) < 1e-12
+
+
+def test_roe_3d_consistency_and_vortex():
+    """3-D Roe flux: consistent (F(U,U,n) = F(U).n), conservative
+    (F(a,b,n) = -F(b,a,-n)), and runs the 3-D NS step."""
+    import jax
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.riemann import Roe
+    from tps_tpu.mesh.generators import box_3d
+    from tps_tpu.physics.transport import DryAirTransport
+
+    mix = DryAir(dim=3, nvel=3)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    roe = Roe(fl)
+    rng = np.random.RandomState(7)
+    n = 16
+    Up = np.zeros((n, 5))
+    Up[:, 0] = 1.0 + 0.3 * rng.rand(n)
+    Up[:, 1:4] = 50.0 * rng.randn(n, 3)
+    Up[:, 4] = 300.0 * (1 + 0.3 * rng.rand(n))
+    U1 = np.asarray(mix.conservatives(jnp.asarray(Up)))
+    Up[:, 1:4] += 20.0 * rng.randn(n, 3)
+    U2 = np.asarray(mix.conservatives(jnp.asarray(Up)))
+    nor = rng.randn(n, 3)
+
+    U1j, U2j, nj = map(jnp.asarray, (U1, U2, nor))
+    # consistency
+    f_same = np.asarray(roe(U1j, U1j, nj))
+    Fex = np.einsum("ned,nd->ne", np.asarray(fl.convective(U1j)), nor)
+    assert np.abs(f_same - Fex).max() / np.abs(Fex).max() < 1e-10
+    # conservativity
+    fab = np.asarray(roe(U1j, U2j, nj))
+    fba = np.asarray(roe(U2j, U1j, -nj))
+    assert np.abs(fab + fba).max() / np.abs(fab).max() < 1e-10
+
+    # one stable 3-D NS step with Roe
+    mesh = box_3d(4, 4, 4, periodic=(True, True, True))
+    tab = build_tables(mesh, order=1).to_jax(jnp.float64)
+    tr = DryAirTransport(mix.gas_constant, mix.specific_heat_ratio)
+    fl2 = Fluxes(mixture=mix, transport=tr, eq_system="navier-stokes")
+    ctx = RHSContext(fluxes=fl2, riemann=Roe(fl2))
+    U = mix.conservatives(uniform_state(tab.xyz_dof, mix, 1.2, (30.0, 5.0, -2.0), 300.0))
+    y, aux = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab, U)
+    assert float(jnp.abs(y).max()) / float(jnp.abs(U).max()) < 1e-11

@@ -34,16 +34,15 @@ class Rusanov:
 
 @dataclass(frozen=True)
 class Roe:
-    """Roe flux with entropy fix, 2-D single-species form as in the
-    reference (src/riemann_solver.cpp:117-206).  Species/passive equations
-    are upwinded with the contact speed."""
+    """Roe flux with entropy fix (reference: src/riemann_solver.cpp:117-206,
+    generalized to 2-D/3-D).  Species/passive equations are upwinded with
+    the contact speed."""
 
     fluxes: object
 
     def __call__(self, U1, U2, nor):
         mix = self.fluxes.mixture
         dim = mix.dim
-        assert dim == 2, "Roe flux currently 2-D (as in reference)"
         normag = jnp.linalg.norm(nor, axis=-1)
         n = nor / normag[..., None]
 
@@ -77,13 +76,13 @@ class Roe:
         drho = U2[..., 0] - U1[..., 0]
         # contact/shear wave contribution
         coef0 = drho - dP / a2
-        DF1 = jnp.stack(
+        DF1 = jnp.concatenate(
             [
-                coef0,
-                coef0 * vel[..., 0] + r * (dvel[..., 0] - n[..., 0] * dqk),
-                coef0 * vel[..., 1] + r * (dvel[..., 1] - n[..., 1] * dqk),
-                coef0 * 0.5 * jnp.sum(vel**2, axis=-1)
-                + r * (jnp.einsum("...d,...d->...", vel, dvel) - qk * dqk),
+                coef0[..., None],
+                coef0[..., None] * vel + r[..., None] * (dvel - n * dqk[..., None]),
+                (coef0 * 0.5 * jnp.sum(vel**2, axis=-1)
+                 + r * (jnp.einsum("...d,...d->...", vel, dvel) - qk * dqk)
+                 )[..., None],
             ],
             axis=-1,
         ) * jnp.abs(lamb0)[..., None]
@@ -91,23 +90,12 @@ class Roe:
         # acoustic waves
         alpha_p = 0.5 * (dP + r * a * dqk) / a2
         alpha_m = 0.5 * (dP - r * a * dqk) / a2
-        DFp = jnp.stack(
-            [
-                jnp.ones_like(a),
-                vel[..., 0] + n[..., 0] * a,
-                vel[..., 1] + n[..., 1] * a,
-                H + qk * a,
-            ],
-            axis=-1,
+        one = jnp.ones_like(a)[..., None]
+        DFp = jnp.concatenate(
+            [one, vel + n * a[..., None], (H + qk * a)[..., None]], axis=-1
         ) * (alpha_p * jnp.abs(lamb1))[..., None]
-        DFm = jnp.stack(
-            [
-                jnp.ones_like(a),
-                vel[..., 0] - n[..., 0] * a,
-                vel[..., 1] - n[..., 1] * a,
-                H - qk * a,
-            ],
-            axis=-1,
+        DFm = jnp.concatenate(
+            [one, vel - n * a[..., None], (H - qk * a)[..., None]], axis=-1
         ) * (alpha_m * jnp.abs(lamb2))[..., None]
 
         flux_ns = mean - 0.5 * (DF1 + DFp + DFm)
