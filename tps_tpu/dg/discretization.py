@@ -99,15 +99,12 @@ class DGTables:
     # index maps).  n_combo is static; Btr_or is [n_combo*nqf, ndof].
     n_combo: int = 0
     Btr_or: np.ndarray | None = None
-    f_combo_l: np.ndarray | None = None  # [nft] L trace, L ordering
     f_combo_r_inL: np.ndarray | None = None  # [nfi] R trace, L ordering
     f_combo_l_inR: np.ndarray | None = None  # [nfi] L trace, R ordering
-    f_combo_r_own: np.ndarray | None = None  # [nfi] R trace, R ordering
     f_nor_r: np.ndarray | None = None  # [nfi, nqf, dim] normal in R ordering
     f_wts_r: np.ndarray | None = None  # [nfi, nqf]
     f_xyz_r: np.ndarray | None = None  # [nfi, nqf, dim]
     rad_face_r: np.ndarray | None = None  # [nfi, nqf] (axisymmetric)
-    ef_row: np.ndarray | None = None  # [ne, nlf] row into [FL; FR] flux stack
 
     # ---- neighbor-slot formulation (single-gather face sweep) ----
     # Every (element, local face) slot evaluates its own outward flux from
@@ -251,8 +248,7 @@ def solve_orientation_baking(nlf, nqf, nfi, f_slot_l, f_slot_r, f_qperm_r):
 
 
 def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
-                          f_qperm_r, f_nor, f_wts, f_xyz, ef_face, ef_sign,
-                          rad_face=None):
+                          f_qperm_r, f_nor, f_wts, f_xyz, rad_face=None):
     """Build the oriented-trace face tables (see DGTables docstring).
 
     Each face side is served by a "combo" = (local face, point permutation)
@@ -292,13 +288,10 @@ def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
     for lf in range(nlf):
         combo(lf, 0)
 
-    f_combo_l = np.array([combo(f_slot_l[f], 0) for f in range(nft)], np.int32)
     f_combo_r_inL = np.array(
         [combo(f_slot_r[f], f_perm[f]) for f in range(nfi)], np.int32)
     f_combo_l_inR = np.array(
         [combo(f_slot_l[f], f_iperm[f]) for f in range(nfi)], np.int32)
-    f_combo_r_own = np.array(
-        [combo(f_slot_r[f], 0) for f in range(nfi)], np.int32)
 
     n_combo = len(combo_list)
     Btr_or = np.zeros((n_combo * nqf, Btr.shape[1]))
@@ -321,25 +314,15 @@ def build_oriented_tables(Btr, nlf, nqf, dim, nfi, nft, f_slot_l, f_slot_r,
         if rad_face is not None:
             rad_face_r[f] = rad_face[f][ip]
 
-    # scatter-back row map: L slots read FL rows [0, nft); R slots read FR
-    # rows [nft, nft+nfi); unassigned slots read the null row nft+nfi
-    ef_row = np.where(
-        ef_sign > 0, ef_face,
-        np.where(ef_sign < 0, nft + ef_face, nft + nfi),
-    ).astype(np.int32)
-
     return {
         "n_combo": n_combo,
         "Btr_or": Btr_or,
-        "f_combo_l": f_combo_l,
         "f_combo_r_inL": f_combo_r_inL,
         "f_combo_l_inR": f_combo_l_inR,
-        "f_combo_r_own": f_combo_r_own,
         "f_nor_r": f_nor_r,
         "f_wts_r": f_wts_r,
         "f_xyz_r": f_xyz_r,
         "rad_face_r": rad_face_r,
-        "ef_row": ef_row,
     }
 
 
@@ -673,7 +656,7 @@ def build_tables(
     oriented = build_oriented_tables(
         Btr, nlf, nqf, dim, nfi, nft,
         f_slot_l, f_slot_r, f_qperm_r, f_nor, f_wts, f_xyz,
-        ef_face, ef_sign, rad_face=rad_face,
+        rad_face=rad_face,
     )
     slots = build_slot_tables(
         oriented, ne, nlf, nqf, dim, nfi, nft,

@@ -84,24 +84,6 @@ def elem_traces_or(tab, X):
     return jnp.einsum("fd,ndk->nfk", tab.Btr_or, X)
 
 
-def face_gather_sides(tab, Xtr_or):
-    """Gather all four face-side views from oriented traces.
-
-    Returns (XL [nft, nqf, k]      — L trace, L ordering (incl. boundary),
-             XR_inL [nfi, nqf, k]  — R trace, L ordering,
-             XL_inR [nfi, nqf, k]  — L trace, R ordering,
-             XR_own [nfi, nqf, k]) — R trace, R ordering.
-    All are single wide row gathers (no per-point index maps)."""
-    ne = Xtr_or.shape[0]
-    k = Xtr_or.shape[-1]
-    flat = Xtr_or.reshape(ne * tab.n_combo, tab.nqf, k)
-    XL = flat[tab.f_elem_l * tab.n_combo + tab.f_combo_l]
-    XR_inL = flat[tab.f_elem_r * tab.n_combo + tab.f_combo_r_inL]
-    XL_inR = flat[tab.f_elem_l[: tab.nfi] * tab.n_combo + tab.f_combo_l_inR]
-    XR_own = flat[tab.f_elem_r * tab.n_combo + tab.f_combo_r_own]
-    return XL, XR_inL, XL_inR, XR_own
-
-
 def slot_traces(tab, X):
     """Neighbor-slot views of the oriented traces.
 
@@ -130,21 +112,6 @@ def slot_traces(tab, X):
     flat = Xtr.reshape(ne * tab.n_combo, tab.nqf, k)
     nbr = flat[tab.nbr_row.reshape(-1)].reshape(ne, tab.nlf, tab.nqf, k)
     return own, nbr
-
-
-def face_rows_scatter(tab, FL, FR):
-    """Row-granular scatter-back: FL [nft, nqf, k] (each face's L ordering,
-    boundary included), FR [nfi, nqf, k] (R ordering).  Every (element,
-    local face) slot reads one whole row in its own ordering via ef_row;
-    the appended null row serves halo slots under domain decomposition.
-
-    Returns Fel [ne, nlf*nqf, k]."""
-    k = FL.shape[-1]
-    rows = jnp.concatenate(
-        [FL, FR, jnp.zeros((1, tab.nqf, k), dtype=FL.dtype)], axis=0
-    )
-    out = rows[tab.ef_row.reshape(-1)]  # [ne*nlf, nqf, k]
-    return out.reshape(tab.ne, tab.nlf * tab.nqf, k)
 
 
 def trace_transpose(tab, Fel):

@@ -18,10 +18,7 @@ from .operators import (
     apply_minv,
     dg_gradient,
     elem_traces,
-    elem_traces_or,
     face_gather,
-    face_gather_sides,
-    face_rows_scatter,
     face_scatter_gather,
     halo_exchange,
     trace_transpose,
