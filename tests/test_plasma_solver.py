@@ -63,3 +63,39 @@ def test_saha_lte_species_init():
     assert 1e-6 < x[1] < 5e-2    # 10 kK: ~1% ionized
     assert x[2] > 1e-2           # 16 kK: percent-level
     assert x[2] > x[1] > x[0]    # monotone in T
+
+
+def test_argon_full_multilevel_plasma():
+    """Multi-level argon (ground/metastable/resonance/4p + ion + e) with
+    GasMixtureTransport and escape-factor radiative decay, end to end
+    through the harness (reference: test/inputs/input.radDecay.ini role)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.harness import Tps
+    from tps_tpu.physics.gas_transport import GasMixtureTransport
+    from tps_tpu.physics.radiative_decay import RadiativeDecay
+
+    tps = Tps()
+    tps.input_file = os.path.join(HERE, "inputs", "argon_full.ini")
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    s = tps.solver
+    assert isinstance(s.transport, GasMixtureTransport)
+    # excited states map onto ground-state argon collision data
+    assert s.plasma.chemistry.num_reactions == 4
+    assert any(isinstance(m, RadiativeDecay)
+               for m in s.plasma.chemistry.models)
+
+    # resonance state decays: track its total mass over a few steps
+    mix = s.mixture
+    names = s.plasma.species_names
+    i_r = names.index("Ar_r")
+    n_r0 = float(jnp.sum(s.U[..., mix.nvel + 2 + i_r]))
+    tps.solve()
+    assert s.check_nan() == 0
+    n_r1 = float(jnp.sum(s.U[..., mix.nvel + 2 + i_r]))
+    assert n_r1 < n_r0  # radiative decay depletes Ar_r
+    Up = np.asarray(s.primitives())
+    assert (Up[..., mix.i_th] > 0).all() and np.isfinite(Up).all()

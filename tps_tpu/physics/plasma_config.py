@@ -72,11 +72,12 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
     # ---- species (input order) ----
     nsp = inp.get_required("species/numSpecies", int)
     bg_input = inp.get_required("species/background_index", int)  # 1-based
-    names, mws, charges, hf, cv, imf = [], [], [], [], [], []
+    names, mws, charges, hf, cv, imf, comps = [], [], [], [], [], [], []
     for s in range(1, nsp + 1):
         base = f"species/species{s}"
         name = inp.get_required(f"{base}/name")
         comp = _parse_composition(inp.get(f"{base}/composition", "{}"))
+        comps.append(comp)
         mw = sum(atoms[a] * c for a, c in comp.items())
         charge = -comp.get("E", 0.0) if name != "E" else -1.0
         names.append(name)
@@ -128,12 +129,23 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
         )
     elif tmodel in ("argon_mixture", "gas_mixture", "mixture"):
         # general per-pair collision-integral transport
-        # (reference: GasMixtureTransport, src/gas_transport.cpp:874-1660)
+        # (reference: GasMixtureTransport, src/gas_transport.cpp:874-1660).
+        # Collision types are identified from the atomic COMPOSITION, so
+        # lumped excited states (Ar_m/Ar_r/Ar_p) use the ground-state data
+        # (reference: identifySpeciesType, src/M2ulPhyS.cpp:3860-3923)
         from .gas_transport import GasMixtureTransport
+
+        def canonical(i):
+            c = comps[i]
+            heavy = [a for a in c if a != "E"]
+            if not heavy:
+                return "E"
+            atom = heavy[0]
+            return f"{atom}.+1" if charges[i] > 0 else atom
 
         transport = GasMixtureTransport(
             mixture=mixture,
-            species_names=tuple(names[i] for i in order),
+            species_names=tuple(canonical(i) for i in order),
             third_order_electron_thermal_conductivity=third_order,
         )
     elif tmodel == "constant":
@@ -151,7 +163,8 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
 
     # ---- reactions ----
     chemistry = None
-    n_react = inp.get("reactions/numberOfReactions", 0)
+    n_react = inp.get("reactions/numberOfReactions",
+                      inp.get("reactions/number_of_reactions", 0))
     if n_react > 0:
         r_stoich = np.zeros((n_react, nsp))
         p_stoich = np.zeros((n_react, nsp))
