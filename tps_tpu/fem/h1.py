@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.mesh import Mesh
-from ..mesh.reference_element import ReferenceElement, gauss_legendre_1d
+from ..mesh.reference_element import ReferenceElement
 
 
 @dataclass
@@ -149,9 +149,7 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
     # boundary faces
     faces = mesh.build_faces()
     nbf = len(faces.bdr_elem)
-    from ..dg.discretization import _face_quad_1d
-
-    fq_pts, fq_w = _face_quad_1d(order + 2, dim)
+    fq_pts, fq_w = ref.face_quadrature(2 * order + 2)
     nqf = fq_pts.shape[0]
     bf_Btr = np.zeros((nbf, nqf, ndof_el))
     bf_nor = np.zeros((nbf, nqf, dim))

@@ -11,7 +11,7 @@ coefficients) for the argon 4s metastable/resonance and 4p lumped states.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,7 @@ import numpy as np
 
 from ...fem import h1
 from .base import TemporalCoefficients
-from .tomboulides import Tomboulides, VelocityDirichlet
+from .tomboulides import Tomboulides
 
 
 class TomboulidesAxisym(Tomboulides):
