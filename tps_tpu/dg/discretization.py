@@ -27,18 +27,7 @@ from dataclasses import dataclass, fields
 import numpy as np
 
 from ..mesh.mesh import FaceInfo, Mesh
-from ..mesh.reference_element import ReferenceElement, gauss_legendre_1d
-
-
-def _face_quad_1d(nqf1d: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
-    """Tensor GL rule on the face parameter domain [0,1]^(dim-1)."""
-    x, w = gauss_legendre_1d(nqf1d)
-    if dim == 2:
-        return x[:, None], w
-    X, Y = np.meshgrid(x, x, indexing="ij")
-    W = np.outer(w, w)
-    pts = np.stack([X.ravel(order="F"), Y.ravel(order="F")], axis=-1)
-    return pts, W.ravel(order="F")
+from ..mesh.reference_element import ReferenceElement
 
 
 @dataclass
