@@ -266,3 +266,51 @@ def test_sharded_tables_on_triangles():
     yNg = gather_state(build, np.asarray(yN))
     assert float(np.abs(yNg - np.asarray(y1)).max()) < 1e-12
     assert abs(float(mcsN) - float(aux1["max_char_speed"])) < 1e-12
+
+
+def test_curved_annulus_well_balanced():
+    """Quiescent gas in a curved O-grid annulus with slip walls stays
+    quiescent: curved-face normals and metric identities are consistent."""
+    from tps_tpu.mesh.generators import annulus_2d
+
+    mesh = annulus_2d(4, 24, r0=0.5, r1=1.0)
+    tab = build_tables(mesh, order=2, vol_quad_order=8,
+                       face_quad_order=9).to_jax(jnp.float64)
+    assert (np.asarray(tab.detJ) > 0).all()
+    area = float(np.einsum("q,nq->", np.asarray(tab.wq), np.asarray(tab.detJ)))
+    exact = np.pi * (1.0**2 - 0.5**2)
+    assert abs(area - exact) / exact < 2e-4  # quadratic geometry of a circle
+
+    mix = DryAir(dim=2, nvel=2)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    bcs = (BCSlice(WallBC(kind="slip"), 0, tab.nfb),)
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl), bcs=bcs)
+    U = mix.conservatives(
+        uniform_state(tab.xyz_dof, mix, 1.2, (0.0, 0.0), 300.0)
+    )
+    y, _ = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab, U)
+    assert float(jnp.abs(y).max()) / float(jnp.abs(U).max()) < 1e-11
+
+    # and a short acoustic-pulse run stays finite and conserves mass
+    x = tab.xyz_dof
+    rr = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+    Up = uniform_state(x, mix, 1.2, (0.0, 0.0), 300.0)
+    p0 = 1.2 * mix.gas_constant * 300.0
+    dp = 0.01 * p0 * jnp.exp(-(((rr - 0.75) / 0.05) ** 2))
+    Up = Up.at[..., mix.i_th].add(dp / (1.2 * mix.gas_constant))
+    U = mix.conservatives(Up)
+
+    @jax.jit
+    def step(u, t, dt):
+        u2, aux = rk4(lambda uu, tt: compute_rhs(ctx, tab, uu, tt), u, t, dt)
+        return u2, aux["max_char_speed"]
+
+    w = tab.wq[None, :] * tab.detJ
+    m0 = float(jnp.sum(w * jnp.einsum("qd,nd->nq", tab.Bvol, U[..., 0])))
+    t = 0.0
+    for _ in range(40):
+        U, mcs = step(U, t, 2e-5)
+        t += 2e-5
+    assert np.isfinite(float(mcs))
+    m1 = float(jnp.sum(w * jnp.einsum("qd,nd->nq", tab.Bvol, U[..., 0])))
+    assert abs(m1 - m0) / abs(m0) < 1e-12

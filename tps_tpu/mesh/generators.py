@@ -282,3 +282,21 @@ def box_3d_tet(nx, ny, nz, bounds=((0.0, 1.0), (0.0, 1.0), (0.0, 1.0)),
         periodic_pairs=pp,
     )
     return mesh
+
+
+def annulus_2d(nr, ntheta, r0=0.5, r1=1.0, geom_order=2):
+    """Curved O-grid annulus: a periodic rectangle mapped isoparametrically
+    to the ring r in [r0, r1].  Boundary attributes: 4 = inner circle
+    (x-min), 2 = outer circle (x-max)."""
+    base = box_2d(nr, ntheta, x1=1.0, y1=1.0, periodic_y=True)
+
+    def to_ring(x):
+        r = r0 + (r1 - r0) * x[:, 0]
+        th = 2.0 * np.pi * x[:, 1]
+        return np.stack([r * np.cos(th), r * np.sin(th)], axis=-1)
+
+    out = base.curved(to_ring, order=geom_order)
+    # periodic gluing happened in (x, y) parameter space; after mapping the
+    # theta=0/2pi faces coincide, so the shift becomes zero
+    out.periodic_pairs = [(a, b, np.zeros(2)) for (a, b, _) in base.periodic_pairs]
+    return out
