@@ -457,9 +457,14 @@ class OutletBC:
     # nonReflectingMassFlow / nonReflectingPointBasedMassFlow (reference:
     # src/outletBC.cpp SUB_MF_NR / SUB_MF_NR_PW): target mass flow [kg/s]
     # over the patch area; the normal velocity u*_n = mdot/(A rho) is
-    # imposed through the incoming characteristic.
+    # imposed through the incoming characteristic.  The non-pointwise
+    # variant uses the patch-MEAN density (the role of the reference's
+    # per-patch subcommunicator reductions, src/mpi_groups.hpp:44-78),
+    # computed with the patch quadrature weights and reduced across shards
+    # with psum when running under shard_map.
     mass_flow: float = 0.0
     area: float = 1.0
+    wts: object = None  # [nf, nqf] patch quadrature weights x |n|
 
     def ghost_primitive(self, mixture, UpL):
         return UpL
@@ -478,7 +483,19 @@ class OutletBC:
             un = jnp.einsum("...d,...d->...", vel[..., : mix.dim], nhat)
             s_ent = p_in / rho**gam
             Rplus = un + 2.0 * c_in / (gam - 1.0)  # outgoing
-            un_t = self.mass_flow / (self.area * rho)  # target normal vel
+            if self.kind == "nonReflectingMassFlow" and self.wts is not None:
+                # patch-mean density (masked psum across shards)
+                num = jnp.sum(self.wts * rho)
+                den = jnp.sum(self.wts)
+                if ctx.axis_name is not None:
+                    import jax
+
+                    num = jax.lax.psum(num, ctx.axis_name)
+                    den = jax.lax.psum(den, ctx.axis_name)
+                rho_eff = num / jnp.maximum(den, 1e-300)
+            else:
+                rho_eff = rho  # pointwise variant
+            un_t = self.mass_flow / (self.area * rho_eff)  # target normal vel
             Rminus = 2.0 * un_t - Rplus  # impose u_n = un_t at the face
             c_g = 0.25 * (gam - 1.0) * (Rplus - Rminus)
             rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))

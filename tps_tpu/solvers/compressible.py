@@ -381,8 +381,16 @@ class CompressibleSolver(PlasmaSolver):
             return OutletBC(pressure=fget("pressure"),
                             kind="nonReflectingPressure")
         if kind in ("nonReflectingMassFlow", "nonReflectingPointBasedMassFlow"):
+            import jax.numpy as jnp
+
+            tab = self.tables_np
+            sel = np.asarray(tab.f_bdr_attr) == spec.patch
+            wts = (np.asarray(tab.f_wts[tab.nfi :])[sel]
+                   * np.linalg.norm(np.asarray(tab.f_nor[tab.nfi :])[sel],
+                                    axis=-1))
             return OutletBC(kind=kind, mass_flow=fget("massFlow"),
-                            area=fget("area", self._patch_area(spec)))
+                            area=fget("area", self._patch_area(spec)),
+                            wts=jnp.asarray(wts))
         raise NotImplementedError(f"boundary condition type '{kind}'")
 
     def _patch_area(self, spec):
