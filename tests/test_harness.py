@@ -96,6 +96,54 @@ def test_restart_roundtrip(tmp_path):
     assert np.array_equal(np.asarray(tps2.solver.U), U_end)
 
 
+def test_partitioned_restart_roundtrip(tmp_path):
+    """Per-shard restart files ([io]/restartMode = standard at nprocs > 1,
+    reference test/cyl3d.test:115-204 incl. rank-count change): write with
+    one decomposition, reassemble globally, restart a single-shard run."""
+    from tps_tpu.io.restart import (
+        _state_field_names,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    tps = _run("channel2d.ini", max_iters=2, outdir=tmp_path)
+    tps.solve()
+    solver = tps.solver
+    names = _state_field_names(solver.mixture)
+    U_end = np.asarray(solver.U).copy()
+    ne, ndof, neq = U_end.shape
+    part = (np.arange(ne) * 3) // ne  # 3-shard block partition
+    write_partitioned(tmp_path, U_end, part, names,
+                      iteration=solver.iter, time=solver.time,
+                      dt=solver.dt, order=solver.config.order)
+    for p in range(3):
+        assert (tmp_path / f"restart_output.sol.{p}.h5").exists()
+    assert (tmp_path / "partition.3.h5").exists()
+
+    U_back, attrs = read_partitioned(tmp_path, ne, ndof, names)
+    assert np.array_equal(U_back, U_end)
+    assert int(attrs["nprocs"]) == 3
+
+    # the solver's own read path picks up the per-shard layout (the
+    # partitioned -> serialized restart scenario)
+    tps2 = _run("channel2d.ini", outdir=tmp_path, enable_restart=True)
+    assert tps2.solver.iter == solver.iter
+    assert np.array_equal(np.asarray(tps2.solver.U), U_end)
+
+    # RestartIO.write dispatches to per-shard files when the solver
+    # carries a partition (restartMode = standard)
+    import shutil
+
+    for p in range(3):
+        os.remove(tmp_path / f"restart_output.sol.{p}.h5")
+    shutil.rmtree(tmp_path / "restart", ignore_errors=True)
+    solver.partition = (np.arange(ne) * 2) // ne
+    solver.write_restart()
+    assert (tmp_path / "restart_output.sol.1.h5").exists()
+    U_back2, _ = read_partitioned(tmp_path, ne, ndof, names)
+    assert np.array_equal(U_back2, U_end)
+
+
 def test_cli_main(tmp_path, capsys):
     from tps_tpu.harness import main
 

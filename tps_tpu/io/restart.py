@@ -43,11 +43,24 @@ class RestartIO:
         os.makedirs(self.outdir, exist_ok=True)
         return os.path.join(self.outdir, "restart_output.sol.h5")
 
+    def _mode(self):
+        return getattr(self.config, "restart_mode", "standard")
+
     def write(self, solver):
         import h5py
 
         names = _state_field_names(solver.mixture)
         U = np.asarray(solver.U)  # [ne, ndof, neq]
+        part = getattr(solver, "partition", None)
+        if part is not None and self._mode() in ("standard", "singleFileRead"):
+            # per-shard layout (reference standard mode writes one
+            # restart_output.sol.<rank>.h5 per rank)
+            os.makedirs(self.outdir, exist_ok=True)
+            write_partitioned(
+                self.outdir, U, part, names, iteration=solver.iter,
+                time=solver.time, dt=solver.dt, order=solver.config.order,
+            )
+            return
         with h5py.File(self.path(), "w") as f:
             f.attrs["iteration"] = solver.iter
             f.attrs["time"] = solver.time
@@ -65,8 +78,50 @@ class RestartIO:
 
         names = _state_field_names(solver.mixture)
         path = self.path()
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"restart file not found: {path}")
+        mode = self._mode()
+        shards_on_disk = os.path.exists(
+            os.path.join(self.outdir, "restart_output.sol.0.h5")
+        )
+        single_on_disk = os.path.exists(path)
+        use_shards = shards_on_disk and mode not in (
+            "singleFileRead", "singleFileReadWrite"
+        )
+        if use_shards and single_on_disk:
+            # both layouts present (e.g. partitioned checkpoint, then a
+            # serialized run wrote the single file): the newer one wins —
+            # restarting from a stale checkpoint silently loses work
+            import glob as _glob
+
+            shard0 = sorted(
+                _glob.glob(os.path.join(self.outdir, "restart_output.sol.*.h5"))
+            )[0]
+            with h5py.File(shard0, "r") as fs, h5py.File(path, "r") as f1:
+                use_shards = int(fs.attrs["iteration"]) >= int(
+                    f1.attrs["iteration"]
+                )
+        if use_shards:
+            # per-shard layout on disk: reassemble through the element maps
+            # (also covers restarting a single-shard run from a partitioned
+            # checkpoint — the reference's serialized<->partitioned restart)
+            ne, ndof, neq = solver.U.shape
+            try:
+                Upart, attrs = read_partitioned(self.outdir, ne, ndof, names)
+            except FileNotFoundError:
+                raise FileNotFoundError(f"restart file not found: {path}")
+            solver.iter = int(attrs["iteration"])
+            solver.time = float(attrs["time"])
+            solver.dt = float(attrs["dt"])
+            stored_order = int(attrs.get("order", solver.config.order))
+            if stored_order != solver.config.order:
+                Upart = _resample_order(
+                    Upart, solver.mesh.geom, stored_order, solver.config.order,
+                    "gauss-legendre" if solver.config.basis_type == 0
+                    else "gauss-lobatto",
+                )
+            import jax.numpy as jnp
+
+            solver.U = jnp.asarray(Upart, dtype=solver.dtype)
+            return solver
         with h5py.File(path, "r") as f:
             solver.iter = int(f.attrs["iteration"])
             solver.time = float(f.attrs["time"])
@@ -90,6 +145,81 @@ class RestartIO:
 
         solver.U = jnp.asarray(U, dtype=solver.dtype)
         return solver
+
+
+def write_partitioned(outdir, U, partition, names, *, iteration=0, time=0.0,
+                      dt=0.0, order=1):
+    """Per-shard restart files (reference [io]/restartMode = standard:
+    restart_output.sol.<rank>.h5 per rank + partition.Np.h5,
+    src/io.cpp write_restart_files_hdf5 / partitioning_file_hdf5).
+
+    U: [ne_global, ndof, neq]; partition: [ne_global] shard ids.  Each
+    shard file stores its OWNED elements in ascending global order, plus
+    the local->global element map (the moral of locToGlobElem) so reads
+    can reassemble under any later decomposition."""
+    import h5py
+
+    from ..parallel.partition import save_partition
+
+    os.makedirs(outdir, exist_ok=True)
+    partition = np.asarray(partition)
+    nparts = int(partition.max()) + 1
+    save_partition(
+        os.path.join(outdir, f"partition.{nparts}.h5"), partition, nparts
+    )
+    U = np.asarray(U)
+    for p in range(nparts):
+        gids = np.where(partition == p)[0]
+        path = os.path.join(outdir, f"restart_output.sol.{p}.h5")
+        with h5py.File(path, "w") as f:
+            f.attrs["iteration"] = iteration
+            f.attrs["time"] = time
+            f.attrs["dt"] = dt
+            f.attrs["order"] = order
+            f.attrs["nprocs"] = nparts
+            f.attrs["dofs_global"] = U.shape[0] * U.shape[1]
+            f["loc_to_glob_elem"] = gids.astype(np.int64)
+            g = f.create_group("solution")
+            for k, name in enumerate(names):
+                g.create_dataset(name, data=U[gids, :, k].reshape(-1))
+
+
+def read_partitioned(outdir, ne, ndof, names):
+    """Reassemble the global state from per-shard restart files.
+
+    Works for any current decomposition (incl. a different shard count —
+    the reference's rank-count-change restart, test/cyl3d.test:115-204):
+    each file carries its own local->global map.  Returns
+    (U [ne, ndof, neq], attrs dict)."""
+    import glob as _glob
+
+    import h5py
+
+    files = sorted(
+        _glob.glob(os.path.join(outdir, "restart_output.sol.*.h5")),
+        key=lambda s: int(s.rsplit(".", 2)[-2]),
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no per-shard restart files in {outdir}"
+        )
+    U = np.zeros((ne, ndof, len(names)))
+    filled = np.zeros(ne, dtype=bool)
+    attrs = {}
+    for path in files:
+        with h5py.File(path, "r") as f:
+            attrs = {k: f.attrs[k] for k in f.attrs}
+            gids = np.asarray(f["loc_to_glob_elem"])
+            for k, name in enumerate(names):
+                U[gids, :, k] = np.asarray(f["solution"][name]).reshape(
+                    len(gids), ndof
+                )
+            filled[gids] = True
+    if not filled.all():
+        raise ValueError(
+            f"per-shard restart covers {filled.sum()}/{ne} elements"
+        )
+    return U, attrs
 
 
 def _resample_order(U, geom, order_from, order_to, basis):
