@@ -594,7 +594,23 @@ def build_tables(
         xr_perm = np.take_along_axis(xr, f_qperm_r[..., None].astype(np.int64), 1)
         mind = np.linalg.norm(xl - xr_perm, axis=-1)
         scale = np.sqrt(np.sum((f_xyz[:nfi].max(axis=1) - f_xyz[:nfi].min(axis=1)) ** 2, -1))
-        if np.any(mind > 1e-8 * np.maximum(scale[:, None], 1.0)):
+        tol = 1e-8 * np.maximum(scale[:, None], 1.0)
+        bad = (mind > tol).any(axis=1)
+        if bad.any():
+            # pre-glued periodic seams (MFEM nodes-based meshes): the two
+            # sides share vertex ids but their per-element geometry differs
+            # by the periodic translation — retry with the centroid shift,
+            # exact for translated faces and far outside tol otherwise
+            sh = xr[bad].mean(axis=1) - xl[bad].mean(axis=1)
+            xl_b = xl[bad] + sh[:, None, :]
+            d2 = np.sum((xl_b[:, :, None, :] - xr[bad][:, None, :, :]) ** 2, -1)
+            f_qperm_r[bad] = np.argmin(d2, axis=-1).astype(np.int32)
+            xr_perm = np.take_along_axis(
+                xr, f_qperm_r[..., None].astype(np.int64), 1
+            )
+            mind = np.linalg.norm(xl - xr_perm, axis=-1)
+            mind[bad] = np.linalg.norm(xl_b - xr_perm[bad], axis=-1)
+        if np.any(mind > tol):
             raise ValueError("face quad point matching failed (non-conforming mesh?)")
         if np.any(np.sort(f_qperm_r, axis=1) != np.arange(nqf)[None, :]):
             raise ValueError("face point permutation is not a bijection")

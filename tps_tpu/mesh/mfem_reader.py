@@ -76,6 +76,7 @@ def read_mfem_mesh(path: str) -> Mesh:
 
     i = section("vertices")
     nv = int(lines[i])
+    curved_nodes, curved_order = None, 1
     # either "nv \n vdim \n coords..." or "nv" followed by a `nodes` section
     maybe_vdim = lines[i + 1].split()
     if len(maybe_vdim) == 1 and "nodes" not in idx:
@@ -84,9 +85,36 @@ def read_mfem_mesh(path: str) -> Mesh:
             [[float(x) for x in lines[i + 2 + k].split()[:vdim]] for k in range(nv)]
         )
     elif len(maybe_vdim) == 1 and "nodes" in idx:
-        raise NotImplementedError(
-            f"{path}: nodes-based (periodic/curved) MFEM meshes not yet supported"
+        # nodes-based mesh (periodic and/or curved): geometry lives in an
+        # L2 GridFunction, one block of (p+1)^dim tensor nodes per element;
+        # the vertex ids above it are topology only (periodic seams share
+        # ids while the per-element nodes keep the true coordinates).
+        # Reference meshes: test/meshes/periodic-cube.mesh (L2_T1_3D_P1),
+        # beam-quad-o3-s5-p.mesh (L2_T1_2D_P1).
+        curved_nodes, curved_order = _read_l2_nodes(
+            lines, idx["nodes"], path, ne, dim, geom
         )
+        # representative vertex coordinates for topology/face matching:
+        # each vertex id takes the coords from the first element corner
+        # that references it (consistent across a periodic seam because
+        # both sides name the same id)
+        from .reference_element import ReferenceElement
+
+        gref = ReferenceElement(geom=geom, order=curved_order,
+                                basis="gauss-lobatto")
+        vref = ReferenceElement(geom=geom, order=1, basis="gauss-lobatto")
+        # corner node index of each element vertex in the tensor node set
+        d2 = np.sum(
+            (vref.vertices[:, None, :] - gref.nodes[None, :, :]) ** 2, axis=-1
+        )
+        corner_ids = np.argmin(d2, axis=1)
+        verts = np.zeros((nv, dim))
+        seen = np.zeros(nv, dtype=bool)
+        for e in range(ne):
+            for c, vid in enumerate(elements[e]):
+                if not seen[vid]:
+                    verts[vid] = curved_nodes[e, corner_ids[c]]
+                    seen[vid] = True
     else:
         raise ValueError(f"{path}: malformed vertices section")
 
@@ -106,7 +134,79 @@ def read_mfem_mesh(path: str) -> Mesh:
         bdr_faces=bf,
         bdr_attrs=np.asarray(bdr_attrs, dtype=np.int64),
         elem_attrs=np.asarray(eattrs, dtype=np.int64),
+        curved_nodes=curved_nodes,
+        curved_order=curved_order,
     )
+
+
+def _read_l2_nodes(lines, i_nodes, path, ne, dim, geom):
+    """Parse a `nodes` FiniteElementSpace + GridFunction block into
+    per-element geometry nodes [ne, (p+1)^dim, dim] at Gauss-Lobatto
+    tensor points (x-fastest), resampling from Gauss-Legendre when the
+    file's basis type is T0."""
+    import re
+
+    header = {}
+    j = i_nodes + 1
+    while j < len(lines) and (
+        ":" in lines[j] or lines[j] == "FiniteElementSpace"
+    ):
+        if ":" in lines[j]:
+            k, v = lines[j].split(":", 1)
+            header[k.strip()] = v.strip()
+        j += 1
+    fec = header.get("FiniteElementCollection", "")
+    m = re.match(r"L2(?:_T(\d))?_(\d)D_P(\d+)$", fec)
+    if not m:
+        raise NotImplementedError(
+            f"{path}: nodes collection '{fec}' not supported (L2_* only)"
+        )
+    btype = int(m.group(1) or 0)  # 0 GaussLegendre, 1 GaussLobatto
+    p = int(m.group(3))
+    vdim = int(header.get("VDim", dim))
+    ordering = int(header.get("Ordering", 1))
+    if geom not in ("quad", "hex"):
+        raise NotImplementedError(f"{path}: L2 nodes on {geom} elements")
+    ldof = (p + 1) ** dim
+
+    vals = []
+    while j < len(lines):
+        parts = lines[j].split()
+        if not all(_is_float(t) for t in parts):
+            break
+        vals.extend(float(t) for t in parts)
+        j += 1
+    data = np.asarray(vals)
+    if data.size != ne * ldof * vdim:
+        raise ValueError(
+            f"{path}: nodes GridFunction has {data.size} values, expected "
+            f"{ne * ldof * vdim}"
+        )
+    if ordering == 1:  # byVDIM: (dof, component) interleaved
+        nodes = data.reshape(ne, ldof, vdim)
+    else:  # byNODES: all x, then all y, ...
+        nodes = data.reshape(vdim, ne, ldof).transpose(1, 2, 0)
+    nodes = nodes[..., :dim]
+
+    if btype == 0:
+        # resample Gauss-Legendre Lagrange nodes onto Gauss-Lobatto points
+        # (exact: same polynomial space) so downstream curved geometry can
+        # assume GLL nodes
+        from .reference_element import ReferenceElement
+
+        rgl = ReferenceElement(geom=geom, order=p, basis="gauss-legendre")
+        rlo = ReferenceElement(geom=geom, order=p, basis="gauss-lobatto")
+        R = rgl.eval_basis(rlo.nodes)  # [ldof_gll, ldof_gl]
+        nodes = np.einsum("td,ndk->ntk", R, nodes)
+    return nodes, p
+
+
+def _is_float(tok):
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
 
 
 # Gmsh element type codes -> (geom, nverts)
