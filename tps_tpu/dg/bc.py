@@ -21,6 +21,43 @@ def _unit(nor):
     return nor / mag, mag[..., 0]
 
 
+def _tangent_frame(nhat):
+    """Deterministic orthonormal tangents (t1, t2) for unit normals.
+
+    The reference builds tangents from face vertices (src/BoundaryCondition.
+    cpp computeTangents); any fixed orthonormal completion works as long as
+    it is consistent between the ghost update and the rotation back."""
+    dim = nhat.shape[-1]
+    if dim == 2:
+        t1 = jnp.stack([-nhat[..., 1], nhat[..., 0]], axis=-1)
+        return t1, None
+    # 3-D: cross with the cartesian axis least aligned with n per point
+    eye = jnp.eye(3, dtype=nhat.dtype)
+    k = jnp.argmin(jnp.abs(nhat), axis=-1)
+    ek = eye[k]
+    t1 = jnp.cross(ek, nhat)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = jnp.cross(nhat, t1)
+    return t1, t2
+
+
+def _patch_mean(Up, wts, axis_name):
+    """Quadrature-weighted boundary-patch mean of per-point data.
+
+    The TPU-native form of the reference's per-patch-subcommunicator
+    reductions (src/mpi_groups.hpp:44-78 + inletBC/outletBC updateMean):
+    padded shard faces carry zero weights, and a psum over the device-mesh
+    axis completes the patch mean when the patch spans shards."""
+    num = jnp.sum(wts[..., None] * Up, axis=tuple(range(Up.ndim - 1)))
+    den = jnp.sum(wts)
+    if axis_name is not None:
+        import jax
+
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1e-300)
+
+
 def _interior_visc_dot_n(fluxes, U, Up, grad, nor, xyz, delta):
     Fv = fluxes.viscous(U, Up, grad, xyz=xyz, delta=delta)
     return jnp.einsum("...ed,...d->...e", Fv, nor)
@@ -41,7 +78,7 @@ class WallBC:
             return out
         return UpL
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
         nvel = mix.nvel
         dim = mix.dim
@@ -195,7 +232,7 @@ class GeneralWallBC:
             q_sheath = Vn[ie] * (gam + 2.0) * ne * R * Te
         return jnp.stack(Vn, axis=-1), q_sheath
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
         dim = mix.dim
         nhat, mag = _unit(nor)
@@ -290,7 +327,7 @@ class InletBC:
     def ghost_primitive(self, mixture, UpL):
         return UpL
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
         nvel = mix.nvel
         p = mix.pressure(UL)
@@ -301,9 +338,10 @@ class InletBC:
         nact = mix.num_active_species
         for sp in range(nact):
             ghost = ghost.at[..., nvel + 2 + sp].set(self.input_state[1 + nvel + sp] * rho)
-        # modifyEnergyForPressure: keep interior pressure
-        ke = 0.5 * jnp.sum(ghost[..., 1 : 1 + nvel] ** 2, axis=-1) / ghost[..., 0]
-        ghost = ghost.at[..., mix.i_th].set(p / (mix.specific_heat_ratio - 1.0) + ke)
+        # keep interior pressure; for multi-species/two-T mixtures this
+        # rebuilds the energy from species heats + formation energies
+        # (reference: modifyEnergyForPressure, src/equation_of_state.cpp)
+        ghost = mix.modify_energy_for_pressure(ghost, p)
         return ctx.riemann(UL, ghost, nor)
 
 
@@ -325,7 +363,7 @@ class FaceInletBC:
     def ghost_primitive(self, mixture, UpL):
         return UpL
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
         nvel, dim = mix.nvel, mix.dim
         p = mix.pressure(UL)
@@ -347,10 +385,7 @@ class FaceInletBC:
         ghost = ghost.at[..., 1 : 1 + dim].set(rho * vel)
         if nvel > dim:
             ghost = ghost.at[..., 1 + dim : 1 + nvel].set(0.0)
-        ke = 0.5 * rho * jnp.sum(vel * vel, axis=-1)
-        ghost = ghost.at[..., mix.i_th].set(
-            p / (mix.specific_heat_ratio - 1.0) + ke
-        )
+        ghost = mix.modify_energy_for_pressure(ghost, p)
         return ctx.riemann(UL, ghost, nor)
 
 
@@ -369,7 +404,7 @@ class InterpolatedInletBC:
     def ghost_primitive(self, mixture, UpL):
         return UpL
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
         nvel = mix.nvel
         p = mix.pressure(UL)
@@ -382,10 +417,7 @@ class InterpolatedInletBC:
         ghost = ghost.at[..., 1 : 1 + mix.dim].set(rho[..., None] * vel)
         if nvel > mix.dim:
             ghost = ghost.at[..., 1 + mix.dim : 1 + nvel].set(0.0)
-        ke = 0.5 * rho * jnp.sum(vel * vel, axis=-1)
-        ghost = ghost.at[..., mix.i_th].set(
-            p / (mix.specific_heat_ratio - 1.0) + ke
-        )
+        ghost = mix.modify_energy_for_pressure(ghost, p)
         return ctx.riemann(UL, ghost, nor)
 
 
@@ -409,7 +441,7 @@ class NonReflectingInletBC:
     def ghost_primitive(self, mixture, UpL):
         return UpL
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
         nvel, dim = mix.nvel, mix.dim
         gam = mix.specific_heat_ratio
@@ -435,8 +467,7 @@ class NonReflectingInletBC:
 
         ghost = UL.at[..., 0].set(rho_g)
         ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_t)
-        ke = 0.5 * rho_g * jnp.sum(vel_t * vel_t, axis=-1)
-        ghost = ghost.at[..., mix.i_th].set(p_g / (gam - 1.0) + ke)
+        ghost = mix.modify_energy_for_pressure(ghost, p_g)
         return ctx.riemann(UL, ghost, nor)
 
 
@@ -469,7 +500,7 @@ class OutletBC:
     def ghost_primitive(self, mixture, UpL):
         return UpL
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
         nvel = mix.nvel
         if self.kind in ("nonReflectingMassFlow",
@@ -483,16 +514,10 @@ class OutletBC:
             un = jnp.einsum("...d,...d->...", vel[..., : mix.dim], nhat)
             s_ent = p_in / rho**gam
             Rplus = un + 2.0 * c_in / (gam - 1.0)  # outgoing
-            if self.kind == "nonReflectingMassFlow" and self.wts is not None:
+            w = wts if wts is not None else self.wts
+            if self.kind == "nonReflectingMassFlow" and w is not None:
                 # patch-mean density (masked psum across shards)
-                num = jnp.sum(self.wts * rho)
-                den = jnp.sum(self.wts)
-                if ctx.axis_name is not None:
-                    import jax
-
-                    num = jax.lax.psum(num, ctx.axis_name)
-                    den = jax.lax.psum(den, ctx.axis_name)
-                rho_eff = num / jnp.maximum(den, 1e-300)
+                rho_eff = _patch_mean(rho[..., None], w, ctx.axis_name)[0]
             else:
                 rho_eff = rho  # pointwise variant
             un_t = self.mass_flow / (self.area * rho_eff)  # target normal vel
@@ -501,16 +526,12 @@ class OutletBC:
             rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))
             p_g = rho_g * c_g * c_g / gam
             vel_g = vel.at[..., : mix.dim].add((un_t - un)[..., None] * nhat)
-            ke_g = 0.5 * rho_g * jnp.sum(vel_g * vel_g, axis=-1)
             ghost = UL.at[..., 0].set(rho_g)
             ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_g)
-            ghost = ghost.at[..., mix.i_th].set(p_g / (gam - 1.0) + ke_g)
+            ghost = mix.modify_energy_for_pressure(ghost, p_g)
             return ctx.riemann(UL, ghost, nor)
         if self.kind == "subsonicPressure":
-            ke = 0.5 * jnp.sum(UL[..., 1 : 1 + nvel] ** 2, axis=-1) / UL[..., 0]
-            ghost = UL.at[..., mix.i_th].set(
-                self.pressure / (mix.specific_heat_ratio - 1.0) + ke
-            )
+            ghost = mix.modify_energy_for_pressure(UL, self.pressure)
             return ctx.riemann(UL, ghost, nor)
 
         # characteristic far-field ghost: outgoing invariant + entropy from
@@ -536,8 +557,247 @@ class OutletBC:
         rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))
         p_g = rho_g * c_g * c_g / gam
         vel_g = vel.at[..., : mix.dim].add((un_g - un)[..., None] * nhat)
-        ke_g = 0.5 * rho_g * jnp.sum(vel_g * vel_g, axis=-1)
         ghost = UL.at[..., 0].set(rho_g)
         ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_g)
-        ghost = ghost.at[..., mix.i_th].set(p_g / (gam - 1.0) + ke_g)
+        ghost = mix.modify_energy_for_pressure(ghost, p_g)
         return ctx.riemann(UL, ghost, nor)
+
+
+# ---------------------------------------------------------------------------
+# Time-integrated nonreflecting characteristic BCs (LODI)
+# ---------------------------------------------------------------------------
+#
+# The reference's production nonreflecting inlets/outlets carry a persistent
+# per-boundary-point ghost state (`boundaryU`) that is integrated in time
+# with characteristic (LODI) amplitudes built from patch-MEAN primitives —
+# the means reduced over per-patch MPI subcommunicators
+# (reference: src/outletBC.cpp:594-739 subsonicNonRefPressure,
+#  :739-900 subsonicNonRefMassFlow, :900-1010 subsonicNonRefPWMassFlow;
+#  src/inletBC.cpp:756-900 subsonicNonReflectingDensityVelocity;
+#  means: src/mpi_groups.hpp:44-78 + updateMean).
+#
+# TPU-native shape: the ghost state is a pytree threaded through the jitted
+# step (one entry per stateful BC), the patch means are masked weighted
+# psums, and the per-point characteristic update is one fused elementwise
+# sweep over [nf, nqf].  `flux()` evaluates Riemann(interior, carried ghost);
+# `advance()` integrates the ghost once per time step.
+
+
+def _lodi_assemble(mean_rho, meanVn, meanVt1, meanVt2, meanK, c, gam,
+                   d1, d2, d3, d4, d5, neq, nvel, dtype):
+    """Characteristic flux vector in the (n, t1, t2) rotated frame."""
+    F = [d1,
+         meanVn * d1 + mean_rho * d2,
+         meanVt1 * d1 + mean_rho * d3]
+    if nvel == 3:
+        F.append(meanVt2 * d1 + mean_rho * d4)
+    en = mean_rho * meanVn * d2 + mean_rho * meanVt1 * d3
+    if nvel == 3:
+        en = en + mean_rho * meanVt2 * d4
+    en = en + meanK * d1 + d5 / (gam - 1.0)
+    F.append(en)
+    out = jnp.stack([jnp.broadcast_to(f, d1.shape) for f in F], axis=-1)
+    if neq > nvel + 2:  # species / electron-energy / passive slots: frozen
+        out = jnp.concatenate(
+            [out, jnp.zeros(d1.shape + (neq - nvel - 2,), dtype)], axis=-1
+        )
+    return out
+
+
+def _lodi_integrate(state, bdrFlux, nhat, t1, t2, dt, nvel, dim):
+    """newU = rotate(state) - dt * bdrFlux, momenta rotated back to x-y."""
+    mom = state[..., 1 : 1 + nvel]
+    momN = [jnp.einsum("...d,...d->...", mom[..., :dim], nhat),
+            jnp.einsum("...d,...d->...", mom[..., :dim], t1)]
+    if nvel == 3:
+        if dim == 3:
+            momN.append(jnp.einsum("...d,...d->...", mom, t2))
+        else:  # axisymmetric swirl: azimuthal component IS the t2 slot
+            momN.append(mom[..., 2])
+    stateN = state.at[..., 1 : 1 + nvel].set(jnp.stack(momN, axis=-1))
+    newN = stateN - dt * bdrFlux
+    # rotate momenta back (orthonormal frame: inverse = transpose)
+    mN = newN[..., 1 : 1 + nvel]
+    mom_xy = mN[..., 0:1] * nhat + mN[..., 1:2] * t1
+    if dim == 3:
+        mom_xy = mom_xy + mN[..., 2:3] * t2
+    out = newN.at[..., 1 : 1 + dim].set(mom_xy)
+    if nvel == 3 and dim == 2:
+        out = out.at[..., 3].set(mN[..., 2])
+    return out
+
+
+@dataclass(frozen=True)
+class CharacteristicOutletBC:
+    """Time-integrated nonreflecting outlets (reference: OutletType
+    SUB_P_NR / SUB_MF_NR / SUB_MF_NR_PW, src/outletBC.cpp:594-1010).
+
+    kind = "nonReflectingPressure": incoming wave relaxes the patch-mean
+    pressure to `pressure` with strength sigma = c/ref_length.
+    kind = "nonReflectingMassFlow": relaxes the patch-mean normal velocity
+    to mass_flow/(mean_rho * area).
+    kind = "nonReflectingPointBasedMassFlow": same target but the local
+    normal velocity enters the relaxation (SUB_MF_NR_PW).
+    """
+
+    kind: str = "nonReflectingPressure"
+    pressure: float = 0.0
+    mass_flow: float = 0.0
+    area: float = 1.0
+    ref_length: float = 1.0
+
+    has_state = True
+
+    def ghost_primitive(self, mixture, UpL):
+        return UpL
+
+    def init_state(self, mix, UL0):
+        """Ghost starts at the interior trace (reference: initBoundaryU)."""
+        return UL0
+
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
+        if state is None:
+            # un-integrated fallback: reflecting ghost at the target pressure
+            state = ctx.fluxes.mixture.modify_energy_for_pressure(
+                UL, self.pressure if self.kind == "nonReflectingPressure"
+                else ctx.fluxes.mixture.pressure(UL)
+            )
+        return ctx.riemann(UL, state, nor)
+
+    def advance(self, ctx, state, UL, UpL, gradL, nor, wts, dt):
+        mix = ctx.fluxes.mixture
+        dim, nvel, neq = mix.dim, mix.nvel, mix.num_equations
+        gam = mix.specific_heat_ratio
+        nhat, _ = _unit(nor)
+        t1, t2 = _tangent_frame(nhat)
+
+        mean_up = _patch_mean(UpL, wts, ctx.axis_name)  # [neq]
+        mean_rho = mean_up[0]
+        mean_vel = mean_up[1 : 1 + nvel]
+        c = mix.sound_speed_from_T(mean_up[mix.i_th])
+        meanK = 0.5 * jnp.sum(mean_vel * mean_vel)
+        meanVn = jnp.einsum("d,...d->...", mean_vel[:dim], nhat)
+        meanVt1 = jnp.einsum("d,...d->...", mean_vel[:dim], t1)
+        meanVt2 = (jnp.einsum("d,...d->...", mean_vel, t2) if dim == 3
+                   else (mean_vel[2] if nvel == 3 else 0.0))
+
+        # per-point normal gradients of primitives [nf, nqf, neq]
+        normGrad = jnp.einsum("...ed,...d->...e", gradL, nhat)
+        dpdn = mix.pressure_derivative(normGrad, UL)
+        dVndn = jnp.einsum("...d,...d->...", normGrad[..., 1 : 1 + dim], nhat)
+        dVt1dn = jnp.einsum("...d,...d->...", normGrad[..., 1 : 1 + dim], t1)
+        dVt2dn = (jnp.einsum("...d,...d->...", normGrad[..., 1 : 1 + dim], t2)
+                  if dim == 3 else jnp.zeros_like(dpdn))
+
+        # outgoing characteristic amplitudes (mean-frozen coefficients)
+        L2 = meanVn * (c * c * normGrad[..., 0] - dpdn)
+        L3 = meanVn * dVt1dn
+        L4 = meanVn * dVt2dn
+        L5 = (meanVn + c) * (dpdn + mean_rho * c * dVndn)
+
+        # incoming wave: relaxation toward the target
+        sigma = c / self.ref_length
+        if self.kind == "nonReflectingPressure":
+            mean_p = mean_rho * mix.gas_constant * mean_up[mix.i_th]
+            L1 = sigma * (mean_p - self.pressure) * jnp.ones_like(dpdn)
+        else:
+            un_target = self.mass_flow / (mean_rho * self.area)
+            if self.kind == "nonReflectingPointBasedMassFlow":
+                un_pt = jnp.einsum(
+                    "...d,...d->...", UpL[..., 1 : 1 + dim], nhat
+                )
+                L1 = -sigma * (un_pt - un_target) * mean_rho * c
+            else:
+                L1 = (-sigma * (meanVn - un_target) * mean_rho * c
+                      ) * jnp.ones_like(dpdn)
+
+        d1 = (L2 + 0.5 * (L5 + L1)) / (c * c)
+        d2 = 0.5 * (L5 - L1) / (mean_rho * c)
+        d3, d4, d5 = L3, L4, 0.5 * (L5 + L1)
+
+        bdrFlux = _lodi_assemble(mean_rho, meanVn, meanVt1, meanVt2, meanK,
+                                 c, gam, d1, d2, d3, d4, d5, neq, nvel,
+                                 UL.dtype)
+        return _lodi_integrate(state, bdrFlux, nhat, t1, t2, dt, nvel, dim)
+
+
+@dataclass(frozen=True)
+class CharacteristicInletBC:
+    """Time-integrated nonreflecting density-velocity inlet (reference:
+    InletType SUB_DENS_VEL_NR / SUB_VEL_CONST_ENT,
+    src/inletBC.cpp:756-900).
+
+    input_state = (rho_target, u, v[, w]); const_entropy drops the entropy
+    relaxation (SUB_VEL_CONST_ENT).  All frame quantities use the INWARD
+    unit normal, as the reference does.
+    """
+
+    input_state: tuple
+    ref_length: float = 1.0
+    const_entropy: bool = False
+
+    has_state = True
+
+    def ghost_primitive(self, mixture, UpL):
+        return UpL
+
+    def init_state(self, mix, UL0):
+        return UL0
+
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
+        if state is None:
+            state = UL
+        return ctx.riemann(UL, state, nor)
+
+    def advance(self, ctx, state, UL, UpL, gradL, nor, wts, dt):
+        mix = ctx.fluxes.mixture
+        dim, nvel, neq = mix.dim, mix.nvel, mix.num_equations
+        gam = mix.specific_heat_ratio
+        n_out, _ = _unit(nor)
+        nhat = -n_out  # inward
+        t1, t2 = _tangent_frame(nhat)
+
+        mean_up = _patch_mean(UpL, wts, ctx.axis_name)
+        mean_rho = mean_up[0]
+        mean_vel = mean_up[1 : 1 + nvel]
+        c = mix.sound_speed_from_T(mean_up[mix.i_th])
+        meanK = 0.5 * jnp.sum(mean_vel * mean_vel)
+        meanVn = jnp.einsum("d,...d->...", mean_vel[:dim], nhat)
+        meanVt1 = jnp.einsum("d,...d->...", mean_vel[:dim], t1)
+        meanVt2 = (jnp.einsum("d,...d->...", mean_vel, t2) if dim == 3
+                   else (mean_vel[2] if nvel == 3 else 0.0))
+
+        target = jnp.asarray(self.input_state, UL.dtype)
+        meanDV = mean_vel - target[1 : 1 + nvel]
+
+        normGrad = jnp.einsum("...ed,...d->...e", gradL, nhat)
+        dpdn = mix.pressure_derivative(normGrad, UL)
+        dVndn = jnp.einsum("...d,...d->...", normGrad[..., 1 : 1 + dim], nhat)
+
+        # outgoing (leaves through the inlet against the flow)
+        L1 = (meanVn - c) * (dpdn - mean_rho * c * dVndn)
+
+        sigma = c / self.ref_length
+        dv_n = jnp.einsum("d,...d->...", meanDV[:dim], nhat)
+        dv_t1 = jnp.einsum("d,...d->...", meanDV[:dim], t1)
+        dv_t2 = (jnp.einsum("d,...d->...", meanDV, t2) if dim == 3
+                 else (meanDV[2] if nvel == 3 else jnp.zeros(())))
+        L5 = sigma * 2.0 * mean_rho * c * dv_n
+        L3 = sigma * dv_t1
+        L4 = sigma * dv_t2
+        if self.const_entropy:
+            L2 = jnp.zeros_like(L1)
+        else:
+            L2 = (sigma * c * c * (mean_rho - target[0]) - 0.5 * L5
+                  ) * jnp.ones_like(L1)
+
+        d1 = (L2 + 0.5 * (L5 + L1)) / (c * c)
+        d2 = 0.5 * (L5 - L1) / (mean_rho * c)
+        d3 = L3 * jnp.ones_like(L1)
+        d4 = L4 * jnp.ones_like(L1)
+        d5 = 0.5 * (L5 + L1)
+
+        bdrFlux = _lodi_assemble(mean_rho, meanVn, meanVt1, meanVt2, meanK,
+                                 c, gam, d1, d2, d3, d4, d5, neq, nvel,
+                                 UL.dtype)
+        return _lodi_integrate(state, bdrFlux, nhat, t1, t2, dt, nvel, dim)

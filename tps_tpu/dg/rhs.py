@@ -61,8 +61,13 @@ def _clip_species(mix, U):
     return U.at[..., mix.nvel + 2 : mix.nvel + 2 + nact].set(jnp.maximum(sp, 0.0))
 
 
-def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
-    """Return (dU/dt, aux) with aux containing max_char_speed."""
+def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
+    """Return (dU/dt, aux) with aux containing max_char_speed.
+
+    bc_states: optional tuple aligned with ctx.bcs carrying persistent
+    per-BC state (the time-integrated characteristic ghosts; reference:
+    boundaryU in src/inletBC.cpp / src/outletBC.cpp).  None entries for
+    stateless BCs."""
     mix = ctx.mixture
     neq = mix.num_equations
     dim = tab.dim
@@ -147,13 +152,16 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
             norb = tab.f_nor[nfi:]
             xyzb = tab.f_xyz[nfi:]
             deltab = deltaL[nfi:]
+            wmagb = tab.f_wts[nfi:] * jnp.linalg.norm(norb, axis=-1)
             bdr_fluxes = []
-            for s in ctx.bcs:
+            for i, s in enumerate(ctx.bcs):
                 sl = slice(s.start, s.stop)
                 bdr_fluxes.append(
                     s.bc.flux(ctx, ULb[sl], UpLb_cons[sl],
                               None if gLb is None else gLb[sl],
-                              norb[sl], xyzb[sl], deltab[sl], t)
+                              norb[sl], xyzb[sl], deltab[sl], t,
+                              state=None if bc_states is None else bc_states[i],
+                              wts=wmagb[sl])
                 )
             covered = sum(s.stop - s.start for s in ctx.bcs)
             if covered != tab.nfb:
@@ -198,13 +206,16 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
             norb = tab.f_nor[nfi:]
             xyzb = tab.f_xyz[nfi:]
             deltab = deltaL[nfi:]
+            wmagb = tab.f_wts[nfi:] * jnp.linalg.norm(norb, axis=-1)
             UpLb_cons = mix.primitives(ULb)
-            for s in ctx.bcs:
+            for i, s in enumerate(ctx.bcs):
                 sl = slice(s.start, s.stop)
                 bdr_fluxes.append(
                     s.bc.flux(ctx, ULb[sl], UpLb_cons[sl],
                               None if gLb is None else gLb[sl],
-                              norb[sl], xyzb[sl], deltab[sl], t)
+                              norb[sl], xyzb[sl], deltab[sl], t,
+                              state=None if bc_states is None else bc_states[i],
+                              wts=wmagb[sl])
                 )
             covered = sum(s.stop - s.start for s in ctx.bcs)
             if covered != tab.nfb:
@@ -251,3 +262,93 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None):
         mcs = jnp.max(mcs_field)
     aux = {"max_char_speed": mcs}
     return y, aux
+
+
+# ---------------------------------------------------------------------------
+# Persistent BC state (time-integrated characteristic ghosts)
+# ---------------------------------------------------------------------------
+
+def has_stateful_bcs(ctx: RHSContext) -> bool:
+    return any(getattr(s.bc, "has_state", False) for s in ctx.bcs)
+
+
+def _boundary_interior_data(ctx: RHSContext, tab, U, need_grad):
+    """Interior traces at boundary-face quadrature points.
+
+    Returns (ULb [nfb,nqf,neq], UpLb, gLb or None, norb, wmagb) in the
+    attr-sorted boundary ordering compute_rhs uses.  Mirrors the trace
+    stage of the face sweep (reference: interpInlet_gpu-style boundary
+    interpolation, src/inletBC.hpp:113-190)."""
+    mix = ctx.mixture
+    neq = mix.num_equations
+    dim = tab.dim
+    ne, ndof = U.shape[0], U.shape[1]
+
+    if ctx.axis_name is not None:
+        U = halo_exchange(tab, U, ctx.axis_name)
+    Up = mix.primitives(_clip_species(mix, U))
+    grad_up = dg_gradient(tab, Up) if need_grad else None
+
+    if tab.nbr_row is not None:
+        from .operators import elem_traces_or
+
+        if need_grad:
+            X = jnp.concatenate([U, grad_up.reshape(ne, ndof, neq * dim)], -1)
+        else:
+            X = U
+        tr = elem_traces_or(tab, X)[:, : tab.nlf * tab.nqf, :]
+        own_b = tr.reshape(ne * tab.nlf, tab.nqf, X.shape[-1])[tab.bdr_slot]
+        ULb = _clip_species(mix, own_b[..., :neq])
+        gLb = (own_b[..., neq:].reshape(own_b.shape[:-1] + (neq, dim))
+               if need_grad else None)
+    else:
+        Utr = elem_traces(tab, U)
+        ULb = _clip_species(mix, face_gather(tab, Utr)[0][tab.nfi :])
+        gLb = None
+        if need_grad:
+            gtr = elem_traces(tab, grad_up.reshape(ne, ndof, neq * dim))
+            gLb = face_gather(tab, gtr)[0][tab.nfi :].reshape(
+                -1, tab.nqf, neq, dim
+            )
+    norb = tab.f_nor[tab.nfi :]
+    wmagb = tab.f_wts[tab.nfi :] * jnp.linalg.norm(norb, axis=-1)
+    return ULb, mix.primitives(ULb), gLb, norb, wmagb
+
+
+def init_bc_states(ctx: RHSContext, tab, U):
+    """Initial per-BC state tuple (ghosts start at the interior trace)."""
+    if not ctx.bcs:
+        return ()
+    if not has_stateful_bcs(ctx):
+        return tuple(None for _ in ctx.bcs)
+    ULb, _, _, _, _ = _boundary_interior_data(ctx, tab, U, need_grad=False)
+    out = []
+    for s in ctx.bcs:
+        if getattr(s.bc, "has_state", False):
+            out.append(s.bc.init_state(ctx.mixture, ULb[s.start : s.stop]))
+        else:
+            out.append(None)
+    return tuple(out)
+
+
+def advance_bc_states(ctx: RHSContext, tab, U, bc_states, dt):
+    """One characteristic-ODE step of every stateful BC's ghost state
+    (reference: the boundaryU integration inside computeBdrFlux,
+    src/outletBC.cpp:739+ / src/inletBC.cpp:756+), using patch-mean
+    primitives reduced with masked psums when sharded."""
+    if bc_states is None or not has_stateful_bcs(ctx):
+        return bc_states
+    ULb, UpLb, gLb, norb, wmagb = _boundary_interior_data(
+        ctx, tab, U, need_grad=True
+    )
+    out = []
+    for i, s in enumerate(ctx.bcs):
+        if getattr(s.bc, "has_state", False):
+            sl = slice(s.start, s.stop)
+            out.append(
+                s.bc.advance(ctx, bc_states[i], ULb[sl], UpLb[sl], gLb[sl],
+                             norb[sl], wmagb[sl], dt)
+            )
+        else:
+            out.append(bc_states[i])
+    return tuple(out)

@@ -74,6 +74,26 @@ class DryAir:
     def sound_speed_from_T(self, T):
         return jnp.sqrt(self.specific_heat_ratio * self.gas_constant * T)
 
+    def modify_energy_for_pressure(self, U, p, modify_electron_energy=False):
+        """Adjust rhoE so the state's pressure equals p (reference:
+        DryAir::modifyEnergyForPressure, src/equation_of_state.cpp)."""
+        ke = 0.5 * jnp.sum(U[..., 1 : 1 + self.nvel] ** 2, axis=-1) / U[..., 0]
+        return U.at[..., self.i_th].set(
+            p / (self.specific_heat_ratio - 1.0) + ke
+        )
+
+    def pressure_derivative(self, dUp_dn, U):
+        """Directional pressure derivative from primitive-variable gradients
+        (reference: DryAir::ComputePressureDerivative with primitive input).
+
+        dUp_dn: [..., neq] primitive gradients along some direction
+        (rho, vel..., T); returns dp/dn = R (T drho/dn + rho dT/dn)."""
+        T = self.temperature(U)
+        rho = U[..., 0]
+        return self.gas_constant * (
+            T * dUp_dn[..., 0] + rho * dUp_dn[..., self.i_th]
+        )
+
     def max_char_speed(self, U):
         """|u| + c (reference: src/equation_of_state.cpp:278-292)."""
         rho = U[..., 0]

@@ -277,6 +277,51 @@ class PerfectMixture:
     def sound_speed_from_T(self, T):
         return jnp.sqrt(self.specific_heat_ratio * self.gas_constant * T)
 
+    def pressure_derivative(self, dUp_dn, U):
+        """Directional dp/dn from primitive gradients along a direction
+        (reference: PerfectMixture::ComputePressureDerivative).
+
+        dUp_dn: [..., neq] gradient of [rho, vel, Th, n_active, (Te)];
+        p = R (n_heavy Th + n_e Te), so the chain rule needs the implied
+        electron/background number-density gradients."""
+        nvel, na = self.nvel, self.num_active_species
+        mw = self._arr(self.mw)
+        n_sp = self.number_densities(U)
+        Th, Te = self.temperatures(U, n_sp)
+
+        gn_active = dUp_dn[..., nvel + 2 : nvel + 2 + na]
+        if self.ambipolar:
+            z = self._arr(self.charges)[:na]
+            ne_grad = jnp.einsum("...s,s->...", gn_active, z)
+        else:
+            ne_grad = (
+                gn_active[..., self.i_electron]
+                if na > 0 else jnp.zeros_like(dUp_dn[..., 0])
+            )
+        nB_grad = dUp_dn[..., 0] - jnp.einsum("...s,s->...", gn_active, mw[:na])
+        if self.ambipolar:
+            nB_grad = nB_grad - mw[self.i_electron] * ne_grad
+        nB_grad = nB_grad / mw[self.i_background]
+
+        # heavy number-density gradient = all species except the electron
+        # (ambipolar actives already exclude the electron)
+        nh_grad = jnp.sum(gn_active, axis=-1) + nB_grad
+        if not self.ambipolar and na > 0:
+            nh_grad = nh_grad - ne_grad
+
+        mask = np.ones(self.num_species)
+        mask[self.i_electron] = 0.0
+        n_h = jnp.einsum("...s,s->...", n_sp, jnp.asarray(mask))
+        ne = n_sp[..., self.i_electron]
+
+        dTh = dUp_dn[..., self.i_th]
+        if self.two_temperature:
+            dTe = dUp_dn[..., self.i_te]
+            dp = nh_grad * Th + n_h * dTh + ne_grad * Te + ne * dTe
+        else:
+            dp = (nh_grad + ne_grad) * Th + (n_h + ne) * dTh
+        return _R * dp
+
     # -- species views -----------------------------------------------------
     def species_enthalpies(self, U):
         """Volumetric species enthalpies n_s (Cp_s T + h_f)  [J/m^3]."""

@@ -223,9 +223,18 @@ class CompressibleSolver(PlasmaSolver):
 
         nact = self.mixture.num_active_species
 
+        # persistent characteristic-BC ghost state (reference: boundaryU)
+        from ..dg.rhs import advance_bc_states, init_bc_states
+
+        self.bc_states = jax.jit(
+            lambda tab, U: init_bc_states(self.ctx, tab, U)
+        )(self.tables, self.U)
+
         @jax.jit
-        def _step(tab, U, t, dt, fields):
-            rhs = lambda u, tt: compute_rhs(self.ctx, tab, u, tt, fields=fields)
+        def _step(tab, U, t, dt, fields, bc_states):
+            rhs = lambda u, tt: compute_rhs(self.ctx, tab, u, tt,
+                                            fields=fields,
+                                            bc_states=bc_states)
             U2, aux = self._integrator(rhs, U, t, dt)
             if nact > 0:
                 # clip species-density undershoots on the stored state
@@ -234,7 +243,8 @@ class CompressibleSolver(PlasmaSolver):
                 U2 = U2.at[
                     ..., self.mixture.nvel + 2 : self.mixture.nvel + 2 + nact
                 ].set(jnp.maximum(sp, 0.0))
-            return U2, aux["max_char_speed"]
+            bc2 = advance_bc_states(self.ctx, tab, U2, bc_states, dt)
+            return U2, bc2, aux["max_char_speed"]
 
         self._step = _step
 
@@ -368,29 +378,32 @@ class CompressibleSolver(PlasmaSolver):
                 ramp_time=fget("rampTime", 0.0),
             )
         if kind in ("nonreflecting", "nonreflectingConstEntropy"):
-            from ..dg.bc import NonReflectingInletBC
+            # time-integrated characteristic inlet (reference:
+            # SUB_DENS_VEL_NR / SUB_VEL_CONST_ENT, src/inletBC.cpp:756+)
+            from ..dg.bc import CharacteristicInletBC
 
             rho = fget("density", 1.0)
             uvw = [float(x) for x in str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
-            return NonReflectingInletBC(
-                input_state=(rho, *uvw[: self.mixture.nvel]), kind=kind
+            return CharacteristicInletBC(
+                input_state=(rho, *uvw[: self.mixture.nvel]),
+                ref_length=self.config.ref_length,
+                const_entropy=(kind == "nonreflectingConstEntropy"),
             )
         if kind == "subsonicPressure":
             return OutletBC(pressure=fget("pressure"))
         if kind in ("nonReflectingPressure", "nonreflectingPressure"):
-            return OutletBC(pressure=fget("pressure"),
-                            kind="nonReflectingPressure")
-        if kind in ("nonReflectingMassFlow", "nonReflectingPointBasedMassFlow"):
-            import jax.numpy as jnp
+            from ..dg.bc import CharacteristicOutletBC
 
-            tab = self.tables_np
-            sel = np.asarray(tab.f_bdr_attr) == spec.patch
-            wts = (np.asarray(tab.f_wts[tab.nfi :])[sel]
-                   * np.linalg.norm(np.asarray(tab.f_nor[tab.nfi :])[sel],
-                                    axis=-1))
-            return OutletBC(kind=kind, mass_flow=fget("massFlow"),
-                            area=fget("area", self._patch_area(spec)),
-                            wts=jnp.asarray(wts))
+            return CharacteristicOutletBC(kind="nonReflectingPressure",
+                                          pressure=fget("pressure"),
+                                          ref_length=self.config.ref_length)
+        if kind in ("nonReflectingMassFlow", "nonReflectingPointBasedMassFlow"):
+            from ..dg.bc import CharacteristicOutletBC
+
+            return CharacteristicOutletBC(
+                kind=kind, mass_flow=fget("massFlow"),
+                area=fget("area", self._patch_area(spec)),
+                ref_length=self.config.ref_length)
         raise NotImplementedError(f"boundary condition type '{kind}'")
 
     def _patch_area(self, spec):
@@ -440,9 +453,9 @@ class CompressibleSolver(PlasmaSolver):
         import jax.numpy as jnp
 
         rc = self.config
-        U2, mcs = self._step(
+        U2, self.bc_states, mcs = self._step(
             self.tables, self.U, jnp.asarray(self.time, self.dtype),
-            jnp.asarray(self.dt, self.dtype), self.fields,
+            jnp.asarray(self.dt, self.dtype), self.fields, self.bc_states,
         )
         U_prev = self.U
         self.U = U2
@@ -588,6 +601,18 @@ class CompressibleSolver(PlasmaSolver):
     def read_restart(self):
         self._init_io() if self._io is None else None
         self._io.read(self)
+        if getattr(self, "bc_states", None) and any(
+            s is not None for s in self.bc_states
+        ):
+            # re-seed characteristic ghosts from the restored interior state
+            # (the reference re-derives boundaryU the same way on restart)
+            import jax
+
+            from ..dg.rhs import init_bc_states
+
+            self.bc_states = jax.jit(
+                lambda tab, U: init_bc_states(self.ctx, tab, U)
+            )(self.tables, self.U)
 
     # -- Boltzmann interface bus (reference: src/M2ulPhyS2Boltzmann.cpp) ----
     def init_interface(self, interface):
