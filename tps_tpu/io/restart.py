@@ -50,7 +50,10 @@ class RestartIO:
         import h5py
 
         names = _state_field_names(solver.mixture)
-        U = np.asarray(solver.U)  # [ne, ndof, neq]
+        # the sharded solver exposes the reassembled global state
+        # (gather over owned rows, reference: serializeForWrite)
+        U = (np.asarray(solver.state_global())
+             if hasattr(solver, "state_global") else np.asarray(solver.U))
         part = getattr(solver, "partition", None)
         if part is not None and self._mode() in ("standard", "singleFileRead"):
             # per-shard layout (reference standard mode writes one
@@ -67,6 +70,7 @@ class RestartIO:
             f.attrs["dt"] = solver.dt
             f.attrs["order"] = solver.config.order
             f.attrs["nprocs"] = 1
+            f.attrs["ne_global"] = U.shape[0]
             f.attrs["dofs_global"] = U.shape[0] * U.shape[1]
             g = f.create_group("solution")
             for k, name in enumerate(names):
@@ -99,11 +103,21 @@ class RestartIO:
                 use_shards = int(fs.attrs["iteration"]) >= int(
                     f1.attrs["iteration"]
                 )
+        ne = int(getattr(solver, "ne_global", solver.U.shape[0]))
+        ndof = solver.U.shape[-2]
+
+        def _install(solver, U):
+            import jax.numpy as jnp
+
+            if hasattr(solver, "set_state_global"):
+                solver.set_state_global(U)
+            else:
+                solver.U = jnp.asarray(U, dtype=solver.dtype)
+
         if use_shards:
             # per-shard layout on disk: reassemble through the element maps
             # (also covers restarting a single-shard run from a partitioned
             # checkpoint — the reference's serialized<->partitioned restart)
-            ne, ndof, neq = solver.U.shape
             try:
                 Upart, attrs = read_partitioned(self.outdir, ne, ndof, names)
             except FileNotFoundError:
@@ -118,19 +132,24 @@ class RestartIO:
                     "gauss-legendre" if solver.config.basis_type == 0
                     else "gauss-lobatto",
                 )
-            import jax.numpy as jnp
-
-            solver.U = jnp.asarray(Upart, dtype=solver.dtype)
+            _install(solver, Upart)
             return solver
         with h5py.File(path, "r") as f:
+            # refuse a checkpoint from a different mesh (the reference
+            # validates dofs_global/order attrs, test/cyl3d.test:38-51)
+            if "ne_global" in f.attrs and int(f.attrs["ne_global"]) != ne:
+                raise ValueError(
+                    f"restart mesh mismatch: file has {int(f.attrs['ne_global'])}"
+                    f" elements, current mesh has {ne}"
+                )
             solver.iter = int(f.attrs["iteration"])
             solver.time = float(f.attrs["time"])
             solver.dt = float(f.attrs["dt"])
             stored_order = int(f.attrs.get("order", solver.config.order))
-            ne, ndof, neq = solver.U.shape
             cols = []
             for name in names:
-                cols.append(np.asarray(f["solution"][name]).reshape(ne, -1))
+                col = np.asarray(f["solution"][name]).reshape(ne, -1)
+                cols.append(col)
             U = np.stack(cols, axis=-1)
         if stored_order != solver.config.order:
             # variable-order restart (reference [io]/restartMode variableP,
@@ -141,9 +160,7 @@ class RestartIO:
                 "gauss-legendre" if solver.config.basis_type == 0
                 else "gauss-lobatto",
             )
-        import jax.numpy as jnp
-
-        solver.U = jnp.asarray(U, dtype=solver.dtype)
+        _install(solver, U)
         return solver
 
 

@@ -38,6 +38,7 @@ class ShardedBuild:
     ne_global: int
     partition: np.ndarray  # [ne_global] shard of each element
     bc_attr_blocks: list  # [(attr, start, stop)] in padded bdr-face coords
+    global_tables: DGTables | None = None  # unsharded tables (IO/viz/BC setup)
 
 
 def block_partition(ne: int, nparts: int) -> np.ndarray:
@@ -296,6 +297,7 @@ def build_sharded_tables(
         ne_global=ne_g,
         partition=partition,
         bc_attr_blocks=bc_attr_blocks,
+        global_tables=g,
     )
 
 

@@ -89,10 +89,41 @@ class CompressibleSolver(PlasmaSolver):
 
         self.mesh = _build_mesh(rc)
         basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
-        self.tables_np = build_tables(
-            self.mesh, order=rc.order, basis=basis,
-            axisymmetric=rc.axisymmetric,
-        )
+
+        # domain decomposition: [mesh]/partitions N shards the element axis
+        # over a jax device mesh (the reference's MPI mesh partitioning,
+        # src/M2ulPhyS.cpp:329-365; here: stacked shard tables + shard_map)
+        nparts = 1
+        if rc.raw is not None:
+            nparts = int(rc.raw.get("mesh/partitions", 1) or 1)
+        self.nparts = max(nparts, 1)
+        self._build = None
+        if self.nparts > 1:
+            if rc.axisymmetric:
+                raise NotImplementedError(
+                    "[mesh]/partitions > 1 with axisymmetric mode"
+                )
+            from ..parallel.partition import (
+                build_sharded_tables,
+                coordinate_partition,
+            )
+
+            paxis = int(rc.raw.get("mesh/partition_axis", 0) or 0)
+            part = coordinate_partition(self.mesh, self.nparts, axis=paxis)
+            self._build = build_sharded_tables(
+                self.mesh, order=rc.order, nparts=self.nparts,
+                partition=part, basis=basis,
+            )
+            self.partition = self._build.partition
+            self.tables_np = self._build.tables
+            # unsharded tables retained for BC setup / IO / visualization
+            self.viz_tables = self._build.global_tables
+        else:
+            self.tables_np = build_tables(
+                self.mesh, order=rc.order, basis=basis,
+                axisymmetric=rc.axisymmetric,
+            )
+            self.viz_tables = self.tables_np
         self.tables = self.tables_np.to_jax(self.dtype)
 
         dim = self.mesh.dim
@@ -207,6 +238,7 @@ class CompressibleSolver(PlasmaSolver):
             riemann=self.riemann,
             bcs=tuple(self.bc_slices),
             forcings=tuple(forcings),
+            axis_name="dd" if self._build is not None else None,
         )
 
         # initial condition
@@ -222,37 +254,103 @@ class CompressibleSolver(PlasmaSolver):
         self.fields = {}
 
         nact = self.mixture.num_active_species
+        mix_ = self.mixture
 
-        # persistent characteristic-BC ghost state (reference: boundaryU)
         from ..dg.rhs import advance_bc_states, init_bc_states
 
-        self.bc_states = jax.jit(
-            lambda tab, U: init_bc_states(self.ctx, tab, U)
-        )(self.tables, self.U)
-
-        @jax.jit
-        def _step(tab, U, t, dt, fields, bc_states):
-            rhs = lambda u, tt: compute_rhs(self.ctx, tab, u, tt,
+        def _substep(tab_loc, U, t, dt, fields, bc_states):
+            """Shared single-device / per-shard step body."""
+            rhs = lambda u, tt: compute_rhs(self.ctx, tab_loc, u, tt,
                                             fields=fields,
                                             bc_states=bc_states)
             U2, aux = self._integrator(rhs, U, t, dt)
             if nact > 0:
                 # clip species-density undershoots on the stored state
                 # (reference: M2ulPhyS::Check_Undershoot, called each step)
-                sp = U2[..., self.mixture.nvel + 2 : self.mixture.nvel + 2 + nact]
-                U2 = U2.at[
-                    ..., self.mixture.nvel + 2 : self.mixture.nvel + 2 + nact
-                ].set(jnp.maximum(sp, 0.0))
-            bc2 = advance_bc_states(self.ctx, tab, U2, bc_states, dt)
+                sp = U2[..., mix_.nvel + 2 : mix_.nvel + 2 + nact]
+                U2 = U2.at[..., mix_.nvel + 2 : mix_.nvel + 2 + nact].set(
+                    jnp.maximum(sp, 0.0)
+                )
+            bc2 = advance_bc_states(self.ctx, tab_loc, U2, bc_states, dt)
             return U2, bc2, aux["max_char_speed"]
 
-        self._step = _step
+        if self._build is None:
+            self._init_bc_fn = jax.jit(
+                lambda tab, U: init_bc_states(self.ctx, tab, U)
+            )
+            self._step = jax.jit(_substep)
+        else:
+            # SPMD: one shard_map program over the "dd" device-mesh axis
+            # (reference: everything-under-MPI, src/tps.cpp:200-239)
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as PS
+
+            from ..parallel.sharding import (
+                device_mesh,
+                localize_tables,
+                shard_map,
+                tab_spec_tree,
+            )
+
+            self._jmesh = device_mesh(self.nparts)
+            specs = tab_spec_tree(self.tables, "dd")
+
+            def _init_sm(tab_s, U_s):
+                sts = init_bc_states(self.ctx, localize_tables(tab_s), U_s[0])
+                return jax.tree.map(lambda a: a[None], sts)
+
+            self._init_bc_fn = jax.jit(
+                partial(
+                    shard_map, mesh=self._jmesh,
+                    in_specs=(specs, PS("dd")), out_specs=PS("dd"),
+                )(_init_sm)
+            )
+
+            step_cache = {}
+
+            def _make_step(field_keys):
+                fspec = {k: PS("dd") for k in field_keys}
+
+                @partial(
+                    shard_map, mesh=self._jmesh,
+                    in_specs=(specs, PS("dd"), PS(), PS(), fspec, PS("dd")),
+                    out_specs=(PS("dd"), PS("dd"), PS()),
+                )
+                def _step_sm(tab_s, U_s, t, dt, fields, bc_states):
+                    tl = localize_tables(tab_s)
+                    fl = {k: v[0] for k, v in fields.items()}
+                    bl = jax.tree.map(lambda a: a[0], bc_states)
+                    U2, bc2, mcs = _substep(tl, U_s[0], t, dt, fl, bl)
+                    return (U2[None], jax.tree.map(lambda a: a[None], bc2),
+                            mcs)
+
+                return jax.jit(_step_sm)
+
+            def _step(tab, U, t, dt, fields, bc_states):
+                key = tuple(sorted(fields))
+                if key not in step_cache:
+                    step_cache[key] = _make_step(key)
+                return step_cache[key](tab, U, t, dt, fields, bc_states)
+
+            self._step = _step
+
+        self.bc_states = self._init_bc_fn(self.tables, self.U)
+
+        own = (
+            jnp.asarray(np.asarray(self.tables_np.own_mask), self.dtype)
+            if self._build is not None else None
+        )
 
         @jax.jit
         def _mcs(tab, U):
-            return jnp.max(self.mixture.max_char_speed(U))
+            m = self.mixture.max_char_speed(U)
+            if own is not None:
+                m = jnp.where(own[..., None] > 0.5, m, 0.0)
+            return jnp.max(m)
 
         self._mcs_fn = _mcs
+        self._own_mask = own
 
         # initial dt (reference: M2ulPhyS::initialTimeStep)
         if rc.dt_fixed > 0:
@@ -293,6 +391,27 @@ class CompressibleSolver(PlasmaSolver):
     # ------------------------------------------------------------------
     def _build_bcs(self):
         rc = self.config
+        if self._build is not None:
+            # sharded: the attr blocks are padded to uniform per-shard
+            # shapes, identical across shards (ShardedBuild.bc_attr_blocks)
+            blocks = {a: (s, e) for (a, s, e) in self._build.bc_attr_blocks}
+            slices = []
+            covered = set()
+            for spec in rc.bcs:
+                if spec.patch not in blocks:
+                    continue
+                start, stop = blocks[spec.patch]
+                slices.append(
+                    BCSlice(bc=self._make_bc(spec), start=start, stop=stop)
+                )
+                covered.add(spec.patch)
+            missing = sorted(set(blocks) - covered)
+            if missing:
+                raise ValueError(
+                    f"no boundary condition for patch(es) {missing}"
+                )
+            slices.sort(key=lambda s: s.start)
+            return slices
         attrs = np.asarray(self.tables_np.f_bdr_attr)
         slices = []
         covered = np.zeros(len(attrs), dtype=bool)
@@ -351,12 +470,16 @@ class CompressibleSolver(PlasmaSolver):
             # external-data inlet (reference: InletType INTERPOLATE +
             # GaussianInterpExtData); CSV plane interpolated onto the
             # patch's face quadrature points
+            if self._build is not None:
+                raise NotImplementedError(
+                    "interpolate inlets with [mesh]/partitions > 1"
+                )
             import jax.numpy as jnp
 
             from ..dg.bc import InterpolatedInletBC
             from ..interop.ext_data import gaussian_interp, read_inlet_plane
 
-            tab = self.tables_np
+            tab = self.viz_tables
             sel = np.asarray(tab.f_bdr_attr) == spec.patch
             xyz_f = np.asarray(tab.f_xyz[tab.nfi :])[sel]  # [nf, nqf, dim]
             nf, nqf, dimm = xyz_f.shape
@@ -408,7 +531,7 @@ class CompressibleSolver(PlasmaSolver):
 
     def _patch_area(self, spec):
         """Quadrature area of a boundary patch (for mass-flow outlets)."""
-        tab = self.tables_np
+        tab = self.viz_tables
         attrs = np.asarray(tab.f_bdr_attr)
         sel = attrs == spec.patch
         nrm = np.linalg.norm(np.asarray(tab.f_nor[tab.nfi :])[sel], axis=-1)
@@ -464,9 +587,15 @@ class CompressibleSolver(PlasmaSolver):
         mcs = float(mcs)
 
         if self._history is not None:
-            dUdt = np.asarray(
-                jnp.mean(jnp.abs(U2 - U_prev), axis=(0, 1)) / self.dt
-            )
+            dU = jnp.abs(U2 - U_prev)
+            if self._own_mask is not None:
+                m = self._own_mask[..., None, None]
+                dUdt = np.asarray(
+                    jnp.sum(dU * m, axis=tuple(range(dU.ndim - 1)))
+                    / (jnp.sum(m) * dU.shape[-2]) / self.dt
+                )
+            else:
+                dUdt = np.asarray(jnp.mean(dU, axis=(0, 1)) / self.dt)
             self._history.write(self.iter, self.time, dUdt)
         if self.averaging.enabled:
             self.averaging.add_sample(
@@ -530,29 +659,36 @@ class CompressibleSolver(PlasmaSolver):
 
         from ..io.visualization import write_vtk_dg
 
+        import jax.numpy as jnp
+
         mix = self.mixture
-        Up = self.mixture.primitives(self.U)
+        Ug = jnp.asarray(self.state_global())
+        Up = self.mixture.primitives(Ug)
         fields = {
             "density": np.asarray(Up[..., 0]),
             "velocity": np.asarray(Up[..., 1 : 1 + mix.nvel]),
             "temperature": np.asarray(Up[..., mix.i_th]),
-            "pressure": np.asarray(mix.pressure(self.U)),
+            "pressure": np.asarray(mix.pressure(Ug)),
         }
         for s in range(mix.num_active_species):
             fields[f"species_{s}"] = np.asarray(Up[..., mix.nvel + 2 + s])
         if mix.two_temperature:
             fields["electron_temperature"] = np.asarray(Up[..., mix.i_te])
         if self.averaging.n_samples:
-            fields["mean_velocity"] = np.asarray(
-                self.averaging.mean()[..., 1 : 1 + mix.nvel]
-            )
+            mean = self.averaging.mean()
             rey = self.averaging.reynolds_stresses(mix.nvel)
+            if self._build is not None:
+                from ..parallel.partition import gather_state
+
+                mean = gather_state(self._build, mean)
+                rey = gather_state(self._build, rey)
+            fields["mean_velocity"] = np.asarray(mean)[..., 1 : 1 + mix.nvel]
             fields["reynolds_stress"] = np.asarray(rey)
         _os.makedirs(self.config.outdir, exist_ok=True)
         path = _os.path.join(
             self.config.outdir, f"solution_{self.iter:08d}.vtk"
         )
-        write_vtk_dg(path, self.tables_np, fields, mesh=self.mesh)
+        write_vtk_dg(path, self.viz_tables, fields, mesh=self.mesh)
         return path
 
     def check_nan(self, verbose=False) -> int:
@@ -606,13 +742,33 @@ class CompressibleSolver(PlasmaSolver):
         ):
             # re-seed characteristic ghosts from the restored interior state
             # (the reference re-derives boundaryU the same way on restart)
-            import jax
+            self.bc_states = self._init_bc_fn(self.tables, self.U)
 
-            from ..dg.rhs import init_bc_states
+    # -- global <-> sharded state views (used by restart / viz / interop) ---
+    @property
+    def ne_global(self):
+        return self._build.ne_global if self._build is not None \
+            else self.tables_np.ne
 
-            self.bc_states = jax.jit(
-                lambda tab, U: init_bc_states(self.ctx, tab, U)
-            )(self.tables, self.U)
+    def state_global(self):
+        """Conserved state on the global element ordering [ne_g, ndof, neq]."""
+        if self._build is None:
+            return np.asarray(self.U)
+        from ..parallel.partition import gather_state
+
+        return gather_state(self._build, self.U)
+
+    def set_state_global(self, Ug):
+        import jax.numpy as jnp
+
+        if self._build is None:
+            self.U = jnp.asarray(Ug, self.dtype)
+        else:
+            from ..parallel.partition import scatter_state
+
+            self.U = jnp.asarray(
+                scatter_state(self._build, np.asarray(Ug)), self.dtype
+            )
 
     # -- Boltzmann interface bus (reference: src/M2ulPhyS2Boltzmann.cpp) ----
     def init_interface(self, interface):
