@@ -24,6 +24,7 @@ def main():
 
     from tps_tpu.dg.discretization import build_tables
     from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.fused import maybe_build_fused
     from tps_tpu.dg.rhs import RHSContext, compute_rhs
     from tps_tpu.dg.riemann import Rusanov
     from tps_tpu.mesh.generators import box_3d
@@ -39,13 +40,17 @@ def main():
     mix = DryAir(dim=3, nvel=3)
     n = 16
     mesh = box_3d(n, n, n, periodic=(True, True, True))
-    tab = build_tables(mesh, order=2).to_jax(dtype)
+    tab_np = build_tables(mesh, order=2)
+    tab = tab_np.to_jax(dtype)
     fl = Fluxes(
         mixture=mix,
         transport=DryAirTransport(mix.gas_constant, mix.specific_heat_ratio),
         eq_system="navier-stokes",
     )
     ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
+    # fused-minor-dim fast path (dg/fused.py): the production RHS on
+    # structured periodic meshes; falls back to the slot path otherwise
+    fused = maybe_build_fused(tab_np, ctx, dtype=dtype)
 
     xyz = tab.xyz_dof
     two_pi = 2 * np.pi
@@ -59,14 +64,19 @@ def main():
 
     nsteps = 50
 
+    rhs_fn = fused if fused is not None else (
+        lambda uu, t2: compute_rhs(ctx, tab, uu, t2)
+    )
+    if fused is not None:
+        U = fused.to_fused(U)
+
     @jax.jit
     def run(U_in, t, dt):
         # scan the whole step loop inside one executable: no per-step host
         # dispatch (the solver time loop does the same)
         def body(carry, _):
             u, tt = carry
-            rhs = lambda uu, t2: compute_rhs(ctx, tab, uu, t2)
-            u2, aux = rk4(rhs, u, tt, dt)
+            u2, aux = rk4(rhs_fn, u, tt, dt)
             return (u2, tt + dt), aux["max_char_speed"]
 
         (Uf, _), mcs = jax.lax.scan(body, (U_in, t), None, length=nsteps)

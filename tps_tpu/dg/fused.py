@@ -1,0 +1,252 @@
+"""Fused-layout RHS fast path for structured (generator) meshes.
+
+Motivation (PERF.md): XLA tiles the two minor dims of every TPU array to
+(8, 128).  The general DG pipeline materializes arrays like [ne, 27, 20]
+and [ne, 54, 5] whose minor dims are far below the tile, inflating HBM
+traffic ~7x.  On structured generator meshes every element shares the
+same geometry factors:
+
+  - Bvol == I          (collocated Gauss-Legendre basis)
+  - Minv diagonal and identical for all elements
+  - adjJ constant (one dim x dim matrix)
+  - face weights/normals identical per (local face, point) slot
+  - neighbor traces are pure grid rolls (tab.roll_info)
+
+so the *entire linear part* of the DG operator folds into a few shared
+weight matrices acting on a fused (dof*eq) minor dimension >= 128:
+
+  gradient: G2 [ne, ndof*neq*dim] = [Up2 | rolls(Up2)] @ K_grad
+  traces:   T  [ne, nlf*nqf*neq(*dim)] = U2 @ K_tr (block kron(Btr, I))
+  scatter:  y += fluxw2 @ K_face_out   (wts, sign, Minv folded in)
+  volume:   y += Fdof2 @ K_vol         (wq, adjJ, Gvol, Minv folded in)
+
+Every materialized buffer is 2-D [ne, K] with K >= 128, so tile padding
+is <= 1.2x instead of 7-11x.  The nonlinear physics (primitives, Riemann,
+viscous fluxes) runs pointwise on reshaped *views* between the matmuls,
+which XLA keeps inside fusions.  The extra block-diagonal FLOPs are free:
+the pipeline is HBM-bound, not MXU-bound.
+
+This is the production fast path used by the solver and bench when the
+preconditions hold (periodic structured mesh, no BCs / forcings / SGS /
+sponge / axisymmetry); the slot path (rhs.compute_rhs) remains the
+general fallback.  Hot-loop parity: reference RHSoperator::Mult,
+src/rhs_operator.cpp:343-464 and dgNonlinearForm.cpp:90-349.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def fusable(tab_np, ctx) -> bool:
+    """Preconditions for the fused path (see module docstring)."""
+    t = tab_np
+    if t.roll_info is None or t.nfb or ctx.bcs or ctx.forcings:
+        return False
+    if ctx.fluxes.axisymmetric or getattr(t, "rad_vol", None) is not None:
+        return False
+    if ctx.fluxes.sgs_model is not None or ctx.fluxes.visc_sponge is not None:
+        return False
+    if ctx.axis_name is not None:
+        return False
+    if not np.allclose(t.Bvol, np.eye(t.nq)):
+        return False
+    M0 = np.asarray(t.Minv[0])
+    if not np.allclose(t.Minv, M0) or not np.allclose(M0, np.diag(np.diag(M0))):
+        return False
+    if not np.allclose(t.adjJ, t.adjJ[0, 0]):
+        return False
+    if not (np.allclose(t.wts_slot, t.wts_slot[0:1])
+            and np.allclose(t.nor_slot, t.nor_slot[0:1])):
+        return False
+    return True
+
+
+@dataclass(frozen=True)
+class FusedRHS:
+    """Callable fused-layout RHS: (U2 [ne, ndof*neq], t) -> (dU2/dt, aux)."""
+
+    ctx: object
+    ne: int
+    ndof: int
+    neq: int
+    dim: int
+    grid: tuple
+    per_lf: tuple  # ((axis, shift, opp), ...) from tab.roll_info
+    nlf: int
+    nqf: int
+    # jnp weight matrices
+    K_grad: object  # [(1+nlf)*ndof*neq, ndof*neq*dim]
+    K_trU: object  # [ndof*neq, nlf*nqf*neq]
+    K_trG: object  # [ndof*neq*dim, nlf*nqf*neq*dim]
+    K_out: object  # [nlf*nqf*neq, ndof*neq]
+    K_vol: object  # [ndof*neq*dim, ndof*neq]
+    nor_slot: object  # [nlf, nqf, dim] (shared)
+    delta: object  # scalar element size (uniform)
+
+    def to_fused(self, U):
+        return U.reshape(U.shape[0], -1)
+
+    def from_fused(self, U2):
+        return U2.reshape(self.ne, self.ndof, self.neq)
+
+    def _rolls(self, A2):
+        """Grid rolls of a fused per-element buffer [ne, K] -> list per lf."""
+        import jax.numpy as jnp
+
+        Ag = A2.reshape(tuple(self.grid) + (A2.shape[-1],))
+        out = []
+        for (axis, shift, _opp) in self.per_lf:
+            out.append(jnp.roll(Ag, shift, axis=axis).reshape(A2.shape))
+        return out
+
+    def __call__(self, U2, t=0.0):
+        import jax.numpy as jnp
+
+        ctx = self.ctx
+        mix = ctx.mixture
+        ne, ndof, neq, dim = self.ne, self.ndof, self.neq, self.dim
+        nlf, nqf = self.nlf, self.nqf
+        viscous = ctx.fluxes.eq_system != "euler"
+
+        U = self.from_fused(U2)
+        Up = mix.primitives(U)
+        Up2 = Up.reshape(ne, -1)
+
+        # ---- gradient (fully linear: one matmul over [self | rolls]) ----
+        G2 = None
+        if viscous:
+            R = jnp.concatenate([Up2] + self._rolls(Up2), axis=-1)
+            G2 = R @ self.K_grad  # [ne, ndof*neq*dim]
+
+        # ---- face traces (kron matmuls keep the fused minor dim) ----
+        T_U = U2 @ self.K_trU  # [ne, nlf*nqf*neq]
+        T_G = G2 @ self.K_trG if viscous else None
+
+        # ---- pointwise face physics on views; neighbors via grid rolls ----
+        ownU = T_U.reshape(tuple(self.grid) + (nlf, nqf, neq))
+        nbrU = []
+        for (axis, shift, opp) in self.per_lf:
+            nbrU.append(jnp.roll(ownU[..., opp, :, :], shift, axis=axis))
+        nbrU = jnp.stack(nbrU, axis=-3)  # [..., nlf, nqf, neq]
+        U_own = ownU.reshape(ne, nlf, nqf, neq)
+        U_nbr = nbrU.reshape(ne, nlf, nqf, neq)
+
+        if viscous:
+            ownG = T_G.reshape(tuple(self.grid) + (nlf, nqf, neq, dim))
+            nbrG = []
+            for (axis, shift, opp) in self.per_lf:
+                nbrG.append(jnp.roll(ownG[..., opp, :, :, :], shift, axis=axis))
+            nbrG = jnp.stack(nbrG, axis=-4)
+            g_own = ownG.reshape(ne, nlf, nqf, neq, dim)
+            g_nbr = nbrG.reshape(ne, nlf, nqf, neq, dim)
+
+        nor = self.nor_slot  # [nlf, nqf, dim] broadcast over elements
+        flux = ctx.riemann(U_own, U_nbr, nor)
+        if viscous:
+            d = self.delta
+            Fv1 = ctx.fluxes.viscous(U_own, mix.primitives(U_own), g_own,
+                                     xyz=None, delta=d)
+            Fv2 = ctx.fluxes.viscous(U_nbr, mix.primitives(U_nbr), g_nbr,
+                                     xyz=None, delta=d)
+            flux = flux - jnp.einsum("...ed,...d->...e", 0.5 * (Fv1 + Fv2), nor)
+        fluxw2 = flux.reshape(ne, nlf * nqf * neq)
+
+        # ---- volume flux + output matmuls (wts/sign/Minv/adjJ folded) ----
+        Fdof = ctx.fluxes.total_at_dofs(U, Up,
+                                        G2.reshape(ne, ndof, neq, dim)
+                                        if viscous else None,
+                                        None, None)
+        y2 = Fdof.reshape(ne, -1) @ self.K_vol + fluxw2 @ self.K_out
+
+        mcs = jnp.max(mix.max_char_speed(U))
+        return y2, {"max_char_speed": mcs}
+
+
+def build_fused(tab_np, ctx, dtype=None) -> FusedRHS:
+    """Fold the linear DG operators into fused-layout weight matrices."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+
+    t = tab_np
+    mix = ctx.mixture
+    ndof, nq, nlf, nqf, dim = t.ndof, t.nq, t.nlf, t.nqf, t.dim
+    neq = mix.num_equations
+    ne = t.ne
+    grid, per_lf = t.roll_info
+
+    B = np.asarray(t.Btr)  # [nlf*nqf, ndof]
+    m = np.diag(np.asarray(t.Minv[0]))  # [ndof] diagonal inverse mass
+    adj = np.asarray(t.adjJ[0, 0])  # [dim, dim]
+    wq = np.asarray(t.wq)  # [nq] == [ndof]
+    Gv = np.asarray(t.Gvol)  # [nq, ndof, dim] (ref-space basis gradients)
+    w_s = np.asarray(t.wts_slot[0])  # [nlf, nqf]
+    n_s = np.asarray(t.nor_slot[0])  # [nlf, nqf, dim]
+
+    eye_e = np.eye(neq)
+
+    # -- gradient fold: scalar maps [ndof -> (j, dd)] then kron over eq --
+    # volume: rvol[j,(e,dd)] = wq[j] sum_k Gv[j,d,k] adj[k,dd] Up[d,e]
+    S_vol = np.einsum("j,jdk,kD->djD", wq, Gv, adj)  # [d, j, dd]
+    # own side of the central face jump: -0.5 w n (Btr Up)
+    S_own = np.einsum("sj,s,sD,sd->djD", B, -0.5 * w_s.reshape(-1),
+                      n_s.reshape(-1, dim), B)
+    S_self = (S_vol + S_own) * m[None, :, None]
+    blocks = [S_self]
+    for lf, (_axis, _shift, opp) in enumerate(per_lf):
+        sl = slice(lf * nqf, (lf + 1) * nqf)
+        so = slice(opp * nqf, (opp + 1) * nqf)
+        N = np.einsum("sj,s,sD,sd->djD", B[sl], 0.5 * w_s[lf],
+                      n_s[lf], B[so])
+        blocks.append(N * m[None, :, None])
+    # expand each [d, j, dd] block over equations -> [(d,e), (j,e,dd)]
+    K_grad = np.concatenate(
+        [
+            np.einsum("djD,ef->dejfD", blk, eye_e).reshape(
+                ndof * neq, ndof * neq * dim
+            )
+            for blk in blocks
+        ],
+        axis=0,
+    )  # [(1+nlf)*ndof*neq, ndof*neq*dim]
+
+    # -- trace matmuls: kron(Btr, I) in fused index order --
+    K_trU = np.einsum("sd,ef->desf", B, eye_e).reshape(
+        ndof * neq, nlf * nqf * neq
+    )
+    eye_ed = np.eye(neq * dim)
+    K_trG = np.einsum("sd,gh->dgsh", B, eye_ed).reshape(
+        ndof * neq * dim, nlf * nqf * neq * dim
+    )
+
+    # -- face scatter: z_face[j,e] = -sum_s w[s] Btr[s,j] m[j] flux[s,e] --
+    K_out = np.einsum("s,sj,j,ef->sejf", w_s.reshape(-1), B, m, eye_e).reshape(
+        nlf * nqf * neq, ndof * neq
+    ) * (-1.0)
+
+    # -- volume scatter: z[j,e] = sum_{q,dd} wq[q] Gv[q,j,k] adj[k,dd] m[j] F --
+    A_vol = np.einsum("q,qjk,kD,j->qDj", wq, Gv, adj, m)  # [q, dd, j]
+    K_vol = np.einsum("qDj,ef->qeDjf", A_vol, eye_e).reshape(
+        ndof * neq * dim, ndof * neq
+    )
+
+    return FusedRHS(
+        ctx=ctx, ne=ne, ndof=ndof, neq=neq, dim=dim,
+        grid=tuple(grid), per_lf=tuple(per_lf), nlf=nlf, nqf=nqf,
+        K_grad=jnp.asarray(K_grad, dtype),
+        K_trU=jnp.asarray(K_trU, dtype),
+        K_trG=jnp.asarray(K_trG, dtype),
+        K_out=jnp.asarray(K_out, dtype),
+        K_vol=jnp.asarray(K_vol, dtype),
+        nor_slot=jnp.asarray(n_s, dtype),
+        delta=float(np.asarray(t.delta).flat[0]),
+    )
+
+
+def maybe_build_fused(tab_np, ctx, dtype=None):
+    """FusedRHS when the preconditions hold, else None."""
+    return build_fused(tab_np, ctx, dtype) if fusable(tab_np, ctx) else None

@@ -256,14 +256,28 @@ class CompressibleSolver(PlasmaSolver):
         nact = self.mixture.num_active_species
         mix_ = self.mixture
 
+        from ..dg.fused import maybe_build_fused
         from ..dg.rhs import advance_bc_states, init_bc_states
+
+        # fused-minor-dim fast path on structured periodic meshes
+        # (dg/fused.py); None when BCs/forcings/sharding/axisym are present
+        self._fused = (
+            maybe_build_fused(self.tables_np, self.ctx, self.dtype)
+            if self._build is None else None
+        )
 
         def _substep(tab_loc, U, t, dt, fields, bc_states):
             """Shared single-device / per-shard step body."""
-            rhs = lambda u, tt: compute_rhs(self.ctx, tab_loc, u, tt,
-                                            fields=fields,
-                                            bc_states=bc_states)
-            U2, aux = self._integrator(rhs, U, t, dt)
+            if self._fused is not None:
+                U2f, aux = self._integrator(
+                    self._fused, self._fused.to_fused(U), t, dt
+                )
+                U2 = self._fused.from_fused(U2f)
+            else:
+                rhs = lambda u, tt: compute_rhs(self.ctx, tab_loc, u, tt,
+                                                fields=fields,
+                                                bc_states=bc_states)
+                U2, aux = self._integrator(rhs, U, t, dt)
             if nact > 0:
                 # clip species-density undershoots on the stored state
                 # (reference: M2ulPhyS::Check_Undershoot, called each step)
