@@ -160,3 +160,87 @@ outdirBase = {tmp_path}/out
     assert abs(total - 100.0) / 100.0 < 1e-8  # power control on target
     qj = np.asarray(coupled.flow.thermo.joule_heating)
     assert qj.max() > 0 and np.isfinite(qj).all()
+
+
+def test_cycle_avg_joule_coupling_reacting(tmp_path):
+    """Coupled axisymmetric torch with the finite-rate reacting low-Mach
+    solver: sigma comes from the REACTING MIXTURE's transport model (not an
+    LTE table) — reference: ReactingFlow::evaluatePlasmaConductivityGF
+    (src/reactingFlow.cpp:3192) inside CycleAvgJouleCoupling."""
+    import os
+
+    here = os.path.dirname(__file__)
+    argon = open(os.path.join(here, "inputs", "argon_minimal.ini")).read()
+    # strip the [solver]/[io] sections of the compressible ini
+    argon = argon.split("[plasma_models]", 1)[1]
+    argon = "[plasma_models]" + argon.rsplit("[io]", 1)[0]
+
+    ini = tmp_path / "torch_reacting.ini"
+    ini.write_text(f"""
+[solver]
+type = cycle-avg-joule-coupled
+[cycle-avg-joule-coupled]
+plasma-solver = lomach
+axisymmetric = 1
+solve-em-every-n = 2
+input-power = 100.0
+[mesh]
+generator = box2d
+nx = 5
+ny = 5
+x1 = 0.01
+y1 = 0.01
+periodic_y = 1
+[loMach]
+order = 1
+axisymmetric = 1
+flow-solver = zero-flow
+thermo-solver = reacting-flow
+maxIters = 4
+ambientPressure = 101325.0
+openSystem = 1
+[loMach/reacting]
+sub-steps = 4
+[initialConditions]
+temperature = 9000.0
+[time]
+dt_fixed = 1e-7
+[io]
+outdirBase = {tmp_path}/out
+""" + argon)
+    inp = IniInput.read(str(ini))
+    rc = parse_run_configuration(inp)
+    rc.max_iters = 4
+
+    em_mesh = box_2d(10, 10, x0=0.0, x1=0.03, y0=-0.01, y1=0.02)
+    cent = em_mesh.vertices[em_mesh.elements].mean(axis=1)
+    attrs = np.ones(em_mesh.num_elements, dtype=np.int64)
+    ring = (np.abs(cent[:, 0] - 0.018) < 0.004) & (np.abs(cent[:, 1] - 0.005) < 0.004)
+    attrs[ring] = 2
+    em_mesh.elem_attrs = attrs
+    inp.values["em/current_amplitude"] = "1e6"
+    inp.values["em/current_frequency"] = "1e5"
+
+    coupled = CycleAvgJouleCoupling(rc)
+    coupled._em_in = QuasiMagnetostaticSolverAxiSym(rc, mesh=em_mesh)
+    coupled._em_in.initialize()
+    coupled.initialize()
+    thermo = coupled.flow.thermo
+    assert thermo.mixture is not None and thermo.transport is not None
+
+    sigma0 = np.asarray(thermo.plasma_conductivity())
+    assert np.all(np.isfinite(sigma0)) and sigma0.max() > 0
+
+    T0 = float(np.asarray(thermo.T).mean())
+    for _ in range(rc.max_iters):
+        coupled.solve_step()
+    T1 = np.asarray(thermo.T)
+    assert np.isfinite(T1).all()
+    assert T1.mean() > T0  # power-controlled Joule heating raises T
+    total = coupled.em.total_joule_heating()
+    assert abs(total - 100.0) / 100.0 < 1e-8
+    # the hot plasma ionizes further -> conductivity rises
+    sigma1 = np.asarray(thermo.plasma_conductivity())
+    assert np.all(np.isfinite(sigma1))
+    Y = np.asarray(thermo.Y)
+    np.testing.assert_allclose(Y.sum(axis=-1), 1.0, atol=1e-12)

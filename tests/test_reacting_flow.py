@@ -78,3 +78,117 @@ def test_first_order_decay_rate():
     Y_A = float(np.asarray(rf.Y)[:, 0].mean())
     expect = 0.3 * np.exp(-20.0 * t)
     assert abs(Y_A - expect) / expect < 0.05, (Y_A, expect)
+
+
+# ---------------------------------------------------------------------------
+# Full plasma tier (mixture + molecular transport, reference depth)
+# ---------------------------------------------------------------------------
+
+def _argon_reacting(nx=4, ny=4, T_init=8000.0):
+    """ReactingFlow on the shared argon plasma stack (the reference's
+    reactFlow-* configuration class: perfect mixture + argon-minimal
+    transport + ionization chemistry)."""
+    import os
+
+    from tps_tpu.config.ini import IniInput
+    from tps_tpu.solvers.lomach.solver import _build_reacting_flow
+
+    here = os.path.dirname(__file__)
+    argon = open(os.path.join(here, "inputs", "argon_minimal.ini")).read()
+    extra = f"""
+[loMach]
+ambientPressure = 101325.0
+openSystem = 1
+
+[loMach/reacting]
+sub-steps = 4
+
+[initialConditions]
+temperature = {T_init}
+"""
+    inp = IniInput.parse(argon + extra)
+    mesh = box_2d(nx, ny, x1=0.01, y1=0.01, periodic_x=True, periodic_y=True)
+    tab = h1.build_h1(mesh, order=1)
+    rf = _build_reacting_flow(inp, tab, (), 1e-12, 400)
+    return rf
+
+
+def test_reacting_full_tier_construction():
+    rf = _argon_reacting()
+    assert rf.mixture is not None and rf.transport is not None
+    assert rf.ambipolar and rf.n_active == 1
+    # mixture-ordered species: [Ar+ (active), E, Ar (background)]
+    assert rf.species_names[-2] == "E"
+
+
+def test_reacting_per_species_diffusivities_differ():
+    rf = _argon_reacting()
+    # seed some ionization so charged-species transport is active
+    Y = np.array(rf.Y)
+    Y[:, 0] = 1e-4  # Ar+
+    rf.Y = rf._close_species(jnp.asarray(Y))
+    diff, mu, kappa = rf._transport_props(rf.T, rf.Y)
+    d = np.asarray(diff)
+    assert np.all(np.isfinite(d)) and np.all(d[:, :2] > 0)
+    # electron diffusivity differs from the ion's (not a single-Sc closure)
+    assert not np.allclose(d[:, 0], d[:, 1], rtol=1e-3)
+    assert float(np.min(np.asarray(mu))) > 0
+    assert float(np.min(np.asarray(kappa))) > 0
+
+
+def test_reacting_plasma_conductivity():
+    """The previously NotImplementedError hook now returns a real sigma
+    (reference: evaluatePlasmaConductivityGF, src/reactingFlow.cpp:3192)."""
+    rf = _argon_reacting(T_init=9000.0)
+    Y = np.array(rf.Y)
+    Y[:, 0] = 1e-4
+    rf.Y = rf._close_species(jnp.asarray(Y))
+    sig = np.asarray(rf.plasma_conductivity())
+    assert sig.shape == (rf.tab.ndofs,)
+    assert np.all(np.isfinite(sig)) and np.all(sig > 0)
+    # more ionization -> higher conductivity
+    Y[:, 0] = 1e-3
+    rf.Y = rf._close_species(jnp.asarray(Y))
+    sig2 = np.asarray(rf.plasma_conductivity())
+    assert np.all(sig2 > sig)
+
+
+def test_reacting_full_tier_step_conservation():
+    """One operator-split step: mass fractions stay a partition of unity,
+    quasi-neutrality holds, state stays finite; Joule heating raises T."""
+    rf = _argon_reacting(T_init=9000.0)
+    Y = np.array(rf.Y)
+    Y[:, 0] = 1e-4
+    rf.Y = rf._close_species(jnp.asarray(Y))
+    rf.T_hist = [rf.T, rf.T]
+    rf.Y_hist = [rf.Y, rf.Y]
+
+    coeff = TemporalCoefficients.bdf(1)
+    T0 = float(jnp.mean(rf.T))
+    rf.set_joule_heating(jnp.full(rf.tab.ndofs, 1e8))  # W/m^3
+    rf.step(coeff, 1e-7)
+
+    Y = np.asarray(rf.Y)
+    np.testing.assert_allclose(Y.sum(axis=-1), 1.0, atol=1e-12)
+    assert np.all(Y >= 0)
+    # quasi-neutrality: Y_e = (m_e/m_i) * Y_i
+    me, mi = rf.mw[rf.i_electron], rf.mw[0]
+    np.testing.assert_allclose(Y[:, rf.i_electron], Y[:, 0] * me / mi,
+                               rtol=1e-10)
+    assert np.all(np.isfinite(np.asarray(rf.T)))
+    assert float(jnp.mean(rf.T)) > T0  # Joule heating raises temperature
+    assert np.all(np.isfinite(np.asarray(rf.Qt)))
+
+
+def test_reacting_ionization_equilibrium_consistency():
+    """Production rates from the shared Chemistry: ionization at high T
+    creates Ar+ (positive creation for species 0)."""
+    rf = _argon_reacting(T_init=12000.0)
+    Y = np.array(rf.Y)
+    Y[:, 0] = 1e-6
+    rf.Y = rf._close_species(jnp.asarray(Y))
+    dY, dT = rf._reaction_source(rf.T, rf.Y)
+    dY = np.asarray(dY)
+    assert np.all(dY[:, 0] > 0)  # net ionization
+    # ionization consumes energy: heat release negative
+    assert np.all(np.asarray(dT) < 0)

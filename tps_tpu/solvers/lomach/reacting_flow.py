@@ -1,21 +1,38 @@
 """Finite-rate reacting low-Mach thermo-chemistry (the ReactingFlow model).
 
-The role of the reference ReactingFlow (reference: src/reactingFlow.cpp:
-1997-3400): operator-split temperature and species transport with chemistry
-sub-stepping inside each flow step, mixture properties from perfect-gas
-species data, open/closed thermodynamic pressure, and the plasma
-conductivity / thermal divergence hooks consumed by the flow solver.
+The reference ReactingFlow (reference: src/reactingFlow.cpp, 4144 LoC)
+couples operator-split temperature/species transport with chemistry
+sub-stepping inside each flow step, mixture properties from the shared
+plasma physics stack, and the plasma-conductivity / Joule-heating hooks
+consumed by the EM coupling.  This implementation supports two tiers:
 
-Time discretization per flow step dt (BDF on the transport, explicit
-sub-stepped chemistry — the reference's evalSubstepNumber uses a
-data-dependent count; here the count is a static bound, trace-friendly):
+* **full plasma tier** — a `PerfectMixture` + molecular transport model
+  (the same objects the compressible path uses, built from
+  [plasma_models]/[species]/[reactions]):
+  - per-species diffusivities from the transport model's flux properties
+    (reference: updateDiffusivity, src/reactingFlow.cpp:3100+)
+  - plasma conductivity via the transport model's electrical conductivity
+    (reference: evaluatePlasmaConductivityGF, src/reactingFlow.cpp:3192)
+  - Joule heating + net-emission radiation sink in the temperature
+    equation (reference: temperatureStep linear forms, :1759-1786)
+  - heat of formation consistent with the mixture's formation energies
+    (reference: heatOfFormation, :2700+)
+* **simple tier** — constant Lewis/Schmidt closures from explicit species
+  arrays (no transport model), kept for lightweight combustion cases.
 
-  1. implicit advection-diffusion solve for each species mass fraction Y_s
-  2. implicit advection-diffusion solve for T
-  3. n_substeps explicit chemistry updates of (Y, T) with production rates
-     and heat release
-  4. rho = p_th W_mix / (R T); Qt = (1/T) DT/Dt + ... for the divergence
-     constraint
+Time discretization per flow step dt (reference: step() :1997-2120):
+
+  PART I   implicit BDF advection-diffusion solves for each ACTIVE
+           species mass fraction and for T (chemistry excluded when
+           operator-split); ambipolar electron from quasi-neutrality;
+           last species = 1 - sum (speciesLastStep); cross-diffusion,
+           Joule heating and radiation in the T equation.
+  PART II  nSub chemistry substeps from (T_n, Y_n): each adds 1/nSub of
+           the transport increment (substepState star state,
+           :2156-2180) plus dt/nSub of the reaction source
+           (speciesSubstep/temperatureSubstep :2373-2656).  The substep
+           count is a static bound (trace-friendly) instead of the
+           reference's data-dependent evalSubstepNumber.
 """
 
 from __future__ import annotations
@@ -27,7 +44,6 @@ import numpy as np
 from ...constants import UNIVERSAL_GAS_CONSTANT as _R
 from ...fem import h1
 from .base import TemporalCoefficients, ThermoChemBase
-from .thermo_chem import TemperatureDirichlet
 
 
 class ReactingFlow(ThermoChemBase):
@@ -35,15 +51,34 @@ class ReactingFlow(ThermoChemBase):
                  formation_energy=(), chemistry=None, p_thermo=101325.0,
                  closed_system=False, mu0=1.68e-5, Pr=0.71, Sc=0.71,
                  n_substeps=4, temp_bcs=(), T_init=300.0, Y_init=None,
-                 cg_tol=1e-10, cg_maxiter=500):
+                 cg_tol=1e-10, cg_maxiter=500,
+                 mixture=None, transport=None, radiation=None,
+                 operator_split=True, const_plasma_conductivity=0.0):
         self.tab = tab
         self.flow = flow
-        self.species_names = list(species_names)
-        self.mw = np.asarray(mw, dtype=np.float64)
+        self.mixture = mixture
+        self.transport = transport
+        self.radiation = radiation
+        self.operator_split = operator_split
+        self.const_plasma_conductivity = const_plasma_conductivity
+        if mixture is not None:
+            self.species_names = list(species_names)
+            self.mw = np.asarray(mixture.mw, dtype=np.float64)
+            self.molar_cv = np.asarray(mixture.molar_cv, dtype=np.float64)
+            self.hf = np.asarray(mixture.formation_energy, dtype=np.float64)
+            self.n_active = mixture.num_active_species
+            self.i_electron = mixture.i_electron
+            self.ambipolar = bool(getattr(mixture, "ambipolar", False))
+        else:
+            self.species_names = list(species_names)
+            self.mw = np.asarray(mw, dtype=np.float64)
+            self.molar_cv = np.asarray(molar_cv_over_R) * _R
+            self.hf = np.asarray(formation_energy, dtype=np.float64)
+            self.n_active = len(self.mw) - 1  # all but the background
+            self.i_electron = -1
+            self.ambipolar = False
         self.nsp = len(self.mw)
-        self.molar_cv = np.asarray(molar_cv_over_R) * _R
         self.molar_cp = self.molar_cv + _R
-        self.hf = np.asarray(formation_energy, dtype=np.float64)  # J/mol
         self.chemistry = chemistry
         self.p_thermo = p_thermo
         self.closed_system = closed_system
@@ -65,6 +100,7 @@ class ReactingFlow(ThermoChemBase):
         self.T_hist = [self.T, self.T]
         self.Y_hist = [self.Y, self.Y]
         self.Qt = jnp.zeros(nd)
+        self.joule_heating = jnp.zeros(nd)
 
         if temp_bcs:
             free = np.ones(nd)
@@ -99,10 +135,60 @@ class ReactingFlow(ThermoChemBase):
         return jnp.einsum("ns,s->n", jnp.maximum(Y, 0.0),
                           jnp.asarray(self.molar_cp / self.mw))
 
+    def _conserved_state(self, T, Y, vel=None):
+        """Per-node conserved state in the mixture's layout, for the shared
+        transport/EOS machinery (reference: evaluatePlasmaConductivityGF
+        builds exactly this primitive->conserved state,
+        src/reactingFlow.cpp:3192-3227)."""
+        mix = self.mixture
+        W = self._mixture_mw(Y)
+        rho = self.p_thermo * W / (_R * T)
+        nd = T.shape[0]
+        nvel = mix.nvel
+        if vel is None:
+            v = jnp.zeros((nd, nvel))
+        else:
+            v = jnp.concatenate(
+                [vel, jnp.zeros((nd, nvel - vel.shape[-1]))], axis=-1
+            ) if vel.shape[-1] < nvel else vel[..., :nvel]
+        n_active = rho[:, None] * jnp.maximum(Y[:, : self.n_active], 0.0) \
+            / jnp.asarray(self.mw[: self.n_active])
+        parts = [rho[:, None], v, T[:, None], n_active]
+        if mix.two_temperature:
+            parts.append(T[:, None])  # single-T low-Mach: Te = Th
+        Up = jnp.concatenate(parts, axis=-1)
+        return mix.conservatives(Up), Up
+
+    def _transport_props(self, T, Y):
+        """Per-species rho*D [nd, nsp], viscosity, conductivity from the
+        molecular transport model (full tier) or Pr/Sc closures."""
+        if self.transport is None or self.mixture is None:
+            cp = self._cp_mass(Y)
+            mu = self.mu0 * (T / 273.0) ** 0.7
+            kappa = cp / self.Pr * mu
+            diff = jnp.broadcast_to((mu / self.Sc)[:, None],
+                                    Y.shape)  # rho D, all species equal
+            return diff, mu, kappa
+        mix = self.mixture
+        U, Up = self._conserved_state(T, Y)
+        zeros_grad = jnp.zeros(U.shape[:-1] + (mix.num_equations, mix.dim),
+                               U.dtype)
+        props = self.transport.flux_properties(mix, U, Up, zeros_grad)
+        W = self._mixture_mw(Y)
+        rho = self.p_thermo * W / (_R * T)
+        # diffusivity is per-species D_s [m^2/s] -> rho D_s
+        diff = rho[:, None] * props["diffusivity"]
+        kappa = props["kappa"] + props.get("kappa_e", 0.0)
+        return diff, props["visc"], kappa
+
     def viscosity(self):
+        if self.transport is not None and self.mixture is not None:
+            return self._transport_props(self.T, self.Y)[1]
         return self.mu0 * (self.T / 273.0) ** 0.7
 
     def conductivity(self):
+        if self.transport is not None and self.mixture is not None:
+            return self._transport_props(self.T, self.Y)[2]
         return self._cp_mass(self.Y) / self.Pr * self.viscosity()
 
     def thermal_divergence(self):
@@ -114,11 +200,18 @@ class ReactingFlow(ThermoChemBase):
         return rho[:, None] * jnp.maximum(self.Y, 0.0) / jnp.asarray(self.mw)
 
     def plasma_conductivity(self, transport=None):
-        """Hook for EM coupling (reference: reactingFlow.cpp:3192)."""
-        if transport is None:
+        """Electrical conductivity at nodes for the EM coupling
+        (reference: evaluatePlasmaConductivityGF, src/reactingFlow.cpp:3192)."""
+        if self.const_plasma_conductivity > 0.0:
+            return jnp.full(self.tab.ndofs, self.const_plasma_conductivity)
+        tr = transport if transport is not None else self.transport
+        if tr is None or self.mixture is None:
             return jnp.zeros(self.tab.ndofs)
-        n_sp = self.number_densities()
-        raise NotImplementedError  # full transport-coupled path: later round
+        U, Up = self._conserved_state(self.T, self.Y)
+        return tr.electric_conductivity(U, Up)
+
+    def set_joule_heating(self, qj):
+        self.joule_heating = jnp.asarray(qj)
 
     # ----------------------------------------------------------------------
     def step(self, coeff: TemporalCoefficients, dt: float):
@@ -129,7 +222,7 @@ class ReactingFlow(ThermoChemBase):
         )
         (self.T, self.Y, self.Qt, T_hist, Y_hist) = self._step_jit(
             self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
-            vel, jnp.asarray(dt), order=coeff.order,
+            vel, self.joule_heating, jnp.asarray(dt), order=coeff.order,
         )
         self.T_hist = list(T_hist)
         self.Y_hist = list(Y_hist)
@@ -153,7 +246,38 @@ class ReactingFlow(ThermoChemBase):
                           tol=self.cg_tol, maxiter=self.cg_maxiter)
         return out * mask + bc_vals * (1.0 - mask)
 
-    def _step_impl(self, T, Y, T_hist, Y_hist, vel, dt, order):
+    def _close_species(self, Y):
+        """Ambipolar electron + background closure (reference: step()
+        quasi-neutrality block + speciesLastStep)."""
+        Y = jnp.clip(Y, 0.0, 1.0)
+        if self.ambipolar and self.i_electron >= 0:
+            # Y_e = m_e sum_active (q_s / m_s) Y_s
+            z = np.asarray(self.mixture.charges)[: self.n_active]
+            fac = jnp.asarray(z / self.mw[: self.n_active])
+            Ye = self.mw[self.i_electron] * jnp.einsum(
+                "ns,s->n", Y[:, : self.n_active], fac
+            )
+            Y = Y.at[:, self.i_electron].set(jnp.clip(Ye, 0.0, 1.0))
+        # background species takes up the remainder
+        others = jnp.sum(Y[:, :-1], axis=-1)
+        Y = Y.at[:, -1].set(jnp.clip(1.0 - others, 0.0, 1.0))
+        return Y / jnp.sum(Y, axis=-1, keepdims=True)
+
+    def _reaction_source(self, T, Y):
+        """(dY/dt [1/s], heat release dT/dt [K/s]) at nodes."""
+        W = self._mixture_mw(Y)
+        rho = self.p_thermo * W / (_R * T)
+        mw = jnp.asarray(self.mw)
+        n_sp = rho[:, None] * jnp.maximum(Y, 0.0) / mw
+        _, creation = self.chemistry.source(n_sp, T, T)  # kg/m^3/s
+        dY = creation / rho[:, None]
+        # heat of formation: -sum_s hf_s w_s (reference: heatOfFormation)
+        hf_mass = jnp.asarray(self.hf / self.mw)  # J/kg
+        cp = self._cp_mass(Y)
+        dT = -jnp.einsum("ns,s->n", creation, hf_mass) / (rho * cp)
+        return dY, dT
+
+    def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -162,62 +286,77 @@ class ReactingFlow(ThermoChemBase):
         W = self._mixture_mw(Y)
         rho = self.p_thermo * W / (_R * T)
         cp = self._cp_mass(Y)
-        mu = self.mu0 * (T / 273.0) ** 0.7
-        kappa = cp / self.Pr * mu
-        diff = mu / self.Sc  # rho D
+        diff, mu, kappa = self._transport_props(T, Y)
 
         ones = jnp.ones_like(self.T_mask)
 
-        # 1) species transport: rho (dY/dt + u.grad Y) = div(rho D grad Y)
-        Y_new = []
-        for s in range(self.nsp):
+        # ---- PART I: implicit advection-diffusion transport ----
+        # active species only; electron (ambipolar) and the background are
+        # algebraic closures (reference: step() :2030-2060, speciesLastStep)
+        n_solved = self.n_active if self.mixture is not None else self.nsp - 1
+        Y_new = jnp.array(Y)
+        for s in range(n_solved):
             hist = -(bd[1] * Y[:, s] + bd[2] * Y_hist[0][:, s]
                      + bd[3] * Y_hist[1][:, s]) / dt
             adv = h1.convection_apply(tab, Y[:, s], vel) / Ml
             rhs = h1.mass_apply(tab, rho * (hist - adv))
-            Y_new.append(self._helmholtz_solve(
-                rho, diff, Y[:, s], rhs, bd[0], dt, ones, jnp.zeros_like(T)))
-        Y_new = jnp.stack(Y_new, axis=-1)
-        # renormalize mass fractions
-        Y_new = jnp.clip(Y_new, 0.0, 1.0)
-        Y_new = Y_new / jnp.sum(Y_new, axis=-1, keepdims=True)
+            if not self.operator_split and self.chemistry is not None \
+                    and self.chemistry.num_reactions > 0:
+                dY_all, _ = self._reaction_source(T, Y)
+                rhs = rhs + h1.mass_apply(tab, rho * dY_all[:, s])
+            Y_new = Y_new.at[:, s].set(self._helmholtz_solve(
+                rho, diff[:, s], Y[:, s], rhs, bd[0], dt, ones,
+                jnp.zeros_like(T)))
+        Y_new = self._close_species(Y_new)
 
-        # 2) temperature transport
+        # temperature: rho cp DT/Dt = div(k grad T) + crossDiff + jh - rad
         rc = rho * cp
         histT = -(bd[1] * T + bd[2] * T_hist[0] + bd[3] * T_hist[1]) / dt
         advT = h1.convection_apply(tab, T, vel) / Ml
         rhsT = h1.mass_apply(tab, rc * (histT - advT))
+
+        # cross-diffusion: sum_s cp_s (rho D_s grad Y_s) . grad T
+        # (reference: crossDiffusion, src/reactingFlow.cpp:2700+)
+        gT = h1.grad_at_dofs(tab, T)
+        cp_s = jnp.asarray(self.molar_cp / self.mw)
+        cross = jnp.zeros_like(T)
+        for s in range(self.nsp):
+            gY = h1.grad_at_dofs(tab, Y_new[:, s])
+            cross = cross + cp_s[s] * diff[:, s] * jnp.einsum(
+                "nd,nd->n", gY, gT
+            )
+        src_T = cross + joule
+        if self.radiation is not None:
+            src_T = src_T + self.radiation.energy_sink(T)  # negative sink
+        if not self.operator_split and self.chemistry is not None \
+                and self.chemistry.num_reactions > 0:
+            _, dT_chem = self._reaction_source(T, Y)
+            src_T = src_T + rc * dT_chem
+        rhsT = rhsT + h1.mass_apply(tab, src_T)
         T_new = self._helmholtz_solve(rc, kappa, T, rhsT, bd[0], dt,
                                       self.T_mask, self.T_bc)
 
-        # 3) chemistry sub-steps (static count; reference sub-steps with a
-        #    data-dependent count, reactingFlow.cpp:2219)
-        if self.chemistry is not None and self.chemistry.num_reactions > 0:
-            sub_dt = dt / self.n_substeps
-            mw = jnp.asarray(self.mw)
+        # ---- PART II: operator-split chemistry substeps ----
+        # star increments distribute the transport delta over the substeps
+        # (reference: substepState :2156, species/temperatureSubstep)
+        if self.operator_split and self.chemistry is not None \
+                and self.chemistry.num_reactions > 0:
+            nsub = self.n_substeps
+            sub_dt = dt / nsub
+            dY_star = (Y_new - Y) / nsub
+            dT_star = (T_new - T) / nsub
 
             def substep(_, carry):
                 Ts, Ys = carry
-                Ws = self._mixture_mw(Ys)
-                rhos = self.p_thermo * Ws / (_R * Ts)
-                n_sp = rhos[:, None] * jnp.maximum(Ys, 0.0) / mw
-                _, creation = self.chemistry.source(n_sp, Ts, Ts)
-                dY = creation / rhos[:, None]  # kg/m^3/s -> dY/dt
-                # heat release: -sum_s hf_s/W_s * dY_s/dt / cp
-                hf_mass = jnp.asarray(self.hf / self.mw)
-                cps = self._cp_mass(Ys)
-                dT = -jnp.einsum("ns,s->n", dY, hf_mass) / cps
-                Ys2 = jnp.clip(Ys + sub_dt * dY, 0.0, 1.0)
-                Ys2 = Ys2 / jnp.sum(Ys2, axis=-1, keepdims=True)
-                Ts2 = Ts + sub_dt * dT
+                dY, dT = self._reaction_source(Ts, Ys)
+                Ys2 = self._close_species(Ys + dY_star + sub_dt * dY)
+                Ts2 = Ts + dT_star + sub_dt * dT
                 return (Ts2, Ys2)
 
-            T_new, Y_new = jax.lax.fori_loop(
-                0, self.n_substeps, substep, (T_new, Y_new)
-            )
+            T_new, Y_new = jax.lax.fori_loop(0, nsub, substep, (T, Y))
             T_new = T_new * self.T_mask + self.T_bc * (1.0 - self.T_mask)
 
-        # 4) thermal divergence Qt = (1/T) DT/Dt - (1/W) DW/Dt
+        # ---- thermal divergence Qt = (1/T) DT/Dt - (1/W) DW/Dt ----
         dTdt = (bd[0] * T_new + bd[1] * T + bd[2] * T_hist[0]
                 + bd[3] * T_hist[1]) / dt
         ugT = h1.convection_apply(tab, T_new, vel) / Ml

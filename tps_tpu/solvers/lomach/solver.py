@@ -109,6 +109,42 @@ def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter):
     from ...physics.plasma_config import _parse_composition, read_table_input
     from .reacting_flow import ReactingFlow
 
+    # full plasma tier: when a molecular transport model is configured and
+    # the species set contains an electron, reuse the shared plasma stack
+    # (mixture/transport/chemistry/radiation) the compressible path uses
+    # (reference: ReactingFlow's own parsing mirrors M2ulPhyS's,
+    # src/reactingFlow.cpp:180-300)
+    has_electron = any(
+        inp.get(f"species/species{s}/name", "") == "E"
+        for s in range(1, inp.get("species/numSpecies", 0) + 1)
+    )
+    transport_model = inp.get("plasma_models/transport_model", "")
+    if has_electron and transport_model:
+        from ...physics.plasma_config import build_plasma
+
+        pl = build_plasma(inp, tab.dim, tab.dim)
+        return ReactingFlow(
+            tab,
+            flow=None,
+            species_names=pl.species_names,
+            mixture=pl.mixture,
+            transport=pl.transport,
+            chemistry=pl.chemistry,
+            radiation=pl.radiation,
+            p_thermo=inp.get("loMach/ambientPressure", 101325.0),
+            closed_system=not bool(inp.get("loMach/openSystem", 0)),
+            n_substeps=inp.get("loMach/reacting/sub-steps", 4),
+            operator_split=bool(inp.get("loMach/reacting/operator-split", 1)),
+            temp_bcs=tuple(temp_bcs),
+            T_init=inp.get("initialConditions/temperature", 300.0),
+            Y_init=pl.initial_mass_fractions,
+            const_plasma_conductivity=inp.get(
+                "plasma_models/const_plasma_conductivity", 0.0
+            ),
+            cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter,
+        )
+
     atoms = {}
     for a in range(1, inp.get("atoms/numAtoms", 0) + 1):
         atoms[inp.get_required(f"atoms/atom{a}/name")] = inp.get_required(
