@@ -342,11 +342,19 @@ def boundary_dofs(tab, attrs=None) -> np.ndarray:
 
 
 def cg_solve(apply_fn, b, x0=None, diag=None, dirichlet_mask=None, tol=1e-10,
-             maxiter=500):
+             maxiter=500, M=None, return_info=False):
     """Preconditioned CG on the constrained system.
 
     `dirichlet_mask` [ndofs] is 1 on free dofs, 0 on constrained dofs; the
     caller lifts inhomogeneous values into x0 and b beforehand.
+
+    `M`: optional preconditioner callable r -> z (e.g. chebyshev_precond /
+    pmg_precond); `diag` gives plain Jacobi when M is None.
+
+    With return_info=True, returns (x, iterations, relative_residual) so
+    callers can report convergence like the reference's hypre screen output
+    (reference: src/tomboulides.cpp:1582-1596 solver prints); a diverged
+    solve is then visible instead of silent.
     """
     mask = 1.0 if dirichlet_mask is None else dirichlet_mask
 
@@ -356,13 +364,177 @@ def cg_solve(apply_fn, b, x0=None, diag=None, dirichlet_mask=None, tol=1e-10,
             y = y + x * (1.0 - dirichlet_mask)
         return y
 
-    if diag is not None:
-        dinv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
-        M = lambda x: x * dinv
-    else:
-        M = None
-    x, _ = jax.scipy.sparse.linalg.cg(A, b, x0=x0, tol=tol, maxiter=maxiter, M=M)
+    if M is None:
+        if diag is not None:
+            dinv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
+            M = lambda x: x * dinv
+        else:
+            M = lambda x: x
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    # clamp the tolerance to what the dtype can deliver (an f64-minded
+    # 1e-12 in an f32 run would always hit maxiter)
+    eps = float(jnp.finfo(b.dtype).eps)
+    tol = max(float(tol), 50.0 * eps)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    atol2 = (tol * bnorm) ** 2 + 1e-300
+
+    r0 = b - A(x0)
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        return jnp.logical_and(jnp.sum(r * r) > atol2, it < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = A(p)
+        alpha = rz / jnp.sum(p * Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, _, _, _, it = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0))
+    )
+    if return_info:
+        relres = jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(bnorm, 1e-300)
+        return x, it, relres
     return x
+
+
+def estimate_lambda_max(apply_fn, dinv, n, iters=15):
+    """Largest eigenvalue of D^-1 A by power iteration (deterministic
+    start; jittable; run once per operator build)."""
+    v0 = 1.0 + 0.3 * jnp.cos(jnp.arange(n, dtype=dinv.dtype))
+    v0 = v0 / jnp.sqrt(jnp.sum(v0 * v0))
+
+    def body(_, v):
+        w = dinv * apply_fn(v)
+        return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-300)
+
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    w = dinv * apply_fn(v)
+    return jnp.sum(v * w) / jnp.maximum(jnp.sum(v * v), 1e-300)
+
+
+def chebyshev_precond(apply_fn, diag, degree=3, lmax=None, eig_ratio=0.1,
+                      lmax_safety=1.1):
+    """Chebyshev polynomial preconditioner on the Jacobi-scaled operator
+    (the TPU-viable stand-in for the reference's BoomerAMG smoothers —
+    a fixed linear polynomial in D^-1 A, so plain CG stays valid).
+
+    Targets the interval [eig_ratio*lmax, lmax] of D^-1 A; each degree
+    costs one operator apply.  `lmax` may be passed in (estimated once via
+    estimate_lambda_max) or is estimated internally."""
+    dinv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 1.0)
+    if lmax is None:
+        lmax = estimate_lambda_max(apply_fn, dinv, diag.shape[0])
+    lmax = lmax * lmax_safety
+    lmin = eig_ratio * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def M(r):
+        d = (1.0 / theta) * (dinv * r)
+        z = d
+        rho_old = 1.0 / sigma
+        for _ in range(degree - 1):
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            rk = r - apply_fn(z)
+            d = rho * rho_old * d + (2.0 * rho / delta) * (dinv * rk)
+            z = z + d
+            rho_old = rho
+        return z
+
+    return M
+
+
+def build_p_interp(tab_f, tab_c, mesh):
+    """Prolongation data between the order-1 and order-p H1 spaces on the
+    same mesh (two-level p-multigrid; the reference leans on BoomerAMG,
+    src/tomboulides.cpp:1582-1596 — p-coarsening is the TPU-native ladder).
+
+    Returns (P_ids [nf, nvert], P_wts [nf, nvert], c2f [nc]):
+      prolong(uc)  = sum_v P_wts[:, v] * uc[P_ids[:, v]]
+      restrict(rf) = scatter-add of P_wts * rf  (exact transpose)
+      c2f maps each coarse dof to its collocated fine dof (coefficient
+      injection)."""
+    from ..mesh.reference_element import ReferenceElement
+
+    ref_f = ReferenceElement(geom=mesh.geom, order=tab_f.order,
+                             basis="gauss-lobatto")
+    # coarse vertex basis at the fine reference nodes == geometric basis
+    Pe = ref_f.eval_geom_basis(ref_f.nodes)  # [ndof_f_el, nvert]
+    nvert = Pe.shape[1]
+    nf = tab_f.ndofs
+    P_ids = np.zeros((nf, nvert), dtype=np.int32)
+    P_wts = np.zeros((nf, nvert))
+    for n in range(tab_f.ne):
+        fd = np.asarray(tab_f.elem_dofs[n])
+        cd = np.asarray(tab_c.elem_dofs[n])
+        P_ids[fd] = cd[None, :]
+        P_wts[fd] = Pe
+    # coarse -> fine collocation (coarse nodes are mesh vertices, which are
+    # also fine Gauss-Lobatto nodes)
+    c2f = np.zeros(tab_c.ndofs, dtype=np.int32)
+    for n in range(tab_f.ne):
+        fd = np.asarray(tab_f.elem_dofs[n])
+        cd = np.asarray(tab_c.elem_dofs[n])
+        for v in range(nvert):
+            # fine node collocated with vertex v: weight row == e_v
+            hits = np.where(np.abs(Pe[:, v] - 1.0) < 1e-12)[0]
+            c2f[cd[v]] = fd[hits[0]]
+    return jnp.asarray(P_ids), jnp.asarray(P_wts), jnp.asarray(c2f)
+
+
+def pmg_precond(apply_f, diag_f, apply_c, diag_c, P_ids, P_wts, nc,
+                degree=3, coarse_degree=None, lmax_f=None, lmax_c=None,
+                ortho=False):
+    """Two-level p-multigrid V(1,1) preconditioner: Chebyshev smoothing on
+    the order-p space, Chebyshev 'solve' on the order-1 space, exact-
+    transpose grid transfers.  All parts are fixed linear symmetric
+    operators, so the result is an SPD preconditioner for standard CG.
+
+    The smoother targets the upper spectrum (eig_ratio 0.3 — low modes are
+    the coarse grid's job); the coarse polynomial covers a wide interval
+    so it acts as an approximate solve.  The coarse interval/degree is
+    dtype-aware: extreme Chebyshev intervals amplify f32 roundoff to
+    divergence, so f32 uses a tamer polynomial."""
+    f32 = jnp.finfo(diag_f.dtype).bits <= 32
+    if coarse_degree is None:
+        coarse_degree = 10 if f32 else 24
+    coarse_ratio = 0.05 if f32 else 0.02
+    smooth = chebyshev_precond(apply_f, diag_f, degree=degree, lmax=lmax_f,
+                               eig_ratio=0.3)
+    coarse = chebyshev_precond(apply_c, diag_c, degree=coarse_degree,
+                               lmax=lmax_c, eig_ratio=coarse_ratio)
+
+    def prolong(uc):
+        return jnp.sum(P_wts * uc[P_ids], axis=-1)
+
+    def restrict(rf):
+        return jnp.zeros(nc, dtype=rf.dtype).at[P_ids].add(
+            P_wts * rf[:, None]
+        )
+
+    def M(r):
+        z = smooth(r)
+        rc = restrict(r - apply_f(z))
+        z = z + prolong(coarse(rc))
+        z = z + smooth(r - apply_f(z))
+        if ortho:
+            z = z - jnp.mean(z)
+        return z
+
+    return M
 
 
 def diffusion_apply_tensor(tab, u, Kq):

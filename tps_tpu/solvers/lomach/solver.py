@@ -397,6 +397,7 @@ class LoMachSolver(Solver):
                 self.tab, self.thermo, vel_bcs=tuple(vel_bcs),
                 sponge=self.sponge,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                mesh=self.mesh,  # enables p-multigrid pressure precond
             )
         elif flow_model == "zero-flow":
             self.flow = ZeroFlow(self.tab)
@@ -547,12 +548,18 @@ class LoMachSolver(Solver):
             self.averaging.add_sample(self.iter, pseudo_up, self.tab.dim)
         if self.iter % self.output_freq == 0:
             wall = _time.perf_counter() - self._wall0
+            si = getattr(self.flow, "solve_info", {})
+            solver_txt = (
+                f" [p: {si['p_iters']:.0f} it {si['p_res']:.1e}"
+                f" | v: {si['v_iters']:.0f} it {si['v_res']:.1e}]"
+                if si else ""
+            )
             print(
                 f"loMach step {self.iter} t={self.time:.6e} "
                 f"wall/step={wall / self.output_freq:.4f}s "
                 f"[thermo {self._timers['thermoChem']:.2f}s "
                 f"flow {self._timers['flow']:.2f}s "
-                f"turb {self._timers['turb']:.2f}s]",
+                f"turb {self._timers['turb']:.2f}s]" + solver_txt,
                 flush=True,
             )
             self._wall0 = _time.perf_counter()

@@ -29,7 +29,8 @@ class VelocityDirichlet:
 
 class Tomboulides(FlowBase):
     def __init__(self, tab, thermo, turb=None, vel_bcs=(), pres_refdof=True,
-                 body_force=None, sponge=None, cg_tol=1e-10, cg_maxiter=1000):
+                 body_force=None, sponge=None, cg_tol=1e-10, cg_maxiter=1000,
+                 mesh=None):
         self.tab = tab
         self.thermo = thermo
         self.turb = turb
@@ -38,6 +39,22 @@ class Tomboulides(FlowBase):
         self.body_force = body_force
         self.cg_tol = cg_tol
         self.cg_maxiter = cg_maxiter
+        self.solve_info = {}
+
+        # two-level p-multigrid data for the pressure Poisson solve
+        # (the reference preconditions with LOR BoomerAMG,
+        # src/tomboulides.cpp:1582-1610; p-coarsening is the TPU ladder)
+        self._pmg = None
+        if mesh is not None and tab.order > 1:
+            dtype = jnp.asarray(tab.wq).dtype
+            tab_c_np = h1.build_h1(mesh, order=1)
+            P_ids, P_wts, c2f = h1.build_p_interp(tab, tab_c_np, mesh)
+            self._pmg = {
+                "tab_c": tab_c_np.to_jax(dtype),
+                "nc": tab_c_np.ndofs,
+                "P_ids": P_ids, "P_wts": jnp.asarray(P_wts, dtype),
+                "c2f": c2f,
+            }
 
         dim = tab.dim
         nd = tab.ndofs
@@ -85,13 +102,21 @@ class Tomboulides(FlowBase):
             # (reference: src/tomboulides.cpp:2077)
             mu = mu * self.sponge.multiplier()
         qt = self.thermo.thermal_divergence()
-        (self.u, self.p, u_hist, N_hist) = self._step_jit(
+        (self.u, self.p, u_hist, N_hist, info) = self._step_jit(
             self.u, self.p, tuple(self.u_hist), tuple(self.N_hist),
             rho, mu, qt, self.vel_bc_values, jnp.asarray(dt),
             order=coeff.order,
         )
         self.u_hist = list(u_hist)
         self.N_hist = list(N_hist)
+        self.solve_info = {k: float(v) for k, v in info.items()}
+        # loud failure on a diverged solve (the reference's hypre solvers
+        # print iterations/residual and abort on non-convergence)
+        if not (self.solve_info["p_res"] < 1e-3
+                and self.solve_info["v_res"] < 1e-3):
+            raise FloatingPointError(
+                f"implicit solve did not converge: {self.solve_info}"
+            )
 
     # -- internals ---------------------------------------------------------
     def _convection(self, u):
@@ -132,18 +157,25 @@ class Tomboulides(FlowBase):
         rhs = (rhs - helm(ubc * (1.0 - mask)[:, None])) * mask[:, None]
         diag_c = diag * mask + (1.0 - mask)
 
-        u_star = jnp.stack(
-            [
-                h1.cg_solve(
-                    lambda v: helm(v[:, None])[:, 0],
-                    rhs[:, d], x0=u[:, d] * mask,
-                    diag=diag_c, dirichlet_mask=mask,
-                    tol=self.cg_tol, maxiter=self.cg_maxiter,
-                )
-                for d in range(tab.dim)
-            ],
-            axis=-1,
-        )
+        def helm_s(v):
+            return helm(v[:, None])[:, 0]
+
+        def helm_m(v):
+            return helm_s(v * mask) * mask + v * (1.0 - mask)
+
+        M_helm = h1.chebyshev_precond(helm_m, diag_c, degree=2)
+        sols = [
+            h1.cg_solve(
+                helm_s, rhs[:, d], x0=u[:, d] * mask,
+                diag=diag_c, dirichlet_mask=mask, M=M_helm,
+                tol=self.cg_tol, maxiter=self.cg_maxiter,
+                return_info=True,
+            )
+            for d in range(tab.dim)
+        ]
+        u_star = jnp.stack([s[0] for s in sols], axis=-1)
+        v_iters = sum(s[1] for s in sols)
+        v_res = jnp.max(jnp.stack([s[2] for s in sols]))
         u_star = u_star * mask[:, None] + ubc * (1.0 - mask)[:, None]
 
         # 2) pressure correction: div((1/rho) grad phi) = (bd0/dt)(div u* - Qt)
@@ -162,8 +194,25 @@ class Tomboulides(FlowBase):
             return h1.diffusion_apply(tab, v, inv_rho)
 
         pdiag = h1.stiffness_diag(tab, inv_rho)
-        phi = h1.cg_solve(lap, b, x0=jnp.zeros_like(p), diag=pdiag,
-                          tol=self.cg_tol, maxiter=self.cg_maxiter)
+        M_p = None
+        if self._pmg is not None:
+            # p-multigrid V(1,1): coarse operator = same 1/rho Laplacian on
+            # the order-1 space, coefficient injected at the vertices
+            tab_c = self._pmg["tab_c"]
+            inv_rho_c = inv_rho[self._pmg["c2f"]]
+
+            def lap_c(v):
+                return h1.diffusion_apply(tab_c, v, inv_rho_c)
+
+            M_p = h1.pmg_precond(
+                lap, pdiag, lap_c, h1.stiffness_diag(tab_c, inv_rho_c),
+                self._pmg["P_ids"], self._pmg["P_wts"], self._pmg["nc"],
+                ortho=self._ortho,
+            )
+        phi, p_iters, p_res = h1.cg_solve(
+            lap, b, x0=jnp.zeros_like(p), diag=pdiag, M=M_p,
+            tol=self.cg_tol, maxiter=self.cg_maxiter, return_info=True,
+        )
         if self._ortho:
             phi = phi - jnp.mean(phi)
 
@@ -175,7 +224,9 @@ class Tomboulides(FlowBase):
 
         u_hist_new = (u, u_hist[0], u_hist[1])
         N_hist_new = (N_now, N_hist[0], N_hist[1])
-        return u_new, p_new, u_hist_new, N_hist_new
+        info = {"p_iters": p_iters, "p_res": p_res,
+                "v_iters": v_iters, "v_res": v_res}
+        return u_new, p_new, u_hist_new, N_hist_new, info
 
     def compute_dissipation(self):
         """Viscous dissipation integral (diagnostics)."""
