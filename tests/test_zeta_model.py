@@ -60,9 +60,16 @@ def test_zeta_channel_growth_and_wall_damping():
     # shear produces turbulence away from walls
     core = (y > 0.2) & (y < 0.8)
     assert k[core].mean() > 1e-2  # grown beyond IC
-    # eddy viscosity damped toward the wall relative to the core
+    # near-wall damping: nu_t = C_mu v2 T, and the elliptic relaxation
+    # limits v2/k and the timescale T toward the wall, so the eddy
+    # viscosity PER UNIT TKE must be damped near the wall even while k
+    # itself peaks there (shear production).  (The raw nu_t comparison
+    # used before was satisfied only by a spurious near-wall sink from an
+    # indefinite implicit operator — fixed with the masked reaction term.)
     near = (y < 0.15) & ~wall
-    assert nut[near].mean() < nut[core].mean()
+    ratio_near = (nut[near] / k[near]).mean()
+    ratio_core = (nut[core] / k[core]).mean()
+    assert ratio_near < 0.5 * ratio_core, (ratio_near, ratio_core)
 
 
 def test_zeta_factory_runs(tmp_path):

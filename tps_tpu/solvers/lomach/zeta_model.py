@@ -162,13 +162,22 @@ class ZetaModel(TurbModelBase):
             rhs = h1.mass_apply(tab, rho * (hist - adv) + src)
             kdiff = mu + mut / sigma
 
+            # the implicit destruction coefficient spikes ~eps/k_min on the
+            # Dirichlet wall rows (k floored); those rows are replaced by
+            # identity anyway, but a consistent-mass treatment leaks the
+            # spike into neighboring FREE rows where the quadrature
+            # interpolant overshoots NEGATIVE, making the operator
+            # indefinite and breaking CG.  Zero the coefficient on
+            # constrained rows (its value there is immaterial).
+            react_c = jnp.maximum(react, 0.0) * mask
+
             def helm(v):
                 return ((bd[0] / dt) * h1.mass_apply(tab, rho * v)
-                        + h1.mass_apply(tab, react * v)
+                        + h1.mass_apply(tab, react_c * v)
                         + h1.diffusion_apply(tab, v, kdiff))
 
             diag = ((bd[0] / dt) * h1.mass_lumped_diag(tab, rho)
-                    + h1.mass_lumped_diag(tab, react)
+                    + Ml * react_c
                     + h1.stiffness_diag(tab, kdiff))
             rhs = (rhs - helm(bc_vals * (1.0 - mask))) * mask
             diag = diag * mask + (1.0 - mask)
