@@ -184,6 +184,7 @@ plasma-solver = lomach
 axisymmetric = 1
 solve-em-every-n = 2
 input-power = 100.0
+eval-Rplasma = 1
 [mesh]
 generator = box2d
 nx = 5
@@ -244,3 +245,12 @@ outdirBase = {tmp_path}/out
     assert np.all(np.isfinite(sigma1))
     Y = np.asarray(thermo.Y)
     np.testing.assert_allclose(Y.sum(axis=-1), 1.0, atol=1e-12)
+
+    # plasma R/L diagnostics (reference: eval_Rplasma,
+    # cycle_avg_joule_coupling.cpp:434-478)
+    assert coupled.plasma_resistance is not None
+    assert coupled.plasma_resistance > 0
+    assert coupled.plasma_inductance > 0
+    # E-field amplitude interpolated back to the flow side
+    efield = np.asarray(coupled.flow.efield)
+    assert np.all(np.isfinite(efield)) and efield.max() > 0

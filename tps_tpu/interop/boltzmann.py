@@ -188,6 +188,16 @@ def compressible_push(solver, interface: Tps2Boltzmann):
     interface.setField(interface.SpeciesDensities, AVOGADRO_NUMBER * n_sp)
     interface.setField(interface.HeavyTemperature, Th[..., None])
     interface.setField(interface.ElectronTemperature, Te[..., None])
+    efield = getattr(solver, "efield", None)
+    if efield is not None:
+        # EM-solve E-field amplitude in component 0 (reference: the coupled
+        # driver fills the interface's ElectricField slot from the EM mesh,
+        # src/cycle_avg_joule_coupling.cpp:290-330)
+        e = jnp.zeros(efield.shape + (interface.NeFieldComps(),),
+                      dtype=efield.dtype)
+        interface.setField(
+            interface.ElectricField, e.at[..., 0].set(efield)
+        )
     interface.setTimeStep(solver.dt)
     interface.setCurrentTime(solver.time)
 

@@ -825,3 +825,19 @@ class CompressibleSolver(PlasmaSolver):
         import jax.numpy as jnp
 
         self.fields["joule_heating"] = jnp.asarray(qj, self.dtype)
+
+    def set_efield(self, e):
+        """EM-solve E-field amplitude at solution dofs [ne, ndof] (reference:
+        interpElectricFieldFromEMToFlow feeding the efield GridFunction /
+        Boltzmann bus, src/cycle_avg_joule_coupling.cpp:290-330)."""
+        import jax.numpy as jnp
+
+        self.efield = jnp.asarray(e, self.dtype)
+
+    def get_efield(self):
+        import jax.numpy as jnp
+
+        return getattr(
+            self, "efield",
+            jnp.zeros(self.U.shape[:-1], dtype=self.dtype),
+        )

@@ -74,6 +74,14 @@ class CycleAvgJouleCoupling(Solver):
             self.em = _Em3dFromConfig(self.config, tps=self.tps)
             self.em.initialize()
 
+        # plasma R/L diagnostics (reference: em/eval_Rplasma +
+        # cycle_avg_joule_coupling.cpp:434-478)
+        self.eval_rplasma = bool(inp.get("em/eval_Rplasma", 0)) or bool(
+            inp.get("cycle-avg-joule-coupled/eval-Rplasma", 0)
+        )
+        self.plasma_resistance = None
+        self.plasma_inductance = None
+
         self._build_interpolators()
         self.iter = 0
         self.time = 0.0
@@ -131,6 +139,29 @@ class CycleAvgJouleCoupling(Solver):
                 self.em.set_plasma_conductivity(sigma_em)
             # 2) EM solve
             self.em.solve_step()
+            tot_jh_raw = self.em.total_joule_heating()
+            print(
+                f"(cycle-avg-joule-coupled) total input Joule heating ="
+                f" {tot_jh_raw:.6e}", flush=True,
+            )
+            # plasma resistance/inductance report (reference
+            # cycle_avg_joule_coupling.cpp:434-478): R = <S_J>/<I^2>,
+            # L = 2 E_mag / <I^2>, with <I^2> = 2 Re(I_hat)^2
+            if self.eval_rplasma and hasattr(self.em, "coil_current"):
+                tot_I = self.em.coil_current()
+                if tot_I > 0:
+                    I2 = 2.0 * tot_I * tot_I
+                    self.plasma_resistance = tot_jh_raw / I2
+                    e_mag = self.em.magnetic_energy()
+                    self.plasma_inductance = 2.0 * e_mag / I2
+                    print(
+                        f"  coil current amplitude = {2 * tot_I:.6e}\n"
+                        f"  effective plasma resistance ="
+                        f" {self.plasma_resistance:.6e}\n"
+                        f"  magnetic field energy = {e_mag:.6e}\n"
+                        f"  effective plasma inductance ="
+                        f" {self.plasma_inductance:.6e}", flush=True,
+                    )
             # 3) power control (reference :434-516), with optional
             #    sinusoidal modulation (oscillating-power)
             target = self.input_power
@@ -140,10 +171,12 @@ class CycleAvgJouleCoupling(Solver):
                 target = target * (1.0 + self.power_amplitude * np.sin(
                     2.0 * np.pi * self.time / self.power_period
                 ))
-            if target > 0:
-                total = self.em.total_joule_heating()
-                if total > 0:
-                    self.em.scale_joule_heating(target / total)
+            efield_scale = 1.0
+            if target > 0 and tot_jh_raw > 0:
+                ratio = target / tot_jh_raw
+                self.em.scale_joule_heating(ratio)
+                # q_J ~ sigma |E|^2: keep the reported E consistent
+                efield_scale = float(np.sqrt(max(ratio, 0.0)))
             # 4) Joule heating back to the flow solver
             qj_flow = self.em_to_flow.from_h1(
                 self._em_h1tab, self._em_joule_nodal()
@@ -153,6 +186,18 @@ class CycleAvgJouleCoupling(Solver):
             else:
                 ne, ndof = self.flow.U.shape[:2]
                 self.flow.set_joule_heating(qj_flow.reshape(ne, ndof))
+            # 5) E-field amplitude back to the flow solver / Boltzmann bus
+            # (reference: interpElectricFieldFromEMToFlow,
+            # cycle_avg_joule_coupling.cpp:290-330)
+            if hasattr(self.em, "electric_field"):
+                E_re, E_im = self.em.electric_field()
+                Eamp = jnp.sqrt(E_re**2 + E_im**2) * efield_scale
+                e_flow = self.em_to_flow.from_h1(self._em_h1tab, Eamp)
+                if self.plasma_kind == "lomach":
+                    self.flow.efield = jnp.asarray(e_flow)
+                else:
+                    ne, ndof = self.flow.U.shape[:2]
+                    self.flow.set_efield(e_flow.reshape(ne, ndof))
 
         self.flow.solve_step()
         self.iter = self.flow.iter
