@@ -94,3 +94,54 @@ def test_read_gmsh_quad(tmp_path):
     assert len(faces.int_elem_l) == 1
     assert len(faces.bdr_elem) == 6
     assert set(faces.bdr_attr.tolist()) == {11, 12, 13, 14}
+
+
+def test_inline_mesh_format():
+    """MFEM 'INLINE mesh v1.0' files (reference: test/meshes/inline-*.mesh)
+    parse into generated grids, including the triangle variant."""
+    import os
+
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.mesh.mfem_reader import read_mfem_mesh
+
+    ref = "/root/reference/test/meshes"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference meshes unavailable")
+
+    m = read_mfem_mesh(os.path.join(ref, "inline-quad.mesh"))
+    assert m.geom == "quad" and m.num_elements == 16
+    assert np.allclose(m.vertices.max(axis=0), [1.0, 1.0])
+    tab = build_tables(m, order=2)
+    assert tab.nfb > 0
+
+    m2 = read_mfem_mesh(os.path.join(ref, "inline-rectangle-quad.mesh"))
+    assert m2.num_elements == 16 * 5
+    assert np.allclose(m2.vertices.max(axis=0), [0.5, 1.0])
+
+    m3 = read_mfem_mesh(os.path.join(ref, "inline-square-tri.mesh"))
+    assert m3.geom == "tri" and m3.num_elements == 2 * 16
+    build_tables(m3, order=2)
+
+
+def test_stored_nodes_periodic_mesh():
+    """Stored-nodes (L2 'nodes' section) periodic meshes reconstruct
+    per-element geometry: the seam element must have the same width as the
+    interior ones (reference: test/meshes/beam-quad-o3-s5-p.mesh)."""
+    import os
+
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.mesh.mfem_reader import read_mfem_mesh
+
+    path = "/root/reference/test/meshes/beam-quad-o3-s5-p.mesh"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference meshes unavailable")
+    m = read_mfem_mesh(path)
+    tab = build_tables(m, order=2)
+    x = np.asarray(tab.xyz_dof)[..., 0]
+    w = x.max(axis=1) - x.min(axis=1)
+    assert np.allclose(w, w[0])  # uniform widths incl. the periodic seam
+    assert tab.nfb == 0 or tab.nfb > 0  # builds without error

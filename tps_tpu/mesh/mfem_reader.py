@@ -22,10 +22,42 @@ _MFEM_GEOM = {
 }
 
 
+def _read_inline_mesh(lines, path):
+    """MFEM 'INLINE mesh v1.0' generated-grid format (reference mesh files
+    like test/meshes/inline-quad.mesh): key = value pairs describing a
+    cartesian grid of quad/tri/hex/tet elements."""
+    kv = {}
+    for ln in lines[1:]:
+        if "=" in ln:
+            k, v = ln.split("=", 1)
+            kv[k.strip()] = v.strip()
+    typ = kv.get("type", "quad")
+    nx = int(kv.get("nx", 1))
+    ny = int(kv.get("ny", 1))
+    sx = float(kv.get("sx", 1.0))
+    sy = float(kv.get("sy", 1.0))
+    from . import generators
+
+    if typ == "quad":
+        return generators.box_2d(nx, ny, x1=sx, y1=sy)
+    if typ == "tri":
+        return generators.box_2d_tri(nx, ny, x1=sx, y1=sy)
+    nz = int(kv.get("nz", 1))
+    sz = float(kv.get("sz", 1.0))
+    bounds = ((0.0, sx), (0.0, sy), (0.0, sz))
+    if typ == "hex":
+        return generators.box_3d(nx, ny, nz, bounds=bounds)
+    if typ == "tet":
+        return generators.box_3d_tet(nx, ny, nz, bounds=bounds)
+    raise NotImplementedError(f"{path}: INLINE mesh type '{typ}'")
+
+
 def read_mfem_mesh(path: str) -> Mesh:
     with open(path) as f:
         lines = [ln.split("#")[0].strip() for ln in f]
     lines = [ln for ln in lines if ln]
+    if lines and lines[0].startswith("MFEM INLINE mesh"):
+        return _read_inline_mesh(lines, path)
     if not lines or not lines[0].startswith("MFEM mesh"):
         raise ValueError(f"{path}: not an MFEM mesh file")
 
