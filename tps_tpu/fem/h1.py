@@ -55,6 +55,10 @@ class H1Tables:
     bf_wts: np.ndarray  # [nbf, nqf]
     bf_xyz: np.ndarray  # [nbf, nqf, dim]
 
+    # element-sharded assembly (ShardedH1): 1 on real elements, 0 on the
+    # padding rows added to equalize per-shard element counts
+    elem_valid: np.ndarray | None = None
+
     def to_jax(self, dtype):
         out = {}
         for f in fields(self):
@@ -193,11 +197,20 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
 
 
 def gather(tab, u):
+    if _sharded(tab):
+        raise NotImplementedError(
+            "direct element gather is not available on an element-sharded "
+            "H1 space; use the assembly operators (mass/diffusion/...)"
+        )
     return u[tab.elem_dofs]
 
 
 def scatter_add(tab, r_el):
     """[ne, ndof_el, ...] -> [ndofs, ...] by segment sum over global ids."""
+    if tab.elem_valid is not None:  # mask shard-padding elements
+        r_el = r_el * tab.elem_valid.reshape(
+            (-1,) + (1,) * (r_el.ndim - 1)
+        )
     flat = r_el.reshape((tab.ne * tab.ndof_el,) + r_el.shape[2:])
     seg = tab.elem_dofs.reshape(-1)
     return jax.ops.segment_sum(flat, seg, num_segments=tab.ndofs)
@@ -224,6 +237,8 @@ def _coef_q(tab, coef):
 
 def mass_apply(tab, u, coef=None):
     """(v, c u)."""
+    if _sharded(tab):
+        return tab.run_coef(mass_apply, u, coef)
     uu, squeeze = _promote(u)
     uq = jnp.einsum("qd,ndk->nqk", tab.Bvol, gather(tab, uu))
     w = tab.wq[None, :] * tab.detJ
@@ -237,6 +252,8 @@ def mass_apply(tab, u, coef=None):
 
 def diffusion_apply(tab, u, coef=None):
     """(grad v, c grad u) — the stiffness apply."""
+    if _sharded(tab):
+        return tab.run_coef(diffusion_apply, u, coef)
     uu, squeeze = _promote(u)
     gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, uu))  # l=ref dir
     # metric: A[k,l] = adjJ adjJ^T / detJ
@@ -253,6 +270,10 @@ def diffusion_apply(tab, u, coef=None):
 
 def mass_lumped_diag(tab, coef=None):
     """Row-sum (lumped) mass diagonal for Jacobi preconditioning."""
+    if _sharded(tab):
+        if coef is None:
+            return tab.run(lambda tl: mass_lumped_diag(tl))
+        return tab.run(lambda tl, cc: mass_lumped_diag(tl, cc), coef)
     w = tab.wq[None, :] * tab.detJ
     cq = _coef_q(tab, coef)
     if cq is not None:
@@ -263,6 +284,10 @@ def mass_lumped_diag(tab, coef=None):
 
 def stiffness_diag(tab, coef=None):
     """Diagonal of the stiffness operator (Jacobi preconditioner)."""
+    if _sharded(tab):
+        if coef is None:
+            return tab.run(lambda tl: stiffness_diag(tl))
+        return tab.run(lambda tl, cc: stiffness_diag(tl, cc), coef)
     A = jnp.einsum("nqkd,nqld->nqkl", tab.adjJ, tab.adjJ) / tab.detJ[..., None, None]
     w = tab.wq[None, :]
     cq = _coef_q(tab, coef)
@@ -272,17 +297,24 @@ def stiffness_diag(tab, coef=None):
     return scatter_add(tab, re)
 
 
-def grad_at_dofs(tab, u):
-    """Lumped-mass L2 projection of grad(u): [ndofs] -> [ndofs, dim]."""
+def _grad_num(tab, u):
     gq = jnp.einsum("qdk,nd->nqk", tab.Gvol, gather(tab, u))
     gphys = jnp.einsum("nqk,nqkd->nqd", gq, tab.adjJ)  # carries detJ
     re = jnp.einsum("qd,nqi->ndi", tab.Bvol * tab.wq[:, None], gphys)
-    num = scatter_add(tab, re)
-    return num / mass_lumped_diag(tab)[:, None]
+    return scatter_add(tab, re)
+
+
+def grad_at_dofs(tab, u):
+    """Lumped-mass L2 projection of grad(u): [ndofs] -> [ndofs, dim]."""
+    if _sharded(tab):
+        return tab.run(_grad_num, u) / mass_lumped_diag(tab)[:, None]
+    return _grad_num(tab, u) / mass_lumped_diag(tab)[:, None]
 
 
 def convection_apply(tab, u, vel):
     """(v, (w . grad) u) with advecting velocity [ndofs, dim]."""
+    if _sharded(tab):
+        return tab.run(lambda tl, uu, vv: convection_apply(tl, uu, vv), u, vel)
     uu, squeeze = _promote(u)
     vq = jnp.einsum("qd,ndi->nqi", tab.Bvol, gather(tab, vel))
     gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, uu))
@@ -295,6 +327,8 @@ def convection_apply(tab, u, vel):
 
 def weak_divergence(tab, vel, coef=None):
     """(grad v, w): RHS form for the pressure Poisson; vel [ndofs, dim]."""
+    if _sharded(tab):
+        return tab.run_coef(weak_divergence, vel, coef)
     vq = jnp.einsum("qd,ndi->nqi", tab.Bvol, gather(tab, vel))
     w = tab.wq[None, :]
     cq = _coef_q(tab, coef)
@@ -305,18 +339,29 @@ def weak_divergence(tab, vel, coef=None):
     return scatter_add(tab, re)
 
 
-def divergence_at_dofs(tab, vel):
-    """Lumped-mass projected div(vel): [ndofs, dim] -> [ndofs]."""
+def _div_num(tab, vel):
     gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, vel))
     div = jnp.einsum("nqlk,nqlk->nq", gq, tab.adjJ)  # carries detJ
     re = jnp.einsum("qd,nq->nd", tab.Bvol * tab.wq[:, None], div)
-    return scatter_add(tab, re) / mass_lumped_diag(tab)
+    return scatter_add(tab, re)
+
+
+def divergence_at_dofs(tab, vel):
+    """Lumped-mass projected div(vel): [ndofs, dim] -> [ndofs]."""
+    if _sharded(tab):
+        return tab.run(_div_num, vel) / mass_lumped_diag(tab)
+    return _div_num(tab, vel) / mass_lumped_diag(tab)
 
 
 def integrate(tab, u):
     """Domain integral of a nodal field."""
+    if _sharded(tab):
+        return tab.run(integrate, u)
     uq = jnp.einsum("qd,nd->nq", tab.Bvol, gather(tab, u))
-    return jnp.sum(tab.wq[None, :] * tab.detJ * uq)
+    w = tab.wq[None, :] * tab.detJ
+    if tab.elem_valid is not None:
+        w = w * tab.elem_valid[:, None]
+    return jnp.sum(w * uq)
 
 
 def boundary_dofs(tab, attrs=None) -> np.ndarray:
@@ -555,3 +600,154 @@ def diffusion_apply_tensor(tab, u, Kq):
 def grid_scale_q(tab, order=1):
     """Element grid scale at quadrature points: detJ^(1/dim) / order."""
     return tab.detJ ** (1.0 / tab.dim) / max(order, 1)
+
+
+# --------------------------------------------------------------------------
+# Element-sharded H1 assembly (multi-device loMach)
+#
+# The reference runs every solver family under MPI domain decomposition
+# (SURVEY.md 2.6; src/loMach.cpp:447).  TPU-native model here: dof vectors
+# stay REPLICATED across the device mesh while the element loop (gather ->
+# quadrature kernel -> scatter-add, the dominant cost) is sharded; each
+# assembly op runs under shard_map and finishes with a psum over the mesh
+# axis.  CG and pointwise updates operate on replicated vectors unchanged.
+# --------------------------------------------------------------------------
+
+_SH_ELEM_FIELDS = ("elem_dofs", "adjJ", "detJ", "xyz_q", "elem_valid")
+_SH_META = ("dim", "order", "ne", "ndof_el", "nq", "ndofs", "nqf", "nbf")
+
+
+class ShardedH1:
+    """Duck-typed H1Tables whose assembly ops run element-sharded.
+
+    Exposes the global setup surface (ndofs, xyz, bf_* arrays for
+    boundary_dofs) while the h1.* operator functions dispatch through
+    `run` (shard_map + psum)."""
+
+    def __init__(self, tab_np, nparts, dtype, axis="dd", devices=None):
+        import jax
+        from jax.sharding import Mesh as JaxMesh
+
+        self.axis = axis
+        self.nparts = nparts
+        self._global_np = tab_np
+        gj = tab_np.to_jax(dtype)
+
+        # forwarded global metadata / setup surface
+        self.dim, self.order = tab_np.dim, tab_np.order
+        self.ne, self.ndof_el = tab_np.ne, tab_np.ndof_el
+        self.nq, self.ndofs = tab_np.nq, tab_np.ndofs
+        self.nqf, self.nbf = tab_np.nqf, tab_np.nbf
+        self.xyz = gj.xyz
+        self.wq, self.Bvol, self.Gvol = gj.wq, gj.Bvol, gj.Gvol
+        self.bf_elem, self.bf_attr = tab_np.bf_elem, tab_np.bf_attr
+        self.bf_Btr, self.bf_nor = tab_np.bf_Btr, tab_np.bf_nor
+        self.bf_wts, self.bf_xyz = tab_np.bf_wts, tab_np.bf_xyz
+        self.elem_dofs = tab_np.elem_dofs  # global (setup use only)
+
+        # block element partition, padded to a uniform shard size
+        ne = tab_np.ne
+        part = np.minimum((np.arange(ne) * nparts) // ne, nparts - 1)
+        counts = np.bincount(part, minlength=nparts)
+        nep = int(counts.max())
+        ed = np.zeros((nparts, nep, tab_np.ndof_el), dtype=np.int32)
+        adjJ = np.zeros((nparts, nep) + tab_np.adjJ.shape[1:])
+        detJ = np.ones((nparts, nep) + tab_np.detJ.shape[1:])
+        xyz_q = np.zeros((nparts, nep) + tab_np.xyz_q.shape[1:])
+        valid = np.zeros((nparts, nep))
+        for p in range(nparts):
+            ids = np.where(part == p)[0]
+            k = len(ids)
+            ed[p, :k] = tab_np.elem_dofs[ids]
+            adjJ[p, :k] = tab_np.adjJ[ids]
+            detJ[p, :k] = tab_np.detJ[ids]
+            xyz_q[p, :k] = tab_np.xyz_q[ids]
+            valid[p, :k] = 1.0
+            if k < nep:  # padding rows reuse element-0 geometry, masked out
+                ed[p, k:] = tab_np.elem_dofs[ids[0] if k else 0]
+                adjJ[p, k:] = tab_np.adjJ[ids[0] if k else 0]
+                detJ[p, k:] = tab_np.detJ[ids[0] if k else 0]
+                xyz_q[p, k:] = tab_np.xyz_q[ids[0] if k else 0]
+
+        import jax.numpy as jnp_
+
+        nb0 = 0
+        z = np.zeros
+        self._stacked = H1Tables(
+            dim=tab_np.dim, order=tab_np.order, ne=nep,
+            ndof_el=tab_np.ndof_el, nq=tab_np.nq, ndofs=tab_np.ndofs,
+            nqf=tab_np.nqf, nbf=nb0,
+            elem_dofs=jnp_.asarray(ed),
+            Bvol=gj.Bvol, Gvol=gj.Gvol, wq=gj.wq,
+            adjJ=jnp_.asarray(adjJ, dtype), detJ=jnp_.asarray(detJ, dtype),
+            xyz=gj.xyz, xyz_q=jnp_.asarray(xyz_q, dtype),
+            bf_elem=jnp_.zeros((nparts, nb0), jnp_.int32),
+            bf_attr=jnp_.zeros((nparts, nb0), jnp_.int32),
+            bf_Btr=jnp_.zeros((nparts, nb0, tab_np.nqf, tab_np.ndof_el), dtype),
+            bf_nor=jnp_.zeros((nparts, nb0, tab_np.nqf, tab_np.dim), dtype),
+            bf_wts=jnp_.zeros((nparts, nb0, tab_np.nqf), dtype),
+            bf_xyz=jnp_.zeros((nparts, nb0, tab_np.nqf, tab_np.dim), dtype),
+            elem_valid=jnp_.asarray(valid, dtype),
+        )
+
+        devs = devices if devices is not None else jax.devices()
+        if len(devs) < nparts:
+            devs = jax.devices("cpu")
+        self.jmesh = JaxMesh(np.array(devs[:nparts]), (axis,))
+
+    def localize(self, tab_s):
+        kw = {}
+        for f in fields(H1Tables):
+            v = getattr(tab_s, f.name)
+            if f.name in _SH_META or v is None:
+                kw[f.name] = v
+            elif f.name in _SH_ELEM_FIELDS or f.name.startswith("bf_"):
+                kw[f.name] = v[0]
+            else:
+                kw[f.name] = v
+        return H1Tables(**kw)
+
+    def _specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        kw = {}
+        for f in fields(H1Tables):
+            v = getattr(self._stacked, f.name)
+            if f.name in _SH_META or v is None:
+                kw[f.name] = v
+            elif f.name in _SH_ELEM_FIELDS or f.name.startswith("bf_"):
+                kw[f.name] = P(self.axis)
+            else:
+                kw[f.name] = P()
+        return H1Tables(**kw)
+
+    def run(self, op, *args):
+        """op(local_tab, *args) -> partial assembly; returns the psum."""
+        import jax
+        from functools import partial as _partial
+
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        in_specs = (self._specs(),) + tuple(P() for _ in args)
+
+        @_partial(shard_map, mesh=self.jmesh, in_specs=in_specs,
+                  out_specs=P())
+        def f(tab_s, *a):
+            return jax.lax.psum(op(self.localize(tab_s), *a), self.axis)
+
+        return f(self._stacked, *args)
+
+    def run_coef(self, op, u, coef):
+        """Dispatch helper for ops with an optional nodal coefficient."""
+        if coef is None:
+            return self.run(lambda tl, uu: op(tl, uu), u)
+        return self.run(lambda tl, uu, cc: op(tl, uu, cc), u, coef)
+
+
+def _sharded(tab):
+    return isinstance(tab, ShardedH1)

@@ -244,7 +244,20 @@ class LoMachSolver(Solver):
 
         self.mesh = _build_lomach_mesh(inp)
         order = inp.get("loMach/order", 1)
-        self.tab = h1.build_h1(self.mesh, order=order).to_jax(self.dtype)
+        # [mesh]/partitions N: element-sharded H1 assembly over a device
+        # mesh (replicated dof vectors, psum-assembled operators — the
+        # loMach analog of the reference's everything-under-MPI model,
+        # src/loMach.cpp:447)
+        self.nparts = max(int(inp.get("mesh/partitions", 1) or 1), 1)
+        tab_np = h1.build_h1(self.mesh, order=order)
+        if self.nparts > 1:
+            if bool(inp.get("loMach/axisymmetric", 0)):
+                raise NotImplementedError(
+                    "[mesh]/partitions > 1 with axisymmetric loMach"
+                )
+            self.tab = h1.ShardedH1(tab_np, self.nparts, self.dtype)
+        else:
+            self.tab = tab_np.to_jax(self.dtype)
 
         self.dt = inp.get("time/dt_fixed", 1e-3)
         self.max_bdf_order = inp.get("time/bdfOrder", 3)

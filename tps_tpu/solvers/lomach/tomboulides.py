@@ -45,7 +45,8 @@ class Tomboulides(FlowBase):
         # (the reference preconditions with LOR BoomerAMG,
         # src/tomboulides.cpp:1582-1610; p-coarsening is the TPU ladder)
         self._pmg = None
-        if mesh is not None and tab.order > 1:
+        if mesh is not None and tab.order > 1 \
+                and not isinstance(tab, h1.ShardedH1):
             dtype = jnp.asarray(tab.wq).dtype
             tab_c_np = h1.build_h1(mesh, order=1)
             P_ids, P_wts, c2f = h1.build_p_interp(tab, tab_c_np, mesh)
