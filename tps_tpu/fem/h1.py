@@ -364,6 +364,28 @@ def integrate(tab, u):
     return jnp.sum(w * uq)
 
 
+def surface_normal_form(tab, w, face_sel=None):
+    """Boundary linear form r[dof] = oint v (w . n) ds.
+
+    w: [ndofs, dim] nodal vector field; face_sel: optional [nbf] 0/1 mask
+    restricting the integral to selected boundary faces.  bf_nor carries
+    the area element, bf_wts the reference quadrature weights.  Works on
+    both plain and element-sharded tables (the boundary tables are global
+    either way)."""
+    ed = jnp.asarray(tab.elem_dofs)[jnp.asarray(tab.bf_elem)]  # [nbf, nde]
+    Btr = jnp.asarray(tab.bf_Btr, w.dtype)
+    nor = jnp.asarray(tab.bf_nor, w.dtype)
+    wts = jnp.asarray(tab.bf_wts, w.dtype)
+    wf = w[ed]  # [nbf, nde, dim]
+    wq = jnp.einsum("fqd,fdk->fqk", Btr, wf)
+    wn = jnp.einsum("fqk,fqk->fq", wq, nor) * wts
+    if face_sel is not None:
+        wn = wn * jnp.asarray(face_sel, w.dtype)[:, None]
+    contrib = jnp.einsum("fq,fqd->fd", wn, Btr)
+    out = jnp.zeros(tab.ndofs, dtype=w.dtype)
+    return out.at[ed].add(contrib)
+
+
 def boundary_dofs(tab, attrs=None) -> np.ndarray:
     """Global dof ids on boundary faces (optionally restricted to attrs).
     Setup-side numpy."""

@@ -267,7 +267,7 @@ class LoMachSolver(Solver):
         cg_maxiter = inp.get("time/maxSolverIteration", 500)
 
         # boundary conditions
-        vel_bcs, temp_bcs, ext_specs = [], [], []
+        vel_bcs, temp_bcs, ext_specs, pres_bcs = [], [], [], []
         for sub in inp.sections_under("boundaryConditions"):
             base = f"boundaryConditions/{sub}"
             if not inp.has(f"{base}/patch"):
@@ -286,7 +286,19 @@ class LoMachSolver(Solver):
                     )
             elif kind == "inlet":
                 vel = inp.get_vec(f"{base}/velocity", default=[0.0] * self.mesh.dim)
-                vel_bcs.append(VelocityDirichlet(attrs=(patch,), value=tuple(vel)))
+                vel_bcs.append(VelocityDirichlet(
+                    attrs=(patch,), value=tuple(vel),
+                    ramp_time=inp.get(f"{base}/rampTime", 0.0),
+                ))
+            elif kind in ("outlet", "pressure"):
+                # pressure Dirichlet outlet (reference: pres_dbcs_,
+                # src/tomboulides.cpp:1865-1870)
+                from .tomboulides import PressureDirichlet
+
+                pres_bcs.append(PressureDirichlet(
+                    attrs=(patch,),
+                    value=inp.get(f"{base}/pressure", 0.0),
+                ))
             elif kind == "interpolate":
                 # external-data inlet (reference: GaussianInterpExtData)
                 vel_bcs.append(
@@ -408,6 +420,7 @@ class LoMachSolver(Solver):
         elif flow_model == "tomboulides":
             self.flow = Tomboulides(
                 self.tab, self.thermo, vel_bcs=tuple(vel_bcs),
+                pres_bcs=tuple(pres_bcs),
                 sponge=self.sponge,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
                 mesh=self.mesh,  # enables p-multigrid pressure precond

@@ -1,12 +1,24 @@
 """Tomboulides-style fractional-step variable-density flow solver.
 
-The role of the reference Tomboulides class (reference: src/tomboulides.cpp:
-1530-2036, Tomboulides 1997 splitting): BDF/EXT time discretization with an
-extrapolated convection term, a 1/rho-weighted pressure Poisson solve, and a
-viscous Helmholtz velocity solve.  This implementation uses the incremental
-pressure-correction form of the split (the curl-curl boundary treatment of
-the exact Tomboulides scheme is tracked as a refinement): all solves are
-matrix-free CG with Jacobi preconditioning on the shared H1 substrate.
+Mirrors the reference Tomboulides class (reference: src/tomboulides.cpp:
+1530-2036, Tomboulides 1997 splitting) in its ROTATIONAL, non-incremental
+form:
+
+  2) vstar/dt = extrapolated convection + forcing + BDF history
+  3) pressure Poisson  div((1/rho) grad p) with RHS built from
+     pp_div = vstar/dt + nu (-curl curl u_ext + 4/3 grad Qt)
+              + (2 S(u_ext) . grad(mu) - 2/3 Qt grad(mu)) / rho
+     weak form (grad q, pp_div) + (bd0/dt)[(q, Qt) - oint q u_bc.n]
+     — the curl-curl/boundary treatment that gives the correct pressure
+     Neumann condition (reference :1700-1860)
+  4) Helmholtz velocity solve with
+     rhs = (v, rho vstar/dt - grad p + 1/3 grad(mu Qt) + S_mom),
+     S_mom = (grad u_ext)^T grad(mu) - Qt grad(mu)
+
+Supports pure-Neumann (orthogonalized, p-multigrid preconditioned) and
+pressure-Dirichlet (outlet) Poisson solves, spatially varying and
+time-ramped velocity Dirichlet values.  All solves are matrix-free CG
+(Chebyshev / p-multigrid preconditioning) on the shared H1 substrate.
 """
 
 from __future__ import annotations
@@ -24,13 +36,20 @@ from .base import FlowBase, TemporalCoefficients
 @dataclass
 class VelocityDirichlet:
     attrs: tuple
-    value: tuple  # velocity vector (callable(x) later)
+    value: tuple  # velocity vector, or callable(xyz [n, dim]) -> [n, dim]
+    ramp_time: float = 0.0  # linear 0 -> value ramp (reference: SetTime)
+
+
+@dataclass
+class PressureDirichlet:
+    attrs: tuple
+    value: float
 
 
 class Tomboulides(FlowBase):
     def __init__(self, tab, thermo, turb=None, vel_bcs=(), pres_refdof=True,
                  body_force=None, sponge=None, cg_tol=1e-10, cg_maxiter=1000,
-                 mesh=None):
+                 mesh=None, pres_bcs=()):
         self.tab = tab
         self.thermo = thermo
         self.turb = turb
@@ -64,22 +83,58 @@ class Tomboulides(FlowBase):
         self.N_hist = [jnp.zeros((nd, dim)) for _ in range(3)]  # conv terms
         self.p = jnp.zeros(nd)
 
-        # velocity Dirichlet machinery
+        # velocity Dirichlet machinery: spatially varying values (callables
+        # evaluated at dof coordinates) and per-BC ramp times
+        xyz = jnp.asarray(tab.xyz)
+        self._vel_ramps = []  # (dof ids, base values, ramp_time)
         if self.vel_bcs:
-            masks, vals = [], jnp.zeros((nd, dim))
+            vals = jnp.zeros((nd, dim))
             free = np.ones(nd)
             for bc in self.vel_bcs:
                 dofs = h1.boundary_dofs(tab, bc.attrs)
                 free[dofs] = 0.0
-                vals = vals.at[jnp.asarray(dofs)].set(jnp.asarray(bc.value))
+                jd = jnp.asarray(dofs)
+                if callable(bc.value):
+                    v = jnp.asarray(bc.value(np.asarray(tab.xyz)[dofs]))
+                else:
+                    v = jnp.broadcast_to(
+                        jnp.asarray(bc.value), (len(dofs), dim)
+                    )
+                vals = vals.at[jd].set(v)
+                if bc.ramp_time > 0.0:
+                    self._vel_ramps.append((jd, v, bc.ramp_time))
             self.vel_mask = jnp.asarray(free)
             self.vel_bc_values = vals
         else:
             self.vel_mask = jnp.ones(nd)
             self.vel_bc_values = jnp.zeros((nd, dim))
 
-        # pressure: pure Neumann -> orthogonalize against constants
-        self._ortho = True
+        # boundary faces belonging to velocity-Dirichlet patches (for the
+        # oint q u_bc.n pressure-RHS term)
+        vel_attrs = set()
+        for bc in self.vel_bcs:
+            vel_attrs.update(bc.attrs)
+        bf_attr = np.asarray(tab.bf_attr)
+        self._vel_face_sel = jnp.asarray(
+            np.isin(bf_attr, sorted(vel_attrs)).astype(np.float64)
+        ) if len(bf_attr) else None
+
+        # pressure Dirichlet (outlets); pure Neumann otherwise
+        self.pres_bcs = tuple(pres_bcs)
+        if self.pres_bcs:
+            pfree = np.ones(nd)
+            pvals = jnp.zeros(nd)
+            for bc in self.pres_bcs:
+                dofs = h1.boundary_dofs(tab, bc.attrs)
+                pfree[dofs] = 0.0
+                pvals = pvals.at[jnp.asarray(dofs)].set(bc.value)
+            self.pres_mask = jnp.asarray(pfree)
+            self.pres_bc_values = pvals
+            self._ortho = False
+        else:
+            self.pres_mask = None
+            self.pres_bc_values = None
+            self._ortho = True  # pure Neumann -> orthogonalize
 
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
 
@@ -103,9 +158,16 @@ class Tomboulides(FlowBase):
             # (reference: src/tomboulides.cpp:2077)
             mu = mu * self.sponge.multiplier()
         qt = self.thermo.thermal_divergence()
+        self._time = getattr(self, "_time", 0.0) + dt
+        ubc = self.vel_bc_values
+        for (jd, v, ramp) in self._vel_ramps:
+            # linear ramp toward the target value (reference: coefficient
+            # SetTime on the velocity dbcs)
+            w = min(max(self._time / ramp, 0.0), 1.0)
+            ubc = ubc.at[jd].set(w * v)
         (self.u, self.p, u_hist, N_hist, info) = self._step_jit(
             self.u, self.p, tuple(self.u_hist), tuple(self.N_hist),
-            rho, mu, qt, self.vel_bc_values, jnp.asarray(dt),
+            rho, mu, qt, ubc, jnp.asarray(dt),
             order=coeff.order,
         )
         self.u_hist = list(u_hist)
@@ -126,35 +188,138 @@ class Tomboulides(FlowBase):
         c = h1.convection_apply(tab, u, u)
         return -c / h1.mass_lumped_diag(tab)[:, None]
 
+    def _curl(self, u):
+        """Nodal curl via lumped projections of component gradients.
+
+        2-D: returns scalar omega [nd]; 3-D: vector [nd, 3]
+        (reference: ComputeCurl2D/3D, src/tomboulides.cpp:1720-1731)."""
+        tab = self.tab
+        g = [h1.grad_at_dofs(tab, u[:, d]) for d in range(u.shape[-1])]
+        if tab.dim == 2:
+            return g[1][:, 0] - g[0][:, 1]
+        return jnp.stack(
+            [g[2][:, 1] - g[1][:, 2],
+             g[0][:, 2] - g[2][:, 0],
+             g[1][:, 0] - g[0][:, 1]], axis=-1
+        )
+
+    def _curl_curl(self, u):
+        tab = self.tab
+        w = self._curl(u)
+        if tab.dim == 2:
+            gw = h1.grad_at_dofs(tab, w)
+            # curl(w zhat) = (dw/dy, -dw/dx)
+            return jnp.stack([gw[:, 1], -gw[:, 0]], axis=-1)
+        return self._curl(w)
+
     def _step_impl(self, u, p, u_hist, N_hist, rho, mu, qt, ubc_vals, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
         ab = (coeff.ab1, coeff.ab2, coeff.ab3)
+        mask = self.vel_mask
+        ubc = ubc_vals
+        inv_rho = 1.0 / rho
 
-        Ml = h1.mass_lumped_diag(tab)
+        # ---- Step 2: vstar/dt (reference :1930-2000) ----
         N_now = self._convection(u)
         N_ext = ab[0] * N_now + ab[1] * N_hist[0] + ab[2] * N_hist[1]
         if self.body_force is not None:
             N_ext = N_ext + self.body_force(tab.xyz) / rho[:, None]
-
-        # BDF history term: -(1/dt) sum_j bd_j u^{n+1-j}
         hist = -(bd[1] * u + bd[2] * u_hist[0] + bd[3] * u_hist[1]) / dt
+        ustar_dt = N_ext + hist  # acceleration: vstar/dt
 
-        # 1) Helmholtz predictor:
-        #    (bd0/dt) rho M u* + K_mu u* = rho M (hist + N_ext) - M grad p^n
-        gradp = h1.grad_at_dofs(tab, p)
-        rhs = h1.mass_apply(tab, rho[:, None] * (hist + N_ext) - gradp[:, :])
-        mask = self.vel_mask
+        # ---- Step 3: pressure Poisson, rotational form ----
+        # pp_div = vstar/dt + nu (-curl curl u_ext + 4/3 grad Qt)
+        #          + (2 S(u_ext) grad mu - 2/3 Qt grad mu) / rho
+        u_ext = ab[0] * u + ab[1] * u_hist[0] + ab[2] * u_hist[1]
+        nu = mu * inv_rho
+        pp_div = ustar_dt - nu[:, None] * self._curl_curl(u_ext)
+        pp_div = pp_div + (4.0 / 3.0) * nu[:, None] * h1.grad_at_dofs(tab, qt)
+        # variable-viscosity terms (reference S_poisson_coeff :875-879)
+        gmu = h1.grad_at_dofs(tab, mu)
+        gu = [h1.grad_at_dofs(tab, u_ext[:, d]) for d in range(tab.dim)]
+        graduT_gmu = jnp.stack(
+            [jnp.einsum("nd,nd->n", gu[d], gmu) for d in range(tab.dim)],
+            axis=-1,
+        )  # (grad u)^T grad(mu)
+        gradu_gmu = jnp.stack(
+            [sum(gu[k][:, d] * gmu[:, k] for k in range(tab.dim))
+             for d in range(tab.dim)], axis=-1,
+        )  # (grad u) grad(mu)
+        twoS_gmu = graduT_gmu + gradu_gmu
+        pp_div = pp_div + (
+            twoS_gmu - (2.0 / 3.0) * qt[:, None] * gmu
+        ) * inv_rho[:, None]
+
+        # weak RHS: (grad q, pp_div) + (bd0/dt)[(q, Qt) - oint q u_bc.n]
+        b = h1.weak_divergence(tab, pp_div) \
+            + (bd[0] / dt) * h1.mass_apply(tab, qt)
+        if self._vel_face_sel is not None:
+            b = b - (bd[0] / dt) * h1.surface_normal_form(
+                tab, ubc, self._vel_face_sel
+            )
+
+        def lap(v):
+            return h1.diffusion_apply(tab, v, inv_rho)
+
+        pdiag = h1.stiffness_diag(tab, inv_rho)
+        if self.pres_mask is not None:
+            pmask = self.pres_mask
+            pbc = self.pres_bc_values
+            b = (b - lap(pbc * (1.0 - pmask))) * pmask
+            pdiag_c = pdiag * pmask + (1.0 - pmask)
+
+            def lap_m(v):
+                return lap(v * pmask) * pmask + v * (1.0 - pmask)
+
+            M_p = h1.chebyshev_precond(lap_m, pdiag_c, degree=3)
+            p_new, p_iters, p_res = h1.cg_solve(
+                lap, b, x0=p * pmask, diag=pdiag_c, dirichlet_mask=pmask,
+                M=M_p, tol=self.cg_tol, maxiter=self.cg_maxiter,
+                return_info=True,
+            )
+            p_new = p_new * pmask + pbc * (1.0 - pmask)
+        else:
+            if self._ortho:
+                b = b - jnp.mean(b)
+            M_p = None
+            if self._pmg is not None:
+                # p-multigrid V(1,1): coarse operator = same 1/rho
+                # Laplacian on the order-1 space, coefficient injected at
+                # the vertices
+                tab_c = self._pmg["tab_c"]
+                inv_rho_c = inv_rho[self._pmg["c2f"]]
+
+                def lap_c(v):
+                    return h1.diffusion_apply(tab_c, v, inv_rho_c)
+
+                M_p = h1.pmg_precond(
+                    lap, pdiag, lap_c, h1.stiffness_diag(tab_c, inv_rho_c),
+                    self._pmg["P_ids"], self._pmg["P_wts"], self._pmg["nc"],
+                    ortho=self._ortho,
+                )
+            p_new, p_iters, p_res = h1.cg_solve(
+                lap, b, x0=p, diag=pdiag, M=M_p,
+                tol=self.cg_tol, maxiter=self.cg_maxiter, return_info=True,
+            )
+            if self._ortho:
+                p_new = p_new - jnp.mean(p_new)
+
+        # ---- Step 4: Helmholtz velocity solve (reference :1895-1930) ----
+        # rhs = (v, rho vstar/dt - grad p + 1/3 grad(mu Qt) + S_mom)
+        gradp = h1.grad_at_dofs(tab, p_new)
+        S_mom = graduT_gmu - qt[:, None] * gmu
+        rhs_nodal = rho[:, None] * ustar_dt - gradp + S_mom \
+            + (1.0 / 3.0) * h1.grad_at_dofs(tab, mu * qt)
+        rhs = h1.mass_apply(tab, rhs_nodal)
 
         def helm(v):
             return (bd[0] / dt) * h1.mass_apply(tab, rho[:, None] * v) + \
                 h1.diffusion_apply(tab, v, mu)
 
-        diag = (bd[0] / dt) * h1.mass_lumped_diag(tab, rho) + h1.stiffness_diag(tab, mu)
-        # lift inhomogeneous velocity BCs (argument, so ramped/interpolated
-        # inlet values don't retrace the jit)
-        ubc = ubc_vals
+        diag = (bd[0] / dt) * h1.mass_lumped_diag(tab, rho) \
+            + h1.stiffness_diag(tab, mu)
         rhs = (rhs - helm(ubc * (1.0 - mask)[:, None])) * mask[:, None]
         diag_c = diag * mask + (1.0 - mask)
 
@@ -174,54 +339,10 @@ class Tomboulides(FlowBase):
             )
             for d in range(tab.dim)
         ]
-        u_star = jnp.stack([s[0] for s in sols], axis=-1)
+        u_new = jnp.stack([s[0] for s in sols], axis=-1)
         v_iters = sum(s[1] for s in sols)
         v_res = jnp.max(jnp.stack([s[2] for s in sols]))
-        u_star = u_star * mask[:, None] + ubc * (1.0 - mask)[:, None]
-
-        # 2) pressure correction: div((1/rho) grad phi) = (bd0/dt)(div u* - Qt)
-        # Weak form with homogeneous-Neumann phi and impermeable/periodic
-        # boundaries (u*.n surface term vanishes):
-        #   (grad v, (1/rho) grad phi) = (bd0/dt) [ (grad v, u*) + (v, Qt) ]
-        b = (bd[0] / dt) * (
-            h1.weak_divergence(tab, u_star) + h1.mass_apply(tab, qt)
-        )
-        if self._ortho:
-            b = b - jnp.mean(b)
-
-        inv_rho = 1.0 / rho
-
-        def lap(v):
-            return h1.diffusion_apply(tab, v, inv_rho)
-
-        pdiag = h1.stiffness_diag(tab, inv_rho)
-        M_p = None
-        if self._pmg is not None:
-            # p-multigrid V(1,1): coarse operator = same 1/rho Laplacian on
-            # the order-1 space, coefficient injected at the vertices
-            tab_c = self._pmg["tab_c"]
-            inv_rho_c = inv_rho[self._pmg["c2f"]]
-
-            def lap_c(v):
-                return h1.diffusion_apply(tab_c, v, inv_rho_c)
-
-            M_p = h1.pmg_precond(
-                lap, pdiag, lap_c, h1.stiffness_diag(tab_c, inv_rho_c),
-                self._pmg["P_ids"], self._pmg["P_wts"], self._pmg["nc"],
-                ortho=self._ortho,
-            )
-        phi, p_iters, p_res = h1.cg_solve(
-            lap, b, x0=jnp.zeros_like(p), diag=pdiag, M=M_p,
-            tol=self.cg_tol, maxiter=self.cg_maxiter, return_info=True,
-        )
-        if self._ortho:
-            phi = phi - jnp.mean(phi)
-
-        # 3) velocity update and pressure accumulation
-        gphi = h1.grad_at_dofs(tab, phi)
-        u_new = u_star - (dt / bd[0]) * inv_rho[:, None] * gphi
         u_new = u_new * mask[:, None] + ubc * (1.0 - mask)[:, None]
-        p_new = p + phi
 
         u_hist_new = (u, u_hist[0], u_hist[1])
         N_hist_new = (N_now, N_hist[0], N_hist[1])
