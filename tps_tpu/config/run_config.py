@@ -35,6 +35,10 @@ class RunConfiguration:
     # [solver]
     solver_type: str = "flow"
 
+    # device subset for this instance (split-communicator analog; set by
+    # the harness from a parallel.comm.DeviceGroup)
+    devices: tuple | None = None
+
     # [flow]
     mesh: str = ""
     order: int = 1

@@ -712,9 +712,16 @@ class ShardedH1:
             elem_valid=jnp_.asarray(valid, dtype),
         )
 
-        devs = devices if devices is not None else jax.devices()
-        if len(devs) < nparts:
-            devs = jax.devices("cpu")
+        if devices is not None:
+            devs = list(devices)
+            if len(devs) < nparts:
+                raise ValueError(
+                    f"device group has {len(devs)} devices, need {nparts}"
+                )
+        else:
+            devs = jax.devices()
+            if len(devs) < nparts:
+                devs = jax.devices("cpu")
         self.jmesh = JaxMesh(np.array(devs[:nparts]), (axis,))
 
     def localize(self, tab_s):

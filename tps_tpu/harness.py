@@ -85,6 +85,11 @@ class Tps:
             jax.config.update("jax_platforms", "cpu")
 
     def choose_solver(self):
+        # split-communicator analog (reference: Tps accepts any MPI_Comm,
+        # src/tps.cpp:72): a DeviceGroup restricts this instance's device
+        # meshes to its device subset
+        if self.comm is not None and hasattr(self.comm, "devices"):
+            self.config.devices = tuple(self.comm.devices)
         self.solver = solver_base.create_solver(
             self.config.solver_type, self.config, tps=self
         )

@@ -30,12 +30,18 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def device_mesh(n: int | None = None, axis: str = "dd", backend: str | None = None) -> JaxMesh:
+def device_mesh(n: int | None = None, axis: str = "dd", backend: str | None = None,
+                devices=None) -> JaxMesh:
     """1-D device mesh with `n` devices.  Falls back to the host CPU backend
-    when the default backend has too few devices (virtual-device testing)."""
-    devs = jax.devices(backend) if backend else jax.devices()
-    if n is not None and len(devs) < n and backend is None:
-        devs = jax.devices("cpu")
+    when the default backend has too few devices (virtual-device testing).
+    `devices` restricts the mesh to an explicit subset (split-communicator
+    analog, parallel.comm.DeviceGroup)."""
+    if devices is not None:
+        devs = list(devices)
+    else:
+        devs = jax.devices(backend) if backend else jax.devices()
+        if n is not None and len(devs) < n and backend is None:
+            devs = jax.devices("cpu")
     if n is not None:
         if len(devs) < n:
             raise ValueError(f"need {n} devices, have {len(devs)}")

@@ -307,7 +307,7 @@ class CompressibleSolver(PlasmaSolver):
                 tab_spec_tree,
             )
 
-            self._jmesh = device_mesh(self.nparts)
+            self._jmesh = device_mesh(self.nparts, devices=rc.devices)
             specs = tab_spec_tree(self.tables, "dd")
 
             def _init_sm(tab_s, U_s):

@@ -255,7 +255,8 @@ class LoMachSolver(Solver):
                 raise NotImplementedError(
                     "[mesh]/partitions > 1 with axisymmetric loMach"
                 )
-            self.tab = h1.ShardedH1(tab_np, self.nparts, self.dtype)
+            self.tab = h1.ShardedH1(tab_np, self.nparts, self.dtype,
+                                    devices=self.config.devices)
         else:
             self.tab = tab_np.to_jax(self.dtype)
 
