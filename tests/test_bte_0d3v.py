@@ -70,3 +70,81 @@ def test_interface_roundtrip():
     rates = np.asarray(iface.host(iface.ReactionRates))
     assert rates.shape == (npts, 2)
     assert np.isfinite(rates).all() and (rates >= 0).all()
+
+
+def test_lxcat_cross_section_input(tmp_path):
+    """Tabulated cross-section input path (LXCat text format — the
+    community-standard data the reference's Boltzmann stack consumes):
+    parse, drive the two-term solver, and check the physics trends."""
+    import numpy as np
+
+    from tps_tpu.interop.bte_0d3v import (
+        BoltzmannSolver0D3V,
+        read_lxcat,
+    )
+
+    lx = tmp_path / "ar.txt"
+    lx.write_text("""\
+Some free-text header describing the database.
+
+ELASTIC
+Ar
+ 1.360e-5
+SPECIES: e / Ar
+COMMENT: momentum transfer
+-----------------------------
+ 0.000  7.0e-20
+ 0.100  4.0e-21
+ 0.230  1.2e-21
+ 0.500  2.5e-21
+ 1.000  1.4e-20
+ 3.000  4.0e-20
+ 10.00  1.5e-19
+ 15.00  1.4e-19
+ 30.00  8.0e-20
+ 60.00  4.0e-20
+-----------------------------
+
+EXCITATION
+Ar -> Ar*(4s)
+ 1.155e+1
+-----------------------------
+ 11.55  0.0
+ 13.00  2.0e-22
+ 16.00  8.0e-22
+ 20.00  1.4e-21
+ 30.00  1.6e-21
+ 60.00  1.0e-21
+-----------------------------
+
+IONIZATION
+Ar -> Ar^+
+ 1.576e+1
+-----------------------------
+ 15.76  0.0
+ 18.00  3.0e-21
+ 25.00  1.2e-20
+ 40.00  2.3e-20
+ 60.00  2.7e-20
+-----------------------------
+""")
+    cs = read_lxcat(str(lx))
+    assert cs.momentum.kind == "ELASTIC"
+    assert abs(cs.mass_ratio - 1.36e-5) < 1e-9
+    assert len(cs.processes) == 2
+    assert cs.processes[1].threshold == 15.76
+
+    solver = BoltzmannSolver0D3V(n_energy=96, eps_max=60.0,
+                                 cross_sections=cs)
+    EoN = np.array([1.0, 10.0, 100.0])  # Td
+    Tg = np.array([300.0, 300.0, 300.0])
+    f0 = solver.solve_eedf(EoN, Tg)
+    c = solver.coefficients(f0)
+    me = np.asarray(c["mean_energy"])
+    assert np.all(np.isfinite(me)) and np.all(me > 0)
+    assert me[2] > me[1] > me[0]  # heating with E/N
+    k_ion = np.asarray(c["k_ionization"])
+    assert k_ion[2] > 1e3 * max(k_ion[0], 1e-40)  # ionization switches on
+    # rates are per-process too
+    assert "k_excitation" in c
+    assert np.all(np.asarray(c["mobilityN"]) > 0)

@@ -65,6 +65,98 @@ def ar_sigma_ionization(eps, threshold=15.76):
     ) / jnp.log(2.0)
 
 
+@dataclass(frozen=True)
+class CrossSection:
+    """One collision process from a cross-section data file."""
+
+    kind: str  # ELASTIC | EFFECTIVE | EXCITATION | IONIZATION | ATTACHMENT
+    species: str
+    threshold: float  # eV (0 for elastic; m/M mass ratio stored separately)
+    mass_ratio: float  # m_e/M (elastic/effective rows only)
+    table: object  # [N, 2] (energy eV, sigma m^2)
+
+    def __call__(self, eps):
+        """Log-linear interpolation, zero below threshold/first point."""
+        import jax.numpy as jnp
+
+        t = np.asarray(self.table)
+        e = jnp.asarray(eps)
+        s = jnp.interp(e, jnp.asarray(t[:, 0]), jnp.asarray(t[:, 1]),
+                       left=0.0, right=float(t[-1, 1]))
+        if self.threshold > 0:
+            s = jnp.where(e >= self.threshold, s, 0.0)
+        return s
+
+
+@dataclass(frozen=True)
+class CrossSectionSet:
+    """Parsed collision set: one momentum-transfer section + inelastics."""
+
+    momentum: CrossSection
+    processes: tuple  # inelastic CrossSections (excitation/ionization/...)
+
+    @property
+    def mass_ratio(self):
+        return self.momentum.mass_ratio
+
+
+def read_lxcat(path, species=None):
+    """Parse an LXCat-format text file of electron-collision cross sections
+    (the community-standard format the reference's Boltzmann stack consumes;
+    reference: tps-bte_0d3v.py collision strings + crs data).
+
+    Recognized blocks:
+
+        ELASTIC | EFFECTIVE | EXCITATION | IONIZATION | ATTACHMENT
+        <species>
+        <parameter>            (m/M for elastic/effective, threshold [eV])
+        ... free comment lines ...
+        -----
+        <energy> <cross section>
+        ...
+        -----
+    """
+    kinds = ("ELASTIC", "EFFECTIVE", "EXCITATION", "IONIZATION", "ATTACHMENT")
+    lines = open(path).read().splitlines()
+    out = []
+    i = 0
+    while i < len(lines):
+        ln = lines[i].strip()
+        if ln in kinds:
+            kind = ln
+            sp = lines[i + 1].strip()
+            param = float(lines[i + 2].split()[0])
+            j = i + 3
+            while j < len(lines) and not lines[j].startswith("-----"):
+                j += 1
+            j += 1
+            rows = []
+            while j < len(lines) and not lines[j].startswith("-----"):
+                parts = lines[j].split()
+                if len(parts) >= 2:
+                    rows.append((float(parts[0]), float(parts[1])))
+                j += 1
+            i = j + 1
+            if species is not None and sp.split("->")[0].strip() != species:
+                continue
+            is_el = kind in ("ELASTIC", "EFFECTIVE")
+            out.append(CrossSection(
+                kind=kind, species=sp,
+                threshold=0.0 if is_el else param,
+                mass_ratio=param if is_el else 0.0,
+                table=np.asarray(rows),
+            ))
+        else:
+            i += 1
+    if not out:
+        raise ValueError(f"{path}: no cross-section blocks found")
+    mom = [c for c in out if c.kind in ("ELASTIC", "EFFECTIVE")]
+    if not mom:
+        raise ValueError(f"{path}: no ELASTIC/EFFECTIVE block")
+    inel = tuple(c for c in out if c.kind not in ("ELASTIC", "EFFECTIVE"))
+    return CrossSectionSet(momentum=mom[0], processes=inel)
+
+
 @dataclass
 class BoltzmannSolver0D3V:
     """Steady two-term EEDF solver, batched over spatial points."""
@@ -75,14 +167,44 @@ class BoltzmannSolver0D3V:
     exc_threshold: float = 11.5
     n_steps: int = 400  # pseudo-time iterations to steady state
     dtau: float = 2.0  # pseudo-time step (normalized units)
+    # optional tabulated collision data (CrossSectionSet from read_lxcat);
+    # None keeps the built-in synthetic argon shapes
+    cross_sections: object = None
 
     def __post_init__(self):
         self.eps = np.linspace(0.0, self.eps_max, self.n_energy + 1)
         self.de = self.eps[1] - self.eps[0]
         self.eps_c = 0.5 * (self.eps[:-1] + self.eps[1:])  # cell centers
 
+    def _sigma_m(self, eps):
+        if self.cross_sections is not None:
+            return self.cross_sections.momentum(eps)
+        return ar_sigma_momentum(eps)
+
+    def _procs(self):
+        """Inelastic processes as (name, threshold, sigma_fn)."""
+        if self.cross_sections is not None:
+            out = []
+            for k, c in enumerate(self.cross_sections.processes):
+                name = c.kind.lower()
+                out.append((f"{name}_{k}" if k else name, c.threshold, c))
+            return out
+        return [
+            ("excitation", self.exc_threshold,
+             lambda e: ar_sigma_excitation(e, self.exc_threshold)),
+            ("ionization", self.ion_threshold,
+             lambda e: ar_sigma_ionization(e, self.ion_threshold)),
+        ]
+
+    @property
+    def default_mass_ratio(self):
+        if self.cross_sections is not None and \
+                self.cross_sections.mass_ratio > 0:
+            return self.cross_sections.mass_ratio
+        return 1.36e-5  # electron/argon
+
     # ------------------------------------------------------------------
-    def solve_eedf(self, EoN, T_gas, mass_ratio=1.36e-5):
+    def solve_eedf(self, EoN, T_gas, mass_ratio=None):
         """f0 per point: EoN [n] in Townsend (1 Td = 1e-21 V m^2),
         T_gas [n] in K.  Returns f0 [n, n_energy] normalized so
         int f0 sqrt(eps) deps = 1.
@@ -94,6 +216,8 @@ class BoltzmannSolver0D3V:
         import jax
         import jax.numpy as jnp
 
+        if mass_ratio is None:
+            mass_ratio = self.default_mass_ratio
         SIG0 = 1.0e-20  # cross-section normalization [m^2]
         EoN = jnp.atleast_1d(jnp.asarray(EoN)) * 1e-21 / SIG0  # eV^(1/2)-ish
         Tg = jnp.atleast_1d(jnp.asarray(T_gas))
@@ -102,7 +226,7 @@ class BoltzmannSolver0D3V:
         de = self.de
         m = self.n_energy
 
-        sig_m = ar_sigma_momentum(epsf) / SIG0
+        sig_m = self._sigma_m(epsf) / SIG0
         kTg = KB_EV * Tg[:, None]  # [n,1] eV
 
         # face drift/diffusion (per unit N, sigma-normalized)
@@ -111,14 +235,16 @@ class BoltzmannSolver0D3V:
         D = D_E + W_el * kTg
         W = W_el
 
-        # inelastic collision frequencies at cell centers
+        # inelastic collision frequencies at cell centers (one entry per
+        # process from the cross-section set, or the synthetic pair)
         eps_c = jnp.asarray(self.eps_c)
         sqer = jnp.sqrt(eps_c)
-        nu_exc = sqer * ar_sigma_excitation(eps_c, self.exc_threshold) / SIG0
-        nu_ion = sqer * ar_sigma_ionization(eps_c, self.ion_threshold) / SIG0
-        nu_loss = (nu_exc + nu_ion)[None, :]
-        shift_exc = int(round(self.exc_threshold / de))
-        shift_ion = int(round(self.ion_threshold / de))
+        proc_nu = []
+        nu_loss = jnp.zeros((1, m))
+        for (_name, thr, sig_fn) in self._procs():
+            nu = sqer * sig_fn(eps_c) / SIG0
+            proc_nu.append((int(round(thr / de)), nu))
+            nu_loss = nu_loss + nu[None, :]
 
         # tridiagonal -L: flux J_{i+1/2} = a_i f_i + b_i f_{i+1}
         a = -0.5 * W + D / de  # [n, m-1]
@@ -145,14 +271,11 @@ class BoltzmannSolver0D3V:
 
         def step(f, _):
             gain = jnp.zeros_like(f)
-            if shift_exc < m:
-                gain = gain.at[:, : m - shift_exc].add(
-                    nu_exc[None, shift_exc:] * f[:, shift_exc:]
-                )
-            if shift_ion < m:
-                gain = gain.at[:, : m - shift_ion].add(
-                    nu_ion[None, shift_ion:] * f[:, shift_ion:]
-                )
+            for (shift, nu) in proc_nu:
+                if shift < m:
+                    gain = gain.at[:, : m - shift].add(
+                        nu[None, shift:] * f[:, shift:]
+                    )
             rhs = f + dtau * gain
             f_new = jax.lax.linalg.tridiagonal_solve(dl, dd, du, rhs[..., None])[..., 0]
             f_new = jnp.maximum(f_new, 0.0)
@@ -174,27 +297,28 @@ class BoltzmannSolver0D3V:
         # muN = -gamma/3 int eps/sigma_m df0/deps  (integrate by parts on
         # the uniform grid)
         epsf = jnp.asarray(self.eps[1:-1])
-        sig_m = ar_sigma_momentum(epsf)
+        sig_m = self._sigma_m(epsf)
         dfde = (f0[:, 1:] - f0[:, :-1]) / self.de
         muN = -(GAMMA / 3.0) * jnp.sum(
             (epsf / sig_m)[None, :] * dfde * self.de, axis=1
         )
 
-        k_exc = GAMMA * jnp.sum(
-            eps_c[None, :] * ar_sigma_excitation(eps_c, self.exc_threshold)[None, :]
-            * f0 * self.de, axis=1
-        )
-        k_ion = GAMMA * jnp.sum(
-            eps_c[None, :] * ar_sigma_ionization(eps_c, self.ion_threshold)[None, :]
-            * f0 * self.de, axis=1
-        )
-        return {
+        out = {
             "mean_energy": mean_e,
             "electron_temperature": mean_e * 2.0 / 3.0 / KB_EV,  # K
             "mobilityN": muN,
-            "k_excitation": k_exc,
-            "k_ionization": k_ion,
         }
+        for (name, _thr, sig_fn) in self._procs():
+            out[f"k_{name}"] = GAMMA * jnp.sum(
+                eps_c[None, :] * sig_fn(eps_c)[None, :] * f0 * self.de,
+                axis=1,
+            )
+        # canonical aliases for the bus push (first excitation/ionization)
+        for kind in ("excitation", "ionization"):
+            if f"k_{kind}" not in out:
+                hits = [k for k in out if k.startswith(f"k_{kind}")]
+                out[f"k_{kind}"] = out[hits[0]] if hits else 0.0 * mean_e
+        return out
 
     # -- Tps2Boltzmann driver protocol --------------------------------------
     def fetch(self, interface):
