@@ -1,7 +1,11 @@
 """Mesh reader tests: MFEM v1.0 and Gmsh 2.2 ASCII formats."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 from tps_tpu.dg.discretization import build_tables
 from tps_tpu.mesh.mfem_reader import read_gmsh_mesh, read_mfem_mesh
@@ -145,3 +149,39 @@ def test_stored_nodes_periodic_mesh():
     w = x.max(axis=1) - x.min(axis=1)
     assert np.allclose(w, w[0])  # uniform widths incl. the periodic seam
     assert tab.nfb == 0 or tab.nfb > 0  # builds without error
+
+
+def test_beam_mesh_3d_and_input_migrator(tmp_path):
+    """3-D stretched beam generator (reference utils/beam_mesh.cpp) and the
+    legacy->ini input migrator (reference utils/update_input_file.py)."""
+    import subprocess
+    import sys
+
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.mesh.generators import beam_mesh
+
+    m = beam_mesh(8, 3, length=4.0, width=1.0, stretch=1.2, dim=3)
+    tab = build_tables(m, order=2)
+    x = np.asarray(tab.xyz_dof)[..., 0]
+    w = np.sort(np.unique(np.round(x.max(1) - x.min(1), 6)))
+    assert len(w) == 8  # geometric progression of element widths
+    assert abs(w[-1] / w[-2] - 1.2) < 1e-4
+
+    old = tmp_path / "old.run"
+    old.write_text(
+        "POL_ORDER 3\nNMAX 100\nCFL 0.5\nINIT_RHO 1.2\n"
+        "WALL 1 2 300.0\nINLET 2 0 1.2 10 0 0\nOUTLET 3 1 101300\n"
+        "RESTART_SERIAL write\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "tools/update_input_file.py",
+         "--infile", str(old)],
+        capture_output=True, text=True, cwd=os.path.dirname(HERE),
+    )
+    assert r.returncode == 0, r.stderr
+    from tps_tpu.config.ini import IniInput
+
+    ini = IniInput.parse(open(str(old) + ".ini").read())
+    assert ini.get("flow/order", 0) == 3
+    assert ini.get("boundaryConditions/outlet1/type") == "nonReflectingPressure"
+    assert ini.get("io/restartMode") == "singleFileWrite"

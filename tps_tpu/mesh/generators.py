@@ -209,7 +209,19 @@ def beam_mesh(n_axis, n_cross, length=4.0, width=1.0, stretch=1.0,
             n_axis, n_cross, x1=length, y1=width,
             x_coords=xs, periodic_x=periodic_axis,
         )
-    raise NotImplementedError("beam_mesh: 3-D variant pending")
+    if dim == 3:
+        m = box_3d(
+            n_axis, n_cross, n_cross,
+            bounds=((0.0, length), (0.0, width), (0.0, width)),
+            periodic=(periodic_axis, False, False),
+        )
+        # apply the geometric axis stretching to the uniform grid
+        u = m.vertices[:, 0] / length  # uniform fractions
+        m.vertices[:, 0] = np.interp(
+            u, np.linspace(0.0, 1.0, n_axis + 1), xs
+        )
+        return m
+    raise ValueError(f"beam_mesh: dim must be 2 or 3, got {dim}")
 
 
 def box_2d_tri(nx, ny, x0=0.0, x1=1.0, y0=0.0, y1=1.0,
