@@ -66,7 +66,15 @@ def fusable(tab_np, ctx) -> bool:
 
 @dataclass(frozen=True)
 class FusedRHS:
-    """Callable fused-layout RHS: (U2 [ne, ndof*neq], t) -> (dU2/dt, aux)."""
+    """Callable fused-layout RHS: (U2 [ne, ndof*neq], t) -> (dU2/dt, aux).
+
+    Face handling is *per local face*: each face's trace lives in its own
+    fused buffer [ne, nqf*neq] (pad <= 2.9x instead of 11x for a stacked
+    [ne, nlf, nqf, neq]), and the neighbor trace is a pure grid-row roll of
+    the OPPOSITE face's buffer -- no lane-unaligned slicing, no padded
+    stack materialization.  Measured on v5e: 1.86 -> 1.06 ms/substep vs
+    the stacked-trace variant (PERF.md).
+    """
 
     ctx: object
     ne: int
@@ -79,11 +87,11 @@ class FusedRHS:
     nqf: int
     # jnp weight matrices
     K_grad: object  # [(1+nlf)*ndof*neq, ndof*neq*dim]
-    K_trU: object  # [ndof*neq, nlf*nqf*neq]
-    K_trG: object  # [ndof*neq*dim, nlf*nqf*neq*dim]
-    K_out: object  # [nlf*nqf*neq, ndof*neq]
+    KU_lf: tuple  # per face: [ndof*neq, nqf*neq]
+    KG_lf: tuple  # per face: [ndof*neq*dim, nqf*neq*dim]
+    KO_lf: tuple  # per face: [nqf*neq, ndof*neq]
     K_vol: object  # [ndof*neq*dim, ndof*neq]
-    nor_slot: object  # [nlf, nqf, dim] (shared)
+    nor_lf: tuple  # per face: [nqf, dim] (shared across elements)
     delta: object  # scalar element size (uniform)
 
     def to_fused(self, U):
@@ -102,13 +110,19 @@ class FusedRHS:
             out.append(jnp.roll(Ag, shift, axis=axis).reshape(A2.shape))
         return out
 
+    def _roll(self, A2, axis, shift):
+        import jax.numpy as jnp
+
+        Ag = A2.reshape(tuple(self.grid) + (A2.shape[-1],))
+        return jnp.roll(Ag, shift, axis=axis).reshape(A2.shape)
+
     def __call__(self, U2, t=0.0):
         import jax.numpy as jnp
 
         ctx = self.ctx
         mix = ctx.mixture
         ne, ndof, neq, dim = self.ne, self.ndof, self.neq, self.dim
-        nlf, nqf = self.nlf, self.nqf
+        nqf = self.nqf
         viscous = ctx.fluxes.eq_system != "euler"
 
         U = self.from_fused(U2)
@@ -121,45 +135,36 @@ class FusedRHS:
             R = jnp.concatenate([Up2] + self._rolls(Up2), axis=-1)
             G2 = R @ self.K_grad  # [ne, ndof*neq*dim]
 
-        # ---- face traces (kron matmuls keep the fused minor dim) ----
-        T_U = U2 @ self.K_trU  # [ne, nlf*nqf*neq]
-        T_G = G2 @ self.K_trG if viscous else None
+        # ---- per-face traces (fused minor dim per face) ----
+        TU = [U2 @ K for K in self.KU_lf]  # [ne, nqf*neq] each
+        TG = [G2 @ K for K in self.KG_lf] if viscous else None
 
-        # ---- pointwise face physics on views; neighbors via grid rolls ----
-        ownU = T_U.reshape(tuple(self.grid) + (nlf, nqf, neq))
-        nbrU = []
-        for (axis, shift, opp) in self.per_lf:
-            nbrU.append(jnp.roll(ownU[..., opp, :, :], shift, axis=axis))
-        nbrU = jnp.stack(nbrU, axis=-3)  # [..., nlf, nqf, neq]
-        U_own = ownU.reshape(ne, nlf, nqf, neq)
-        U_nbr = nbrU.reshape(ne, nlf, nqf, neq)
-
-        if viscous:
-            ownG = T_G.reshape(tuple(self.grid) + (nlf, nqf, neq, dim))
-            nbrG = []
-            for (axis, shift, opp) in self.per_lf:
-                nbrG.append(jnp.roll(ownG[..., opp, :, :, :], shift, axis=axis))
-            nbrG = jnp.stack(nbrG, axis=-4)
-            g_own = ownG.reshape(ne, nlf, nqf, neq, dim)
-            g_nbr = nbrG.reshape(ne, nlf, nqf, neq, dim)
-
-        nor = self.nor_slot  # [nlf, nqf, dim] broadcast over elements
-        flux = ctx.riemann(U_own, U_nbr, nor)
-        if viscous:
-            d = self.delta
-            Fv1 = ctx.fluxes.viscous(U_own, mix.primitives(U_own), g_own,
-                                     xyz=None, delta=d)
-            Fv2 = ctx.fluxes.viscous(U_nbr, mix.primitives(U_nbr), g_nbr,
-                                     xyz=None, delta=d)
-            flux = flux - jnp.einsum("...ed,...d->...e", 0.5 * (Fv1 + Fv2), nor)
-        fluxw2 = flux.reshape(ne, nlf * nqf * neq)
-
-        # ---- volume flux + output matmuls (wts/sign/Minv/adjJ folded) ----
+        # ---- volume flux + scatter ----
         Fdof = ctx.fluxes.total_at_dofs(U, Up,
                                         G2.reshape(ne, ndof, neq, dim)
                                         if viscous else None,
                                         None, None)
-        y2 = Fdof.reshape(ne, -1) @ self.K_vol + fluxw2 @ self.K_out
+        y2 = Fdof.reshape(ne, -1) @ self.K_vol
+
+        # ---- per-face physics: neighbor = grid roll of the opposite
+        # face's trace buffer (pure row permutation) ----
+        d = self.delta
+        for lf, (axis, shift, opp) in enumerate(self.per_lf):
+            own_u = TU[lf].reshape(ne, nqf, neq)
+            nbr_u = self._roll(TU[opp], axis, shift).reshape(ne, nqf, neq)
+            nor = self.nor_lf[lf]  # [nqf, dim]
+            flux = ctx.riemann(own_u, nbr_u, nor)
+            if viscous:
+                own_g = TG[lf].reshape(ne, nqf, neq, dim)
+                nbr_g = self._roll(TG[opp], axis, shift).reshape(
+                    ne, nqf, neq, dim)
+                Fv1 = ctx.fluxes.viscous(own_u, mix.primitives(own_u), own_g,
+                                         xyz=None, delta=d)
+                Fv2 = ctx.fluxes.viscous(nbr_u, mix.primitives(nbr_u), nbr_g,
+                                         xyz=None, delta=d)
+                flux = flux - jnp.einsum("...ed,...d->...e",
+                                         0.5 * (Fv1 + Fv2), nor)
+            y2 = y2 + flux.reshape(ne, nqf * neq) @ self.KO_lf[lf]
 
         mcs = jnp.max(mix.max_char_speed(U))
         return y2, {"max_char_speed": mcs}
@@ -214,19 +219,18 @@ def build_fused(tab_np, ctx, dtype=None) -> FusedRHS:
         axis=0,
     )  # [(1+nlf)*ndof*neq, ndof*neq*dim]
 
-    # -- trace matmuls: kron(Btr, I) in fused index order --
-    K_trU = np.einsum("sd,ef->desf", B, eye_e).reshape(
-        ndof * neq, nlf * nqf * neq
-    )
+    # -- per-face trace matmuls: kron(Btr[face rows], I) --
     eye_ed = np.eye(neq * dim)
-    K_trG = np.einsum("sd,gh->dgsh", B, eye_ed).reshape(
-        ndof * neq * dim, nlf * nqf * neq * dim
-    )
-
-    # -- face scatter: z_face[j,e] = -sum_s w[s] Btr[s,j] m[j] flux[s,e] --
-    K_out = np.einsum("s,sj,j,ef->sejf", w_s.reshape(-1), B, m, eye_e).reshape(
-        nlf * nqf * neq, ndof * neq
-    ) * (-1.0)
+    KU_lf, KG_lf, KO_lf = [], [], []
+    for lf in range(nlf):
+        sl = slice(lf * nqf, (lf + 1) * nqf)
+        KU_lf.append(np.einsum("sd,ef->desf", B[sl], eye_e).reshape(
+            ndof * neq, nqf * neq))
+        KG_lf.append(np.einsum("sd,gh->dgsh", B[sl], eye_ed).reshape(
+            ndof * neq * dim, nqf * neq * dim))
+        # face scatter: z[j,e] = -sum_s w[s] Btr[s,j] m[j] flux[s,e]
+        KO_lf.append(np.einsum("s,sj,j,ef->sejf", w_s[lf], B[sl], m,
+                               eye_e).reshape(nqf * neq, ndof * neq) * (-1.0))
 
     # -- volume scatter: z[j,e] = sum_{q,dd} wq[q] Gv[q,j,k] adj[k,dd] m[j] F --
     A_vol = np.einsum("q,qjk,kD,j->qDj", wq, Gv, adj, m)  # [q, dd, j]
@@ -238,11 +242,11 @@ def build_fused(tab_np, ctx, dtype=None) -> FusedRHS:
         ctx=ctx, ne=ne, ndof=ndof, neq=neq, dim=dim,
         grid=tuple(grid), per_lf=tuple(per_lf), nlf=nlf, nqf=nqf,
         K_grad=jnp.asarray(K_grad, dtype),
-        K_trU=jnp.asarray(K_trU, dtype),
-        K_trG=jnp.asarray(K_trG, dtype),
-        K_out=jnp.asarray(K_out, dtype),
+        KU_lf=tuple(jnp.asarray(K, dtype) for K in KU_lf),
+        KG_lf=tuple(jnp.asarray(K, dtype) for K in KG_lf),
+        KO_lf=tuple(jnp.asarray(K, dtype) for K in KO_lf),
         K_vol=jnp.asarray(K_vol, dtype),
-        nor_slot=jnp.asarray(n_s, dtype),
+        nor_lf=tuple(jnp.asarray(n_s[lf], dtype) for lf in range(nlf)),
         delta=float(np.asarray(t.delta).flat[0]),
     )
 
