@@ -88,3 +88,70 @@ def test_conducting_core_joule_heating():
     P = qms.total_joule_heating()
     assert P > 0 and np.isfinite(P)
     assert qms.magnetic_energy() > 0
+
+
+def test_refine_uniform_hex():
+    """Uniform refinement: 8x elements, volume/area preserved, attrs and
+    boundary attributes propagate (reference: em/ref_levels uniform
+    refinement, src/quasimagnetostatic.cpp + em_options.hpp)."""
+    from tps_tpu.mesh.refine import refine_uniform
+
+    m = box_3d(2, 3, 2, bounds=((0, 2.0), (0, 1.5), (0, 1.0)))
+    m.elem_attrs = np.arange(m.num_elements, dtype=np.int64) % 3 + 1
+    r = refine_uniform(m, 1)
+    assert r.num_elements == 8 * m.num_elements
+    # children inherit parent attributes in order
+    assert np.all(r.elem_attrs.reshape(-1, 8) == m.elem_attrs[:, None])
+    # volume check via the Jacobians of the H1 tables
+    from tps_tpu.fem import h1
+
+    t0 = h1.build_h1(m, order=1)
+    t1 = h1.build_h1(r, order=1)
+    v0 = float(np.einsum("q,nq->", t0.wq, t0.detJ))
+    v1 = float(np.einsum("q,nq->", t1.wq, t1.detJ))
+    assert abs(v0 - v1) < 1e-12 * abs(v0)
+    # boundary faces: 4x count, same attribute set
+    assert r.bdr_faces.shape[0] == 4 * m.bdr_faces.shape[0]
+    assert set(np.unique(r.bdr_attrs)) == set(np.unique(m.bdr_attrs))
+    # face topology still consistent
+    fi = r.build_faces()
+    assert fi.bdr_elem.shape[0] == r.bdr_faces.shape[0]
+
+
+def test_rings_attribute_current_and_By():
+    """Attribute-defined coil about the y axis (reference rings.ini
+    convention): By on the axis is nonzero, symmetric, and decays away
+    from the coil; By file has the reference HDF5 layout."""
+    import os
+    import tempfile
+
+    import h5py
+
+    # box around origin; ring attr 2 = cells with radius (about y) in
+    # [0.15, 0.45] and |y| <= 0.25
+    m = box_3d(8, 8, 8, bounds=((-0.5, 0.5),) * 3)
+    cc = m.vertices[m.elements].mean(axis=1)
+    rad = np.sqrt(cc[:, 0] ** 2 + cc[:, 2] ** 2)
+    ring = (rad >= 0.15) & (rad <= 0.45) & (np.abs(cc[:, 1]) <= 0.25)
+    attrs = np.ones(m.num_elements, dtype=np.int64)
+    attrs[ring] = 2
+    m.elem_attrs = attrs
+    assert ring.sum() > 0
+
+    qms = QuasiMagnetostatic3D(
+        m, attr_currents={2: 1.0}, current_axis=(0.0, 1.0, 0.0),
+        mu0=1.0, current_frequency=1.0, rtol=1e-10, max_iter=800,
+    )
+    qms.solve()
+    with tempfile.TemporaryDirectory() as td:
+        fname = os.path.join(td, "By.h5")
+        y, By = qms.interpolate_By(17, -0.4, 0.4, fname)
+        with h5py.File(fname) as f:
+            assert f.attrs["nBy"] == 17
+            assert np.allclose(f["Points/y"][...], y)
+            assert np.allclose(f["Magnetic-field/y"][...], By)
+    mid = By[8]
+    assert abs(mid) > 1e-6, "no axial field at coil center"
+    # symmetry about the midplane and decay toward the box edge
+    assert np.allclose(By, By[::-1], rtol=1e-6, atol=1e-9 * abs(mid))
+    assert abs(By[0]) < 0.8 * abs(mid)

@@ -23,13 +23,23 @@ MU0 = 4.0e-7 * PI
 class QuasiMagnetostatic3D(Solver):
     def __init__(self, mesh, coils=(), current_frequency=6.0e6,
                  current_amplitude=2.0e6, rtol=1e-8, max_iter=600,
-                 quad_order=3):
+                 quad_order=3, attr_currents=None, current_axis=(0.0, 1.0, 0.0),
+                 mu0=MU0):
         """coils: tuple of rings (z0, r1, r2, half_height) carrying the
-        azimuthal (about the z axis) source current density."""
+        azimuthal (about the z axis) source current density.
+
+        attr_currents: optional {volume attribute: current density} map --
+        the reference's ring definition, where coil rings are volume
+        attributes of the EM mesh carrying uniform azimuthal current about
+        `current_axis` (reference InitializeCurrent,
+        src/quasimagnetostatic.cpp:227-279 and JFun :740-749)."""
         import jax.numpy as jnp
 
         self.mesh = mesh
         self.coils = tuple(coils)
+        self.attr_currents = dict(attr_currents) if attr_currents else {}
+        self.current_axis = np.asarray(current_axis, dtype=np.float64)
+        self.mu0 = float(mu0)
         self.current_frequency = current_frequency
         self.current_amplitude = current_amplitude
         self.rtol = rtol
@@ -61,6 +71,22 @@ class QuasiMagnetostatic3D(Solver):
         xyz = self.tab.xyz_q  # [ne, nq, 3]
         r = jnp.sqrt(xyz[..., 0] ** 2 + xyz[..., 1] ** 2)
         Jq = jnp.zeros_like(xyz)
+
+        if self.attr_currents:
+            # attribute-defined rings: uniform |J| per volume attribute,
+            # azimuthal about current_axis (reference JFun: J = axis x x,
+            # normalized; src/quasimagnetostatic.cpp:740-749)
+            attrs = np.asarray(self.mesh.attributes())
+            amp = np.zeros(int(attrs.max()) + 1)
+            for a, j0 in self.attr_currents.items():
+                amp[int(a)] = float(j0)
+            amp_e = jnp.asarray(amp[attrs])  # [ne]
+            ax = jnp.asarray(self.current_axis)
+            axx = jnp.cross(jnp.broadcast_to(ax, xyz.shape), xyz)
+            nrm = jnp.linalg.norm(axx, axis=-1, keepdims=True)
+            ephi = axx / jnp.maximum(nrm, 1e-30)
+            Jq = Jq + amp_e[:, None, None] * ephi
+
         for (z0, r1, r2, hh) in self.coils:
             inside = ((r >= r1) & (r <= r2)
                       & (jnp.abs(xyz[..., 2] - z0) <= hh))
@@ -129,7 +155,7 @@ class QuasiMagnetostatic3D(Solver):
 
         tab = self.tab
         omega = 2.0 * PI * self.current_frequency
-        msw_q = MU0 * omega * self.plasma_conductivity_q
+        msw_q = self.mu0 * omega * self.plasma_conductivity_q
         mask = self.mask
         nd = tab.nedge
 
@@ -151,7 +177,7 @@ class QuasiMagnetostatic3D(Solver):
             y_im = y_im * mask + w[nd:] * (1 - mask)
             return jnp.concatenate([y_re, y_im])
 
-        b_re = MU0 * hcurl.rhs_vector(tab, self._Jq)
+        b_re = self.mu0 * hcurl.rhs_vector(tab, self._Jq)
         b = jnp.concatenate([b_re * mask, jnp.zeros(nd, self.dtype)])
 
         kdiag = kd + eps_reg * md + hcurl.mass_diag(tab, msw_q)
@@ -194,34 +220,146 @@ class QuasiMagnetostatic3D(Solver):
 
         B_re, B_im = self.magnetic_field()
         e = jnp.sum(B_re**2 + B_im**2, axis=-1)
-        return float(hcurl.integrate(self.tab, e)) / (4.0 * MU0)
+        return float(hcurl.integrate(self.tab, e)) / (4.0 * self.mu0)
+
+
+    def interpolate_By(self, nBy, yinterp_min, yinterp_max, by_file=None):
+        """Sample B_y (real part) at nBy points along the y axis and
+        optionally save them in the reference's By-file HDF5 layout:
+        attribute nBy, /Points/y, /Magnetic-field/y (reference
+        InterpolateToYAxis, src/quasimagnetostatic.cpp:555-650)."""
+        import jax.numpy as jnp
+
+        from ...fem.hcurl import _edge_basis_at
+        from ...mesh.reference_element import ReferenceElement
+
+        if nBy < 1:
+            return None, None
+        y = np.linspace(yinterp_min, yinterp_max, nBy)
+        pts = np.stack([np.zeros(nBy), y, np.zeros(nBy)], axis=-1)
+
+        mesh = self.mesh
+        ev_all = mesh.vertices[mesh.elements]
+        from ... import native as _native
+
+        nat = _native.locate_points(ev_all, pts, tol=1e-8)
+        if nat is None:
+            from ...interop.interpolation import _invert_map
+
+            ref = ReferenceElement(geom="hex", order=1, basis="gauss-lobatto")
+            eids = np.zeros(nBy, dtype=np.int64)
+            refc = np.zeros((nBy, 3))
+            found = np.zeros(nBy, dtype=bool)
+            lo = ev_all.min(axis=1) - 1e-8
+            hi = ev_all.max(axis=1) + 1e-8
+            for p in range(nBy):
+                cand = np.where(((lo <= pts[p]) & (pts[p] <= hi)).all(axis=1))[0]
+                for e in cand:
+                    xi, res = _invert_map(ref, ev_all[e], pts[p])
+                    if res < 1e-8 and (xi > -1e-9).all() and (xi < 1 + 1e-9).all():
+                        eids[p], refc[p], found[p] = e, np.clip(xi, 0, 1), True
+                        break
+        else:
+            eids, refc, found = nat
+
+        # curl of A_re at the located reference points
+        W, C = _edge_basis_at(refc)  # [np, 12, 3]
+        ref = ReferenceElement(geom="hex", order=1, basis="gauss-lobatto")
+        dN = ref.eval_geom_basis_grad(refc)  # [np, 8, 3]
+        ev = ev_all[eids]  # [np, 8, 3]
+        J = np.einsum("pvi,pvj->pij", ev, dN)
+        detJ = np.linalg.det(J)
+        aloc = np.asarray(self.A_re)[np.asarray(self.tab.elem_edges)[eids]] \
+            * np.asarray(self.tab.edge_sign)[eids]  # [np, 12]
+        Cref = np.einsum("ped,pe->pd", C, aloc)
+        B = np.einsum("pij,pj->pi", J, Cref) / detJ[:, None]
+        By = np.where(found, B[:, 1], 0.0)
+
+        if by_file:
+            import h5py
+
+            with h5py.File(by_file, "w") as f:
+                f.attrs["nBy"] = nBy
+                f.create_group("Points")["y"] = y
+                f.create_group("Magnetic-field")["y"] = By
+        return y, By
 
 
 @register_solver("em")
 class _Em3dFromConfig(QuasiMagnetostatic3D):
-    """ini-driven construction (reference em-opts: [em] section)."""
+    """ini-driven construction (reference em-opts: [em] section,
+    src/quasimagnetostatic.cpp:330-365 and src/em_options.hpp:43-124)."""
 
     def __init__(self, config, tps=None):
         from ...mesh.generators import box_3d
 
         inp = config.raw
-        n = inp.get("em/mesh_n", 8)
-        L = inp.get("em/domain_size", 1.0)
-        mesh = box_3d(n, n, n, bounds=((-L / 2, L / 2),) * 3)
+        mesh_file = inp.get("em/mesh", None)
+        ref_levels = inp.get("em/ref_levels", 0)
+        mu0 = inp.get("em/permeability", 1.0)  # reference default: 1.0
+        amplitude = inp.get("em/current_amplitude", 2.0e6)
+
+        attr_currents = {}
         coils = []
-        ncoil = inp.get("em/numCoils", 1)
-        for i in range(1, ncoil + 1):
-            coils.append((
-                inp.get(f"em/coil{i}/z0", 0.0),
-                inp.get(f"em/coil{i}/r1", 0.25),
-                inp.get(f"em/coil{i}/r2", 0.3),
-                inp.get(f"em/coil{i}/half_height", 0.05),
-            ))
+        if mesh_file is not None:
+            from ...mesh.mfem_reader import read_mesh
+            from ...mesh.refine import refine_uniform
+
+            mesh = read_mesh(mesh_file)
+            if mesh.dim != 3 or mesh.geom != "hex":
+                raise NotImplementedError(
+                    "3-D EM solver requires a hex mesh "
+                    f"(got {mesh.dim}-D {mesh.geom})")
+            if ref_levels:
+                mesh = refine_uniform(mesh, ref_levels)
+            # reference ring convention: attribute 1 = background, 2..5 =
+            # coil rings; bottom rings are 2,3 and top rings 4,5
+            # (src/quasimagnetostatic.cpp:236-271)
+            J0 = {a: amplitude for a in (2, 3, 4, 5)}
+            if inp.get("em/bot_only", False):
+                J0[4] = J0[5] = 0.0
+            elif inp.get("em/top_only", False):
+                J0[2] = J0[3] = 0.0
+            if inp.get("em/variable_current", False):
+                var = inp.get_vec("em/varcurrent_amplitude", 5,
+                                  default=[0.0] * 5)
+                for a in (2, 3, 4, 5):
+                    J0[a] = 0.5 * float(var[a - 1])
+            attr_currents = J0
+        else:
+            n = inp.get("em/mesh_n", 8)
+            L = inp.get("em/domain_size", 1.0)
+            mesh = box_3d(n, n, n, bounds=((-L / 2, L / 2),) * 3)
+            ncoil = inp.get("em/numCoils", 1)
+            for i in range(1, ncoil + 1):
+                coils.append((
+                    inp.get(f"em/coil{i}/z0", 0.0),
+                    inp.get(f"em/coil{i}/r1", 0.25),
+                    inp.get(f"em/coil{i}/r2", 0.3),
+                    inp.get(f"em/coil{i}/half_height", 0.05),
+                ))
+            mu0 = inp.get("em/permeability", MU0)  # physical for box coils
+
         super().__init__(
             mesh, coils=tuple(coils),
-            current_frequency=inp.get("em/current_frequency", 6.0e6),
-            current_amplitude=inp.get("em/current_amplitude", 2.0e6),
+            attr_currents=attr_currents,
+            current_axis=tuple(inp.get_vec("em/current_axis", 3,
+                                           default=[0.0, 1.0, 0.0])),
+            mu0=mu0,
+            current_frequency=inp.get("em/current_frequency",
+                                      6.0e6 if mesh_file is None else 1.0),
+            current_amplitude=amplitude,
             rtol=inp.get("em/rtol", 1e-8),
             max_iter=inp.get("em/max_iter", 600),
         )
         self.config = config
+        self.nBy = inp.get("em/nBy", 0)
+        self.yinterp_min = inp.get("em/yinterp_min", 0.0)
+        self.yinterp_max = inp.get("em/yinterp_max", 1.0)
+        self.by_file = inp.get("em/By_file", "By.h5")
+
+    def solve(self):
+        super().solve()
+        if self.nBy > 0:
+            self.interpolate_By(self.nBy, self.yinterp_min,
+                                self.yinterp_max, self.by_file)
