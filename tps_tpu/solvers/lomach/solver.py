@@ -269,6 +269,7 @@ class LoMachSolver(Solver):
 
         # boundary conditions
         vel_bcs, temp_bcs, ext_specs, pres_bcs = [], [], [], []
+        inlet_info = []  # (patch, kind, base) for turbulence-model BCs
         for sub in inp.sections_under("boundaryConditions"):
             base = f"boundaryConditions/{sub}"
             if not inp.has(f"{base}/patch"):
@@ -291,6 +292,7 @@ class LoMachSolver(Solver):
                     attrs=(patch,), value=tuple(vel),
                     ramp_time=inp.get(f"{base}/rampTime", 0.0),
                 ))
+                inlet_info.append((patch, "uniform", base))
             elif kind in ("outlet", "pressure"):
                 # pressure Dirichlet outlet (reference: pres_dbcs_,
                 # src/tomboulides.cpp:1865-1870)
@@ -311,6 +313,7 @@ class LoMachSolver(Solver):
                     inp.get(f"{base}/name", "inletPlane.csv"),
                     inp.get(f"{base}/rampSteps", 1),
                 ))
+                inlet_info.append((patch, "interpolate", base))
             # outlets: natural (do-nothing) boundary
 
         # geometric sponge (reference: src/geometricSponge.cpp ini keys
@@ -400,6 +403,29 @@ class LoMachSolver(Solver):
             self.thermo = _build_reacting_flow(
                 inp, self.tab, temp_bcs, cg_tol, cg_maxiter
             )
+            # external species field initialization (reference:
+            # setFieldInitSpec, src/gaussianInterpExtData.cpp:559-748,
+            # enabled by plasma_models/initialize_species)
+            if inp.get("plasma_models/initialize_species", 0):
+                import jax.numpy as jnp
+
+                from ...interop.ext_data import volume_field_from_file
+
+                Yfile = inp.get_required("plasma_models/initialize_file")
+                Y0 = np.atleast_2d(
+                    np.asarray(volume_field_from_file(self.tab, Yfile)))
+                if Y0.shape[0] != self.tab.ndofs:
+                    Y0 = Y0.T
+                nsp = self.thermo.Y.shape[1]
+                if Y0.shape[1] != nsp:
+                    raise ValueError(
+                        f"{Yfile}: {Y0.shape[1]} species columns, "
+                        f"model has {nsp}")
+                # renormalize and install as the full BDF history
+                Y0 = np.clip(Y0, 0.0, None)
+                Y0 = Y0 / np.maximum(Y0.sum(axis=1, keepdims=True), 1e-300)
+                self.thermo.Y = jnp.asarray(Y0)
+                self.thermo.Y_hist = [self.thermo.Y, self.thermo.Y]
         else:
             self.thermo = ConstantPropertyThermoChem(
                 self.tab,
@@ -474,10 +500,35 @@ class LoMachSolver(Solver):
             wall_attrs = tuple(
                 int(a) for a in inp.get_vec("ransModel/walls", default=[])
             ) or tuple(int(a) for a in np.unique(self.mesh.bdr_attrs))
+            # inlet tke/v2 Dirichlet values: uniform from {inlet}/tke
+            # (v2 = 2/3 tke), or interpolated from ransModel/zeta-f-file
+            # scaled by ransModel/bc-fac (reference: zetaModel.cpp:481-540
+            # + setInletTurbScalars)
+            tdr_ic = inp.get("ransModel/tdr-ic", 1.0e-8)
+            inlet_bcs = []
+            tke_file = inp.get("ransModel/zeta-f-file", None)
+            bc_fac = inp.get("ransModel/bc-fac", 1.0)
+            for (patch, ikind, base) in inlet_info:
+                if ikind == "uniform" and inp.has(f"{base}/tke"):
+                    tke = inp.get(f"{base}/tke", 0.0)
+                    inlet_bcs.append(
+                        ((patch,), tke, tdr_ic, (2.0 / 3.0) * tke))
+                elif ikind == "interpolate" and tke_file:
+                    import jax.numpy as jnp
+
+                    from ...interop.ext_data import inlet_scalars_from_file
+
+                    _dofs, vals = inlet_scalars_from_file(
+                        self.tab, tke_file, (patch,), fac=bc_fac)
+                    inlet_bcs.append(
+                        ((patch,), jnp.asarray(vals[:, 0]), tdr_ic,
+                         jnp.asarray(vals[:, 1]) if vals.shape[1] > 1
+                         else None))
             self.turb = ZetaModel(
                 self.tab, self.flow, self.thermo, wall_attrs=wall_attrs,
+                inlet_bcs=tuple(inlet_bcs),
                 tke_ic=inp.get("ransModel/tke-ic", 1.0e-4),
-                tdr_ic=inp.get("ransModel/tdr-ic", 1.0e-8),
+                tdr_ic=tdr_ic,
                 cg_tol=inp.get("ransModel/hsolve-rtol", 1e-10),
                 cg_maxiter=inp.get("ransModel/hsolve-maxIters", 500),
             )
@@ -485,9 +536,15 @@ class LoMachSolver(Solver):
         elif turb == "static-rans":
             from .rans import StaticRans
 
-            self.turb = StaticRans(
-                self.tab, inp.get("loMach/static-rans/eddy-viscosity", 0.0)
-            )
+            nut = inp.get("loMach/static-rans/eddy-viscosity", 0.0)
+            visc_file = inp.get("loMach/static-rans/visc-file", None)
+            if visc_file:
+                from ...interop.ext_data import volume_field_from_file
+
+                nut = volume_field_from_file(
+                    self.tab, visc_file,
+                    fac=inp.get("loMach/static-rans/visc-fac", 1.0))
+            self.turb = StaticRans(self.tab, nut)
             self.flow.turb = self.turb
         else:
             self.turb = ZeroTurbModel(self.tab)
@@ -547,10 +604,16 @@ class LoMachSolver(Solver):
             import jax.numpy as jnp
 
             vals = self.flow.vel_bc_values
+            swirl = getattr(self.flow, "swirl_bc_values", None)
             for ed in self.ext_data:
                 ed.step()
                 vals = vals.at[jnp.asarray(ed.dofs)].set(ed.velocity_values())
+                sv = ed.swirl_values()
+                if swirl is not None and sv is not None:
+                    swirl = swirl.at[jnp.asarray(ed.dofs)].set(sv)
             self.flow.vel_bc_values = vals
+            if swirl is not None:
+                self.flow.swirl_bc_values = swirl
         t0 = _time.perf_counter()
         self.thermo.step(coeff, self.dt)
         t1 = _time.perf_counter()

@@ -61,18 +61,28 @@ class ZetaModel(TurbModelBase):
             free[wd] = 0.0
         self.wall_mask = jnp.asarray(free)
 
-        # inlet Dirichlet values: list of (attrs, k, eps) tuples
+        # inlet Dirichlet values: list of (attrs, k, eps[, v2]) tuples;
+        # k/eps/v2 may be scalars or per-dof arrays (e.g. interpolated from
+        # an external tke/v2 profile, reference setInletTurbScalars,
+        # src/gaussianInterpExtData.cpp:910-1096)
         k_free = np.array(free)
         kin_vals = jnp.zeros(nd)
         ein_vals = jnp.zeros(nd)
+        v2in_vals = None
         for bc in inlet_bcs:
             dofs = np.asarray(h1.boundary_dofs(tab, tuple(bc[0])))
             k_free[dofs] = 0.0
             kin_vals = kin_vals.at[jnp.asarray(dofs)].set(bc[1])
             ein_vals = ein_vals.at[jnp.asarray(dofs)].set(bc[2])
+            if len(bc) > 3 and bc[3] is not None:
+                if v2in_vals is None:
+                    v2in_vals = (2.0 / 3.0) * kin_vals
+                v2in_vals = v2in_vals.at[jnp.asarray(dofs)].set(bc[3])
         self.dir_mask = jnp.asarray(k_free)
         self.k_bc = kin_vals
         self.eps_bc = ein_vals
+        self.v2_bc = ((2.0 / 3.0) * kin_vals if v2in_vals is None
+                      else v2in_vals)
 
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
 
@@ -229,7 +239,7 @@ class ZetaModel(TurbModelBase):
         v2_new = transport_solve(
             v2, v2_hist, c["sigmaZ"], rho * k_new * jnp.maximum(f_new, 0.0),
             6.0 * rho * eps_new / jnp.maximum(k_new, c["tke_min"]),
-            self.dir_mask, (2.0 / 3.0) * self.k_bc,
+            self.dir_mask, self.v2_bc,
         )
         v2_new = jnp.clip(v2_new, c["v2_min"], (2.0 / 3.0) * k_new)
 
