@@ -1,0 +1,327 @@
+"""Mixed tri/quad meshes: per-geometry buckets coupled through interface
+faces (reference: MFEM mixed meshes, test/meshes/cyl-2d-mixed.msh used by
+test/inputs/input.cyl-2d.case*.ini; element-type bucketing as in
+src/dgNonlinearForm.cpp:96-104)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tps_tpu.dg.bc import InletBC, OutletBC, WallBC
+from tps_tpu.dg.fluxes import Fluxes
+from tps_tpu.dg.mixed import build_mixed_tables, compute_rhs_mixed, make_bc_slices
+from tps_tpu.dg.rhs import RHSContext
+from tps_tpu.dg.riemann import Rusanov
+from tps_tpu.mesh.mixed import mixed_box_2d
+from tps_tpu.physics.gas import DryAir
+from tps_tpu.physics.transport import DryAirTransport
+from tps_tpu.utils.cases import isentropic_vortex, uniform_state
+
+
+def _contexts(mt, mix, eq_system, bc_by_attr):
+    fl = Fluxes(
+        mixture=mix,
+        transport=DryAirTransport(mix.gas_constant, mix.specific_heat_ratio),
+        eq_system=eq_system,
+    )
+    slices = make_bc_slices(mt, bc_by_attr) if bc_by_attr else ((), ())
+    return tuple(
+        RHSContext(fluxes=fl, riemann=Rusanov(fl), bcs=slices[b])
+        for b in range(2)
+    )
+
+
+def test_mixed_tables_topology():
+    mm = mixed_box_2d(6, 4, tri_from=0.5)
+    mt = build_mixed_tables(mm, order=2)
+    tri, quad = mt.buckets
+    assert {b.ne for b in mt.buckets} == {12, 24}  # 3x4 quads + 2*3*4 tris
+    assert mt.n_iface == 4  # one seam column
+    # every real boundary face has a real attribute
+    for tab in mt.buckets:
+        nreal = tab.nfb - mt.n_iface
+        assert set(np.asarray(tab.f_bdr_attr[:nreal])) <= {1, 2, 3, 4}
+    # total area from the two buckets' Jacobians
+    area = sum(
+        float(np.einsum("q,nq->", np.asarray(b.wq), np.asarray(b.detJ)))
+        for b in mt.buckets
+    )
+    assert abs(area - 1.0) < 1e-12
+
+
+def test_mixed_free_stream_preservation():
+    """Uniform flow through a mixed mesh gives RHS ~ 0 (interface flux
+    consistency + BC well-balancedness), viscous path included."""
+    mix = DryAir(dim=2, nvel=2)
+    mm = mixed_box_2d(8, 6, tri_from=0.5)
+    mt = build_mixed_tables(mm, order=2).to_jax(jnp.float64)
+
+    rho, u0, T0 = 1.2, 40.0, 300.0
+    p0 = rho * mix.gas_constant * T0
+    bcs = {
+        4: InletBC(input_state=(rho, u0, 0.0)),
+        2: OutletBC(pressure=p0, kind="subsonicPressure"),
+        1: WallBC(kind="slip"),
+        3: WallBC(kind="slip"),
+    }
+    ctxs = _contexts(mt, mix, "navier-stokes", bcs)
+
+    Us = tuple(
+        mix.conservatives(uniform_state(b.xyz_dof, mix, rho, (u0, 0.0), T0))
+        for b in mt.buckets
+    )
+    (dU_tri, dU_quad), aux = jax.jit(
+        lambda us: compute_rhs_mixed(mt, ctxs, us)
+    )(Us)
+    scale = float(jnp.max(jnp.abs(Us[1])))
+    assert float(jnp.max(jnp.abs(dU_tri))) < 1e-9 * scale
+    assert float(jnp.max(jnp.abs(dU_quad))) < 1e-9 * scale
+    assert np.isfinite(float(aux["max_char_speed"]))
+
+
+def test_mixed_interface_conservation():
+    """Slip walls all around + a smooth internal perturbation: the global
+    mass/momentum/energy integrals are stationary to roundoff, which
+    requires the two interface flux evaluations to cancel exactly."""
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    mm = mixed_box_2d(6, 6, x1=10.0, y1=10.0, tri_from=0.5)
+    mt = build_mixed_tables(mm, order=2).to_jax(jnp.float64)
+    bcs = {a: WallBC(kind="slip") for a in (1, 2, 3, 4)}
+    ctxs = _contexts(mt, mix, "euler", bcs)
+
+    Us = tuple(
+        mix.conservatives(isentropic_vortex(b.xyz_dof, 0.0, mix))
+        for b in mt.buckets
+    )
+    # kill the mean flow so walls see no normal velocity issues at t=0
+    Us = tuple(
+        U.at[..., 1].add(-U[..., 0] * 1.0).at[..., 2].add(-U[..., 0] * 1.0)
+        for U in Us
+    )
+    (d0, d1), _ = jax.jit(lambda us: compute_rhs_mixed(mt, ctxs, us))(Us)
+
+    def total(tab, dU):
+        dq = jnp.einsum("qd,nde->nqe", tab.Bvol, dU)
+        return jnp.einsum("q,nq,nqe->e", tab.wq, tab.detJ, dq)
+
+    tot = np.asarray(total(mt.buckets[0], d0) + total(mt.buckets[1], d1))
+    # mass is conserved exactly (slip-wall mass flux = 0; interface cancels)
+    assert abs(tot[0]) < 1e-11
+    # energy flux through slip walls is zero too (u.n = 0 in the ghost pair)
+    assert abs(tot[3]) < 1e-8
+
+
+def test_mixed_vortex_accuracy_matches_pure_quad():
+    """Advect the isentropic vortex on a mixed mesh; the L2 error against
+    the exact solution is comparable to the pure-quad mesh at the same
+    resolution (the interface does not degrade the scheme)."""
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.dg.rhs import compute_rhs
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.time.integrators import rk4
+
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    n, L = 12, 10.0
+    dt, nsteps = 0.02, 25
+
+    def l2_exact(tab, U, t):
+        Uex = mix.conservatives(isentropic_vortex(tab.xyz_dof, t, mix))
+        w = tab.wq[None, :, None] * tab.detJ[..., None]
+        num = jnp.sum(w * jnp.einsum("qd,nde->nqe", tab.Bvol, (U - Uex) ** 2))
+        den = jnp.sum(w * jnp.einsum("qd,nde->nqe", tab.Bvol, Uex**2))
+        return float(jnp.sqrt(num / den))
+
+    # ---- mixed mesh run ----
+    mm = mixed_box_2d(n, n, x1=L, y1=L, tri_from=0.5)
+    mt = build_mixed_tables(mm, order=2).to_jax(jnp.float64)
+    rho_f, T_f = 1.0, 1.0  # vortex far field (isentropic_vortex defaults)
+    p_f = rho_f * mix.gas_constant * T_f
+    bcs = {
+        4: InletBC(input_state=(rho_f, 1.0, 1.0)),
+        1: InletBC(input_state=(rho_f, 1.0, 1.0)),
+        2: OutletBC(pressure=p_f, kind="nonReflectingPressure"),
+        3: OutletBC(pressure=p_f, kind="nonReflectingPressure"),
+    }
+    ctxs = _contexts(mt, mix, "euler", bcs)
+    Us = tuple(
+        mix.conservatives(isentropic_vortex(b.xyz_dof, 0.0, mix))
+        for b in mt.buckets
+    )
+
+    @jax.jit
+    def step_mixed(us, t):
+        # pytree RK4 over the (tri, quad) state tuple
+        def rhs(u, tt):
+            return compute_rhs_mixed(mt, ctxs, u, tt)[0]
+
+        axpy = lambda a, x, y: jax.tree.map(lambda xi, yi: a * xi + yi, x, y)
+        k1 = rhs(us, t)
+        k2 = rhs(axpy(0.5 * dt, k1, us), t + 0.5 * dt)
+        k3 = rhs(axpy(0.5 * dt, k2, us), t + 0.5 * dt)
+        k4 = rhs(axpy(dt, k3, us), t + dt)
+        return jax.tree.map(
+            lambda u, a, b, c, d: u + dt / 6.0 * (a + 2 * b + 2 * c + d),
+            us, k1, k2, k3, k4,
+        )
+
+    t = 0.0
+    for _ in range(nsteps):
+        Us = step_mixed(Us, t)
+        t += dt
+    err_mixed = max(
+        l2_exact(mt.buckets[0], Us[0], t), l2_exact(mt.buckets[1], Us[1], t)
+    )
+
+    # ---- pure quad reference run ----
+    mesh = box_2d(n, n, x1=L, y1=L)
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    attrs = np.asarray(tab.f_bdr_attr)
+
+    from tps_tpu.dg.rhs import BCSlice
+
+    slices = []
+    for attr, bc in bcs.items():
+        rows = np.where(attrs == attr)[0]
+        slices.append(BCSlice(bc=bc, start=int(rows.min()),
+                              stop=int(rows.max()) + 1))
+    slices.sort(key=lambda s: s.start)
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl), bcs=tuple(slices))
+    U = mix.conservatives(isentropic_vortex(tab.xyz_dof, 0.0, mix))
+
+    @jax.jit
+    def step_quad(u, t):
+        return rk4(lambda uu, tt: compute_rhs(ctx, tab, uu, tt), u, t, dt)
+
+    t = 0.0
+    for _ in range(nsteps):
+        U, _ = step_quad(U, t)
+        t += dt
+    err_quad = l2_exact(tab, U, t)
+
+    assert err_mixed < 0.02, f"mixed-mesh vortex error too large: {err_mixed}"
+    assert err_mixed < 3.0 * err_quad + 1e-4, (err_mixed, err_quad)
+
+
+def test_readers_mixed(tmp_path):
+    """MFEM-format and gmsh-2.2 mixed tri/quad files parse into a
+    MixedMesh; pure-tri gmsh parses into a tri Mesh."""
+    from tps_tpu.mesh.mfem_reader import read_mesh
+    from tps_tpu.mesh.mixed import MixedMesh
+
+    # 2 quads + 2 tris on a 3x2 vertex strip (x in 0..3, y in 0..1):
+    # quads [0,1,4,3] [1,2,5,4]; third column split into tris
+    mfem = tmp_path / "mix.mesh"
+    mfem.write_text("""MFEM mesh v1.0
+
+dimension
+2
+
+elements
+4
+1 3 0 1 5 4
+1 3 1 2 6 5
+2 2 2 3 7
+2 2 2 7 6
+
+boundary
+8
+1 1 0 1
+1 1 1 2
+1 1 2 3
+2 1 3 7
+3 1 7 6
+3 1 6 5
+3 1 5 4
+4 1 4 0
+
+vertices
+8
+2
+0 0
+1 0
+2 0
+3 0
+0 1
+1 1
+2 1
+3 1
+""")
+    mm = read_mesh(str(mfem))
+    assert isinstance(mm, MixedMesh)
+    assert mm.geoms == ("tri", "quad")
+    assert mm.parts[0].num_elements == 2 and mm.parts[1].num_elements == 2
+    from tps_tpu.dg.mixed import build_mixed_tables
+
+    mt = build_mixed_tables(mm, order=1)
+    assert mt.n_iface == 1  # the seam edge (2,6)
+    area = sum(
+        float(np.einsum("q,nq->", np.asarray(b.wq), np.asarray(b.detJ)))
+        for b in mt.buckets
+    )
+    assert abs(area - 3.0) < 1e-12
+
+    # gmsh 2.2: same mesh (1-based node ids), physical tags on segments
+    gmsh = tmp_path / "mix.msh"
+    gmsh.write_text("""$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+8
+1 0 0 0
+2 1 0 0
+3 2 0 0
+4 3 0 0
+5 0 1 0
+6 1 1 0
+7 2 1 0
+8 3 1 0
+$EndNodes
+$Elements
+12
+1 3 2 10 1 1 2 6 5
+2 3 2 10 1 2 3 7 6
+3 2 2 11 1 3 4 8
+4 2 2 11 1 3 8 7
+5 1 2 1 1 1 2
+6 1 2 1 1 2 3
+7 1 2 1 1 3 4
+8 1 2 2 2 4 8
+9 1 2 3 3 8 7
+10 1 2 3 3 7 6
+11 1 2 3 3 6 5
+12 1 2 4 4 5 1
+$EndElements
+""")
+    mg = read_mesh(str(gmsh))
+    assert isinstance(mg, MixedMesh)
+    mt2 = build_mixed_tables(mg, order=1)
+    assert mt2.n_iface == 1
+    # volume attributes survive per bucket
+    assert set(np.asarray(mg.parts[0].elem_attrs)) == {11}
+    assert set(np.asarray(mg.parts[1].elem_attrs)) == {10}
+
+    # pure-tri gmsh now parses as a tri Mesh
+    tri = tmp_path / "tri.msh"
+    tri.write_text("""$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+6
+1 2 2 1 1 1 2 3
+2 2 2 1 1 1 3 4
+3 1 2 1 1 1 2
+4 1 2 2 2 2 3
+5 1 2 3 3 3 4
+6 1 2 4 4 4 1
+$EndElements
+""")
+    tmesh = read_mesh(str(tri))
+    assert tmesh.geom == "tri" and tmesh.num_elements == 2

@@ -534,9 +534,12 @@ class OutletBC:
             ghost = mix.modify_energy_for_pressure(UL, self.pressure)
             return ctx.riemann(UL, ghost, nor)
 
-        # characteristic far-field ghost: outgoing invariant + entropy from
-        # the interior, incoming invariant from the quiescent far field at
-        # the target pressure
+        # characteristic far-field ghost: outgoing invariants (entropy,
+        # tangential velocity, R+ = u_n + 2c/(gam-1)) from the interior,
+        # the incoming invariant set by the target pressure on the interior
+        # isentrope.  Well-balanced: p_in == p_target reproduces the
+        # interior state exactly (so a uniform advective free stream passes
+        # through without disturbance).
         gam = mix.specific_heat_ratio
         nhat, _ = _unit(nor)
         rho = UL[..., 0]
@@ -545,17 +548,11 @@ class OutletBC:
         c_in = jnp.sqrt(gam * p_in / rho)
         un = jnp.einsum("...d,...d->...", vel[..., : mix.dim], nhat)
         Rplus = un + 2.0 * c_in / (gam - 1.0)
-        s_ent = p_in / rho**gam
 
-        p_inf = jnp.asarray(self.pressure, UL.dtype)
-        rho_inf = (p_inf / s_ent) ** (1.0 / gam)  # far field on local isentrope
-        c_inf = jnp.sqrt(gam * p_inf / rho_inf)
-        Rminus = -2.0 * c_inf / (gam - 1.0)  # u_inf = 0
-
-        un_g = 0.5 * (Rplus + Rminus)
-        c_g = 0.25 * (gam - 1.0) * (Rplus - Rminus)
-        rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))
-        p_g = rho_g * c_g * c_g / gam
+        p_g = jnp.asarray(self.pressure, UL.dtype)
+        rho_g = rho * (p_g / p_in) ** (1.0 / gam)  # interior isentrope
+        c_g = jnp.sqrt(gam * p_g / rho_g)
+        un_g = Rplus - 2.0 * c_g / (gam - 1.0)
         vel_g = vel.at[..., : mix.dim].add((un_g - un)[..., None] * nhat)
         ghost = UL.at[..., 0].set(rho_g)
         ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_g)

@@ -75,6 +75,7 @@ def read_mfem_mesh(path: str) -> Mesh:
     ne = int(lines[i])
     elems = []
     eattrs = []
+    egeoms = []
     geom_seen = set()
     for k in range(ne):
         parts = lines[i + 1 + k].split()
@@ -84,16 +85,25 @@ def read_mfem_mesh(path: str) -> Mesh:
             raise ValueError(f"{path}: unsupported element geometry {geom}")
         gname, nverts = _MFEM_GEOM[geom]
         geom_seen.add(gname)
+        egeoms.append(gname)
         elems.append([int(v) for v in parts[2 : 2 + nverts]])
     if geom_seen - {"quad", "hex", "tri", "tet"}:
         raise NotImplementedError(
             f"{path}: element types {sorted(geom_seen)} not supported "
             "(quad/hex/tri/tet)"
         )
-    if len(geom_seen) != 1:
-        raise NotImplementedError(f"{path}: mixed element types")
-    geom = geom_seen.pop()
-    elements = np.asarray(elems, dtype=np.int64)
+    mixed = len(geom_seen) != 1
+    if mixed and geom_seen != {"tri", "quad"}:
+        raise NotImplementedError(
+            f"{path}: mixed element types {sorted(geom_seen)} "
+            "(only tri+quad mixing is supported)"
+        )
+    if not mixed:
+        geom = geom_seen.pop()
+        elements = np.asarray(elems, dtype=np.int64)
+    else:
+        geom = "quad"  # nodes-based branch below is single-type only
+        elements = None
 
     i = section("boundary")
     bdr_faces, bdr_attrs = [], []
@@ -116,6 +126,8 @@ def read_mfem_mesh(path: str) -> Mesh:
         verts = np.array(
             [[float(x) for x in lines[i + 2 + k].split()[:vdim]] for k in range(nv)]
         )
+    elif len(maybe_vdim) == 1 and "nodes" in idx and mixed:
+        raise NotImplementedError(f"{path}: mixed nodes-based (curved) mesh")
     elif len(maybe_vdim) == 1 and "nodes" in idx:
         # nodes-based mesh (periodic and/or curved): geometry lives in an
         # L2 GridFunction, one block of (p+1)^dim tensor nodes per element;
@@ -157,6 +169,21 @@ def read_mfem_mesh(path: str) -> Mesh:
             bf[j, : len(b)] = b
     else:
         bf = np.zeros((0, 0), dtype=np.int64)
+
+    if mixed:
+        from .mixed import make_mixed_mesh
+
+        by_geom, attrs_by_geom = {}, {}
+        for g in ("tri", "quad"):
+            rows = [k for k in range(ne) if egeoms[k] == g]
+            by_geom[g] = np.asarray([elems[k] for k in rows], dtype=np.int64)
+            attrs_by_geom[g] = np.asarray([eattrs[k] for k in rows],
+                                          dtype=np.int64)
+        return make_mixed_mesh(
+            dim, verts[:, :dim], by_geom,
+            bdr_faces=bf, bdr_attrs=np.asarray(bdr_attrs, dtype=np.int64),
+            attrs_by_geom=attrs_by_geom,
+        )
 
     return Mesh(
         dim=dim,
@@ -279,8 +306,8 @@ def read_gmsh_mesh(path: str) -> Mesh:
 
     elines = block("Elements")
     nel = int(elines[0])
-    vols, vol_geom = [], set()
-    bdrs = []  # (attr, verts)
+    cells = []  # (geom, verts, phys) for every supported cell type
+    seen = set()
     for k in range(nel):
         parts = [int(x) for x in elines[1 + k].split()]
         etype = parts[1]
@@ -289,23 +316,47 @@ def read_gmsh_mesh(path: str) -> Mesh:
         verts = [id_map[v] for v in parts[3 + ntags :]]
         if etype not in _GMSH_ELEM:
             continue
-        g, nvt = _GMSH_ELEM[etype]
-        if g in ("quad", "hex"):
-            vols.append((g, verts, phys))
-            vol_geom.add(g)
-        else:
-            bdrs.append((phys, verts))
+        g, _ = _GMSH_ELEM[etype]
+        cells.append((g, verts, phys))
+        seen.add(g)
 
-    if not vols:
+    # volume dimensionality: hex/tet present -> 3-D (quads/tris are
+    # boundary facets); else tri/quad are the 2-D volume and segments the
+    # boundary
+    if seen & {"hex", "tet"}:
+        vol_geoms = seen & {"hex", "tet"}
+        dim = 3
+    elif seen & {"quad", "tri"}:
+        vol_geoms = seen & {"quad", "tri"}
+        dim = 2
+    else:
         raise ValueError(f"{path}: no supported volume elements found")
-    if len(vol_geom) == 2:
-        # 2-D mesh: quads are the volume, segments the boundary
-        pass
-    geom = "hex" if "hex" in vol_geom else "quad"
-    dim = 3 if geom == "hex" else 2
-    if geom == "hex":
-        vols = [t for t in vols if t[0] == "hex"]
-        bdrs = [(a, v) for a, v in bdrs if len(v) == 4]
+    if len(vol_geoms) == 2 and dim == 3:
+        raise NotImplementedError(f"{path}: mixed hex/tet meshes")
+    bdr_geoms = {_GMSH_BDR_FOR[g] for g in vol_geoms}
+
+    vols = [(g, v, a) for (g, v, a) in cells if g in vol_geoms]
+    bdrs = [(a, v) for (g, v, a) in cells if g in bdr_geoms]
+
+    if len(vol_geoms) == 2:  # mixed 2-D tri+quad
+        from .mixed import make_mixed_mesh
+
+        by_geom, attrs_by_geom = {}, {}
+        for g in ("tri", "quad"):
+            by_geom[g] = np.asarray(
+                [v for (gg, v, _) in vols if gg == g], dtype=np.int64)
+            attrs_by_geom[g] = np.asarray(
+                [a for (gg, _, a) in vols if gg == g], dtype=np.int64)
+        if bdrs:
+            bfm = np.asarray([v for _, v in bdrs], dtype=np.int64)
+            bam = np.asarray([a for a, _ in bdrs], dtype=np.int64)
+        else:
+            bfm = np.zeros((0, 0), dtype=np.int64)
+            bam = np.zeros(0, dtype=np.int64)
+        return make_mixed_mesh(2, coords[:, :2], by_geom, bdr_faces=bfm,
+                               bdr_attrs=bam, attrs_by_geom=attrs_by_geom)
+
+    geom = vol_geoms.pop()
     elements = np.asarray([v for _, v, _ in vols], dtype=np.int64)
     eattrs = np.asarray([a for _, _, a in vols], dtype=np.int64)
 
