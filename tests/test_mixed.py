@@ -139,8 +139,10 @@ def test_mixed_vortex_accuracy_matches_pure_quad():
     bcs = {
         4: InletBC(input_state=(rho_f, 1.0, 1.0)),
         1: InletBC(input_state=(rho_f, 1.0, 1.0)),
-        2: OutletBC(pressure=p_f, kind="nonReflectingPressure"),
-        3: OutletBC(pressure=p_f, kind="nonReflectingPressure"),
+        2: OutletBC(pressure=p_f, kind="nonReflectingPressure",
+                    ref_vel_n="patch-mean"),
+        3: OutletBC(pressure=p_f, kind="nonReflectingPressure",
+                    ref_vel_n="patch-mean"),
     }
     ctxs = _contexts(mt, mix, "euler", bcs)
     Us = tuple(
@@ -325,3 +327,123 @@ $EndElements
 """)
     tmesh = read_mesh(str(tri))
     assert tmesh.geom == "tri" and tmesh.num_elements == 2
+
+
+def _write_mixed_mfem(path, nx=6, ny=4, x1=1.0, y1=0.4, tri_from=0.5):
+    """Write a mixed_box_2d as an MFEM-format mesh file."""
+    from tps_tpu.mesh.mixed import mixed_box_2d
+
+    mm = mixed_box_2d(nx, ny, x1=x1, y1=y1, tri_from=tri_from)
+    lines = ["MFEM mesh v1.0", "", "dimension", "2", "", "elements"]
+    tri, quad = mm.parts
+    lines.append(str(tri.num_elements + quad.num_elements))
+    for e in quad.elements:
+        lines.append("1 3 " + " ".join(str(int(v)) for v in e))
+    for e in tri.elements:
+        lines.append("1 2 " + " ".join(str(int(v)) for v in e))
+    lines += ["", "boundary", str(len(mm.bdr_faces))]
+    for f, a in zip(mm.bdr_faces, mm.bdr_attrs):
+        lines.append(f"{int(a)} 1 " + " ".join(str(int(v)) for v in f))
+    lines += ["", "vertices", str(len(mm.vertices)), "2"]
+    for v in mm.vertices:
+        lines.append(f"{v[0]} {v[1]}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_mixed_solver_ini_driven(tmp_path):
+    """Ini-driven flow run on a mixed mesh file (reference:
+    input.cyl-2d.caseA.ini style: subsonic inlet, nonreflecting pressure
+    outlet, walls): time loop, restart roundtrip, VTK output."""
+    import os
+
+    from tps_tpu.harness import Tps
+
+    meshfile = tmp_path / "mix.mesh"
+    _write_mixed_mfem(meshfile)
+    outdir = tmp_path / "out"
+    ini = tmp_path / "run.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+
+[flow]
+mesh = {meshfile}
+order = 1
+maxIters = 6
+outputFreq = 3
+fluid = dry_air
+equation_system = navier-stokes
+refLength = 1.0
+
+[io]
+outdirBase = {outdir}
+enableParaview = 1
+
+[time]
+cfl = 0.4
+integrator = rk4
+
+[initialConditions]
+rho = 1.2
+rhoU = 40.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+
+[boundaryConditions/inlet1]
+patch = 4
+type = subsonic
+density = 1.2
+uvw = '33.3 0 0'
+
+[boundaryConditions/outlet1]
+patch = 2
+type = nonReflectingPressure
+pressure = 101300
+
+[boundaryConditions/wall1]
+patch = 1
+type = inviscid
+
+[boundaryConditions/wall2]
+patch = 3
+type = inviscid
+""")
+    tps = Tps()
+    tps.parse_command_line_args(["tps", "--runFile", str(ini)])
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    from tps_tpu.solvers.compressible_mixed import MixedCompressibleSolver
+
+    assert isinstance(tps.solver, MixedCompressibleSolver)
+    tps.solve()
+    s = tps.solver
+    assert s.iter == 6
+    assert s.check_nan() == 0
+    # density stays near the free stream on this short run
+    for U in s.U:
+        rho = np.asarray(U[..., 0])
+        assert 0.8 < rho.min() < rho.max() < 1.6
+
+    # VTK per bucket
+    vtks = [f for f in os.listdir(outdir) if f.endswith(".vtk")]
+    assert any("tri" in f for f in vtks) and any("quad" in f for f in vtks)
+
+    # restart roundtrip: rerun with enableRestart and more iters
+    ini2 = tmp_path / "run2.ini"
+    ini2.write_text(ini.read_text().replace(
+        "maxIters = 6", "maxIters = 9").replace(
+        "[io]", "[io]\nenableRestart = 1"))
+    tps2 = Tps()
+    tps2.parse_command_line_args(["tps", "--runFile", str(ini2)])
+    tps2.parse_input()
+    tps2.choose_devices()
+    tps2.choose_solver()
+    tps2.initialize()
+    assert tps2.solver.iter == 6  # resumed
+    tps2.solve()
+    assert tps2.solver.iter == 9
+    assert tps2.solver.check_nan() == 0

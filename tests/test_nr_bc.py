@@ -248,3 +248,50 @@ def test_two_temperature_bc_energy_closure():
     ke = 0.5 * np.sum(np.asarray(ghost[..., 1:3]) ** 2, -1) / np.asarray(ghost[..., 0])
     naive_E = np.asarray(p_in) / (mix.specific_heat_ratio - 1.0) + ke
     assert not np.allclose(naive_E, np.asarray(ghost[..., mix.i_th]), rtol=1e-3)
+
+
+def test_outlet_well_balancedness_variants():
+    """Stateless outlet ghosts at a uniform advective free stream:
+    subsonicPressure and the patch-mean-referenced nonReflectingPressure
+    are exactly well-balanced (RHS ~ roundoff); the quiescent-referenced
+    variant is not (it is the acoustic-absorbing choice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.bc import InletBC, OutletBC, WallBC
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.rhs import BCSlice, RHSContext, compute_rhs
+    from tps_tpu.dg.riemann import Rusanov
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.physics.gas import DryAir
+    from tps_tpu.utils.cases import uniform_state
+
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    mesh = box_2d(6, 6, x1=10.0, y1=10.0)
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+
+    def resid(outlet):
+        attrs = np.asarray(tab.f_bdr_attr)
+        bc_map = {4: InletBC(input_state=(1.0, 1.0, 0.0)),
+                  1: WallBC(kind="slip"), 3: WallBC(kind="slip"),
+                  2: outlet}
+        bcs = []
+        for a, bc in bc_map.items():
+            rows = np.where(attrs == a)[0]
+            bcs.append(BCSlice(bc=bc, start=int(rows.min()),
+                               stop=int(rows.max()) + 1))
+        bcs.sort(key=lambda s: s.start)
+        ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl), bcs=tuple(bcs))
+        U = mix.conservatives(
+            uniform_state(tab.xyz_dof, mix, 1.0, (1.0, 0.0), 1.0))
+        dU, _ = jax.jit(lambda u: compute_rhs(ctx, tab, u))(U)
+        return float(jnp.max(jnp.abs(dU)))
+
+    assert resid(OutletBC(pressure=1.0, kind="subsonicPressure")) < 1e-12
+    assert resid(OutletBC(pressure=1.0, kind="nonReflectingPressure",
+                          ref_vel_n="patch-mean")) < 1e-12
+    assert resid(OutletBC(pressure=1.0, kind="nonReflectingPressure",
+                          ref_vel_n=1.0)) < 1e-12  # known outflow velocity
+    assert resid(OutletBC(pressure=1.0, kind="nonReflectingPressure")) > 1e-3

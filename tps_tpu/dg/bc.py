@@ -496,6 +496,9 @@ class OutletBC:
     mass_flow: float = 0.0
     area: float = 1.0
     wts: object = None  # [nf, nqf] patch quadrature weights x |n|
+    # far-field normal-velocity reference for the stateless
+    # nonReflectingPressure variant: 0.0 | "patch-mean" | float (see flux)
+    ref_vel_n: object = 0.0
 
     def ghost_primitive(self, mixture, UpL):
         return UpL
@@ -534,12 +537,17 @@ class OutletBC:
             ghost = mix.modify_energy_for_pressure(UL, self.pressure)
             return ctx.riemann(UL, ghost, nor)
 
-        # characteristic far-field ghost: outgoing invariants (entropy,
-        # tangential velocity, R+ = u_n + 2c/(gam-1)) from the interior,
-        # the incoming invariant set by the target pressure on the interior
-        # isentrope.  Well-balanced: p_in == p_target reproduces the
-        # interior state exactly (so a uniform advective free stream passes
-        # through without disturbance).
+        # characteristic far-field ghost: outgoing invariant
+        # R+ = u_n + 2c/(gam-1) and entropy from the interior, the incoming
+        # invariant R- from a far-field reference state at the target
+        # pressure.  The reference normal velocity is `ref_vel_n`:
+        #   0.0 (default)  quiescent reservoir — zero reflection for
+        #                  acoustic pulses (entropy unchanged -> R- exact)
+        #   "patch-mean"   instantaneous patch-mean u_n (the role of the
+        #                  reference's per-patch subcommunicator means,
+        #                  src/mpi_groups.hpp:44-78) — exactly well-balanced
+        #                  for an advective outflow at the target pressure
+        #   float          fixed expected outflow normal velocity
         gam = mix.specific_heat_ratio
         nhat, _ = _unit(nor)
         rho = UL[..., 0]
@@ -548,11 +556,22 @@ class OutletBC:
         c_in = jnp.sqrt(gam * p_in / rho)
         un = jnp.einsum("...d,...d->...", vel[..., : mix.dim], nhat)
         Rplus = un + 2.0 * c_in / (gam - 1.0)
+        s_ent = p_in / rho**gam
 
-        p_g = jnp.asarray(self.pressure, UL.dtype)
-        rho_g = rho * (p_g / p_in) ** (1.0 / gam)  # interior isentrope
-        c_g = jnp.sqrt(gam * p_g / rho_g)
-        un_g = Rplus - 2.0 * c_g / (gam - 1.0)
+        p_inf = jnp.asarray(self.pressure, UL.dtype)
+        rho_inf = (p_inf / s_ent) ** (1.0 / gam)  # far field on local isentrope
+        c_inf = jnp.sqrt(gam * p_inf / rho_inf)
+        if isinstance(self.ref_vel_n, str):  # "patch-mean"
+            w = wts if wts is not None else self.wts
+            un_ref = _patch_mean(un[..., None], w, ctx.axis_name)[0]
+        else:
+            un_ref = jnp.asarray(self.ref_vel_n, UL.dtype)
+        Rminus = un_ref - 2.0 * c_inf / (gam - 1.0)
+
+        un_g = 0.5 * (Rplus + Rminus)
+        c_g = 0.25 * (gam - 1.0) * (Rplus - Rminus)
+        rho_g = (c_g * c_g / (gam * s_ent)) ** (1.0 / (gam - 1.0))
+        p_g = rho_g * c_g * c_g / gam
         vel_g = vel.at[..., : mix.dim].add((un_g - un)[..., None] * nhat)
         ghost = UL.at[..., 0].set(rho_g)
         ghost = ghost.at[..., 1 : 1 + nvel].set(rho_g[..., None] * vel_g)

@@ -25,7 +25,7 @@ from ..physics.gas import DryAir
 from ..physics.transport import ConstantTransport, DryAirTransport
 from ..time.integrators import get_integrator
 from ..utils.cases import isentropic_vortex, taylor_green_2d, uniform_state
-from .base import PlasmaSolver, register_solver
+from .base import SOLVER_REGISTRY, PlasmaSolver, register_solver
 
 STATUS_NORMAL = 0
 STATUS_EARLY_EXIT = 10
@@ -76,7 +76,6 @@ def _build_mesh(rc: RunConfiguration):
     raise ValueError("no mesh specified ([flow]/mesh or [mesh] generator)")
 
 
-@register_solver("flow")
 class CompressibleSolver(PlasmaSolver):
     """Explicit DG compressible flow solver."""
 
@@ -87,7 +86,9 @@ class CompressibleSolver(PlasmaSolver):
         rc = self.config
         self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-        self.mesh = _build_mesh(rc)
+        self.mesh = getattr(self, "_premade_mesh", None)
+        if self.mesh is None:
+            self.mesh = _build_mesh(rc)
         basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
 
         # domain decomposition: [mesh]/partitions N shards the element axis
@@ -129,6 +130,27 @@ class CompressibleSolver(PlasmaSolver):
         dim = self.mesh.dim
         nvel = 3 if (rc.axisymmetric and dim == 2) else dim
 
+        forcings = self._build_physics(dim, nvel)
+
+        # boundary conditions: per-attr static slices over sorted bdr faces
+        self.bc_slices = self._build_bcs()
+
+        self.ctx = RHSContext(
+            fluxes=self.fluxes,
+            riemann=self.riemann,
+            bcs=tuple(self.bc_slices),
+            forcings=tuple(forcings),
+            axis_name="dd" if self._build is not None else None,
+        )
+        self._initialize_state_and_loop()
+
+    # ------------------------------------------------------------------
+    def _build_physics(self, dim, nvel):
+        """Mixture/transport/SGS/sponge/fluxes/Riemann + forcing list
+        (shared by the single-type and mixed-mesh paths)."""
+        import jax.numpy as jnp  # noqa: F401
+
+        rc = self.config
         # physics models
         self.plasma = None
         forcings = []
@@ -229,17 +251,16 @@ class CompressibleSolver(PlasmaSolver):
                         value=rc.raw.get(f"passiveScalar{k}/value", 1.0),
                     )
                 )
+        return forcings
 
-        # boundary conditions: per-attr static slices over sorted bdr faces
-        self.bc_slices = self._build_bcs()
+    # ------------------------------------------------------------------
+    def _initialize_state_and_loop(self):
+        """IC, jitted step, CFL/dt, IO, statistics (single-type path)."""
+        import jax
+        import jax.numpy as jnp
 
-        self.ctx = RHSContext(
-            fluxes=self.fluxes,
-            riemann=self.riemann,
-            bcs=tuple(self.bc_slices),
-            forcings=tuple(forcings),
-            axis_name="dd" if self._build is not None else None,
-        )
+        rc = self.config
+        dim = self.mesh.dim
 
         # initial condition
         self.U = self._initial_condition()
@@ -841,3 +862,24 @@ class CompressibleSolver(PlasmaSolver):
             self, "efield",
             jnp.zeros(self.U.shape[:-1], dtype=self.dtype),
         )
+
+
+def _flow_solver_factory(config, tps=None):
+    """Solver factory for [solver]/type = flow: dispatches to the
+    mixed-element solver when the mesh file holds tri+quad elements
+    (reference: MFEM handles this transparently; here the mixed path is a
+    separate bucketed implementation, dg/mixed.py)."""
+    mesh = _build_mesh(config)
+    from ..mesh.mixed import MixedMesh
+
+    if isinstance(mesh, MixedMesh):
+        from .compressible_mixed import MixedCompressibleSolver
+
+        s = MixedCompressibleSolver(config, tps=tps)
+    else:
+        s = CompressibleSolver(config, tps=tps)
+    s._premade_mesh = mesh
+    return s
+
+
+SOLVER_REGISTRY["flow"] = _flow_solver_factory

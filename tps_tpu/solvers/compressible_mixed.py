@@ -1,0 +1,321 @@
+"""Ini-driven compressible solver on mixed tri/quad meshes.
+
+Instantiated by the `flow` factory (solvers/compressible.py) when the mesh
+file holds both element types (reference cases:
+test/inputs/input.cyl-2d.case*.ini on test/meshes/cyl-2d-mixed.msh).  The
+state is one element-batched array per geometry bucket; the face coupling
+lives in dg/mixed.py.  Physics models, BC option parsing, CFL control, and
+the time-loop services are shared with CompressibleSolver.
+
+Single-device only; the time-integrated (stateful) characteristic BCs fall
+back to their stateless well-balanced variants on mixed meshes.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+
+from ..dg.mixed import build_mixed_tables, compute_rhs_mixed, make_bc_slices
+from ..dg.rhs import RHSContext
+from ..time.integrators import get_integrator
+from ..utils.cases import isentropic_vortex, taylor_green_2d, uniform_state
+from .compressible import CompressibleSolver
+
+
+class _TreeVec:
+    """Pytree wrapper giving tuple states the vector arithmetic the shared
+    RK integrators expect (used only inside traced step functions)."""
+
+    __slots__ = ("t",)
+
+    def __init__(self, t):
+        self.t = t
+
+    def _map2(self, other, f):
+        import jax
+
+        return _TreeVec(jax.tree.map(f, self.t, other.t))
+
+    def __add__(self, other):
+        return self._map2(other, lambda a, b: a + b)
+
+    def __mul__(self, s):
+        import jax
+
+        return _TreeVec(jax.tree.map(lambda a: a * s, self.t))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, s):
+        import jax
+
+        return _TreeVec(jax.tree.map(lambda a: a / s, self.t))
+
+
+class MixedCompressibleSolver(CompressibleSolver):
+    """Explicit DG compressible flow on a mixed tri+quad mesh."""
+
+    def initialize(self):
+        import jax
+        import jax.numpy as jnp
+
+        rc = self.config
+        self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.mesh = self._premade_mesh
+        self._build = None
+        self.nparts = 1
+        self._mixed = True
+
+        if rc.raw is not None and int(rc.raw.get("mesh/partitions", 1) or 1) > 1:
+            raise NotImplementedError("[mesh]/partitions > 1 on mixed meshes")
+
+        basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
+        self.mt_np = build_mixed_tables(
+            self.mesh, order=rc.order, basis=basis,
+            axisymmetric=rc.axisymmetric,
+        )
+        self.mt = self.mt_np.to_jax(self.dtype)
+
+        dim = self.mesh.dim
+        nvel = 3 if (rc.axisymmetric and dim == 2) else dim
+        forcings = self._build_physics(dim, nvel)
+
+        bc_by_attr = {spec.patch: self._make_bc(spec) for spec in rc.bcs}
+        slices = make_bc_slices(self.mt_np, bc_by_attr)
+        self.ctxs = tuple(
+            RHSContext(fluxes=self.fluxes, riemann=self.riemann,
+                       bcs=slices[b], forcings=tuple(forcings))
+            for b in range(2)
+        )
+
+        # initial condition per bucket
+        mix = self.mixture
+        self.U = tuple(
+            self._bucket_ic(tab.xyz_dof) for tab in self.mt.buckets
+        )
+        self.time = 0.0
+        self.iter = 0
+        self.fields = {}
+        self.bc_states = None
+
+        self.hmin = float(
+            min(np.min(np.asarray(t.delta)) for t in self.mt_np.buckets)
+            * max(rc.order, 1)
+        )
+        base_int = get_integrator(rc.integrator)
+
+        def _step(Us, t, dt):
+            def rf(tv, tt):
+                dU, aux = compute_rhs_mixed(self.mt, self.ctxs, tv.t, tt)
+                return _TreeVec(dU), aux
+
+            out, aux = base_int(rf, _TreeVec(Us), t, dt)
+            return out.t, aux["max_char_speed"]
+
+        self._step_mixed = jax.jit(_step)
+        self._mcs_fn_mixed = jax.jit(
+            lambda us: jnp.maximum(
+                *[jnp.max(mix.max_char_speed(u)) for u in us]
+            )
+        )
+
+        if rc.dt_fixed > 0:
+            self.dt = rc.dt_fixed
+        else:
+            mcs0 = float(self._mcs_fn_mixed(self.U))
+            self.dt = rc.cfl * self.hmin / mcs0 / dim
+
+        self._wall0 = _time.perf_counter()
+        self._io = None
+        self._history = None
+        if rc.enable_restart or rc.restart_cycle:
+            self.read_restart()
+
+        # statistics per bucket (reference: Averaging engine)
+        from ..io.averaging import Averaging
+
+        self.averaging_b = [
+            Averaging(start_iter=rc.avg_start_iter,
+                      sample_interval=max(rc.avg_sample_interval, 1),
+                      enabled=rc.avg_enabled)
+            for _ in self.mt.buckets
+        ]
+        self._enable_paraview = bool(
+            rc.raw.get("io/enableParaview", 0) if rc.raw is not None else 0
+        )
+
+    def _bucket_ic(self, xyz):
+        rc = self.config
+        mix = self.mixture
+        if rc.ic.case == "isentropic_vortex":
+            return mix.conservatives(isentropic_vortex(xyz, 0.0, mix))
+        if rc.ic.case == "taylor_green_2d":
+            return mix.conservatives(taylor_green_2d(xyz, mix))
+        rho = rc.ic.rho
+        vel = [rc.ic.rhoU / rho, rc.ic.rhoV / rho, rc.ic.rhoW / rho]
+        T = rc.ic.pressure / (mix.gas_constant * rho)
+        return mix.conservatives(
+            uniform_state(xyz, mix, rho, vel, T)
+        ).astype(self.dtype)
+
+    def _make_bc(self, spec):
+        # stateful characteristic BCs carry per-tab ghost state the mixed
+        # step does not thread; use the stateless well-balanced variants
+        from ..dg.bc import NonReflectingInletBC, OutletBC
+
+        kind = spec.kind
+        p = spec.params
+        if kind in ("nonReflectingPressure", "nonreflectingPressure"):
+            return OutletBC(
+                pressure=float(str(p.get("pressure", 0)).strip("'\"")),
+                kind="nonReflectingPressure",
+                ref_vel_n="patch-mean",  # well-balanced advective outflow
+            )
+        if kind in ("nonreflecting", "nonreflectingConstEntropy"):
+            rho = float(str(p.get("density", 1.0)).strip("'\""))
+            uvw = [float(x) for x in
+                   str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
+            return NonReflectingInletBC(
+                input_state=(rho, *uvw[: self.mixture.nvel]),
+                kind=("nonreflectingConstEntropy"
+                      if kind == "nonreflectingConstEntropy"
+                      else "nonreflecting"),
+            )
+        if kind in ("nonReflectingMassFlow", "nonReflectingPointBasedMassFlow",
+                    "interpolate"):
+            raise NotImplementedError(f"BC '{kind}' on mixed meshes")
+        return super()._make_bc(spec)
+
+    # ------------------------------------------------------------------
+    def solve_step(self):
+        import jax.numpy as jnp
+
+        rc = self.config
+        U2, mcs = self._step_mixed(
+            self.U, jnp.asarray(self.time, self.dtype),
+            jnp.asarray(self.dt, self.dtype),
+        )
+        self.U = U2
+        self.time += self.dt
+        self.iter += 1
+        mcs = float(mcs)
+
+        for avg, U, tab in zip(self.averaging_b, self.U, self.mt.buckets):
+            if avg.enabled:
+                avg.add_sample(self.iter, self.mixture.primitives(U),
+                               self.mixture.nvel)
+
+        if not np.isfinite(mcs):
+            self.check_nan(verbose=True)
+            raise FloatingPointError(
+                f"NaN/Inf detected at iteration {self.iter} (t={self.time:.6e})"
+            )
+        if not (rc.constant_dt or rc.dt_fixed > 0):
+            self.dt = rc.cfl * self.hmin / mcs / self.mesh.dim
+
+        if self.iter % rc.timing_freq == 0:
+            wall = _time.perf_counter() - self._wall0
+            print(
+                f"time step: {self.iter}, physical time {self.time:.6e} s"
+                f", wall {wall / rc.timing_freq:.4f} s/iter",
+                flush=True,
+            )
+            self._wall0 = _time.perf_counter()
+        if self.iter % rc.output_freq == 0:
+            self.write_restart()
+
+        if self.iter % max(rc.exit_check_freq, 1) == 0:
+            from ..utils.job_management import (
+                STATUS_EARLY_EXIT,
+                check_die_file,
+            )
+
+            if check_die_file(rc.outdir):
+                print("DIE file detected: exiting early", flush=True)
+                self.write_restart()
+                self.status = STATUS_EARLY_EXIT
+
+    def solve_end(self):
+        self.write_restart()
+        if self._enable_paraview:
+            self.visualization()
+
+    # -- IO -----------------------------------------------------------------
+    def _restart_path(self):
+        import os as _os
+
+        _os.makedirs(self.config.outdir, exist_ok=True)
+        return _os.path.join(self.config.outdir, "restart_output.sol.h5")
+
+    def write_restart(self):
+        import h5py
+
+        with h5py.File(self._restart_path(), "w") as f:
+            f.attrs["iteration"] = self.iter
+            f.attrs["time"] = self.time
+            f.attrs["dt"] = self.dt
+            f.attrs["order"] = self.config.order
+            f.attrs["mixed"] = True
+            for g, U in zip(self.mesh.geoms, self.U):
+                f.create_dataset(f"solution/{g}", data=np.asarray(U))
+
+    def read_restart(self):
+        import os as _os
+
+        import h5py
+        import jax.numpy as jnp
+
+        path = self._restart_path()
+        if not _os.path.exists(path):
+            raise FileNotFoundError(f"restart file not found: {path}")
+        with h5py.File(path) as f:
+            self.iter = int(f.attrs["iteration"])
+            self.time = float(f.attrs["time"])
+            self.dt = float(f.attrs["dt"])
+            us = []
+            for g, tab in zip(self.mesh.geoms, self.mt_np.buckets):
+                arr = np.asarray(f[f"solution/{g}"])
+                if arr.shape[0] != tab.ne:
+                    raise ValueError(
+                        f"restart mesh mismatch: bucket {g} has {arr.shape[0]}"
+                        f" elements, expected {tab.ne}")
+                us.append(jnp.asarray(arr, self.dtype))
+        self.U = tuple(us)
+
+    def check_nan(self, verbose=False) -> int:
+        bad = sum(int(np.sum(~np.isfinite(np.asarray(U)))) for U in self.U)
+        if verbose and bad:
+            print(f"found {bad} non-finite state entries across buckets")
+        return bad
+
+    def visualization(self):
+        import os as _os
+
+        import jax.numpy as jnp
+
+        from ..io.visualization import write_vtk_dg
+
+        mix = self.mixture
+        _os.makedirs(self.config.outdir, exist_ok=True)
+        paths = []
+        for g, part, tab, U in zip(self.mesh.geoms, self.mesh.parts,
+                                   self.mt_np.buckets, self.U):
+            Up = mix.primitives(jnp.asarray(U))
+            fields = {
+                "density": np.asarray(Up[..., 0]),
+                "velocity": np.asarray(Up[..., 1 : 1 + mix.nvel]),
+                "temperature": np.asarray(Up[..., mix.i_th]),
+                "pressure": np.asarray(mix.pressure(jnp.asarray(U))),
+            }
+            path = _os.path.join(
+                self.config.outdir, f"solution_{g}_{self.iter:08d}.vtk"
+            )
+            write_vtk_dg(path, tab, fields, mesh=part)
+            paths.append(path)
+        return paths
+
+    # -- interop: not wired for mixed meshes --------------------------------
+    def init_interface(self, interface):
+        raise NotImplementedError("Tps2Boltzmann bus on mixed meshes")
