@@ -44,7 +44,7 @@ def test_argon_minimal_lifecycle():
     for eq in range(mix.num_equations):
         spread = U1[..., eq].max() - U1[..., eq].min()
         scale = max(abs(U1[..., eq]).max(), 1e-10 * abs(U1).max())
-        assert spread < 1e-8 * scale, (eq, spread, scale)
+        assert spread < 1e-7 * scale, (eq, spread, scale)
 
 
 def test_saha_lte_species_init():

@@ -110,6 +110,7 @@ class DGTables:
     delta_nbr: np.ndarray | None = None  # [ne, nlf] neighbor length scale
     interior_mask: np.ndarray | None = None  # [ne, nlf] 1 interior, 0 bdr
     bdr_slot: np.ndarray | None = None  # [nfb] flat slot id e*nlf+lf
+    nor_wpf: np.ndarray | None = None  # [nlf, ne, nqf*dim] wts(+rad)-folded
 
     # ---- axisymmetric fields (None for planar/3D runs) ----
     # radius (x-coordinate) at volume/face quadrature points, and the
@@ -381,6 +382,14 @@ def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
         if rad_face is not None:
             rad_slot[e, lf] = rad_face_r[f]
 
+    # per-face fused weighted normals (weights x radius folded in): the
+    # face sweep's only geometry read, [nlf, ne, nqf*dim] so the per-face
+    # slice is free and the minor dim stays dense
+    w_eff = wts_slot * rad_slot if rad_slot is not None else wts_slot
+    nor_wpf = np.ascontiguousarray(
+        np.transpose(nor_slot * w_eff[..., None], (1, 0, 2, 3))
+    ).reshape(nlf, ne, nqf * dim)
+
     return {
         "nbr_row": nbr_row,
         "nor_slot": nor_slot,
@@ -390,6 +399,7 @@ def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
         "delta_nbr": delta_nbr,
         "interior_mask": interior_mask,
         "bdr_slot": bdr_slot,
+        "nor_wpf": nor_wpf,
     }
 
 

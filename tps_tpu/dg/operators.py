@@ -114,6 +114,37 @@ def slot_traces(tab, X):
     return own, nbr
 
 
+def perface_traces(tab, X):
+    """Per-face fused trace buffers + neighbors (the face sweep's inputs).
+
+    X [ne, ndof, k] -> (own, nbr): tuples of nlf arrays [ne, nqf*k].
+    own[lf] comes from a kron(Btr_lf, I_k) matmul that emits the fused
+    (nqf*k) minor dim directly — no [ne, nqf, k] relayout, so XLA's (8,128)
+    tiling stays dense.  nbr[lf] is a grid roll of the opposite face's
+    buffer (structured meshes) or one row gather over the stacked
+    per-combo oriented traces (general meshes)."""
+    ne, ndof, k = X.shape
+    nqf, nlf, nc = tab.nqf, tab.nlf, tab.n_combo
+    X2 = X.reshape(ne, ndof * k)
+    eye_k = jnp.eye(k, dtype=X.dtype)
+    T_c = []
+    for c in range(nc):
+        B = tab.Btr_or[c * nqf : (c + 1) * nqf]  # [nqf, ndof]
+        K = jnp.einsum("sd,ef->desf", B, eye_k).reshape(ndof * k, nqf * k)
+        T_c.append(X2 @ K)
+    own = tuple(T_c[:nlf])
+    if tab.roll_info is not None:
+        grid, per_lf = tab.roll_info
+        nbr = []
+        for (axis, shift, opp) in per_lf:
+            Ag = own[opp].reshape(tuple(grid) + (nqf * k,))
+            nbr.append(jnp.roll(Ag, shift, axis=axis).reshape(ne, nqf * k))
+        return own, tuple(nbr)
+    flat = jnp.stack(T_c, axis=1).reshape(ne * nc, nqf * k)
+    nbr = tuple(flat[tab.nbr_row[:, lf]] for lf in range(nlf))
+    return own, nbr
+
+
 def trace_transpose(tab, Fel):
     """Accumulate face-point data into element residuals: B_tr^T apply.
 
@@ -122,19 +153,51 @@ def trace_transpose(tab, Fel):
     return jnp.einsum("fd,nfk->ndk", tab.Btr, Fel)
 
 
+def _adjj_rep(tab, neq):
+    """adjJ with each quad value repeated neq times along fused lanes:
+    [dim, dim, ne, nq*neq].  Loop-invariant under jit, so XLA hoists the
+    expansion out of the RK substeps; all downstream geometry applications
+    become lane-dense elementwise multiplies (PERF.md)."""
+    a = jnp.moveaxis(tab.adjJ, (2, 3), (0, 1))  # [k, d, ne, nq]
+    a = jnp.repeat(a[..., None], neq, axis=-1)
+    return a.reshape(tab.dim, tab.dim, tab.adjJ.shape[0], tab.nq * neq)
+
+
 def volume_weak_div(tab, Fdof):
     """Volume term sum_q w_q grad(phi_i) . F, with F given at solution nodes.
 
     Fdof: [ne, ndof, neq, dim] -> z [ne, ndof, neq]
     (reference: src/domain_integrator.cpp:45-99 assembled form, applied at
-    rhs_operator.cpp:379-391; here evaluated matrix-free at quad points)
-    """
-    Fq = jnp.einsum("qd,ndek->nqek", tab.Bvol, Fdof)
-    # grad_x(phi_i) detJ = G_ref[q,i,k] adjJ[q,k,d]
-    Fk = jnp.einsum("nqkd,nqed->nqek", tab.adjJ, Fq)
+    rhs_operator.cpp:379-391; here evaluated matrix-free at quad points).
+
+    Fused-minor formulation: per flux direction d the dof data lives in a
+    [ne, ndof*neq] buffer, the geometry (adjJ, radius) is applied as
+    lane-dense elementwise multiplies against the repeated-adjJ table, and
+    the basis/test contractions are shared kron(B, I_neq) matmuls -- no
+    [ne, nq, neq, dim]-shaped materializations (whose (neq, dim) minor
+    dims would pad ~50x under the (8,128) tiling)."""
+    ne, ndof, neq, dim = Fdof.shape
+    nq = tab.nq
+    eye_e = jnp.eye(neq, dtype=Fdof.dtype)
+    K_b = jnp.einsum("qd,ef->deqf", tab.Bvol, eye_e).reshape(
+        ndof * neq, nq * neq
+    )
+    Fq_d = [
+        Fdof[..., d].reshape(ne, ndof * neq) @ K_b for d in range(dim)
+    ]
+    arep = _adjj_rep(tab, neq)
+    rad = None
     if tab.rad_vol is not None:  # axisymmetric: dV = r dr dz
-        Fk = Fk * tab.rad_vol[..., None, None]
-    return jnp.einsum("q,qik,nqek->nie", tab.wq, tab.Gvol, Fk)
+        rad = jnp.repeat(tab.rad_vol[..., None], neq, -1).reshape(ne, nq * neq)
+    z2 = 0.0
+    for kk in range(dim):
+        Fk = sum(Fq_d[d] * arep[kk, d] for d in range(dim))
+        if rad is not None:
+            Fk = Fk * rad
+        K_gw = jnp.einsum("q,qj,ef->qfje", tab.wq, tab.Gvol[:, :, kk],
+                          eye_e).reshape(nq * neq, ndof * neq)
+        z2 = z2 + Fk @ K_gw
+    return z2.reshape(ne, ndof, neq)
 
 
 def apply_minv(tab, Z, radial=False):
@@ -159,31 +222,69 @@ def dg_gradient(tab, Up, bdr_up2=None):
     """
     ne, ndof, neq = Up.shape
     dim = tab.dim
+    eye_e = jnp.eye(neq, dtype=Up.dtype)
 
     # volume: int phi_j du/dx_d = sum_q w_q B[q,j] (G u)_k adjJ[k,d]
-    du_ref = jnp.einsum("qdk,nde->nqek", tab.Gvol, Up)
-    du_phys = jnp.einsum("nqek,nqkd->nqed", du_ref, tab.adjJ)
-    rvol = jnp.einsum("q,qj,nqed->njed", tab.wq, tab.Bvol, du_phys)
+    # (fused-minor form: per-direction kron matmuls + lane-dense adjJ)
+    up2 = Up.reshape(ne, ndof * neq)
+    du_d = [
+        up2 @ jnp.einsum("qd,ef->deqf", tab.Gvol[:, :, d], eye_e).reshape(
+            ndof * neq, tab.nq * neq
+        )
+        for d in range(dim)
+    ]
+    arep = _adjj_rep(tab, neq)
+    K_bw = jnp.einsum("q,qj,ef->qfje", tab.wq, tab.Bvol, eye_e).reshape(
+        tab.nq * neq, ndof * neq
+    )
+    rvol_k = []
+    for kk in range(dim):
+        dphys = sum(du_d[d] * arep[kk, d] for d in range(dim))
+        rvol_k.append(dphys @ K_bw)  # [ne, ndof*neq]
+    rvol = jnp.stack(rvol_k, axis=-1).reshape(ne, ndof, neq, dim)
 
     # face central correction: per slot, (mean - u_own).n_out in the slot's
     # own ordering — one neighbor gather, no scatter maps
     if tab.nbr_row is not None:
-        own, nbr = slot_traces(tab, Up)
+        own_pf, nbr_pf = perface_traces(tab, Up)
         # boundary slots carry no central jump (the roll path wraps there;
-        # the gather path already has nbr == own so the mask is a no-op)
-        jump = 0.5 * (nbr - own) * tab.interior_mask[..., None, None]
+        # the gather path already has nbr == own so the mask is a no-op);
+        # with bdr_up2 (useBCinGrad / mixed interfaces) the boundary jump is
+        # added through a fused-minor zeros scatter
+        zb = None
         if bdr_up2 is not None:
-            # useBCinGrad: boundary exterior state from the BCs
-            own_b = own.reshape(ne * tab.nlf, tab.nqf, neq)[tab.bdr_slot]
-            jump = jump.reshape(ne * tab.nlf, tab.nqf, neq).at[tab.bdr_slot].set(
-                0.5 * (bdr_up2 - own_b), mode="drop"
-            ).reshape(ne, tab.nlf, tab.nqf, neq)
-        J = (
-            jump[..., :, None]
-            * tab.nor_slot[..., None, :]
-            * tab.wts_slot[..., None, None]
+            own_b = jnp.stack(own_pf, axis=1).reshape(
+                ne * tab.nlf, tab.nqf * neq
+            )[tab.bdr_slot].reshape(-1, tab.nqf, neq)
+            jb = 0.5 * (bdr_up2 - own_b)
+            zb = jnp.zeros((ne * tab.nlf, tab.nqf * neq), dtype=Up.dtype)
+            zb = zb.at[tab.bdr_slot].set(
+                jb.reshape(-1, tab.nqf * neq), mode="drop"
+            ).reshape(ne, tab.nlf, tab.nqf * neq)
+
+        # geometry: wts-scaled normal components repeated over neq lanes
+        # (no radius factor: matches the stacked formulation)
+        norw = tab.nor_slot * tab.wts_slot[..., None]  # [ne, nlf, nqf, dim]
+        rface_d = [0.0] * dim
+        for lf in range(tab.nlf):
+            jump = 0.5 * (nbr_pf[lf] - own_pf[lf]) \
+                * tab.interior_mask[:, lf, None]
+            if zb is not None:
+                jump = jump + zb[:, lf]
+            B = tab.Btr[lf * tab.nqf : (lf + 1) * tab.nqf]
+            K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
+                tab.nqf * neq, ndof * neq
+            )
+            for d in range(dim):
+                nw = jnp.repeat(
+                    norw[:, lf, :, d, None], neq, -1
+                ).reshape(ne, tab.nqf * neq)
+                rface_d[d] = rface_d[d] + (jump * nw) @ K_out
+        rface = jnp.stack(rface_d, axis=-1).reshape(ne, ndof, neq, dim)
+        rhs = rvol + rface
+        return apply_minv(tab, rhs.reshape(ne, ndof, neq * dim)).reshape(
+            ne, ndof, neq, dim
         )
-        Fel = J.reshape(ne, tab.nlf * tab.nqf, neq * dim)
     else:  # legacy point-permutation path (sharded tables)
         Uptr = elem_traces(tab, Up)
         UL, UR = face_gather(tab, Uptr)

@@ -115,19 +115,25 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
         return flux
 
     if tab.nbr_row is not None:
-        # neighbor-slot fast path: every (element, local face) slot computes
-        # its own outward-flux from (own trace slice, one neighbor gather);
-        # Riemann conservativity F(a,b,n) = -F(b,a,-n) makes both sides of a
-        # face consistent with no sign bookkeeping and no scatter maps.
-        from .operators import slot_traces
+        # neighbor-slot fast path, per-face fused buffers: every (element,
+        # local face) slot computes its own outward flux from (own trace,
+        # one neighbor gather); Riemann conservativity F(a,b,n) = -F(b,a,-n)
+        # makes both sides of a face consistent with no sign bookkeeping.
+        # All face buffers keep a fused (nqf*k >= 128) minor dim so XLA's
+        # (8,128) tiling stays dense (PERF.md: 4.8 -> ~1.5 ms/RHS on the
+        # BC'd NS box vs the stacked [ne, nlf, nqf, k] formulation), and
+        # the quadrature weights are folded into the face normals (the flux
+        # is degree-1 homogeneous in the scaled normal).
+        from .operators import perface_traces
 
         if viscous:
             X = jnp.concatenate([U, grad_up.reshape(ne, ndof, neq * dim)], -1)
         else:
             X = U
-        own, nbr = slot_traces(tab, X)
+        own_pf, nbr_pf = perface_traces(tab, X)
 
-        def _split(Z):
+        def _split(Z2):
+            Z = Z2.reshape(ne, tab.nqf, -1)
             Uz = _clip_species(mix, Z[..., :neq])
             gz = (
                 Z[..., neq:].reshape(Z.shape[:-1] + (neq, dim))
@@ -135,19 +141,35 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
             )
             return Uz, gz
 
-        U_own, g_own = _split(own)
-        U_nbr, g_nbr = _split(nbr)
+        z2 = jnp.zeros((ne, ndof * neq), dtype=U.dtype)
+        eye_e = jnp.eye(neq, dtype=U.dtype)
+        for lf in range(tab.nlf):
+            U_own, g_own = _split(own_pf[lf])
+            U_nbr, g_nbr = _split(nbr_pf[lf])
+            # weights (x radius if axisymmetric) are folded into the
+            # normals at table build (nor_wpf); the flux is degree-1
+            # homogeneous in the scaled normal
+            norw = tab.nor_wpf[lf].reshape(ne, tab.nqf, dim)
+            flux = _face_flux(U_own, U_nbr, g_own, g_nbr, norw,
+                              tab.xyz_slot[:, lf],
+                              tab.delta[:, None, None],
+                              tab.delta_nbr[:, lf, None, None])
+            flux = flux * tab.interior_mask[:, lf, None, None]
+            B = tab.Btr[lf * tab.nqf : (lf + 1) * tab.nqf]  # [nqf, ndof]
+            K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
+                tab.nqf * neq, ndof * neq
+            )
+            z2 = z2 + flux.reshape(ne, tab.nqf * neq) @ K_out
 
-        d_own = tab.delta[:, None, None]
-        d_nbr = tab.delta_nbr[..., None]
-        flux_slot = _face_flux(U_own, U_nbr, g_own, g_nbr, tab.nor_slot,
-                               tab.xyz_slot, d_own, d_nbr)
-        flux_slot = flux_slot * tab.interior_mask[..., None, None]
-
-        # boundary slots: BC fluxes override (slots are attr-ordered)
+        # boundary slots: BC fluxes (interior contributions are masked off
+        # above); scattered through a fused-minor zeros buffer
         if tab.nfb:
-            own_b = own.reshape(ne * tab.nlf, tab.nqf, own.shape[-1])[tab.bdr_slot]
-            ULb, gLb = _split(own_b)
+            own_b = jnp.stack(own_pf, axis=1).reshape(
+                ne * tab.nlf, tab.nqf, X.shape[-1]
+            )[tab.bdr_slot]
+            ULb = _clip_species(mix, own_b[..., :neq])
+            gLb = (own_b[..., neq:].reshape(own_b.shape[:-1] + (neq, dim))
+                   if viscous else None)
             UpLb_cons = mix.primitives(ULb)
             norb = tab.f_nor[nfi:]
             xyzb = tab.f_xyz[nfi:]
@@ -169,18 +191,21 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
                     f"boundary faces not fully covered by BCs: {covered} != {tab.nfb}"
                 )
             flux_b = jnp.concatenate(bdr_fluxes, axis=0)
-            flux_slot = (
-                flux_slot.reshape(ne * tab.nlf, tab.nqf, neq)
-                .at[tab.bdr_slot].set(flux_b, mode="drop")
-                .reshape(ne, tab.nlf, tab.nqf, neq)
-            )
+            fwb = tab.f_wts[nfi:]
+            if tab.rad_face is not None:
+                fwb = fwb * tab.rad_face[nfi:]
+            fb2 = (flux_b * fwb[..., None]).reshape(tab.nfb, tab.nqf * neq)
+            zb = jnp.zeros((ne * tab.nlf, tab.nqf * neq), dtype=U.dtype)
+            zb = zb.at[tab.bdr_slot].set(fb2, mode="drop")
+            zb = zb.reshape(ne, tab.nlf, tab.nqf * neq)
+            for lf in range(tab.nlf):
+                B = tab.Btr[lf * tab.nqf : (lf + 1) * tab.nqf]
+                K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
+                    tab.nqf * neq, ndof * neq
+                )
+                z2 = z2 + zb[:, lf] @ K_out
 
-        ws = tab.wts_slot
-        if tab.rad_slot is not None:  # axisymmetric face weight (x radius)
-            ws = ws * tab.rad_slot
-        z_face = -trace_transpose(
-            tab, (flux_slot * ws[..., None]).reshape(ne, tab.nlf * tab.nqf, neq)
-        )
+        z_face = -z2.reshape(ne, ndof, neq)
     else:
         # legacy path (sharded tables): single-ordering + point permutations
         Utr = elem_traces(tab, U)

@@ -179,6 +179,7 @@ def build_sharded_tables(
         "delta_nbr": zeros((NE, g.nlf)),
         "interior_mask": zeros((NE, g.nlf)),
         "bdr_slot": np.full((P, NFB), NE * g.nlf, dtype=np.int32),
+        "nor_wpf": zeros((g.nlf, NE, g.nqf * g.dim)),
     }
     for name in ELEM_FIELDS:
         arr = getattr(g, name)
@@ -268,7 +269,7 @@ def build_sharded_tables(
             st["delta"][p],
         )
         for name in ("nbr_row", "nor_slot", "wts_slot", "xyz_slot",
-                     "delta_nbr", "interior_mask", "bdr_slot"):
+                     "delta_nbr", "interior_mask", "bdr_slot", "nor_wpf"):
             st[name][p] = slot[name]
 
         # halo exchange maps
