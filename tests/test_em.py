@@ -97,3 +97,53 @@ def test_joule_heating_with_plasma():
     # power-control hook
     em.scale_joule_heating(2.0)
     assert abs(em.total_joule_heating() - 2 * total) / total < 1e-10
+
+
+def test_axisym_qms_sharded_matches_single():
+    """em/partitions N: the element-sharded (shard_map + psum) solve
+    reproduces the single-device fields to solver tolerance (SURVEY 2.6:
+    the reference runs every solver family under MPI)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.config.run_config import RunConfiguration
+    from tps_tpu.solvers.em.qms import QuasiMagnetostaticSolverAxiSym
+    from tps_tpu.mesh.generators import box_2d
+
+    # (r, z) in [0.05, 1.05] x [0, 1] with a coil-ring attribute band
+    mesh = box_2d(10, 10, x0=0.05, x1=1.05, y0=0.0, y1=1.0)
+    cc = mesh.vertices[mesh.elements].mean(axis=1)
+    attrs = np.ones(mesh.num_elements, dtype=np.int64)
+    ring = (np.abs(cc[:, 0] - 0.6) < 0.15) & (np.abs(cc[:, 1] - 0.5) < 0.15)
+    attrs[ring] = 2
+    mesh.elem_attrs = attrs
+
+    class _Cfg:
+        def __init__(self, vals):
+            self._v = dict(vals)
+            self.raw = self
+
+        def get(self, k, d=None):
+            return self._v.get(k, d)
+
+        def get_required(self, k, typ=str):
+            return self._v[k]
+
+    def run(nparts):
+        cfg = _Cfg({"em/partitions": nparts, "em/current_amplitude": 1.0e4,
+                    "em/current_frequency": 1.0e5, "em/rtol": 1e-12,
+                    "em/max_iter": 400})
+        s = QuasiMagnetostaticSolverAxiSym(cfg, mesh=mesh)
+        s.initialize()
+        sigma = 100.0 * np.exp(
+            -((np.asarray(s.tab.xyz)[:, 0] - 0.3) ** 2) / 0.02)
+        s.set_plasma_conductivity(sigma)
+        s.solve()
+        return np.asarray(s.A_re), np.asarray(s.A_im), s.total_joule_heating()
+
+    a1, b1, q1 = run(1)
+    a4, b4, q4 = run(4)
+    scale = np.abs(a1).max() + np.abs(b1).max()
+    assert np.abs(a4 - a1).max() < 1e-8 * scale
+    assert np.abs(b4 - b1).max() < 1e-8 * scale
+    assert abs(q4 - q1) <= 1e-6 * max(abs(q1), 1e-300)
+    assert np.abs(a1).max() > 0

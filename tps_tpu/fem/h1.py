@@ -273,6 +273,9 @@ def mass_lumped_diag(tab, coef=None):
     if _sharded(tab):
         if coef is None:
             return tab.run(lambda tl: mass_lumped_diag(tl))
+        if isinstance(coef, StackedQuadCoef):
+            return tab.run_qcoef(
+                lambda tl, uu, cc: mass_lumped_diag(tl, cc), None, coef.arr)
         return tab.run(lambda tl, cc: mass_lumped_diag(tl, cc), coef)
     w = tab.wq[None, :] * tab.detJ
     cq = _coef_q(tab, coef)
@@ -287,6 +290,9 @@ def stiffness_diag(tab, coef=None):
     if _sharded(tab):
         if coef is None:
             return tab.run(lambda tl: stiffness_diag(tl))
+        if isinstance(coef, StackedQuadCoef):
+            return tab.run_qcoef(
+                lambda tl, uu, cc: stiffness_diag(tl, cc), None, coef.arr)
         return tab.run(lambda tl, cc: stiffness_diag(tl, cc), coef)
     A = jnp.einsum("nqkd,nqld->nqkl", tab.adjJ, tab.adjJ) / tab.detJ[..., None, None]
     w = tab.wq[None, :]
@@ -673,6 +679,7 @@ class ShardedH1:
         counts = np.bincount(part, minlength=nparts)
         nep = int(counts.max())
         ed = np.zeros((nparts, nep, tab_np.ndof_el), dtype=np.int32)
+        eid = np.zeros((nparts, nep), dtype=np.int32)
         adjJ = np.zeros((nparts, nep) + tab_np.adjJ.shape[1:])
         detJ = np.ones((nparts, nep) + tab_np.detJ.shape[1:])
         xyz_q = np.zeros((nparts, nep) + tab_np.xyz_q.shape[1:])
@@ -681,6 +688,8 @@ class ShardedH1:
             ids = np.where(part == p)[0]
             k = len(ids)
             ed[p, :k] = tab_np.elem_dofs[ids]
+            eid[p, :k] = ids
+            eid[p, k:] = ids[0] if k else 0
             adjJ[p, :k] = tab_np.adjJ[ids]
             detJ[p, :k] = tab_np.detJ[ids]
             xyz_q[p, :k] = tab_np.xyz_q[ids]
@@ -693,6 +702,7 @@ class ShardedH1:
 
         import jax.numpy as jnp_
 
+        self._elem_ids_stacked = jnp_.asarray(eid)
         nb0 = 0
         z = np.zeros
         self._stacked = H1Tables(
@@ -773,9 +783,50 @@ class ShardedH1:
 
     def run_coef(self, op, u, coef):
         """Dispatch helper for ops with an optional nodal coefficient."""
+        if isinstance(coef, StackedQuadCoef):
+            return self.run_qcoef(op, u, coef.arr)
         if coef is None:
             return self.run(lambda tl, uu: op(tl, uu), u)
         return self.run(lambda tl, uu, cc: op(tl, uu, cc), u, coef)
+
+    def stack_quad(self, coef_q):
+        """Global quad-point coefficient [ne, nq] -> StackedQuadCoef whose
+        array is the per-shard stacked [P, nep, nq] view (padding rows get
+        element 0's values; they are masked by elem_valid in assembly)."""
+        import jax.numpy as jnp
+
+        cq = jnp.asarray(coef_q)
+        return StackedQuadCoef(cq[self._elem_ids_stacked])
+
+    def run_qcoef(self, op, u, coef_stacked):
+        """Like run_coef but with a per-shard quad-point coefficient
+        [P, nep, nq] sharded over the device-mesh axis."""
+        import jax
+        from functools import partial as _partial
+
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        @_partial(shard_map, mesh=self.jmesh,
+                  in_specs=(self._specs(), P(), P(self.axis)), out_specs=P())
+        def f(tab_s, uu, cc):
+            return jax.lax.psum(op(self.localize(tab_s), uu, cc[0]),
+                                self.axis)
+
+        return f(self._stacked, u, coef_stacked)
+
+
+class StackedQuadCoef:
+    """Per-shard stacked quad-point coefficient for ShardedH1 assembly."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
 
 
 def _sharded(tab):

@@ -48,7 +48,19 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
 
             self.mesh = read_mesh(inp.get_required("em/mesh"))
         order = inp.get("em/order", 1)
-        self.tab = h1.build_h1(self.mesh, order=order).to_jax(self.dtype)
+        tab_np = h1.build_h1(self.mesh, order=order)
+        self.tab = tab_np.to_jax(self.dtype)
+        # element-sharded solve over a device mesh (em/partitions N): the
+        # Krylov operator applies run under shard_map with psum assembly
+        # (SURVEY 2.6: the reference runs the EM solve under MPI too)
+        self.nparts = int(inp.get("em/partitions", 1) or 1)
+        if self.nparts > 1:
+            self.stab = h1.ShardedH1(
+                tab_np, self.nparts, self.dtype,
+                devices=getattr(self.config, "devices", None),
+            )
+        else:
+            self.stab = self.tab
 
         self.mu0 = inp.get("em/mu0", 1.25663706e-6)
         self.current_amplitude = inp.get("em/current_amplitude", 1.0)
@@ -106,10 +118,10 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
 
         self.plasma_conductivity = jnp.asarray(sigma, self.dtype)
 
-    def _K_apply(self, tab, v):
-        return h1.diffusion_apply(tab, v, self.r_q) + h1.mass_apply(
-            tab, v, self.inv_r_q
-        )
+    def _K_apply(self, tab, v, r_q=None, inv_r_q=None):
+        return h1.diffusion_apply(
+            tab, v, self.r_q if r_q is None else r_q
+        ) + h1.mass_apply(tab, v, self.inv_r_q if inv_r_q is None else inv_r_q)
 
     def solve_step(self):
         import jax
@@ -119,13 +131,19 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         omega = 2.0 * PI * self.current_frequency
         mu0_omega = self.mu0 * omega
 
-        # sigma at quad points (nodal field)
+        # sigma at quad points (nodal field; computed on the global tables,
+        # coefficients stacked per shard when the solve is element-sharded)
         import jax.numpy as jnp  # noqa: F811
 
         sig_q = jnp.einsum(
             "qd,nd->nq", tab.Bvol, h1.gather(tab, self.plasma_conductivity)
         )
         msw_q = mu0_omega * sig_q * self.r_q
+
+        stab = self.stab
+        sharded = stab is not self.tab
+        wrap = stab.stack_quad if sharded else (lambda c: c)
+        r_qs, inv_r_qs, msw_qs = wrap(self.r_q), wrap(self.inv_r_q), wrap(msw_q)
 
         mask = self.mask
         nd = tab.ndofs
@@ -134,19 +152,22 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
             a_re, a_im = w[:nd], w[nd:]
             a_re = a_re * mask
             a_im = a_im * mask
-            y_re = self._K_apply(tab, a_re) - h1.mass_apply(tab, a_im, msw_q)
-            y_im = h1.mass_apply(tab, a_re, msw_q) + self._K_apply(tab, a_im)
+            y_re = self._K_apply(stab, a_re, r_qs, inv_r_qs) \
+                - h1.mass_apply(stab, a_im, msw_qs)
+            y_im = h1.mass_apply(stab, a_re, msw_qs) \
+                + self._K_apply(stab, a_im, r_qs, inv_r_qs)
             y_re = y_re * mask + w[:nd] * (1 - mask)
             y_im = y_im * mask + w[nd:] * (1 - mask)
             return jnp.concatenate([y_re, y_im])
 
         # rhs: (v, J0 r) on the real block
-        rhs_re = h1.mass_apply(tab, jnp.ones(nd, self.dtype), self.J0_q * self.r_q)
+        rhs_re = h1.mass_apply(stab, jnp.ones(nd, self.dtype),
+                               wrap(self.J0_q * self.r_q))
         b = jnp.concatenate([rhs_re * mask, jnp.zeros(nd, self.dtype)])
 
         # diagonal preconditioner from K's diagonal
-        kdiag = h1.stiffness_diag(tab, self.r_q) + h1.mass_lumped_diag(
-            tab, self.inv_r_q
+        kdiag = h1.stiffness_diag(stab, r_qs) + h1.mass_lumped_diag(
+            stab, inv_r_qs
         )
         kdiag = kdiag * mask + (1 - mask)
         dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
