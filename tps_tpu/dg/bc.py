@@ -472,6 +472,73 @@ class NonReflectingInletBC:
 
 
 @dataclass(frozen=True)
+class FarFieldBC:
+    """Characteristic (Riemann-invariant) far-field boundary with a full
+    free-stream state; inflow vs outflow is decided per quadrature point
+    by the boundary normal velocity.  The single-patch role the reference
+    splits between its inlet and outlet types — used for O-grid outer
+    boundaries (external aerodynamics: flow past a cylinder).
+
+    input_state = (rho_inf, u_inf..., p_inf).  Exactly well-balanced: at
+    the free-stream state the ghost equals the interior.
+    """
+
+    input_state: tuple
+
+    def ghost_primitive(self, mixture, UpL):
+        return UpL
+
+    def _ghost(self, mix, UL, nor):
+        nvel, dim = mix.nvel, mix.dim
+        gam = mix.specific_heat_ratio
+        nhat, _ = _unit(nor)
+
+        rho = UL[..., 0]
+        vel = UL[..., 1 : 1 + nvel] / rho[..., None]
+        p_in = mix.pressure(UL)
+        c_in = jnp.sqrt(gam * p_in / rho)
+        un = jnp.einsum("...d,...d->...", vel[..., :dim], nhat)
+
+        rho_inf = jnp.asarray(self.input_state[0], UL.dtype)
+        vel_inf = jnp.asarray(self.input_state[1 : 1 + nvel], UL.dtype)
+        p_inf = jnp.asarray(self.input_state[1 + nvel], UL.dtype)
+        c_inf = jnp.sqrt(gam * p_inf / rho_inf)
+        un_inf = jnp.einsum("d,...d->...", vel_inf[:dim], nhat)
+
+        Rplus = un + 2.0 * c_in / (gam - 1.0)  # leaves through the boundary
+        Rminus = un_inf - 2.0 * c_inf / (gam - 1.0)  # enters from far field
+        un_b = 0.5 * (Rplus + Rminus)
+        c_b = 0.25 * (gam - 1.0) * (Rplus - Rminus)
+
+        outflow = un_b > 0.0
+        # entropy + tangential velocity from the upwind side
+        s_in = p_in / rho**gam
+        s_inf = p_inf / rho_inf**gam
+        s_b = jnp.where(outflow, s_in, s_inf)
+        rho_b = (c_b * c_b / (gam * s_b)) ** (1.0 / (gam - 1.0))
+        p_b = rho_b * c_b * c_b / gam
+        vt_in = vel - un[..., None] * jnp.pad(
+            nhat, [(0, 0)] * (nhat.ndim - 1) + [(0, nvel - mix.dim)]
+        )
+        vt_inf = vel_inf - un_inf[..., None] * jnp.pad(
+            nhat, [(0, 0)] * (nhat.ndim - 1) + [(0, nvel - mix.dim)]
+        )
+        vel_b = jnp.where(outflow[..., None], vt_in, vt_inf) \
+            + un_b[..., None] * jnp.pad(
+                nhat, [(0, 0)] * (nhat.ndim - 1) + [(0, nvel - mix.dim)]
+            )
+        ghost = UL.at[..., 0].set(rho_b)
+        ghost = ghost.at[..., 1 : 1 + nvel].set(rho_b[..., None] * vel_b)
+        return mix.modify_energy_for_pressure(ghost, p_b)
+
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None,
+             wts=None):
+        mix = ctx.fluxes.mixture
+        ghost = self._ghost(mix, UL, nor)
+        return ctx.riemann(UL, ghost, nor)
+
+
+@dataclass(frozen=True)
 class OutletBC:
     """Pressure outlets (reference: src/outletBC.cpp).
 

@@ -65,6 +65,16 @@ def _build_mesh(rc: RunConfiguration):
                 ),
                 periodic=per,
             )
+        if kind in ("annulus2d", "annulus"):
+            # curved O-grid around a cylinder (flow-past-cylinder cases;
+            # inner circle attr 4, outer attr 2)
+            return generators.annulus_2d(
+                nr=int(gen.get("nr", 8)),
+                ntheta=int(gen.get("ntheta", 32)),
+                r0=float(gen.get("r0", 0.5)),
+                r1=float(gen.get("r1", 10.0)),
+                geom_order=int(gen.get("geom_order", 2)),
+            )
         raise ValueError(f"unknown mesh generator '{kind}'")
     if rc.mesh:
         from ..mesh.mfem_reader import read_mfem_mesh
@@ -547,6 +557,16 @@ class CompressibleSolver(PlasmaSolver):
                 ref_length=self.config.ref_length,
                 const_entropy=(kind == "nonreflectingConstEntropy"),
             )
+        if kind == "farfield":
+            # characteristic far-field (O-grid outer boundary)
+            from ..dg.bc import FarFieldBC
+
+            rho = fget("density", 1.0)
+            uvw = [float(x) for x in
+                   str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
+            return FarFieldBC(
+                input_state=(rho, *uvw[: self.mixture.nvel],
+                             fget("pressure", 101325.0)))
         if kind == "subsonicPressure":
             return OutletBC(pressure=fget("pressure"))
         if kind in ("nonReflectingPressure", "nonreflectingPressure"):
