@@ -254,3 +254,50 @@ outdirBase = {tmp_path}/out
     # E-field amplitude interpolated back to the flow side
     efield = np.asarray(coupled.flow.efield)
     assert np.all(np.isfinite(efield)) and efield.max() > 0
+
+
+def test_cycle_avg_joule_coupling_sharded_flow():
+    """Cycle-avg EM coupling with a domain-decomposed ([mesh]/partitions)
+    compressible flow solver: the coupling-facing solver APIs (sigma
+    evaluation, Joule-heating injection) are global-layout, so the coupled
+    run matches the single-device one."""
+    def run(nparts):
+        ini_path = os.path.join(HERE, "inputs", "argon_minimal.ini")
+        inp = IniInput.read(ini_path)
+        inp.values["mesh/periodic_x"] = "1"
+        inp.values["mesh/periodic_y"] = "1"
+        if nparts > 1:
+            inp.values["mesh/partitions"] = str(nparts)
+        inp.values["em/order"] = "1"
+        inp.values["em/current_amplitude"] = "1e6"
+        inp.values["em/current_frequency"] = "1e5"
+        inp.values["cycle-avg-joule-coupled/solve-em-every-n"] = "2"
+        inp.values["cycle-avg-joule-coupled/input-power"] = "0.5"
+        inp.values["species/species3/initialMassFraction"] = "1.0e-4"
+        inp.values["species/species2/initialMassFraction"] = "0.9999"
+        inp.values["time/dt_fixed"] = "5e-8"
+        rc = parse_run_configuration(inp)
+        rc.max_iters = 4
+
+        em_mesh = box_2d(12, 12, x0=0.0, x1=0.04, y0=-0.015, y1=0.025)
+        cent = em_mesh.vertices[em_mesh.elements].mean(axis=1)
+        attrs = np.ones(em_mesh.num_elements, dtype=np.int64)
+        ring = (np.abs(cent[:, 0] - 0.02) < 0.004) \
+            & (np.abs(cent[:, 1] - 0.005) < 0.004)
+        attrs[ring] = 2
+        em_mesh.elem_attrs = attrs
+
+        coupled = CycleAvgJouleCoupling(rc)
+        coupled._em_in = QuasiMagnetostaticSolverAxiSym(rc, mesh=em_mesh)
+        coupled._em_in.initialize()
+        coupled.initialize()
+        coupled.solve()
+        assert coupled.flow.check_nan() == 0
+        return np.asarray(coupled.flow.state_global()), \
+            coupled.em.total_joule_heating()
+
+    U1, q1 = run(1)
+    U2, q2 = run(2)
+    assert abs(q2 - q1) < 1e-10 * max(abs(q1), 1e-300)
+    scale = np.abs(U1).max()
+    assert np.abs(U2 - U1).max() < 1e-9 * scale

@@ -843,14 +843,22 @@ class CompressibleSolver(PlasmaSolver):
 
     # -- plasma-coupling contract (reference: src/solver.hpp:121-144) -------
     def evaluate_plasma_conductivity(self):
-        """sigma at solution dofs [ne, ndof] (reference:
-        M2ulPhyS::evaluatePlasmaConductivityGF, src/M2ulPhyS.cpp:4265)."""
+        """sigma at solution dofs [ne_global, ndof] (reference:
+        M2ulPhyS::evaluatePlasmaConductivityGF, src/M2ulPhyS.cpp:4265).
+        Reassembled to the global element ordering when sharded, so the
+        coupling driver's cross-mesh interpolation is layout-agnostic."""
         import jax.numpy as jnp
 
         if self.plasma is None or not hasattr(self, "_source_term"):
-            return jnp.zeros(self.U.shape[:-1], dtype=self.dtype)
+            return jnp.zeros((self.ne_global,) + self.U.shape[-2:-1],
+                             dtype=self.dtype)
         Up = self.mixture.primitives(self.U)
-        return self._source_term.plasma_conductivity(self.U, Up)
+        sig = self._source_term.plasma_conductivity(self.U, Up)
+        if self._build is not None:
+            from ..parallel.partition import gather_state
+
+            sig = jnp.asarray(gather_state(self._build, sig[..., None])[..., 0])
+        return sig
 
     def get_plasma_conductivity(self):
         return self.evaluate_plasma_conductivity()
@@ -863,8 +871,15 @@ class CompressibleSolver(PlasmaSolver):
         )
 
     def set_joule_heating(self, qj):
+        """Joule heating at global solution dofs [ne_global, ndof];
+        scattered to the shard layout when running decomposed."""
         import jax.numpy as jnp
 
+        qj = np.asarray(qj)
+        if self._build is not None and qj.shape[0] == self.ne_global:
+            from ..parallel.partition import scatter_state
+
+            qj = scatter_state(self._build, qj[..., None])[..., 0]
         self.fields["joule_heating"] = jnp.asarray(qj, self.dtype)
 
     def set_efield(self, e):

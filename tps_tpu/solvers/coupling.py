@@ -105,7 +105,9 @@ class CycleAvgJouleCoupling(Solver):
                 "gauss-legendre" if self.flow.config.basis_type == 0 else "gauss-lobatto",
                 em_pts,
             )
-            flow_pts = np.asarray(self.flow.tables_np.xyz_dof).reshape(
+            # global (unsharded) dof coordinates: viz_tables == tables_np
+            # single-device, and the retained global tables when decomposed
+            flow_pts = np.asarray(self.flow.viz_tables.xyz_dof).reshape(
                 -1, self.flow.mesh.dim
             )
         if em_pts.shape[1] != flow_pts.shape[1]:
@@ -184,7 +186,7 @@ class CycleAvgJouleCoupling(Solver):
             if self.plasma_kind == "lomach":
                 self.flow.thermo.set_joule_heating(qj_flow)
             else:
-                ne, ndof = self.flow.U.shape[:2]
+                ne, ndof = self.flow.ne_global, self.flow.viz_tables.ndof
                 self.flow.set_joule_heating(qj_flow.reshape(ne, ndof))
             # 5) E-field amplitude back to the flow solver / Boltzmann bus
             # (reference: interpElectricFieldFromEMToFlow,
@@ -196,7 +198,7 @@ class CycleAvgJouleCoupling(Solver):
                 if self.plasma_kind == "lomach":
                     self.flow.efield = jnp.asarray(e_flow)
                 else:
-                    ne, ndof = self.flow.U.shape[:2]
+                    ne, ndof = self.flow.ne_global, self.flow.viz_tables.ndof
                     self.flow.set_efield(e_flow.reshape(ne, ndof))
 
         self.flow.solve_step()
