@@ -58,6 +58,11 @@ class H1Tables:
     # element-sharded assembly (ShardedH1): 1 on real elements, 0 on the
     # padding rows added to equalize per-shard element counts
     elem_valid: np.ndarray | None = None
+    # assembly transpose: for each global dof, the flat (elem*ndof_el+local)
+    # slots contributing to it, padded with the sentinel ne*ndof_el (reads a
+    # zero row).  Turns scatter_add into gather+sum -- segment_sum is the
+    # dominant cost of every CG iteration on TPU (PERF.md)
+    dof_gather: np.ndarray | None = None
 
     def to_jax(self, dtype):
         out = {}
@@ -150,6 +155,17 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
 
     elem_dofs = inverse.reshape(ne, ndof_el).astype(np.int32)
 
+    # assembly-transpose gather table (see H1Tables.dof_gather)
+    flat_ids = elem_dofs.reshape(-1)
+    order_ = np.argsort(flat_ids, kind="stable")
+    sorted_ids = flat_ids[order_]
+    counts = np.bincount(flat_ids, minlength=ndofs)
+    Kmax = int(counts.max()) if len(counts) else 0
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(sorted_ids)) - starts[sorted_ids]
+    dof_gather = np.full((ndofs, Kmax), ne * ndof_el, dtype=np.int32)
+    dof_gather[sorted_ids, pos] = order_
+
     # boundary faces
     faces = mesh.build_faces()
     nbf = len(faces.bdr_elem)
@@ -185,6 +201,7 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
         bf_elem=faces.bdr_elem.astype(np.int32),
         bf_attr=faces.bdr_attr.astype(np.int32),
         bf_Btr=bf_Btr, bf_nor=bf_nor, bf_wts=bf_wts, bf_xyz=bf_xyz,
+        dof_gather=dof_gather,
     )
 
 
@@ -197,20 +214,53 @@ def build_h1(mesh: Mesh, order: int, quad_order: int | None = None) -> H1Tables:
 
 
 def gather(tab, u):
+    """u [ndofs(, k)] -> element-local [ne, ndof_el(, k)].
+
+    Mod-row formulation: scalar gathers are pathological on TPU, so the
+    dof vector is viewed as 8-lane rows, whole rows are gathered by
+    elem_dofs // 8, and the lane is selected with a one-hot contraction
+    (~3x faster than the direct scalar gather; PERF.md)."""
     if _sharded(tab):
         raise NotImplementedError(
             "direct element gather is not available on an element-sharded "
             "H1 space; use the assembly operators (mass/diffusion/...)"
         )
-    return u[tab.elem_dofs]
+    if u.ndim != 1:
+        return jnp.stack(
+            [gather(tab, u[:, c]) for c in range(u.shape[1])], axis=-1
+        )
+    nd = u.shape[0]
+    ndpad = -(-nd // 8) * 8
+    rowi = tab.elem_dofs // 8  # hoisted (table-derived)
+    lane = jax.nn.one_hot(tab.elem_dofs % 8, 8, dtype=u.dtype)
+    xp = jnp.pad(u, (0, ndpad - nd)).reshape(-1, 8)
+    return jnp.sum(xp[rowi] * lane, axis=-1)
 
 
 def scatter_add(tab, r_el):
-    """[ne, ndof_el, ...] -> [ndofs, ...] by segment sum over global ids."""
+    """[ne, ndof_el, ...] -> [ndofs, ...] assembly.
+
+    Uses the precomputed assembly-transpose gather (dof_gather) when
+    available -- one padded gather + small sum, far faster on TPU than the
+    segment_sum scatter it replaces; sharded tables (no dof_gather) keep
+    the segment-sum path."""
     if tab.elem_valid is not None:  # mask shard-padding elements
         r_el = r_el * tab.elem_valid.reshape(
             (-1,) + (1,) * (r_el.ndim - 1)
         )
+    if getattr(tab, "dof_gather", None) is not None:
+        if r_el.ndim > 2:
+            return jnp.stack(
+                [scatter_add(tab, r_el[..., c])
+                 for c in range(r_el.shape[-1])], axis=-1)
+        # mod-row gather-sum over the assembly transpose (see gather)
+        flat = r_el.reshape(-1)
+        nfl = tab.ne * tab.ndof_el + 1
+        flpad = -(-nfl // 8) * 8
+        flat = jnp.pad(flat, (0, flpad - tab.ne * tab.ndof_el)).reshape(-1, 8)
+        rowi = tab.dof_gather // 8
+        lane = jax.nn.one_hot(tab.dof_gather % 8, 8, dtype=r_el.dtype)
+        return jnp.sum(flat[rowi] * lane, axis=(-1, -2))
     flat = r_el.reshape((tab.ne * tab.ndof_el,) + r_el.shape[2:])
     seg = tab.elem_dofs.reshape(-1)
     return jax.ops.segment_sum(flat, seg, num_segments=tab.ndofs)
@@ -236,35 +286,58 @@ def _coef_q(tab, coef):
 
 
 def mass_apply(tab, u, coef=None):
-    """(v, c u)."""
+    """(v, c u).
+
+    Per-component scalar sweeps: every buffer is [ne, nq]-shaped with two
+    clean matmuls -- the k-trailing einsum form padded its singleton minor
+    dim 128x under TPU tiling and dominated CG iteration time (PERF.md)."""
     if _sharded(tab):
         return tab.run_coef(mass_apply, u, coef)
     uu, squeeze = _promote(u)
-    uq = jnp.einsum("qd,ndk->nqk", tab.Bvol, gather(tab, uu))
     w = tab.wq[None, :] * tab.detJ
     cq = _coef_q(tab, coef)
     if cq is not None:
         w = w * cq
-    re = jnp.einsum("qd,nqk->ndk", tab.Bvol, w[..., None] * uq)
-    out = scatter_add(tab, re)
+    outs = []
+    for c in range(uu.shape[1]):
+        u_el = gather(tab, uu[:, c])  # [ne, ndof_el]
+        uq = u_el @ tab.Bvol.T  # [ne, nq]
+        outs.append(scatter_add(tab, (w * uq) @ tab.Bvol))
+    out = jnp.stack(outs, axis=-1)
     return out[:, 0] if squeeze else out
 
 
 def diffusion_apply(tab, u, coef=None):
-    """(grad v, c grad u) — the stiffness apply."""
+    """(grad v, c grad u) — the stiffness apply (scalar sweeps; see
+    mass_apply)."""
     if _sharded(tab):
         return tab.run_coef(diffusion_apply, u, coef)
     uu, squeeze = _promote(u)
-    gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, uu))  # l=ref dir
-    # metric: A[k,l] = adjJ adjJ^T / detJ
-    A = jnp.einsum("nqkd,nqld->nqkl", tab.adjJ, tab.adjJ) / tab.detJ[..., None, None]
+    dim = tab.dim
     w = tab.wq[None, :]
     cq = _coef_q(tab, coef)
     if cq is not None:
         w = w * cq
-    Ag = jnp.einsum("nqml,nqlk->nqmk", A, gq)
-    re = jnp.einsum("qdm,nqmk->ndk", tab.Gvol, w[..., None, None] * Ag)
-    out = scatter_add(tab, re)
+    # metric slices A[m,l] = (adjJ adjJ^T)[m,l] / detJ: [ne, nq] each,
+    # loop-invariant under jit (hoisted across CG iterations)
+    A = [
+        [
+            jnp.einsum("nqd,nqd->nq", tab.adjJ[:, :, m, :],
+                       tab.adjJ[:, :, l, :]) / tab.detJ
+            for l in range(dim)
+        ]
+        for m in range(dim)
+    ]
+    outs = []
+    for c in range(uu.shape[1]):
+        u_el = gather(tab, uu[:, c])
+        g = [u_el @ tab.Gvol[:, :, l].T for l in range(dim)]  # [ne, nq]
+        re = 0.0
+        for m in range(dim):
+            h = sum(A[m][l] * g[l] for l in range(dim)) * w
+            re = re + h @ tab.Gvol[:, :, m]  # [ne, ndof_el]
+        outs.append(scatter_add(tab, re))
+    out = jnp.stack(outs, axis=-1)
     return out[:, 0] if squeeze else out
 
 
