@@ -621,23 +621,20 @@ def build_p_interp(tab_f, tab_c, mesh):
     Pe = ref_f.eval_geom_basis(ref_f.nodes)  # [ndof_f_el, nvert]
     nvert = Pe.shape[1]
     nf = tab_f.ndofs
+    # vectorized over elements (a per-element loop over device arrays costs
+    # one host<->device round-trip each — pathological on the TPU tunnel)
+    ed_f = np.asarray(tab_f.elem_dofs)  # [ne, ndof_f_el]
+    ed_c = np.asarray(tab_c.elem_dofs)  # [ne, nvert]
     P_ids = np.zeros((nf, nvert), dtype=np.int32)
     P_wts = np.zeros((nf, nvert))
-    for n in range(tab_f.ne):
-        fd = np.asarray(tab_f.elem_dofs[n])
-        cd = np.asarray(tab_c.elem_dofs[n])
-        P_ids[fd] = cd[None, :]
-        P_wts[fd] = Pe
+    P_ids[ed_f] = ed_c[:, None, :]
+    P_wts[ed_f.reshape(-1)] = np.tile(Pe, (ed_f.shape[0], 1))
     # coarse -> fine collocation (coarse nodes are mesh vertices, which are
     # also fine Gauss-Lobatto nodes)
     c2f = np.zeros(tab_c.ndofs, dtype=np.int32)
-    for n in range(tab_f.ne):
-        fd = np.asarray(tab_f.elem_dofs[n])
-        cd = np.asarray(tab_c.elem_dofs[n])
-        for v in range(nvert):
-            # fine node collocated with vertex v: weight row == e_v
-            hits = np.where(np.abs(Pe[:, v] - 1.0) < 1e-12)[0]
-            c2f[cd[v]] = fd[hits[0]]
+    for v in range(nvert):
+        hit_v = int(np.where(np.abs(Pe[:, v] - 1.0) < 1e-12)[0][0])
+        c2f[ed_c[:, v]] = ed_f[:, hit_v]
     return jnp.asarray(P_ids), jnp.asarray(P_wts), jnp.asarray(c2f)
 
 
