@@ -61,3 +61,42 @@ def test_gradient_converges_trig_periodic():
     rate1 = np.log2(errs[0] / errs[1])
     rate2 = np.log2(errs[1] / errs[2])
     assert rate2 > 2.4, (errs, rate1, rate2)
+
+
+def test_gradient_exact_on_sheared_mesh():
+    """dg_gradient of a linear field is exact on a sheared (non-symmetric
+    Jacobian) mesh — regression for the transposed-adjJ contraction in the
+    fused-minor gradient (axis-aligned meshes have symmetric adjJ and
+    cannot catch it)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.dg.operators import dg_gradient
+    from tps_tpu.mesh.generators import box_2d
+
+    mesh = box_2d(6, 6)
+    # shear: x' = x + 0.3 y  (constant, non-symmetric Jacobian)
+    mesh.vertices = mesh.vertices @ np.array([[1.0, 0.0], [0.3, 1.0]])
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    xy = tab.xyz_dof
+    up = (2.0 * xy[..., 0] + 5.0 * xy[..., 1])[..., None]
+    g = np.asarray(dg_gradient(tab, up))
+    assert np.abs(g[..., 0, 0] - 2.0).max() < 1e-10
+    assert np.abs(g[..., 0, 1] - 5.0).max() < 1e-10
+
+
+def test_gradient_exact_on_tri_mesh():
+    """Same exactness check on a triangle mesh (non-symmetric adjJ)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.dg.operators import dg_gradient
+    from tps_tpu.mesh.generators import box_2d_tri
+
+    mesh = box_2d_tri(5, 5)
+    tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+    xy = tab.xyz_dof
+    up = (2.0 * xy[..., 0] + 5.0 * xy[..., 1])[..., None]
+    g = np.asarray(dg_gradient(tab, up))
+    assert np.abs(g[..., 0, 0] - 2.0).max() < 1e-9
+    assert np.abs(g[..., 0, 1] - 5.0).max() < 1e-9

@@ -196,3 +196,23 @@ def test_roe_3d_consistency_and_vortex():
     U = mix.conservatives(uniform_state(tab.xyz_dof, mix, 1.2, (30.0, 5.0, -2.0), 300.0))
     y, aux = jax.jit(lambda t, u: compute_rhs(ctx, t, u))(tab, U)
     assert float(jnp.abs(y).max()) / float(jnp.abs(U).max()) < 1e-11
+
+
+def test_roe_zero_normal_is_finite():
+    """Roe with an exactly-zero scaled normal returns zero flux, not NaN
+    (weight-folded normals are zero at padding slots and axisymmetric-axis
+    faces; regression for the unguarded |n| division)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.riemann import Roe
+    from tps_tpu.physics.gas import DryAir
+
+    mix = DryAir(dim=2, nvel=2)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    roe = Roe(fl)
+    U1 = jnp.asarray([[1.2, 40.0, 1.0, 2.6e5]])
+    U2 = jnp.asarray([[1.1, 30.0, -1.0, 2.4e5]])
+    nor = jnp.zeros((1, 2))
+    f = np.asarray(roe(U1, U2, nor))
+    assert np.isfinite(f).all() and np.abs(f).max() < 1e-200

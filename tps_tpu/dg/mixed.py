@@ -86,6 +86,9 @@ def build_mixed_tables(mm, order, basis="gauss-legendre",
                 sides = {b1: (e1, l1), b2: (e2, l2)}
                 crosses.append((sides[0], sides[1]))
         elif len(owners) == 1:
+            # single-owner face = boundary; faces missing from the mesh's
+            # boundary list default to attribute 1 (matching
+            # Mesh.build_faces for single-type meshes)
             b, e, lf = owners[0]
             bdr_faces[b].append((e, lf, bdr_key_to_attr.get(key, 1)))
         else:

@@ -239,7 +239,10 @@ def dg_gradient(tab, Up, bdr_up2=None):
     )
     rvol_k = []
     for kk in range(dim):
-        dphys = sum(du_d[d] * arep[kk, d] for d in range(dim))
+        # d/dx_kk = sum_l (du/dxi_l) adjJ[l, kk]: the contraction runs over
+        # the REFERENCE index (first adjJ axis) — arep[d, kk], not the
+        # transpose (wrong on any mesh with non-symmetric Jacobians)
+        dphys = sum(du_d[d] * arep[d, kk] for d in range(dim))
         rvol_k.append(dphys @ K_bw)  # [ne, ndof*neq]
     rvol = jnp.stack(rvol_k, axis=-1).reshape(ne, ndof, neq, dim)
 

@@ -43,7 +43,12 @@ class Roe:
     def __call__(self, U1, U2, nor):
         mix = self.fluxes.mixture
         dim = mix.dim
-        normag = jnp.linalg.norm(nor, axis=-1)
+        # guard the normalization: weight-folded normals (nor_wpf) are
+        # exactly zero at zero-weight padding slots and axisymmetric-axis
+        # faces; 0/0 would poison the whole element row through the face
+        # scatter even though the flux there is multiplied by zero
+        normag = jnp.maximum(jnp.linalg.norm(nor, axis=-1),
+                             jnp.finfo(nor.dtype).tiny)
         n = nor / normag[..., None]
 
         f1 = flux_dot_n(self.fluxes, U1, n)

@@ -657,6 +657,17 @@ class CompressibleSolver(PlasmaSolver):
                 self.iter, self.mixture.primitives(self.U), self.mixture.nvel
             )
 
+        self._post_step_services(mcs)
+
+    def _restart_io_ready(self):
+        return self._io is not None
+
+    def _post_step_services(self, mcs):
+        """Shared post-step tail: NaN guard, CFL dt, timing print, restart
+        cadence, DIE-file / walltime job management (reference:
+        src/M2ulPhyS.cpp:2004-2177).  Used by both the single-type and
+        mixed-mesh solvers so the logic cannot drift."""
+        rc = self.config
         if not np.isfinite(mcs):
             self.check_nan(verbose=True)
             raise FloatingPointError(
@@ -674,7 +685,7 @@ class CompressibleSolver(PlasmaSolver):
                 flush=True,
             )
             self._wall0 = _time.perf_counter()
-        if self._io is not None and self.iter % rc.output_freq == 0:
+        if self._restart_io_ready() and self.iter % rc.output_freq == 0:
             self.write_restart()
 
         # job management (reference: Check_JobResubmit / DIE-file hooks,
@@ -689,13 +700,14 @@ class CompressibleSolver(PlasmaSolver):
 
             if check_die_file(rc.outdir):
                 print("DIE file detected: exiting early", flush=True)
-                if self._io is not None:
+                if self._restart_io_ready():
                     self.write_restart()
                 self.status = STATUS_EARLY_EXIT
             elif rc.enable_auto_restart and job_almost_done(rc.rm_threshold):
                 print("walltime threshold reached: checkpoint + resubmit",
                       flush=True)
-                self._init_io() if self._io is None else None
+                if not self._restart_io_ready():
+                    self._init_io()
                 self.write_restart()
                 self.status = STATUS_JOB_RESTART
 
@@ -883,11 +895,18 @@ class CompressibleSolver(PlasmaSolver):
         self.fields["joule_heating"] = jnp.asarray(qj, self.dtype)
 
     def set_efield(self, e):
-        """EM-solve E-field amplitude at solution dofs [ne, ndof] (reference:
-        interpElectricFieldFromEMToFlow feeding the efield GridFunction /
-        Boltzmann bus, src/cycle_avg_joule_coupling.cpp:290-330)."""
+        """EM-solve E-field amplitude at global solution dofs [ne, ndof]
+        (reference: interpElectricFieldFromEMToFlow feeding the efield
+        GridFunction / Boltzmann bus,
+        src/cycle_avg_joule_coupling.cpp:290-330).  Scattered to the shard
+        layout when decomposed, matching every other per-dof field."""
         import jax.numpy as jnp
 
+        e = np.asarray(e)
+        if self._build is not None and e.shape[0] == self.ne_global:
+            from ..parallel.partition import scatter_state
+
+            e = scatter_state(self._build, e[..., None])[..., 0]
         self.efield = jnp.asarray(e, self.dtype)
 
     def get_efield(self):

@@ -8,7 +8,11 @@ lives in dg/mixed.py.  Physics models, BC option parsing, CFL control, and
 the time-loop services are shared with CompressibleSolver.
 
 Single-device only; the time-integrated (stateful) characteristic BCs fall
-back to their stateless well-balanced variants on mixed meshes.
+back to their stateless well-balanced variants on mixed meshes.  Known
+caveat: the nonReflectingPressure outlet's "patch-mean" reference velocity
+is averaged per element-type bucket, so an outlet patch crossing the
+tri/quad seam uses two (nearly equal, for smooth outflow) reference
+states rather than one patch-global mean.
 """
 
 from __future__ import annotations
@@ -207,35 +211,10 @@ class MixedCompressibleSolver(CompressibleSolver):
                 avg.add_sample(self.iter, self.mixture.primitives(U),
                                self.mixture.nvel)
 
-        if not np.isfinite(mcs):
-            self.check_nan(verbose=True)
-            raise FloatingPointError(
-                f"NaN/Inf detected at iteration {self.iter} (t={self.time:.6e})"
-            )
-        if not (rc.constant_dt or rc.dt_fixed > 0):
-            self.dt = rc.cfl * self.hmin / mcs / self.mesh.dim
+        self._post_step_services(mcs)
 
-        if self.iter % rc.timing_freq == 0:
-            wall = _time.perf_counter() - self._wall0
-            print(
-                f"time step: {self.iter}, physical time {self.time:.6e} s"
-                f", wall {wall / rc.timing_freq:.4f} s/iter",
-                flush=True,
-            )
-            self._wall0 = _time.perf_counter()
-        if self.iter % rc.output_freq == 0:
-            self.write_restart()
-
-        if self.iter % max(rc.exit_check_freq, 1) == 0:
-            from ..utils.job_management import (
-                STATUS_EARLY_EXIT,
-                check_die_file,
-            )
-
-            if check_die_file(rc.outdir):
-                print("DIE file detected: exiting early", flush=True)
-                self.write_restart()
-                self.status = STATUS_EARLY_EXIT
+    def _restart_io_ready(self):
+        return True  # self-contained h5 writer (no RestartIO instance)
 
     def solve_end(self):
         self.write_restart()

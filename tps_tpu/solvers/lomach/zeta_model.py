@@ -68,21 +68,23 @@ class ZetaModel(TurbModelBase):
         k_free = np.array(free)
         kin_vals = jnp.zeros(nd)
         ein_vals = jnp.zeros(nd)
-        v2in_vals = None
         for bc in inlet_bcs:
             dofs = np.asarray(h1.boundary_dofs(tab, tuple(bc[0])))
             k_free[dofs] = 0.0
             kin_vals = kin_vals.at[jnp.asarray(dofs)].set(bc[1])
             ein_vals = ein_vals.at[jnp.asarray(dofs)].set(bc[2])
+        # v2 defaults to (2/3) k everywhere (seeded only AFTER every k is
+        # written, so tke-only inlets processed in any order keep it);
+        # explicit v2 profiles override in a second pass
+        v2in_vals = (2.0 / 3.0) * kin_vals
+        for bc in inlet_bcs:
             if len(bc) > 3 and bc[3] is not None:
-                if v2in_vals is None:
-                    v2in_vals = (2.0 / 3.0) * kin_vals
+                dofs = np.asarray(h1.boundary_dofs(tab, tuple(bc[0])))
                 v2in_vals = v2in_vals.at[jnp.asarray(dofs)].set(bc[3])
         self.dir_mask = jnp.asarray(k_free)
         self.k_bc = kin_vals
         self.eps_bc = ein_vals
-        self.v2_bc = ((2.0 / 3.0) * kin_vals if v2in_vals is None
-                      else v2in_vals)
+        self.v2_bc = v2in_vals
 
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
 
