@@ -367,3 +367,52 @@ outdirBase = {tmp_path}/out
     tps2.initialize()
     tps2.solve()
     assert tps2.solver.check_nan() == 0
+
+
+def test_nan_guard_detects_planted_bug(tmp_path):
+    """The reference validates its sanitizer tooling against planted bugs
+    (test/valgrind.test:25-70 with badloop.cpp, cuda-memcheck.test with
+    badcuda.cpp).  Same pattern for the NaN guard: plant a NaN in the
+    state and assert the solver raises with a located report."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tps_tpu.harness import Tps
+
+    ini = tmp_path / "run.ini"
+    ini.write_text("""
+[solver]
+type = flow
+[flow]
+order = 1
+maxIters = 5
+fluid = dry_air
+equation_system = euler
+[mesh]
+generator = box2d
+nx = 4
+ny = 4
+periodic_x = 1
+periodic_y = 1
+[time]
+dt_fixed = 1e-4
+[initialConditions]
+rho = 1.2
+rhoU = 10.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+""")
+    tps = Tps()
+    tps.parse_command_line_args(["tps", "--runFile", str(ini)])
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    s = tps.solver
+    tps.solve_step()  # healthy step first
+    assert s.check_nan() == 0
+    s.U = s.U.at[3, 0, 0].set(jnp.nan)  # planted bug
+    assert s.check_nan() > 0
+    with pytest.raises(FloatingPointError, match="NaN/Inf detected"):
+        tps.solve_step()
