@@ -328,3 +328,102 @@ def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
 
     aux = {"max_char_speed": jnp.maximum(*mcss)}
     return tuple(ys), aux
+
+
+def _mixed_boundary_data(mt, ctxs, Us, need_grad):
+    """Per-bucket interior traces at boundary-face quadrature points (the
+    mixed analog of rhs._boundary_interior_data, with conforming interface
+    gradient jumps).  Returns per bucket (ULb, UpLb, gLb, norb, wmagb) in
+    the attr-sorted boundary ordering."""
+    import jax.numpy as jnp
+
+    from .operators import dg_gradient, elem_traces
+    from .rhs import _clip_species
+
+    mix = ctxs[0].mixture
+    neq = mix.num_equations
+    nif = mt.n_iface
+    out = []
+
+    Ucl = [_clip_species(mix, U) for U in Us]
+    Ups = [mix.primitives(U) for U in Ucl]
+    trUp = [None, None]
+    if need_grad:
+        for b, tab in enumerate(mt.buckets):
+            trUp[b] = elem_traces(tab, Ups[b]).reshape(
+                Us[b].shape[0] * tab.nlf, tab.nqf, neq)
+    for b, tab in enumerate(mt.buckets):
+        ne, ndof = Us[b].shape[0], Us[b].shape[1]
+        gLb = None
+        if need_grad:
+            bdr_up2 = None
+            if nif:
+                rows_b = tab.f_elem_l[tab.nfi:] * tab.nlf \
+                    + tab.f_slot_l[tab.nfi:]
+                own_up = trUp[b][rows_b]
+                partner = jnp.take_along_axis(
+                    trUp[1 - b][mt.partner_row[b]],
+                    mt.partner_qperm[b][..., None], axis=1)
+                bdr_up2 = own_up.at[tab.nfb - nif:].set(partner)
+            grad = dg_gradient(tab, Ups[b], bdr_up2=bdr_up2)
+            X = jnp.concatenate(
+                [Ucl[b], grad.reshape(ne, ndof, neq * tab.dim)], -1)
+        else:
+            X = Ucl[b]
+        trX = elem_traces(tab, X).reshape(
+            ne * tab.nlf, tab.nqf, X.shape[-1])[tab.bdr_slot]
+        ULb = _clip_species(mix, trX[..., :neq])
+        if need_grad:
+            gLb = trX[..., neq:].reshape(
+                trX.shape[:-1] + (neq, tab.dim))
+        norb = tab.f_nor[tab.nfi:]
+        wmagb = tab.f_wts[tab.nfi:] * jnp.linalg.norm(norb, axis=-1)
+        out.append((ULb, mix.primitives(ULb), gLb, norb, wmagb))
+    return out
+
+
+def init_bc_states_mixed(mt, ctxs, Us):
+    """Initial per-bucket, per-BC state tuples (time-integrated
+    characteristic ghosts start at the interior trace)."""
+    if not any(getattr(s.bc, "has_state", False)
+               for ctx in ctxs for s in ctx.bcs):
+        return tuple(tuple(None for _ in ctx.bcs) for ctx in ctxs)
+    data = _mixed_boundary_data(mt, ctxs, Us, need_grad=False)
+    out = []
+    for b, ctx in enumerate(ctxs):
+        ULb = data[b][0]
+        states = []
+        for s in ctx.bcs:
+            if getattr(s.bc, "has_state", False):
+                states.append(s.bc.init_state(ctx.mixture,
+                                              ULb[s.start:s.stop]))
+            else:
+                states.append(None)
+        out.append(tuple(states))
+    return tuple(out)
+
+
+def advance_bc_states_mixed(mt, ctxs, Us, bc_states, dt):
+    """One characteristic-ODE step of every stateful BC's ghost state,
+    per bucket (patch means are bucket-local; a patch crossing the seam
+    uses two nearly-equal means)."""
+    if bc_states is None or not any(
+            getattr(s.bc, "has_state", False)
+            for ctx in ctxs for s in ctx.bcs):
+        return bc_states
+    data = _mixed_boundary_data(mt, ctxs, Us, need_grad=True)
+    out = []
+    for b, ctx in enumerate(ctxs):
+        ULb, UpLb, gLb, norb, wmagb = data[b]
+        states = []
+        for i, s in enumerate(ctx.bcs):
+            if getattr(s.bc, "has_state", False):
+                sl = slice(s.start, s.stop)
+                states.append(s.bc.advance(
+                    ctx, bc_states[b][i], ULb[sl], UpLb[sl],
+                    None if gLb is None else gLb[sl],
+                    norb[sl], wmagb[sl], dt))
+            else:
+                states.append(bc_states[b][i])
+        out.append(tuple(states))
+    return tuple(out)

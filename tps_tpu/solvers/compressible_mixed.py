@@ -7,12 +7,10 @@ state is one element-batched array per geometry bucket; the face coupling
 lives in dg/mixed.py.  Physics models, BC option parsing, CFL control, and
 the time-loop services are shared with CompressibleSolver.
 
-Single-device only; the time-integrated (stateful) characteristic BCs fall
-back to their stateless well-balanced variants on mixed meshes.  Known
-caveat: the nonReflectingPressure outlet's "patch-mean" reference velocity
-is averaged per element-type bucket, so an outlet patch crossing the
-tri/quad seam uses two (nearly equal, for smooth outflow) reference
-states rather than one patch-global mean.
+Single-device only.  Known caveat: characteristic-BC patch means are
+averaged per element-type bucket, so a patch crossing the tri/quad seam
+uses two (nearly equal, for smooth flow) means rather than one
+patch-global mean.
 """
 
 from __future__ import annotations
@@ -21,7 +19,13 @@ import time as _time
 
 import numpy as np
 
-from ..dg.mixed import build_mixed_tables, compute_rhs_mixed, make_bc_slices
+from ..dg.mixed import (
+    advance_bc_states_mixed,
+    build_mixed_tables,
+    compute_rhs_mixed,
+    init_bc_states_mixed,
+    make_bc_slices,
+)
 from ..dg.rhs import RHSContext
 from ..time.integrators import get_integrator
 from ..utils.cases import isentropic_vortex, taylor_green_2d, uniform_state
@@ -102,7 +106,6 @@ class MixedCompressibleSolver(CompressibleSolver):
         self.time = 0.0
         self.iter = 0
         self.fields = {}
-        self.bc_states = None
 
         self.hmin = float(
             min(np.min(np.asarray(t.delta)) for t in self.mt_np.buckets)
@@ -110,15 +113,21 @@ class MixedCompressibleSolver(CompressibleSolver):
         )
         base_int = get_integrator(rc.integrator)
 
-        def _step(Us, t, dt):
+        def _step(Us, t, dt, bc_states):
             def rf(tv, tt):
-                dU, aux = compute_rhs_mixed(self.mt, self.ctxs, tv.t, tt)
+                dU, aux = compute_rhs_mixed(self.mt, self.ctxs, tv.t, tt,
+                                            bc_states=bc_states)
                 return _TreeVec(dU), aux
 
             out, aux = base_int(rf, _TreeVec(Us), t, dt)
-            return out.t, aux["max_char_speed"]
+            bc2 = advance_bc_states_mixed(self.mt, self.ctxs, out.t,
+                                          bc_states, dt)
+            return out.t, bc2, aux["max_char_speed"]
 
         self._step_mixed = jax.jit(_step)
+        self._init_bc_mixed = jax.jit(
+            lambda us: init_bc_states_mixed(self.mt, self.ctxs, us))
+        self.bc_states = self._init_bc_mixed(self.U)
         self._mcs_fn_mixed = jax.jit(
             lambda us: jnp.maximum(
                 *[jnp.max(mix.max_char_speed(u)) for u in us]
@@ -165,41 +174,30 @@ class MixedCompressibleSolver(CompressibleSolver):
         ).astype(self.dtype)
 
     def _make_bc(self, spec):
-        # stateful characteristic BCs carry per-tab ghost state the mixed
-        # step does not thread; use the stateless well-balanced variants
-        from ..dg.bc import NonReflectingInletBC, OutletBC
-
-        kind = spec.kind
-        p = spec.params
-        if kind in ("nonReflectingPressure", "nonreflectingPressure"):
-            return OutletBC(
-                pressure=float(str(p.get("pressure", 0)).strip("'\"")),
-                kind="nonReflectingPressure",
-                ref_vel_n="patch-mean",  # well-balanced advective outflow
-            )
-        if kind in ("nonreflecting", "nonreflectingConstEntropy"):
-            rho = float(str(p.get("density", 1.0)).strip("'\""))
-            uvw = [float(x) for x in
-                   str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
-            return NonReflectingInletBC(
-                input_state=(rho, *uvw[: self.mixture.nvel]),
-                kind=("nonreflectingConstEntropy"
-                      if kind == "nonreflectingConstEntropy"
-                      else "nonreflecting"),
-            )
-        if kind in ("nonReflectingMassFlow", "nonReflectingPointBasedMassFlow",
-                    "interpolate"):
-            raise NotImplementedError(f"BC '{kind}' on mixed meshes")
+        if spec.kind == "interpolate":
+            raise NotImplementedError("BC 'interpolate' on mixed meshes")
         return super()._make_bc(spec)
+
+    def _patch_area(self, spec):
+        """Quadrature area of a boundary patch across both buckets."""
+        total = 0.0
+        for tab in self.mt_np.buckets:
+            attrs = np.asarray(tab.f_bdr_attr)
+            sel = attrs == spec.patch
+            nrm = np.linalg.norm(
+                np.asarray(tab.f_nor[tab.nfi:])[sel], axis=-1)
+            total += float(
+                np.sum(np.asarray(tab.f_wts[tab.nfi:])[sel] * nrm))
+        return total
 
     # ------------------------------------------------------------------
     def solve_step(self):
         import jax.numpy as jnp
 
         rc = self.config
-        U2, mcs = self._step_mixed(
+        U2, self.bc_states, mcs = self._step_mixed(
             self.U, jnp.asarray(self.time, self.dtype),
-            jnp.asarray(self.dt, self.dtype),
+            jnp.asarray(self.dt, self.dtype), self.bc_states,
         )
         self.U = U2
         self.time += self.dt
@@ -262,6 +260,9 @@ class MixedCompressibleSolver(CompressibleSolver):
                         f" elements, expected {tab.ne}")
                 us.append(jnp.asarray(arr, self.dtype))
         self.U = tuple(us)
+        if getattr(self, "bc_states", None) is not None:
+            # re-seed characteristic ghosts from the restored state
+            self.bc_states = self._init_bc_mixed(self.U)
 
     def check_nan(self, verbose=False) -> int:
         bad = sum(int(np.sum(~np.isfinite(np.asarray(U)))) for U in self.U)
