@@ -414,5 +414,9 @@ pressure = 101300
     assert s.check_nan() == 0
     s.U = s.U.at[3, 0, 0].set(jnp.nan)  # planted bug
     assert s.check_nan() > 0
+    # the max-char-speed NaN guard is fetched asynchronously with a small
+    # step lag; it must fire within the lag window (or at drain)
     with pytest.raises(FloatingPointError, match="NaN/Inf detected"):
-        tps.solve_step()
+        for _ in range(12):
+            tps.solve_step()
+        s._drain_mcs_queue(0)

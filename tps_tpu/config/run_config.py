@@ -47,6 +47,8 @@ class RunConfiguration:
     max_iters: int = 10
     output_freq: int = 100
     timing_freq: int = 100
+    # async max-char-speed fetch lag (steps); 0 = synchronous every step
+    mcs_lag: int = 8
     use_roe: bool = False
     fluid: str = "dry_air"
     equation_system: str = "navier-stokes"
@@ -120,6 +122,7 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
     rc.max_iters = inp.get("flow/maxIters", 10)
     rc.output_freq = inp.get("flow/outputFreq", 100)
     rc.timing_freq = inp.get("flow/timingFreq", 100)
+    rc.mcs_lag = inp.get("time/mcsLagSteps", 8)
     rc.use_roe = bool(inp.get("flow/useRoe", 0))
     rc.fluid = inp.get("flow/fluid", "dry_air")
     rc.equation_system = inp.get("flow/equation_system", "navier-stokes")

@@ -639,7 +639,6 @@ class CompressibleSolver(PlasmaSolver):
         self.U = U2
         self.time += self.dt
         self.iter += 1
-        mcs = float(mcs)
 
         if self._history is not None:
             dU = jnp.abs(U2 - U_prev)
@@ -662,17 +661,47 @@ class CompressibleSolver(PlasmaSolver):
     def _restart_io_ready(self):
         return self._io is not None
 
+    def _drain_mcs_queue(self, lag):
+        """Read max-char-speed values whose async host copies are at least
+        `lag` steps old; NaN-guard each and keep the newest for CFL."""
+        q = getattr(self, "_mcs_queue", None)
+        if not q:
+            return
+        while q and (self.iter - q[0][0] >= lag):
+            it0, m = q.pop(0)
+            m = float(m)
+            if not np.isfinite(m):
+                self.check_nan(verbose=True)
+                raise FloatingPointError(
+                    f"NaN/Inf detected at iteration {it0} "
+                    f"(reported at {self.iter}, t={self.time:.6e})"
+                )
+            self._last_mcs = m
+
     def _post_step_services(self, mcs):
         """Shared post-step tail: NaN guard, CFL dt, timing print, restart
         cadence, DIE-file / walltime job management (reference:
         src/M2ulPhyS.cpp:2004-2177).  Used by both the single-type and
-        mixed-mesh solvers so the logic cannot drift."""
+        mixed-mesh solvers so the logic cannot drift.
+
+        The max-char-speed scalar is fetched ASYNCHRONOUSLY with a small
+        step lag: a synchronous per-step device round-trip costs ~26 ms
+        through the hosted TPU tunnel while the async copy pipelines at
+        ~1.5 ms (PERF.md).  The NaN guard still sees every step's value
+        (a few steps late); CFL uses the newest arrived value — the
+        reference's own dt also trails the state by one RK stage."""
         rc = self.config
-        if not np.isfinite(mcs):
-            self.check_nan(verbose=True)
-            raise FloatingPointError(
-                f"NaN/Inf detected at iteration {self.iter} (t={self.time:.6e})"
-            )
+        try:
+            mcs.copy_to_host_async()
+        except AttributeError:
+            pass  # python float / numpy scalar (already host-side)
+        if not hasattr(self, "_mcs_queue"):
+            self._mcs_queue = []
+        self._mcs_queue.append((self.iter, mcs))
+        self._drain_mcs_queue(int(getattr(rc, "mcs_lag", 8)))
+        mcs = getattr(self, "_last_mcs", None)
+        if mcs is None:
+            mcs = float(self._mcs_queue[-1][1])  # startup: synchronous
 
         if not (rc.constant_dt or rc.dt_fixed > 0):
             self.dt = rc.cfl * self.hmin / mcs / self.mesh.dim
@@ -712,6 +741,7 @@ class CompressibleSolver(PlasmaSolver):
                 self.status = STATUS_JOB_RESTART
 
     def solve_end(self):
+        self._drain_mcs_queue(0)  # flush pending NaN guards
         if self._io is not None:
             self.write_restart()
         if self._enable_paraview:

@@ -202,7 +202,6 @@ class MixedCompressibleSolver(CompressibleSolver):
         self.U = U2
         self.time += self.dt
         self.iter += 1
-        mcs = float(mcs)
 
         for avg, U, tab in zip(self.averaging_b, self.U, self.mt.buckets):
             if avg.enabled:
@@ -215,6 +214,7 @@ class MixedCompressibleSolver(CompressibleSolver):
         return True  # self-contained h5 writer (no RestartIO instance)
 
     def solve_end(self):
+        self._drain_mcs_queue(0)
         self.write_restart()
         if self._enable_paraview:
             self.visualization()
