@@ -740,6 +740,8 @@ class LoMachSolver(Solver):
         return path
 
     def solve_end(self):
+        if hasattr(self.flow, "finalize"):
+            self.flow.finalize()  # drain the deferred convergence check
         self.write_restart()
 
     def print_timing(self):

@@ -172,13 +172,42 @@ class Tomboulides(FlowBase):
         )
         self.u_hist = list(u_hist)
         self.N_hist = list(N_hist)
-        self.solve_info = {k: float(v) for k, v in info.items()}
+        # defer the host fetch of the convergence scalars by one step:
+        # a synchronous per-step device round trip costs ~26 ms on the
+        # hosted TPU tunnel (PERF.md); the async copy pipelines.  The
+        # diverged-solve failure still fires, one step late.
+        for v in info.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
+        pending = getattr(self, "_pending_info", None)
+        self._pending_info = info
+        self._check_solve_info(pending)
+
+    @property
+    def solve_info(self):
+        """Latest solver iterations/residuals (forces the pending fetch)."""
+        info = getattr(self, "_pending_info", None)
+        return {} if info is None else {k: float(v) for k, v in info.items()}
+
+    @solve_info.setter
+    def solve_info(self, value):
+        self._pending_info = value
+
+    def finalize(self):
+        """Drain the deferred convergence check (call at run end)."""
+        self._check_solve_info(getattr(self, "_pending_info", None))
+
+    def _check_solve_info(self, info):
+        if not info or "p_res" not in info:
+            return
+        vals = {k: float(v) for k, v in info.items()}
         # loud failure on a diverged solve (the reference's hypre solvers
         # print iterations/residual and abort on non-convergence)
-        if not (self.solve_info["p_res"] < 1e-3
-                and self.solve_info["v_res"] < 1e-3):
+        if not (vals["p_res"] < 1e-3 and vals["v_res"] < 1e-3):
             raise FloatingPointError(
-                f"implicit solve did not converge: {self.solve_info}"
+                f"implicit solve did not converge: {vals}"
             )
 
     # -- internals ---------------------------------------------------------
