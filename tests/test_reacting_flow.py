@@ -192,3 +192,47 @@ def test_reacting_ionization_equilibrium_consistency():
     assert np.all(dY[:, 0] > 0)  # net ionization
     # ionization consumes energy: heat release negative
     assert np.all(np.asarray(dT) < 0)
+
+
+def test_p_thermo_reaches_jitted_step():
+    """Regression: the thermodynamic pressure must flow into the jitted
+    step as an ARGUMENT.  A closed-over python float is baked at the first
+    trace, so closed-system pressure updates would silently never affect
+    the in-step density/chemistry."""
+    import jax.numpy as jnp
+
+    from tps_tpu.fem import h1
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.solvers.lomach.base import TemporalCoefficients
+    from tps_tpu.solvers.lomach.reacting_flow import ReactingFlow
+
+    tab = h1.build_h1(box_2d(4, 4), order=1).to_jax(jnp.float64)
+
+    def make():
+        rf = ReactingFlow(
+            tab, flow=None, species_names=("A", "B"),
+            mw=(0.028, 0.032), molar_cv_over_R=(2.5, 2.5),
+            formation_energy=(0.0, 0.0), chemistry=None,
+            p_thermo=101325.0, T_init=300.0,
+            Y_init=np.asarray([0.5, 0.5]),
+        )
+        # non-uniform T so diffusion does something
+        x = np.asarray(tab.xyz)[:, 0]
+        rf.T = jnp.asarray(300.0 + 50.0 * x)
+        rf.T_hist = [rf.T, rf.T]
+        return rf
+
+    coeff = TemporalCoefficients.bdf(1)
+    # baseline: two steps at constant pressure
+    a = make()
+    a.step(coeff, 1e-4)
+    a.step(coeff, 1e-4)
+    T_ref = np.asarray(a.T)
+
+    # same instance, pressure changed AFTER the jit traced: the second
+    # step must see the new value (with the closure bug it would not)
+    b = make()
+    b.step(coeff, 1e-4)
+    b.p_thermo = 2.0 * 101325.0
+    b.step(coeff, 1e-4)
+    assert not np.allclose(np.asarray(b.T), T_ref, rtol=1e-12, atol=0)

@@ -135,14 +135,15 @@ class ReactingFlow(ThermoChemBase):
         return jnp.einsum("ns,s->n", jnp.maximum(Y, 0.0),
                           jnp.asarray(self.molar_cp / self.mw))
 
-    def _conserved_state(self, T, Y, vel=None):
+    def _conserved_state(self, T, Y, vel=None, p=None):
         """Per-node conserved state in the mixture's layout, for the shared
         transport/EOS machinery (reference: evaluatePlasmaConductivityGF
         builds exactly this primitive->conserved state,
         src/reactingFlow.cpp:3192-3227)."""
         mix = self.mixture
+        p = self.p_thermo if p is None else p
         W = self._mixture_mw(Y)
-        rho = self.p_thermo * W / (_R * T)
+        rho = p * W / (_R * T)
         nd = T.shape[0]
         nvel = mix.nvel
         if vel is None:
@@ -159,7 +160,7 @@ class ReactingFlow(ThermoChemBase):
         Up = jnp.concatenate(parts, axis=-1)
         return mix.conservatives(Up), Up
 
-    def _transport_props(self, T, Y):
+    def _transport_props(self, T, Y, p=None):
         """Per-species rho*D [nd, nsp], viscosity, conductivity from the
         molecular transport model (full tier) or Pr/Sc closures."""
         if self.transport is None or self.mixture is None:
@@ -170,12 +171,13 @@ class ReactingFlow(ThermoChemBase):
                                     Y.shape)  # rho D, all species equal
             return diff, mu, kappa
         mix = self.mixture
-        U, Up = self._conserved_state(T, Y)
+        p = self.p_thermo if p is None else p
+        U, Up = self._conserved_state(T, Y, p=p)
         zeros_grad = jnp.zeros(U.shape[:-1] + (mix.num_equations, mix.dim),
                                U.dtype)
         props = self.transport.flux_properties(mix, U, Up, zeros_grad)
         W = self._mixture_mw(Y)
-        rho = self.p_thermo * W / (_R * T)
+        rho = p * W / (_R * T)
         # diffusivity is per-species D_s [m^2/s] -> rho D_s
         diff = rho[:, None] * props["diffusivity"]
         kappa = props["kappa"] + props.get("kappa_e", 0.0)
@@ -222,14 +224,17 @@ class ReactingFlow(ThermoChemBase):
         )
         (self.T, self.Y, self.Qt, T_hist, Y_hist) = self._step_jit(
             self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
-            vel, self.joule_heating, jnp.asarray(dt), order=coeff.order,
+            vel, self.joule_heating, jnp.asarray(self.p_thermo),
+            jnp.asarray(dt), order=coeff.order,
         )
         self.T_hist = list(T_hist)
         self.Y_hist = list(Y_hist)
         if self.closed_system:
+            # device-scalar update (no per-step host sync; flows back into
+            # the next step as an argument)
             W = self._mixture_mw(self.Y)
-            inv = float(h1.integrate(self.tab, W / self.T))
-            self.p_thermo = self._mass0 * _R / inv
+            self.p_thermo = self._mass0 * _R / h1.integrate(
+                self.tab, W / self.T)
 
     def _helmholtz_solve(self, rho_c, kappa, x0, rhs, bd0, dt, mask, bc_vals):
         tab = self.tab
@@ -263,10 +268,11 @@ class ReactingFlow(ThermoChemBase):
         Y = Y.at[:, -1].set(jnp.clip(1.0 - others, 0.0, 1.0))
         return Y / jnp.sum(Y, axis=-1, keepdims=True)
 
-    def _reaction_source(self, T, Y):
+    def _reaction_source(self, T, Y, p=None):
         """(dY/dt [1/s], heat release dT/dt [K/s]) at nodes."""
+        p = self.p_thermo if p is None else p
         W = self._mixture_mw(Y)
-        rho = self.p_thermo * W / (_R * T)
+        rho = p * W / (_R * T)
         mw = jnp.asarray(self.mw)
         n_sp = rho[:, None] * jnp.maximum(Y, 0.0) / mw
         _, creation = self.chemistry.source(n_sp, T, T)  # kg/m^3/s
@@ -277,16 +283,19 @@ class ReactingFlow(ThermoChemBase):
         dT = -jnp.einsum("ns,s->n", creation, hf_mass) / (rho * cp)
         return dY, dT
 
-    def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, dt, order):
+    def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, p_thermo, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
         Ml = h1.mass_lumped_diag(tab)
 
         W = self._mixture_mw(Y)
-        rho = self.p_thermo * W / (_R * T)
+        # p_thermo is an ARGUMENT, not a closure: a closed-over python float
+        # is baked at first trace and closed-system pressure updates would
+        # silently never reach the jitted step
+        rho = p_thermo * W / (_R * T)
         cp = self._cp_mass(Y)
-        diff, mu, kappa = self._transport_props(T, Y)
+        diff, mu, kappa = self._transport_props(T, Y, p=p_thermo)
 
         ones = jnp.ones_like(self.T_mask)
 
@@ -302,7 +311,7 @@ class ReactingFlow(ThermoChemBase):
             rhs = h1.mass_apply(tab, rho * (hist - adv))
             if not self.operator_split and self.chemistry is not None \
                     and self.chemistry.num_reactions > 0:
-                dY_all, _ = self._reaction_source(T, Y)
+                dY_all, _ = self._reaction_source(T, Y, p=p_thermo)
                 rhs = rhs + h1.mass_apply(tab, rho * dY_all[:, s])
             Y_new = Y_new.at[:, s].set(self._helmholtz_solve(
                 rho, diff[:, s], Y[:, s], rhs, bd[0], dt, ones,
@@ -330,7 +339,7 @@ class ReactingFlow(ThermoChemBase):
             src_T = src_T + self.radiation.energy_sink(T)  # negative sink
         if not self.operator_split and self.chemistry is not None \
                 and self.chemistry.num_reactions > 0:
-            _, dT_chem = self._reaction_source(T, Y)
+            _, dT_chem = self._reaction_source(T, Y, p=p_thermo)
             src_T = src_T + rc * dT_chem
         rhsT = rhsT + h1.mass_apply(tab, src_T)
         T_new = self._helmholtz_solve(rc, kappa, T, rhsT, bd[0], dt,
@@ -348,7 +357,7 @@ class ReactingFlow(ThermoChemBase):
 
             def substep(_, carry):
                 Ts, Ys = carry
-                dY, dT = self._reaction_source(Ts, Ys)
+                dY, dT = self._reaction_source(Ts, Ys, p=p_thermo)
                 Ys2 = self._close_species(Ys + dY_star + sub_dt * dY)
                 Ts2 = Ts + dT_star + sub_dt * dT
                 return (Ts2, Ys2)

@@ -128,8 +128,9 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         self.T_hist = list(hist)
         if self.closed_system:
             # adjust p_thermo to conserve mass: M = int p/(R T)
-            inv_T = float(h1.integrate(self.tab, 1.0 / self.T))
-            self.p_thermo = self._mass0 * self.R / inv_T
+            # (device scalar: no per-step host sync; consumed outside jit)
+            self.p_thermo = self._mass0 * self.R / h1.integrate(
+                self.tab, 1.0 / self.T)
 
     # -- internals ---------------------------------------------------------
     def _step_impl(self, T, T_hist, vel, rho, kappa, dt, order):
