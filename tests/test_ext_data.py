@@ -82,7 +82,7 @@ ny = 6
 [loMach]
 order = 2
 flow-solver = tomboulides
-thermo-solver = constant-property
+thermo-solver = calorically-perfect
 maxIters = 3
 [time]
 dt_fixed = 1e-3
@@ -113,6 +113,11 @@ type = viscous
     dofs = s.ext_data[0].dofs
     y = np.asarray(s.tab.xyz)[dofs, 1]
     assert np.abs(u[dofs, 0] - 4 * y * (1 - y)).max() < 0.1
+    # interpolated inlet TEMPERATURE became a Dirichlet value on the patch
+    # (reference: temperature_gf_, src/gaussianInterpExtData.cpp)
+    T = np.asarray(s.thermo.T)
+    assert np.abs(T[dofs] - 300.0).max() < 1e-6
+    assert np.asarray(s.thermo.T_mask)[dofs].max() == 0.0
 
 
 def test_read_profile_formats(tmp_path):

@@ -90,7 +90,8 @@ class TomboulidesAxisym(Tomboulides):
                 self.u, self.p, self.ut,
                 tuple(self.u_hist), tuple(self.N_hist),
                 tuple(self.ut_hist), tuple(self.Nt_hist),
-                rho, mu, qt, self.vel_bc_values, jnp.asarray(dt),
+                rho, mu, qt, self.vel_bc_values, self.swirl_bc_values,
+                jnp.asarray(dt),
                 order=coeff.order,
             )
         self.u_hist = list(u_hist)
@@ -100,7 +101,7 @@ class TomboulidesAxisym(Tomboulides):
 
     # ------------------------------------------------------------------
     def _step_impl_axi(self, u, p, ut, u_hist, N_hist, ut_hist, Nt_hist,
-                       rho, mu, qt, ubc_vals, dt, order):
+                       rho, mu, qt, ubc_vals, sbc_vals, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -242,7 +243,10 @@ class TomboulidesAxisym(Tomboulides):
                        + bd[3] * ut_hist[1]) / dt
             rhs_t = h1.mass_apply(tab, rho * (hist_t + Nt_ext), coef=rq)
             smask = self.swirl_mask
-            sbc = self.swirl_bc_values
+            # sbc comes in as an ARGUMENT: a closed-over device array is
+            # baked at first trace and external-data swirl ramping would
+            # silently never reach the jitted step
+            sbc = sbc_vals
             lift = helm((sbc * (1.0 - smask))[:, None], True)[:, 0]
             rhs_t = (rhs_t - lift) * smask
             diag_t = (diag_base + diag_extra) * smask + (1.0 - smask)

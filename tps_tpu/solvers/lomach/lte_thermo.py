@@ -90,11 +90,11 @@ class LteThermoChem(ThermoChemBase):
         )
         self.T, self.Qt, hist = self._step_jit(
             self.T, tuple(self.T_hist), vel, self.joule_heating,
-            jnp.asarray(dt), order=coeff.order,
+            self.T_bc, self.T_mask, jnp.asarray(dt), order=coeff.order,
         )
         self.T_hist = list(hist)
 
-    def _step_impl(self, T, T_hist, vel, qj, dt, order):
+    def _step_impl(self, T, T_hist, vel, qj, tbc_vals, tmask, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -115,8 +115,9 @@ class LteThermoChem(ThermoChemBase):
         )
         rhs = h1.mass_apply(tab, rho_cp * (hist - adv) + src, coef=wq)
 
-        mask = self.T_mask
-        Tbc = self.T_bc
+        mask = tmask
+        # argument, not closure (see thermo_chem._step_impl)
+        Tbc = tbc_vals
 
         def helm(v):
             return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq) + \

@@ -605,15 +605,30 @@ class LoMachSolver(Solver):
 
             vals = self.flow.vel_bc_values
             swirl = getattr(self.flow, "swirl_bc_values", None)
+            tvals = getattr(self.thermo, "T_bc_values",
+                            getattr(self.thermo, "T_bc", None))
+            tmask = getattr(self.thermo, "T_mask", None)
             for ed in self.ext_data:
                 ed.step()
-                vals = vals.at[jnp.asarray(ed.dofs)].set(ed.velocity_values())
+                dofs = jnp.asarray(ed.dofs)
+                vals = vals.at[dofs].set(ed.velocity_values())
                 sv = ed.swirl_values()
                 if swirl is not None and sv is not None:
-                    swirl = swirl.at[jnp.asarray(ed.dofs)].set(sv)
+                    swirl = swirl.at[dofs].set(sv)
+                if tvals is not None and tmask is not None:
+                    # interpolated inlet temperature (reference:
+                    # temperature_gf_, src/gaussianInterpExtData.cpp)
+                    tvals = tvals.at[dofs].set(ed.temperature_values())
+                    tmask = tmask.at[dofs].set(0.0)
             self.flow.vel_bc_values = vals
             if swirl is not None:
                 self.flow.swirl_bc_values = swirl
+            if tvals is not None and tmask is not None:
+                if hasattr(self.thermo, "T_bc_values"):
+                    self.thermo.T_bc_values = tvals
+                else:
+                    self.thermo.T_bc = tvals
+                self.thermo.T_mask = tmask
         t0 = _time.perf_counter()
         self.thermo.step(coeff, self.dt)
         t1 = _time.perf_counter()

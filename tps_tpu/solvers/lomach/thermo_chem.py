@@ -122,7 +122,8 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
             # (reference: src/calorically_perfect.cpp:463)
             kappa = kappa * self.sponge.multiplier()
         self.T, self.Qt, hist = self._step_jit(
-            self.T, tuple(self.T_hist), vel, rho, kappa, jnp.asarray(dt),
+            self.T, tuple(self.T_hist), vel, rho, kappa,
+            self.T_bc_values, self.T_mask, jnp.asarray(dt),
             order=coeff.order,
         )
         self.T_hist = list(hist)
@@ -133,7 +134,7 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
                 self.tab, 1.0 / self.T)
 
     # -- internals ---------------------------------------------------------
-    def _step_impl(self, T, T_hist, vel, rho, kappa, dt, order):
+    def _step_impl(self, T, T_hist, vel, rho, kappa, tbc_vals, tmask, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -152,8 +153,10 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         if self.heat_source is not None:
             rhs = rhs + h1.mass_apply(tab, self.heat_source(tab.xyz), coef=wq)
 
-        mask = self.T_mask
-        Tbc = self.T_bc_values
+        mask = tmask
+        # argument, not closure: interpolated-inlet temperatures update
+        # per step and a closed-over array would be baked at first trace
+        Tbc = tbc_vals
 
         if self.sw_stab:
             # SUPG: anisotropic streamwise diffusion
