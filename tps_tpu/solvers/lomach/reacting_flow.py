@@ -225,7 +225,7 @@ class ReactingFlow(ThermoChemBase):
         (self.T, self.Y, self.Qt, T_hist, Y_hist) = self._step_jit(
             self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
             vel, self.joule_heating, jnp.asarray(self.p_thermo),
-            jnp.asarray(dt), order=coeff.order,
+            self.T_bc, self.T_mask, jnp.asarray(dt), order=coeff.order,
         )
         self.T_hist = list(T_hist)
         self.Y_hist = list(Y_hist)
@@ -283,7 +283,8 @@ class ReactingFlow(ThermoChemBase):
         dT = -jnp.einsum("ns,s->n", creation, hf_mass) / (rho * cp)
         return dY, dT
 
-    def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, p_thermo, dt, order):
+    def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, p_thermo,
+                   tbc_vals, tmask, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -297,7 +298,7 @@ class ReactingFlow(ThermoChemBase):
         cp = self._cp_mass(Y)
         diff, mu, kappa = self._transport_props(T, Y, p=p_thermo)
 
-        ones = jnp.ones_like(self.T_mask)
+        ones = jnp.ones_like(tmask)
 
         # ---- PART I: implicit advection-diffusion transport ----
         # active species only; electron (ambipolar) and the background are
@@ -343,7 +344,7 @@ class ReactingFlow(ThermoChemBase):
             src_T = src_T + rc * dT_chem
         rhsT = rhsT + h1.mass_apply(tab, src_T)
         T_new = self._helmholtz_solve(rc, kappa, T, rhsT, bd[0], dt,
-                                      self.T_mask, self.T_bc)
+                                      tmask, tbc_vals)
 
         # ---- PART II: operator-split chemistry substeps ----
         # star increments distribute the transport delta over the substeps
@@ -363,7 +364,7 @@ class ReactingFlow(ThermoChemBase):
                 return (Ts2, Ys2)
 
             T_new, Y_new = jax.lax.fori_loop(0, nsub, substep, (T, Y))
-            T_new = T_new * self.T_mask + self.T_bc * (1.0 - self.T_mask)
+            T_new = T_new * tmask + tbc_vals * (1.0 - tmask)
 
         # ---- thermal divergence Qt = (1/T) DT/Dt - (1/W) DW/Dt ----
         dTdt = (bd[0] * T_new + bd[1] * T + bd[2] * T_hist[0]
