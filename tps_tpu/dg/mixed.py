@@ -176,6 +176,22 @@ def make_bc_slices(mt: MixedDGTables, bc_by_attr: dict):
     return tuple(out)
 
 
+
+def _interface_bdr_up2(mt, trUp, b, tab):
+    """Exterior primitive state on bucket b's boundary block: own trace on
+    real boundary faces (zero jump), partner-bucket trace on the interface
+    tail.  Shared by the RHS gradient stage and the stateful-BC boundary
+    data so the two can never diverge."""
+    import jax.numpy as jnp
+
+    rows_b = tab.f_elem_l[tab.nfi:] * tab.nlf + tab.f_slot_l[tab.nfi:]
+    own_b = trUp[b][rows_b]
+    partner = jnp.take_along_axis(
+        trUp[1 - b][mt.partner_row[b]],
+        mt.partner_qperm[b][..., None], axis=1)
+    return own_b.at[tab.nfb - mt.n_iface:].set(partner)
+
+
 def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
     """Mixed-mesh RHS: per-bucket slot face sweeps with interface fluxes
     evaluated against partner-bucket traces.  Mirrors compute_rhs
@@ -211,17 +227,7 @@ def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
             trUp[b] = elem_traces(tab, Ups[b]).reshape(
                 Us[b].shape[0] * tab.nlf, tab.nqf, neq)
         for b, tab in enumerate(mt.buckets):
-            bdr_up2 = None
-            if nif:
-                # exterior state on the bdr block: own trace on real
-                # boundary faces (zero jump), partner trace on interfaces
-                rows_b = tab.f_elem_l[tab.nfi:] * tab.nlf \
-                    + tab.f_slot_l[tab.nfi:]
-                own_b = trUp[b][rows_b]
-                partner = jnp.take_along_axis(
-                    trUp[1 - b][mt.partner_row[b]],
-                    mt.partner_qperm[b][..., None], axis=1)
-                bdr_up2 = own_b.at[tab.nfb - nif:].set(partner)
+            bdr_up2 = _interface_bdr_up2(mt, trUp, b, tab) if nif else None
             grads[b] = dg_gradient(tab, Ups[b], bdr_up2=bdr_up2)
 
     # ---- per-bucket trace data [U | grad] ----
@@ -356,15 +362,7 @@ def _mixed_boundary_data(mt, ctxs, Us, need_grad):
         ne, ndof = Us[b].shape[0], Us[b].shape[1]
         gLb = None
         if need_grad:
-            bdr_up2 = None
-            if nif:
-                rows_b = tab.f_elem_l[tab.nfi:] * tab.nlf \
-                    + tab.f_slot_l[tab.nfi:]
-                own_up = trUp[b][rows_b]
-                partner = jnp.take_along_axis(
-                    trUp[1 - b][mt.partner_row[b]],
-                    mt.partner_qperm[b][..., None], axis=1)
-                bdr_up2 = own_up.at[tab.nfb - nif:].set(partner)
+            bdr_up2 = _interface_bdr_up2(mt, trUp, b, tab) if nif else None
             grad = dg_gradient(tab, Ups[b], bdr_up2=bdr_up2)
             X = jnp.concatenate(
                 [Ucl[b], grad.reshape(ne, ndof, neq * tab.dim)], -1)

@@ -702,6 +702,12 @@ class CompressibleSolver(PlasmaSolver):
         mcs = getattr(self, "_last_mcs", None)
         if mcs is None:
             mcs = float(self._mcs_queue[-1][1])  # startup: synchronous
+            if not np.isfinite(mcs):
+                self.check_nan(verbose=True)
+                raise FloatingPointError(
+                    f"NaN/Inf detected at iteration {self.iter} "
+                    f"(t={self.time:.6e})"
+                )
 
         if not (rc.constant_dt or rc.dt_fixed > 0):
             self.dt = rc.cfl * self.hmin / mcs / self.mesh.dim
@@ -715,6 +721,9 @@ class CompressibleSolver(PlasmaSolver):
             )
             self._wall0 = _time.perf_counter()
         if self._restart_io_ready() and self.iter % rc.output_freq == 0:
+            # flush pending NaN guards first so a checkpoint can never
+            # overwrite the last good state with NaN fields
+            self._drain_mcs_queue(0)
             self.write_restart()
 
         # job management (reference: Check_JobResubmit / DIE-file hooks,
@@ -729,12 +738,14 @@ class CompressibleSolver(PlasmaSolver):
 
             if check_die_file(rc.outdir):
                 print("DIE file detected: exiting early", flush=True)
+                self._drain_mcs_queue(0)
                 if self._restart_io_ready():
                     self.write_restart()
                 self.status = STATUS_EARLY_EXIT
             elif rc.enable_auto_restart and job_almost_done(rc.rm_threshold):
                 print("walltime threshold reached: checkpoint + resubmit",
                       flush=True)
+                self._drain_mcs_queue(0)
                 if not self._restart_io_ready():
                     self._init_io()
                 self.write_restart()

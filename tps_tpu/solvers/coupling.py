@@ -245,3 +245,8 @@ class IndependentCoupling(Solver):
         self.flow.solve_step()
         self.iter = self.flow.iter
         self.time = self.flow.time
+
+    def solve_end(self):
+        # delegates the flow solver's teardown (flushes the deferred
+        # async NaN guards, writes the final restart)
+        self.flow.solve_end()

@@ -85,12 +85,13 @@ class TomboulidesAxisym(Tomboulides):
         if self.sponge is not None:
             mu = mu * self.sponge.multiplier()
         qt = self.thermo.thermal_divergence()
+        ubc = self._ramped_ubc(dt)  # apply rampTime scaling (base class)
         (self.u, self.p, self.ut, u_hist, N_hist, ut_hist, Nt_hist) = \
             self._step_jit(
                 self.u, self.p, self.ut,
                 tuple(self.u_hist), tuple(self.N_hist),
                 tuple(self.ut_hist), tuple(self.Nt_hist),
-                rho, mu, qt, self.vel_bc_values, self.swirl_bc_values,
+                rho, mu, qt, ubc, self.swirl_bc_values,
                 jnp.asarray(dt),
                 order=coeff.order,
             )

@@ -469,6 +469,19 @@ class LoMachSolver(Solver):
                 GaussianInterpExtData(self.tab, fname, (patch,),
                                       ramp_steps=ramp)
             )
+        if self.ext_data:
+            import jax.numpy as jnp
+
+            for ed in self.ext_data:
+                ed.dofs_dev = jnp.asarray(ed.dofs)
+            # interpolated-inlet temperature patches become Dirichlet ONCE
+            # (the mask never changes; values update per step)
+            if getattr(self.thermo, "T_mask", None) is not None \
+                    and getattr(self.thermo, "T_bc", None) is not None:
+                tmask = self.thermo.T_mask
+                for ed in self.ext_data:
+                    tmask = tmask.at[ed.dofs_dev].set(0.0)
+                self.thermo.T_mask = tmask
 
         # turbulence model (reference: src/loMach.cpp:153-177 +
         # loMach_options turb_model_map_)
@@ -605,30 +618,24 @@ class LoMachSolver(Solver):
 
             vals = self.flow.vel_bc_values
             swirl = getattr(self.flow, "swirl_bc_values", None)
-            tvals = getattr(self.thermo, "T_bc_values",
-                            getattr(self.thermo, "T_bc", None))
-            tmask = getattr(self.thermo, "T_mask", None)
+            tvals = getattr(self.thermo, "T_bc", None)
             for ed in self.ext_data:
                 ed.step()
-                dofs = jnp.asarray(ed.dofs)
+                dofs = ed.dofs_dev
                 vals = vals.at[dofs].set(ed.velocity_values())
                 sv = ed.swirl_values()
                 if swirl is not None and sv is not None:
                     swirl = swirl.at[dofs].set(sv)
-                if tvals is not None and tmask is not None:
+                if tvals is not None:
                     # interpolated inlet temperature (reference:
-                    # temperature_gf_, src/gaussianInterpExtData.cpp)
+                    # temperature_gf_, src/gaussianInterpExtData.cpp);
+                    # the mask was set once at initialization
                     tvals = tvals.at[dofs].set(ed.temperature_values())
-                    tmask = tmask.at[dofs].set(0.0)
             self.flow.vel_bc_values = vals
             if swirl is not None:
                 self.flow.swirl_bc_values = swirl
-            if tvals is not None and tmask is not None:
-                if hasattr(self.thermo, "T_bc_values"):
-                    self.thermo.T_bc_values = tvals
-                else:
-                    self.thermo.T_bc = tvals
-                self.thermo.T_mask = tmask
+            if tvals is not None:
+                self.thermo.T_bc = tvals
         t0 = _time.perf_counter()
         self.thermo.step(coeff, self.dt)
         t1 = _time.perf_counter()
@@ -668,6 +675,10 @@ class LoMachSolver(Solver):
                 flush=True,
             )
             self._wall0 = _time.perf_counter()
+            if hasattr(self.flow, "finalize"):
+                # flush the deferred convergence check so a checkpoint can
+                # never capture a diverged solve
+                self.flow.finalize()
             self.write_restart()
 
     # -- restart (reference: src/loMachIO.cpp restart_files_hdf5) ----------

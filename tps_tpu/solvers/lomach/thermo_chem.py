@@ -93,14 +93,27 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         self.T = self.T * self.T_mask + self.T_bc_values * (1.0 - self.T_mask)
         self.T_hist = [self.T, self.T]
 
+    # uniform BC-array name across thermo models (LteThermoChem and
+    # ReactingFlow call it T_bc); the solver's ext-data wiring uses T_bc
+    @property
+    def T_bc(self):
+        return self.T_bc_values
+
+    @T_bc.setter
+    def T_bc(self, v):
+        self.T_bc_values = v
+
     def density(self):
         return self.p_thermo / (self.R * self.T)
 
-    def viscosity(self):
+    def viscosity(self, T=None):
+        # T defaults to the stored field; jitted callers must pass their
+        # traced T (a closure read would bake the initial field)
+        T = self.T if T is None else T
         if self.constant_mu is not None:
             return jnp.full(self.tab.ndofs, self.constant_mu)
-        return self.mu0 * (self.T / self.sT0) ** 1.5 * (
-            (self.sT0 + self.sS0) / (self.T + self.sS0)
+        return self.mu0 * (T / self.sT0) ** 1.5 * (
+            (self.sT0 + self.sS0) / (T + self.sS0)
         )
 
     def conductivity(self):
@@ -166,7 +179,7 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
             umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))
             rho_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, rho))
             mu_q = jnp.einsum(
-                "qd,nd->nq", tab.Bvol, h1.gather(tab, self.viscosity())
+                "qd,nd->nq", tab.Bvol, h1.gather(tab, self.viscosity(T))
             )
             h_q = h1.grid_scale_q(tab, getattr(tab, "order", 1))
             Reh = rho_q * h_q * umag / jnp.maximum(mu_q, 1e-300)

@@ -158,13 +158,7 @@ class Tomboulides(FlowBase):
             # (reference: src/tomboulides.cpp:2077)
             mu = mu * self.sponge.multiplier()
         qt = self.thermo.thermal_divergence()
-        self._time = getattr(self, "_time", 0.0) + dt
-        ubc = self.vel_bc_values
-        for (jd, v, ramp) in self._vel_ramps:
-            # linear ramp toward the target value (reference: coefficient
-            # SetTime on the velocity dbcs)
-            w = min(max(self._time / ramp, 0.0), 1.0)
-            ubc = ubc.at[jd].set(w * v)
+        ubc = self._ramped_ubc(dt)
         (self.u, self.p, u_hist, N_hist, info) = self._step_jit(
             self.u, self.p, tuple(self.u_hist), tuple(self.N_hist),
             rho, mu, qt, ubc, jnp.asarray(dt),
@@ -209,6 +203,17 @@ class Tomboulides(FlowBase):
             raise FloatingPointError(
                 f"implicit solve did not converge: {vals}"
             )
+
+    def _ramped_ubc(self, dt):
+        """Velocity Dirichlet values with time ramps applied (reference:
+        coefficient SetTime on the velocity dbcs).  Shared with the
+        axisymmetric subclass."""
+        self._time = getattr(self, "_time", 0.0) + dt
+        ubc = self.vel_bc_values
+        for (jd, v, ramp) in self._vel_ramps:
+            w = min(max(self._time / ramp, 0.0), 1.0)
+            ubc = ubc.at[jd].set(w * v)
+        return ubc
 
     # -- internals ---------------------------------------------------------
     def _convection(self, u):
