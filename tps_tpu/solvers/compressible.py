@@ -691,6 +691,8 @@ class CompressibleSolver(PlasmaSolver):
         (a few steps late); CFL uses the newest arrived value — the
         reference's own dt also trails the state by one RK stage."""
         rc = self.config
+        cfl_mode = not (rc.constant_dt or rc.dt_fixed > 0)
+        lag = 0 if cfl_mode else int(getattr(rc, "mcs_lag", 8))
         try:
             mcs.copy_to_host_async()
         except AttributeError:
@@ -698,7 +700,11 @@ class CompressibleSolver(PlasmaSolver):
         if not hasattr(self, "_mcs_queue"):
             self._mcs_queue = []
         self._mcs_queue.append((self.iter, mcs))
-        self._drain_mcs_queue(int(getattr(rc, "mcs_lag", 8)))
+        # CFL-controlled runs drain synchronously: dt must come from THIS
+        # step's wave speed or the trajectory depends on the async queue
+        # history and restarts are no longer bit-reproducible (the fixed-dt
+        # path keeps the lag -- there dt never depends on mcs)
+        self._drain_mcs_queue(lag)
         mcs = getattr(self, "_last_mcs", None)
         if mcs is None:
             mcs = float(self._mcs_queue[-1][1])  # startup: synchronous
@@ -709,7 +715,7 @@ class CompressibleSolver(PlasmaSolver):
                     f"(t={self.time:.6e})"
                 )
 
-        if not (rc.constant_dt or rc.dt_fixed > 0):
+        if cfl_mode:
             self.dt = rc.cfl * self.hmin / mcs / self.mesh.dim
 
         if self.iter % rc.timing_freq == 0:
