@@ -107,19 +107,18 @@ def build_hcurl(mesh, quad_order=3) -> HCurlTables:
     elems = mesh.elements  # [ne, 8]
 
     # global edges by sorted vertex pair (periodic meshes: vertex ids are
-    # already glued by the mesh generator's periodic mapping if any)
-    edge_ids = {}
-    elem_edges = np.zeros((ne, 12), dtype=np.int64)
-    edge_sign = np.zeros((ne, 12))
-    for n in range(ne):
-        for e, (l0, l1) in enumerate(_HEX_EDGES):
-            g0, g1 = int(elems[n, l0]), int(elems[n, l1])
-            key = (min(g0, g1), max(g0, g1))
-            if key not in edge_ids:
-                edge_ids[key] = len(edge_ids)
-            elem_edges[n, e] = edge_ids[key]
-            edge_sign[n, e] = 1.0 if g0 < g1 else -1.0
-    nedge = len(edge_ids)
+    # already glued by the mesh generator's periodic mapping if any);
+    # vectorized: encode each pair as one int64 key and np.unique
+    epairs = elems[:, np.asarray(_HEX_EDGES, dtype=np.int64)]  # [ne, 12, 2]
+    g0 = epairs[..., 0]
+    g1 = epairs[..., 1]
+    nv = int(elems.max()) + 1
+    ekey = (np.minimum(g0, g1) * np.int64(nv)
+            + np.maximum(g0, g1)).reshape(-1)
+    uniq_keys, elem_edges = np.unique(ekey, return_inverse=True)
+    elem_edges = elem_edges.reshape(ne, 12).astype(np.int64)
+    edge_sign = np.where(g0 < g1, 1.0, -1.0)
+    nedge = int(elem_edges.max()) + 1
 
     # quadrature + geometry
     x1, w1 = gauss_legendre_1d(quad_order)
@@ -137,18 +136,20 @@ def build_hcurl(mesh, quad_order=3) -> HCurlTables:
     Jinv = np.linalg.inv(J)
     xyz_q = np.einsum("qv,nvi->nqi", Ngeo, ev)
 
-    # boundary edges: edges of boundary faces
-    bset = set()
-    face_pairs = {4: [(0, 1), (1, 2), (2, 3), (3, 0)]}
-    for bf in range(len(mesh.bdr_faces)):
-        verts = mesh.bdr_faces[bf]
-        nv = len(verts)
-        for i in range(nv):
-            g0, g1 = int(verts[i]), int(verts[(i + 1) % nv])
-            key = (min(g0, g1), max(g0, g1))
-            if key in edge_ids:
-                bset.add(edge_ids[key])
-    bdr_edges = np.array(sorted(bset), dtype=np.int64)
+    # boundary edges: edges of boundary faces (vectorized key lookup;
+    # unique keys are sorted, so the searchsorted position IS the edge id)
+    if len(mesh.bdr_faces):
+        bf = np.asarray(mesh.bdr_faces, dtype=np.int64)  # [nbf, 4]
+        b0 = bf
+        b1 = np.roll(bf, -1, axis=1)
+        bkeys = (np.minimum(b0, b1) * np.int64(nv)
+                 + np.maximum(b0, b1)).reshape(-1)
+        pos = np.searchsorted(uniq_keys, bkeys)
+        pos = np.clip(pos, 0, len(uniq_keys) - 1)
+        hit = uniq_keys[pos] == bkeys
+        bdr_edges = np.unique(pos[hit]).astype(np.int64)
+    else:
+        bdr_edges = np.zeros(0, dtype=np.int64)
 
     return HCurlTables(
         dim=3, ne=ne, nedge=nedge, elem_edges=elem_edges,

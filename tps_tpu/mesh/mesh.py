@@ -79,33 +79,55 @@ class Mesh:
 
     # ------------------------------------------------------------------
     def build_faces(self) -> FaceInfo:
-        """Discover interior/boundary faces by canonical vertex keys."""
+        """Discover interior/boundary faces by canonical vertex keys.
+
+        The grouping runs in the native hash-join kernel
+        (native/setup_kernels.cpp build_face_topology) with a vectorized
+        numpy unique/argsort fallback; only the (small) boundary set is
+        post-processed in python for attributes and periodic gluing."""
         lf_defs = self.local_faces
         ne = self.num_elements
         nlf = len(lf_defs)
 
-        # canonical key for each (elem, local face)
-        face_map: dict[tuple, list[tuple[int, int]]] = {}
-        for e in range(ne):
-            ev = self.elements[e]
-            for lf, fv in enumerate(lf_defs):
-                key = tuple(sorted(int(ev[v]) for v in fv))
-                face_map.setdefault(key, []).append((e, lf))
+        # canonical keys, vectorized: [ne*nlf, nvpf] sorted vertex ids
+        lf_arr = np.asarray(lf_defs, dtype=np.int64)  # [nlf, nvpf]
+        verts = self.elements[:, lf_arr]  # [ne, nlf, nvpf]
+        keys = np.sort(verts, axis=-1).reshape(ne * nlf, -1).astype(np.int64)
+        rec_e = np.repeat(np.arange(ne, dtype=np.int32), nlf)
+        rec_lf = np.tile(np.arange(nlf, dtype=np.int32), ne)
 
-        int_l, int_lfl, int_r, int_lfr, int_shift = [], [], [], [], []
+        from .. import native as _native
+
+        nat = _native.face_topology(keys, rec_e, rec_lf)
+        if nat is not None:
+            int_l, int_lfl, int_r, int_lfr, bdr_e_arr, bdr_lf_arr = \
+                (list(a) for a in nat)
+        else:
+            # numpy fallback: group records by unique key
+            _, inv, counts = np.unique(
+                keys, axis=0, return_inverse=True, return_counts=True
+            )
+            if counts.max(initial=0) > 2:
+                raise ValueError("a face is shared by more than 2 elements")
+            order = np.argsort(inv, kind="stable")
+            cnt_per_rec = counts[inv[order]]
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            pos = np.arange(len(order)) - starts[inv[order]]
+            paired = cnt_per_rec == 2
+            first = order[paired & (pos == 0)]
+            second = order[paired & (pos == 1)]
+            single = order[cnt_per_rec == 1]
+            int_l = list(rec_e[first])
+            int_lfl = list(rec_lf[first])
+            int_r = list(rec_e[second])
+            int_lfr = list(rec_lf[second])
+            bdr_e_arr = rec_e[single]
+            bdr_lf_arr = rec_lf[single]
+        int_shift = [np.zeros(self.dim) for _ in int_l]
         unmatched: dict[tuple, tuple[int, int]] = {}
-        for key, owners in face_map.items():
-            if len(owners) == 2:
-                (e1, lf1), (e2, lf2) = owners
-                int_l.append(e1)
-                int_lfl.append(lf1)
-                int_r.append(e2)
-                int_lfr.append(lf2)
-                int_shift.append(np.zeros(self.dim))
-            elif len(owners) == 1:
-                unmatched[key] = owners[0]
-            else:
-                raise ValueError(f"face {key} shared by {len(owners)} elements")
+        for e, lf in zip(bdr_e_arr, bdr_lf_arr):
+            key = tuple(int(v) for v in keys[int(e) * nlf + int(lf)])
+            unmatched[key] = (int(e), int(lf))
 
         # boundary faces: match unmatched faces to bdr_faces list for attrs
         bdr_key_to_idx = {}

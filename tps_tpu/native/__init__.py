@@ -70,6 +70,34 @@ def get_lib():
 # -- high-level wrappers ----------------------------------------------------
 
 
+def face_topology(keys: np.ndarray, rec_e: np.ndarray, rec_lf: np.ndarray):
+    """Group (element, local face) records by canonical vertex key.
+
+    keys [n_records, nvpf] int64 (sorted vertex ids per record).
+    Returns (int_l, int_lfl, int_r, int_lfr, bdr_e, bdr_lf) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, nvpf = keys.shape
+    int_l = np.zeros(n, dtype=np.int32)
+    int_lfl = np.zeros(n, dtype=np.int32)
+    int_r = np.zeros(n, dtype=np.int32)
+    int_lfr = np.zeros(n, dtype=np.int32)
+    bdr_e = np.zeros(n, dtype=np.int32)
+    bdr_lf = np.zeros(n, dtype=np.int32)
+    n_bdr = ctypes.c_int64(0)
+    n_int = lib.build_face_topology(
+        np.ascontiguousarray(keys, np.int64),
+        np.ascontiguousarray(rec_e, np.int32),
+        np.ascontiguousarray(rec_lf, np.int32),
+        n, nvpf, int_l, int_lfl, int_r, int_lfr, bdr_e, bdr_lf,
+        ctypes.byref(n_bdr),
+    )
+    nb = n_bdr.value
+    return (int_l[:n_int], int_lfl[:n_int], int_r[:n_int], int_lfr[:n_int],
+            bdr_e[:nb], bdr_lf[:nb])
+
+
 def match_face_points(xl: np.ndarray, xr: np.ndarray):
     """qperm[nfi, nqf] aligning R points to L points; None if native absent."""
     lib = get_lib()
