@@ -114,6 +114,21 @@ def slot_traces(tab, X):
     return own, nbr
 
 
+def perface_own_traces(tab, X):
+    """Own-side per-face fused trace buffers only (boundary-data paths
+    that do not need neighbors): tuple of nlf arrays [ne, nqf*k]."""
+    ne, ndof, k = X.shape
+    nqf = tab.nqf
+    X2 = X.reshape(ne, ndof * k)
+    eye_k = jnp.eye(k, dtype=X.dtype)
+    out = []
+    for lf in range(tab.nlf):
+        B = tab.Btr_or[lf * nqf : (lf + 1) * nqf]  # identity combos first
+        K = jnp.einsum("sd,ef->desf", B, eye_k).reshape(ndof * k, nqf * k)
+        out.append(X2 @ K)
+    return tuple(out)
+
+
 def perface_traces(tab, X):
     """Per-face fused trace buffers + neighbors (the face sweep's inputs).
 

@@ -315,14 +315,16 @@ def _boundary_interior_data(ctx: RHSContext, tab, U, need_grad):
     grad_up = dg_gradient(tab, Up) if need_grad else None
 
     if tab.nbr_row is not None:
-        from .operators import elem_traces_or
+        from .operators import perface_own_traces
 
         if need_grad:
             X = jnp.concatenate([U, grad_up.reshape(ne, ndof, neq * dim)], -1)
         else:
             X = U
-        tr = elem_traces_or(tab, X)[:, : tab.nlf * tab.nqf, :]
-        own_b = tr.reshape(ne * tab.nlf, tab.nqf, X.shape[-1])[tab.bdr_slot]
+        own_pf = perface_own_traces(tab, X)
+        own_b = jnp.stack(own_pf, axis=1).reshape(
+            ne * tab.nlf, tab.nqf, X.shape[-1]
+        )[tab.bdr_slot]
         ULb = _clip_species(mix, own_b[..., :neq])
         gLb = (own_b[..., neq:].reshape(own_b.shape[:-1] + (neq, dim))
                if need_grad else None)
