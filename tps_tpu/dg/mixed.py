@@ -202,8 +202,7 @@ def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
         apply_minv,
         dg_gradient,
         elem_traces,
-        slot_traces,
-        trace_transpose,
+        perface_traces,
         volume_weak_div,
     )
     from .rhs import _clip_species
@@ -264,18 +263,40 @@ def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
     for b, tab in enumerate(mt.buckets):
         ctx = ctxs[b]
         ne, ndof = Us[b].shape[0], Us[b].shape[1]
-        own, nbr = slot_traces(tab, Xs[b])
-        U_own, g_own = _split(tab, own)
-        U_nbr, g_nbr = _split(tab, nbr)
-        flux_slot = _face_flux(
-            ctx, U_own, U_nbr, g_own, g_nbr, tab.nor_slot, tab.xyz_slot,
-            tab.delta[:, None, None], tab.delta_nbr[..., None])
-        flux_slot = flux_slot * tab.interior_mask[..., None, None]
+        nqf = tab.nqf
+        own_pf, nbr_pf = perface_traces(tab, Xs[b])
+
+        def _split2(Z2, _tab=tab, _ne=ne):
+            Z = Z2.reshape(_ne, _tab.nqf, -1)
+            Uz = _clip_species(mix, Z[..., :neq])
+            gz = (Z[..., neq:].reshape(Z.shape[:-1] + (neq, _tab.dim))
+                  if viscous else None)
+            return Uz, gz
+
+        # per-face fused sweep (same formulation as compute_rhs: fused
+        # minor dims, weights folded into nor_wpf)
+        z2 = jnp.zeros((ne, ndof * neq), dtype=Us[b].dtype)
+        eye_e = jnp.eye(neq, dtype=Us[b].dtype)
+        K_outs = []
+        for lf in range(tab.nlf):
+            U_own, g_own = _split2(own_pf[lf])
+            U_nbr, g_nbr = _split2(nbr_pf[lf])
+            norw = tab.nor_wpf[lf].reshape(ne, nqf, tab.dim)
+            flux = _face_flux(ctx, U_own, U_nbr, g_own, g_nbr, norw,
+                              tab.xyz_slot[:, lf],
+                              tab.delta[:, None, None],
+                              tab.delta_nbr[:, lf, None, None])
+            flux = flux * tab.interior_mask[:, lf, None, None]
+            B = tab.Btr[lf * nqf : (lf + 1) * nqf]
+            K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
+                nqf * neq, ndof * neq)
+            K_outs.append(K_out)
+            z2 = z2 + flux.reshape(ne, nqf * neq) @ K_out
 
         if tab.nfb:
             nfi = tab.nfi
-            own_b = own.reshape(ne * tab.nlf, tab.nqf, own.shape[-1]
-                                )[tab.bdr_slot]
+            own_b = jnp.stack(own_pf, axis=1).reshape(
+                ne * tab.nlf, nqf, Xs[b].shape[-1])[tab.bdr_slot]
             ULb, gLb = _split(tab, own_b)
             UpLb = mix.primitives(ULb)
             norb = tab.f_nor[nfi:]
@@ -310,17 +331,17 @@ def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
                     None if gLb is None else gLb[sl], g_p,
                     norb[sl], xyzb[sl], deltab[sl], dp))
             flux_b = jnp.concatenate(bdr_fluxes, axis=0)
-            flux_slot = (
-                flux_slot.reshape(ne * tab.nlf, tab.nqf, neq)
-                .at[tab.bdr_slot].set(flux_b, mode="drop")
-                .reshape(ne, tab.nlf, tab.nqf, neq))
+            fwb = tab.f_wts[nfi:]
+            if tab.rad_face is not None:
+                fwb = fwb * tab.rad_face[nfi:]
+            fb2 = (flux_b * fwb[..., None]).reshape(tab.nfb, nqf * neq)
+            zb = jnp.zeros((ne * tab.nlf, nqf * neq), dtype=Us[b].dtype)
+            zb = zb.at[tab.bdr_slot].set(fb2, mode="drop")
+            zb = zb.reshape(ne, tab.nlf, nqf * neq)
+            for lf in range(tab.nlf):
+                z2 = z2 + zb[:, lf] @ K_outs[lf]
 
-        ws = tab.wts_slot
-        if tab.rad_slot is not None:
-            ws = ws * tab.rad_slot
-        z_face = -trace_transpose(
-            tab, (flux_slot * ws[..., None]).reshape(
-                ne, tab.nlf * tab.nqf, neq))
+        z_face = -z2.reshape(ne, ndof, neq)
 
         Fdof = ctx.fluxes.total_at_dofs(
             Ucl[b], Ups[b], grads[b], tab.xyz_dof, tab.delta[:, None],
