@@ -216,3 +216,32 @@ def test_roe_zero_normal_is_finite():
     nor = jnp.zeros((1, 2))
     f = np.asarray(roe(U1, U2, nor))
     assert np.isfinite(f).all() and np.abs(f).max() < 1e-200
+
+
+def test_perface_traces_match_slot_traces():
+    """The per-face fused trace buffers equal the stacked slot-trace
+    formulation on meshes with and without roll topology (incl. a curved
+    annulus whose periodic seam exercises the gather path)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.dg.operators import (
+        perface_own_traces,
+        perface_traces,
+        slot_traces,
+    )
+    from tps_tpu.mesh.generators import annulus_2d, box_2d
+
+    rng = np.random.RandomState(3)
+    for mesh in (box_2d(5, 4), annulus_2d(3, 12, r0=0.5, r1=1.0)):
+        tab = build_tables(mesh, order=2).to_jax(jnp.float64)
+        X = jnp.asarray(rng.rand(tab.ne, tab.ndof, 7))
+        own_s, nbr_s = slot_traces(tab, X)
+        own_p, nbr_p = perface_traces(tab, X)
+        own_o = perface_own_traces(tab, X)
+        for lf in range(tab.nlf):
+            o = own_p[lf].reshape(tab.ne, tab.nqf, 7)
+            n = nbr_p[lf].reshape(tab.ne, tab.nqf, 7)
+            assert np.allclose(o, own_s[:, lf], atol=1e-13)
+            assert np.allclose(n, nbr_s[:, lf], atol=1e-13)
+            assert np.allclose(own_o[lf], own_p[lf], atol=0)
