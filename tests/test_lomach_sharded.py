@@ -79,3 +79,92 @@ def test_sharded_lomach_matches_single(tmp_path):
     from tps_tpu.fem.h1 import ShardedH1
 
     assert isinstance(s4.tab, ShardedH1) and s4.tab.nparts == 4
+
+
+def _run_axisym(tmp_path, nparts, iters=5):
+    """Axisymmetric LTE torch column (the flagship config family) under
+    [mesh]/partitions (reference: axisym loMach runs under MPI like
+    everything else, src/loMach.cpp:447)."""
+    import h5py
+
+    T = np.linspace(200.0, 20000.0, 199)
+    data = np.stack(
+        [T, 1.8e-5 * (T / 300.0) ** 0.7, 0.025 * (T / 300.0) ** 0.8,
+         np.where(T > 6000.0, 50.0 * (T - 6000.0) / 14000.0, 0.0),
+         np.full_like(T, 287.0), np.full_like(T, 1004.0)], axis=1)
+    tf = tmp_path / f"lte{nparts}.h5"
+    with h5py.File(tf, "w") as f:
+        f["T_mu_kap_sig_R_Cp"] = data
+
+    ini = tmp_path / f"axi{nparts}.ini"
+    ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 6
+ny = 9
+x1 = 0.02
+y1 = 0.08
+partitions = {nparts}
+[loMach]
+order = 2
+axisymmetric = 1
+swirl = 1
+flow-solver = tomboulides
+thermo-solver = lte-thermo-chem
+maxIters = {iters}
+outputFreq = 1000
+[loMach/ltethermo]
+table-file = {tf}
+[initialConditions]
+profile = gaussian
+temperature = 8000.0
+backgroundTemperature = 300.0
+center = '0.0 0.04'
+width = '0.009 0.025'
+[time]
+dt_fixed = 2.5e-7
+[boundaryConditions/inlet1]
+patch = 1
+type = inlet
+velocity = '0.0 1.0'
+rampTime = 2e-5
+temperature = 300.0
+[boundaryConditions/wall1]
+patch = 2
+type = viscous
+temperature = 300.0
+[boundaryConditions/outlet1]
+patch = 3
+type = outlet
+pressure = 0.0
+[io]
+outdirBase = {tmp_path}/axi_out{nparts}
+""")
+    from tps_tpu.harness import Tps
+
+    tps = Tps()
+    tps.parse_command_line_args(
+        ["tps", "--runFile", str(ini), "--device", "cpu"])
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    tps.solve()
+    return tps.solver
+
+
+def test_sharded_axisym_lomach_matches_single(tmp_path):
+    s1 = _run_axisym(tmp_path, 1)
+    s3 = _run_axisym(tmp_path, 3)
+    from tps_tpu.fem.h1 import ShardedH1
+
+    assert isinstance(s3.tab, ShardedH1) and s3.tab.nparts == 3
+    T1, T3 = np.asarray(s1.thermo.T), np.asarray(s3.thermo.T)
+    assert np.isfinite(T1).all() and np.isfinite(T3).all()
+    assert np.abs(T3 - T1).max() / np.abs(T1).max() < 1e-8
+    u1, u3 = np.asarray(s1.flow.u), np.asarray(s3.flow.u)
+    assert np.abs(u3 - u1).max() / (np.abs(u1).max() + 1e-30) < 1e-6
+    ut1, ut3 = np.asarray(s1.flow.ut), np.asarray(s3.flow.ut)
+    assert np.abs(ut3 - ut1).max() <= 1e-6 * (np.abs(ut1).max() + 1.0)

@@ -177,3 +177,86 @@ def test_restart_refuses_mismatched_mesh(tmp_path):
     with pytest.raises((ValueError, Exception)) as exc:
         _run_ini(ini, out)
     assert "mismatch" in str(exc.value) or "reshape" in str(exc.value)
+
+
+def _axisym_pipe_ini(outdir, partitions=1, max_iters=4):
+    """Axisymmetric pipe flow (x = r in [0, 0.2], y = z): axis at patch 4
+    (natural), wall at r = 0.2 (patch 2), inflow bottom, outflow top."""
+    return f"""
+[solver]
+type = flow
+
+[flow]
+order = 2
+maxIters = {max_iters}
+outputFreq = 100
+fluid = dry_air
+equation_system = navier-stokes
+axisymmetric = 1
+refLength = 1.0
+
+[mesh]
+generator = box2d
+nx = 4
+ny = 8
+x1 = 0.2
+y1 = 1.0
+partitions = {partitions}
+partition_axis = 1
+
+[time]
+cfl = 0.12
+integrator = rk3
+
+[initialConditions]
+rho = 1.2
+rhoU = 0.0
+rhoV = 24.0
+rhoW = 0.
+pressure = 101300
+
+[boundaryConditions/inlet1]
+patch = 1
+type = subsonic
+density = 1.2
+uvw = '0 20 0'
+
+[boundaryConditions/outlet1]
+patch = 3
+type = subsonicPressure
+pressure = 101300
+
+[boundaryConditions/wall1]
+patch = 2
+type = viscous_isothermal
+temperature = 300
+
+[boundaryConditions/wall2]
+patch = 4
+type = inviscid
+
+[boundaryConditions]
+numWalls = 2
+numInlets = 1
+numOutlets = 1
+
+[io]
+outdirBase = {outdir}
+"""
+
+
+def test_sharded_axisymmetric_matches_single(tmp_path):
+    """Axisymmetric + [mesh]/partitions: the radius-weighted tables
+    (rad_vol/rad_face/rad_slot/Minv_rad) shard like planar geometry and the
+    3-shard run matches single-device (reference: axisym runs under MPI like
+    everything else, src/M2ulPhyS.cpp:502-503)."""
+    s1 = _run_ini(_axisym_pipe_ini(str(tmp_path / "a")), str(tmp_path / "a"))
+    s3 = _run_ini(
+        _axisym_pipe_ini(str(tmp_path / "b"), partitions=3),
+        str(tmp_path / "b"),
+    )
+    assert s3.nparts == 3
+    U1, U3 = s1.state_global(), s3.state_global()
+    assert U1.shape == U3.shape
+    assert np.isfinite(U1).all()
+    np.testing.assert_allclose(U3, U1, rtol=0, atol=0)  # bitwise

@@ -285,6 +285,40 @@ def _coef_q(tab, coef):
     return jnp.einsum("qd,nd->nq", tab.Bvol, gather(tab, coef))
 
 
+def to_quad(tab, u):
+    """Nodal field -> quad-point values [ne_global, nq], usable as a
+    coefficient. Works on element-sharded tables too (plain dof gather via
+    the retained global elem_dofs — coefficient prep only, a handful of
+    calls per step)."""
+    if _sharded(tab):
+        ue = jnp.asarray(u)[jnp.asarray(tab.elem_dofs)]
+        return jnp.einsum("qd,nd->nq", tab.Bvol, ue)
+    return jnp.einsum("qd,nd->nq", tab.Bvol, gather(tab, u))
+
+
+def as_coef(tab, coef_q):
+    """Wrap a global quad-point coefficient [ne, nq] for use with the
+    assembly operators: identity on plain tables, per-shard stacking
+    (StackedQuadCoef) on element-sharded ones."""
+    if coef_q is None:
+        return None
+    return tab.stack_quad(coef_q) if _sharded(tab) else coef_q
+
+
+def weak_grad(tab, s, coef=None):
+    """r[dof, d] = (v, c ds/dx_d): weak-gradient linear form (numerator of
+    an L2 gradient projection)."""
+    if _sharded(tab):
+        return tab.run_coef(weak_grad, s, coef)
+    gq = jnp.einsum("qdk,nd->nqk", tab.Gvol, gather(tab, s))
+    gphys = jnp.einsum("nqk,nqkd->nqd", gq, tab.adjJ)  # carries detJ
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        gphys = gphys * (cq[..., None] if jnp.ndim(cq) else cq)
+    re = jnp.einsum("qd,nqi->ndi", tab.Bvol * tab.wq[:, None], gphys)
+    return scatter_add(tab, re)
+
+
 def mass_apply(tab, u, coef=None):
     """(v, c u).
 
@@ -356,6 +390,38 @@ def mass_lumped_diag(tab, coef=None):
         w = w * cq
     re = jnp.einsum("qd,nq->nd", tab.Bvol, w)
     return scatter_add(tab, re)
+
+
+def mass_diag(tab, coef=None):
+    """True diagonal of the (coefficient-weighted) mass matrix,
+    M_ii = int c phi_i^2 — strictly positive even where the row-sum
+    lumped diagonal vanishes (the radius-weighted axisymmetric mass has an
+    exactly-zero row sum at axis vertices for quadratic elements:
+    int_0^1 xi phi_0(xi) dxi = 0 for the GLL vertex quadratic)."""
+    if _sharded(tab):
+        if coef is None:
+            return tab.run(lambda tl: mass_diag(tl))
+        if isinstance(coef, StackedQuadCoef):
+            return tab.run_qcoef(
+                lambda tl, uu, cc: mass_diag(tl, cc), None, coef.arr)
+        return tab.run(lambda tl, cc: mass_diag(tl, cc), coef)
+    w = tab.wq[None, :] * tab.detJ
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    re = jnp.einsum("qd,nq->nd", tab.Bvol * tab.Bvol, w)
+    return scatter_add(tab, re)
+
+
+def l2_project(tab, rhs_weak, coef=None, tol=1e-12, maxiter=60):
+    """Solve the consistent mass system M x = rhs_weak by Jacobi-CG
+    (the reference's MqInv solve for the thermal-divergence projection,
+    src/calorically_perfect.cpp:619-627). Row-sum lumping is NOT a valid
+    substitute under the axisymmetric radius weight (see mass_diag)."""
+    return cg_solve(
+        lambda v: mass_apply(tab, v, coef=coef), rhs_weak,
+        diag=mass_diag(tab, coef), tol=tol, maxiter=maxiter,
+    )
 
 
 def stiffness_diag(tab, coef=None):
@@ -683,6 +749,11 @@ def pmg_precond(apply_f, diag_f, apply_c, diag_c, P_ids, P_wts, nc,
 def diffusion_apply_tensor(tab, u, Kq):
     """(grad v, K grad u) with a matrix coefficient K [ne, nq, dim, dim]
     at quadrature points (SUPG streamwise diffusion etc.)."""
+    if _sharded(tab):
+        return tab.run_qcoef(
+            lambda tl, uu, cc: diffusion_apply_tensor(tl, uu, cc),
+            u, tab.stack_quad(Kq).arr,
+        )
     uu, squeeze = _promote(u)
     gq = jnp.einsum("qdl,ndk->nqlk", tab.Gvol, gather(tab, uu))
     # A[m,l] = adjJ[m,:] K adjJ[l,:]^T / detJ
@@ -737,6 +808,8 @@ class ShardedH1:
         self.nq, self.ndofs = tab_np.nq, tab_np.ndofs
         self.nqf, self.nbf = tab_np.nqf, tab_np.nbf
         self.xyz = gj.xyz
+        self.xyz_q = gj.xyz_q  # global (coefficient prep: radius weights)
+        self.detJ = gj.detJ  # global (coefficient prep: grid_scale_q)
         self.wq, self.Bvol, self.Gvol = gj.wq, gj.Bvol, gj.Gvol
         self.bf_elem, self.bf_attr = tab_np.bf_elem, tab_np.bf_attr
         self.bf_Btr, self.bf_nor = tab_np.bf_Btr, tab_np.bf_nor

@@ -25,8 +25,17 @@ import sys
 from .config.ini import IniInput
 from .config.run_config import parse_run_configuration
 from .solvers import base as solver_base
+
+# Import every solver module for its registration side-effect so that
+# choose_solver can dispatch all registered types, mirroring the single
+# factory switch in Tps::chooseSolver (reference: src/tps.cpp:247-278
+# dispatches flow/loMach/em/em-axi/cycle-avg-joule-coupled/
+# independent-coupled from one place).
 from .solvers.compressible import CompressibleSolver  # noqa: F401 (registry)
 from .solvers.lomach.solver import LoMachSolver  # noqa: F401 (registry)
+from .solvers.em import qms as _qms  # noqa: F401 (registry: em-axi)
+from .solvers.em import qms3d as _qms3d  # noqa: F401 (registry: em)
+from .solvers import coupling as _coupling  # noqa: F401 (registry)
 
 # exit statuses (reference: src/tps.hpp Tps::getStatus -> main.cpp:57-66)
 NORMAL = 0

@@ -181,9 +181,18 @@ def build_sharded_tables(
         "bdr_slot": np.full((P, NFB), NE * g.nlf, dtype=np.int32),
         "nor_wpf": zeros((g.nlf, NE, g.nqf * g.dim)),
     }
-    for name in ELEM_FIELDS:
+    # axisymmetric runs carry the radius tables through the same slicing
+    # (reference: axisym under MPI like everything else, src/M2ulPhyS.cpp)
+    axisym = g.rad_vol is not None
+    elem_fields = list(ELEM_FIELDS) + (["rad_vol", "Minv_rad"] if axisym
+                                       else [])
+    for name in elem_fields:
         arr = getattr(g, name)
         st[name] = zeros((NE,) + arr.shape[1:], arr.dtype)
+    if axisym:
+        st["rad_face"] = zeros((NFT, g.nqf))
+        st["rad_face_r"] = zeros((NFI, g.nqf))
+        st["rad_slot"] = zeros((NE, g.nlf, g.nqf))
 
     # padding faces keep safe unit normals to avoid NaNs in dead lanes
     st["f_nor"][..., 0] = 1.0
@@ -194,7 +203,7 @@ def build_sharded_tables(
         nloc = len(loc)
         st["global_ids"][p, :nloc] = loc
         st["own_mask"][p, : n_own[p]] = 1.0
-        for name in ELEM_FIELDS:
+        for name in elem_fields:
             garr = getattr(g, name)
             st[name][p, :nloc] = garr[loc]
             # dummy/padding slots reuse element-0 geometry (valid, never read)
@@ -211,6 +220,9 @@ def build_sharded_tables(
         st["f_nor"][p, :nfi_p] = g.f_nor[fi]
         st["f_wts"][p, :nfi_p] = g.f_wts[fi]
         st["f_xyz"][p, :nfi_p] = g.f_xyz[fi]
+        if axisym:
+            st["rad_face"][p, :nfi_p] = g.rad_face[fi]
+            st["rad_face_r"][p, :nfi_p] = g.rad_face_r[fi]
 
         # boundary faces per attr block
         for (a, bstart, bstop) in bc_attr_blocks:
@@ -225,6 +237,8 @@ def build_sharded_tables(
                 st["f_nor"][p, dst : dst + k] = g.f_nor[gid]
                 st["f_wts"][p, dst : dst + k] = g.f_wts[gid]
                 st["f_xyz"][p, dst : dst + k] = g.f_xyz[gid]
+                if axisym:
+                    st["rad_face"][p, dst : dst + k] = g.rad_face[gid]
 
         # scatter-back tables (padding faces have elem -1 and are skipped;
         # unassigned halo-element slots -> null face NFT)
@@ -260,16 +274,18 @@ def build_sharded_tables(
                 "f_nor_r": nr,
                 "f_wts_r": wr,
                 "f_xyz_r": xr,
-                "rad_face_r": None,
+                "rad_face_r": st["rad_face_r"][p] if axisym else None,
             },
             NE, g.nlf, g.nqf, g.dim, NFI, NFT,
             st["f_elem_l"][p], st["f_slot_l"][p],
             st["f_elem_r"][p], st["f_slot_r"][p],
             st["f_nor"][p], st["f_wts"][p], st["f_xyz"][p],
             st["delta"][p],
+            rad_face=st["rad_face"][p] if axisym else None,
         )
         for name in ("nbr_row", "nor_slot", "wts_slot", "xyz_slot",
-                     "delta_nbr", "interior_mask", "bdr_slot", "nor_wpf"):
+                     "delta_nbr", "interior_mask", "bdr_slot", "nor_wpf") + (
+                         ("rad_slot",) if axisym else ()):
             st[name][p] = slot[name]
 
         # halo exchange maps

@@ -110,10 +110,6 @@ class CompressibleSolver(PlasmaSolver):
         self.nparts = max(nparts, 1)
         self._build = None
         if self.nparts > 1:
-            if rc.axisymmetric:
-                raise NotImplementedError(
-                    "[mesh]/partitions > 1 with axisymmetric mode"
-                )
             from ..parallel.partition import (
                 build_sharded_tables,
                 coordinate_partition,
@@ -124,6 +120,7 @@ class CompressibleSolver(PlasmaSolver):
             self._build = build_sharded_tables(
                 self.mesh, order=rc.order, nparts=self.nparts,
                 partition=part, basis=basis,
+                axisymmetric=rc.axisymmetric,
             )
             self.partition = self._build.partition
             self.tables_np = self._build.tables

@@ -27,6 +27,52 @@ from ...fem import h1
 from ..base import Solver, register_solver
 
 
+def em_mesh_from_ini(inp):
+    """Build the EM mesh from the [em] ini section: either an MFEM mesh
+    file (em/mesh, reference: src/quasimagnetostatic.cpp reads the mesh
+    named in em/mesh) or a generated box with coil-ring element
+    attributes:
+
+        [em]
+        generator = box2d
+        nx/ny, x0/x1/y0/y1      domain (r, z)
+        ring1/center = r z      elements whose centroid lies within
+        ring1/halfwidth = dr dz halfwidth of center get attribute 1+j
+        ring2/... etc.
+
+    Ring j gets element attribute 1+j, matching the reference's ring
+    attribute convention (attrs 2..5 carry current)."""
+    gen = inp.get("em/generator", None)
+    if gen is None:
+        from ...mesh.mfem_reader import read_mesh
+
+        return read_mesh(inp.get_required("em/mesh"))
+    if gen != "box2d":
+        raise ValueError(f"unknown em mesh generator '{gen}'")
+    from ...mesh.generators import box_2d
+
+    mesh = box_2d(
+        inp.get("em/nx", 16), inp.get("em/ny", 16),
+        x0=inp.get("em/x0", 0.0), x1=inp.get("em/x1", 1.0),
+        y0=inp.get("em/y0", 0.0), y1=inp.get("em/y1", 1.0),
+    )
+    cent = mesh.vertices[mesh.elements].mean(axis=1)
+    attrs = np.ones(mesh.num_elements, dtype=np.int64)
+    j = 1
+    while True:
+        if f"em/ring{j}/center" not in inp.values:
+            break
+        c = inp.get_vec(f"em/ring{j}/center", 2)
+        hw = inp.get_vec(f"em/ring{j}/halfwidth", 2)
+        inside = (np.abs(cent[:, 0] - c[0]) < hw[0]) & (
+            np.abs(cent[:, 1] - c[1]) < hw[1]
+        )
+        attrs[inside] = 1 + j
+        j += 1
+    mesh.elem_attrs = attrs
+    return mesh
+
+
 class QuasiMagnetostaticSolverAxiSym(Solver):
     """Standalone axisymmetric EM solver ('em-axi' in the registry)."""
 
@@ -44,9 +90,7 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         if self._mesh_in is not None:
             self.mesh = self._mesh_in
         else:
-            from ...mesh.mfem_reader import read_mesh
-
-            self.mesh = read_mesh(inp.get_required("em/mesh"))
+            self.mesh = em_mesh_from_ini(inp)
         order = inp.get("em/order", 1)
         tab_np = h1.build_h1(self.mesh, order=order)
         self.tab = tab_np.to_jax(self.dtype)

@@ -35,6 +35,13 @@ class QuasiMagnetostatic3D(Solver):
         src/quasimagnetostatic.cpp:227-279 and JFun :740-749)."""
         import jax.numpy as jnp
 
+        # Solver-lifecycle attributes (this class takes a mesh, not a
+        # RunConfiguration, so it does not chain to Solver.__init__)
+        self.config = None
+        self.tps = None
+        self.status = 0
+        self.time = 0.0
+
         self.mesh = mesh
         self.coils = tuple(coils)
         self.attr_currents = dict(attr_currents) if attr_currents else {}

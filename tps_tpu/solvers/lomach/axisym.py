@@ -36,7 +36,10 @@ class TomboulidesAxisym(Tomboulides):
                          cg_tol=cg_tol, cg_maxiter=cg_maxiter)
         nd = tab.ndofs
         self.swirl = swirl
-        self.rad_q = tab.xyz_q[..., 0]  # radius at quad points (> 0)
+        self.rad_q = jnp.asarray(tab.xyz_q[..., 0])  # radius at quads (> 0)
+        # pre-wrapped radius coefficient (per-shard stacked when the H1
+        # space is element-sharded; identity otherwise)
+        self._rq_c = h1.as_coef(tab, self.rad_q)
         r_nodal = np.asarray(tab.xyz[:, 0])
         axis = r_nodal < axis_tol
 
@@ -108,16 +111,14 @@ class TomboulidesAxisym(Tomboulides):
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
         ab = (coeff.ab1, coeff.ab2, coeff.ab3)
         rq = self.rad_q
+        rq_c = self._rq_c  # pre-wrapped radius coefficient (sharded-ready)
         r_nodal = jnp.maximum(tab.xyz[:, 0], 1e-300)
 
         Ml = h1.mass_lumped_diag(tab)
         # r-weighted consistent-mass diagonal (int phi_i^2 r > 0 strictly;
         # the row-sum lumped mass has EXACTLY zero rows at axis nodes for
         # p >= 2 and cannot be used here)
-        w_r = tab.wq[None, :] * tab.detJ * rq
-        Dr = h1.scatter_add(
-            tab, jnp.einsum("qd,nq->nd", jnp.asarray(tab.Bvol) ** 2, w_r)
-        )
+        Dr = h1.mass_diag(tab, rq_c)
 
         # r-weighted L2 gradient projection via a consistent-mass CG solve:
         # the discrete adjoint pair of the r-weighted pressure Laplacian.
@@ -125,16 +126,10 @@ class TomboulidesAxisym(Tomboulides):
         # residual each projection step that feeds back through p += phi
         # and destabilizes the splitting.
         def grad_r(s):
-            gq = jnp.einsum("qdk,nd->nqk", tab.Gvol, h1.gather(tab, s))
-            gphys = jnp.einsum("nqk,nqkd->nqd", gq, tab.adjJ)  # carries detJ
-            re = jnp.einsum(
-                "qd,nqi->ndi", tab.Bvol * tab.wq[:, None],
-                gphys * rq[..., None],
-            )
-            num = h1.scatter_add(tab, re)
+            num = h1.weak_grad(tab, s, coef=rq_c)
 
             def Mr(v):
-                return h1.mass_apply(tab, v, coef=rq)
+                return h1.mass_apply(tab, v, coef=rq_c)
 
             return jnp.stack(
                 [
@@ -145,9 +140,9 @@ class TomboulidesAxisym(Tomboulides):
                 axis=-1,
             )
 
-        # quad-point coefficient fields
-        mu_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, mu))
-        rho_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, rho))
+        # quad-point coefficient fields (global; wrapped per use)
+        mu_q = h1.to_quad(tab, mu)
+        rho_q = h1.to_quad(tab, rho)
 
         # nodal convection acceleration: (u.grad)q is pointwise, so the
         # unweighted lumped projection is used (the r-weighted lumped mass
@@ -172,24 +167,27 @@ class TomboulidesAxisym(Tomboulides):
 
         gradp = grad_r(p)
         rhs = h1.mass_apply(
-            tab, rho[:, None] * (hist + N_ext) - gradp, coef=rq
+            tab, rho[:, None] * (hist + N_ext) - gradp, coef=rq_c
         )
 
         # Helmholtz with the extra r-weighted (v, mu u / r^2) -> (v, mu u / r)
         # term on u_r (and u_theta); quad points are strictly interior so
         # r_q > 0 even in axis elements
-        mu_over_r = mu_q / rq
+        mu_over_r_c = h1.as_coef(tab, mu_q / rq)
+        murq_c = h1.as_coef(tab, mu_q * rq)
+        rhorq_c = h1.as_coef(tab, rho_q * rq)
 
         def helm(v, extra):
-            out = ((bd[0] / dt) * h1.mass_apply(tab, rho[:, None] * v, coef=rq)
-                   + h1.diffusion_apply(tab, v, mu_q * rq))
+            out = ((bd[0] / dt) * h1.mass_apply(tab, rho[:, None] * v,
+                                                coef=rq_c)
+                   + h1.diffusion_apply(tab, v, murq_c))
             if extra:
-                out = out + h1.mass_apply(tab, v, coef=mu_over_r)
+                out = out + h1.mass_apply(tab, v, coef=mu_over_r_c)
             return out
 
-        diag_base = ((bd[0] / dt) * h1.mass_lumped_diag(tab, rho_q * rq)
-                     + h1.stiffness_diag(tab, mu_q * rq))
-        diag_extra = h1.mass_lumped_diag(tab, mu_over_r)
+        diag_base = ((bd[0] / dt) * h1.mass_lumped_diag(tab, rhorq_c)
+                     + h1.stiffness_diag(tab, murq_c))
+        diag_extra = h1.mass_lumped_diag(tab, mu_over_r_c)
 
         ubc = ubc_vals
         masks = self.vel_mask_c
@@ -212,17 +210,17 @@ class TomboulidesAxisym(Tomboulides):
         # pressure correction: (grad v, (1/rho) grad phi) r =
         #   (bd0/dt) [ (grad v, u*) r + (v, Qt) r ]
         b = (bd[0] / dt) * (
-            h1.weak_divergence(tab, u_star, coef=rq)
-            + h1.mass_apply(tab, qt, coef=rq)
+            h1.weak_divergence(tab, u_star, coef=rq_c)
+            + h1.mass_apply(tab, qt, coef=rq_c)
         )
         if self._ortho:
             b = b - jnp.mean(b)
-        inv_rho_q = rq / rho_q
+        inv_rho_c = h1.as_coef(tab, rq / rho_q)
 
         def lap(v):
-            return h1.diffusion_apply(tab, v, inv_rho_q)
+            return h1.diffusion_apply(tab, v, inv_rho_c)
 
-        pdiag = h1.stiffness_diag(tab, inv_rho_q)
+        pdiag = h1.stiffness_diag(tab, inv_rho_c)
         phi = h1.cg_solve(lap, b, x0=jnp.zeros_like(p), diag=pdiag,
                           tol=self.cg_tol, maxiter=self.cg_maxiter)
         if self._ortho:
@@ -242,7 +240,7 @@ class TomboulidesAxisym(Tomboulides):
             Nt_ext = ab[0] * Nt_now + ab[1] * Nt_hist[0] + ab[2] * Nt_hist[1]
             hist_t = -(bd[1] * ut + bd[2] * ut_hist[0]
                        + bd[3] * ut_hist[1]) / dt
-            rhs_t = h1.mass_apply(tab, rho * (hist_t + Nt_ext), coef=rq)
+            rhs_t = h1.mass_apply(tab, rho * (hist_t + Nt_ext), coef=rq_c)
             smask = self.swirl_mask
             # sbc comes in as an ARGUMENT: a closed-over device array is
             # baked at first trace and external-data swirl ramping would

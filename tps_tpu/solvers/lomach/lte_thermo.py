@@ -20,8 +20,8 @@ from .base import TemporalCoefficients, ThermoChemBase
 class LteThermoChem(ThermoChemBase):
     def __init__(self, tab, flow=None, rho_table=None, cp_table=None,
                  mu_table=None, kappa_table=None, sigma_table=None,
-                 radiation=None, temp_bcs=(), weight_q=None, T_init=300.0,
-                 cg_tol=1e-10, cg_maxiter=500):
+                 radiation=None, temp_bcs=(), qt_bcs=(), weight_q=None,
+                 T_init=300.0, cg_tol=1e-10, cg_maxiter=500):
         self.tab = tab
         self.flow = flow
         # optional quad-point volume weight (radius for axisymmetric runs)
@@ -58,7 +58,19 @@ class LteThermoChem(ThermoChemBase):
             self.T_mask = jnp.ones(nd)
             self.T_bc = jnp.zeros(nd)
 
+        # Qt = 0 Dirichlet at isothermal walls (reference:
+        # AddQtDirichletBC, src/lte_thermo_chem.cpp:546)
+        qt_free = np.ones(nd)
+        for attrs in qt_bcs:
+            qt_free[h1.boundary_dofs(tab, attrs)] = 0.0
+        self.Qt_mask = jnp.asarray(qt_free)
+
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
+
+    def set_temperature(self, T0):
+        self.T = jnp.asarray(T0)
+        self.T = self.T * self.T_mask + self.T_bc * (1.0 - self.T_mask)
+        self.T_hist = [self.T, self.T]
 
     # -- property fields ---------------------------------------------------
     def density(self):
@@ -90,11 +102,13 @@ class LteThermoChem(ThermoChemBase):
         )
         self.T, self.Qt, hist = self._step_jit(
             self.T, tuple(self.T_hist), vel, self.joule_heating,
-            self.T_bc, self.T_mask, jnp.asarray(dt), order=coeff.order,
+            self.T_bc, self.T_mask, self.Qt_mask, jnp.asarray(dt),
+            order=coeff.order,
         )
         self.T_hist = list(hist)
 
-    def _step_impl(self, T, T_hist, vel, qj, tbc_vals, tmask, dt, order):
+    def _step_impl(self, T, T_hist, vel, qj, tbc_vals, tmask, qt_mask, dt,
+                   order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -110,21 +124,23 @@ class LteThermoChem(ThermoChemBase):
         if self.radiation is not None:
             src = src + self.radiation.energy_sink(T)
         wq = self.weight_q
-        kq = kappa if wq is None else (
-            jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, kappa)) * wq
+        # wrapped coefficients (per-shard stacked under element sharding)
+        wq_c = h1.as_coef(tab, wq)
+        kq = kappa if wq is None else h1.as_coef(
+            tab, h1.to_quad(tab, kappa) * wq
         )
-        rhs = h1.mass_apply(tab, rho_cp * (hist - adv) + src, coef=wq)
+        rhs = h1.mass_apply(tab, rho_cp * (hist - adv) + src, coef=wq_c)
 
         mask = tmask
         # argument, not closure (see thermo_chem._step_impl)
         Tbc = tbc_vals
 
         def helm(v):
-            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq) + \
-                h1.diffusion_apply(tab, v, kq)
+            return (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq_c) \
+                + h1.diffusion_apply(tab, v, kq)
 
         diag = (bd[0] / dt) * jnp.abs(
-            h1.mass_lumped_diag(tab, rho_cp if wq is None else wq)
+            h1.mass_lumped_diag(tab, rho_cp if wq is None else wq_c)
         ) + h1.stiffness_diag(tab, kq)
         rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
         diag = diag * mask + (1.0 - mask)
@@ -133,14 +149,30 @@ class LteThermoChem(ThermoChemBase):
                             maxiter=self.cg_maxiter)
         T_new = T_new * mask + Tbc * (1.0 - mask)
 
-        # Qt from the density table: Qt = -(1/rho) Drho/Dt = -(drho/dT / rho) DT/Dt
+        # Thermal divergence in the operator form (reference computeQt,
+        # src/lte_thermo_chem.cpp:1430-1466: Qt = -(R/(Cp p)) Mq^-1
+        # [LQ{T_next} - jh]): Qt = -(drho/dT / rho) DT/Dt with
+        # DT/Dt = [div(kappa grad T) + q_J - q_rad] / (rho cp) evaluated
+        # from the DIFFUSION+SOURCE operators, never the material
+        # derivative — the D/Dt form feeds the constraint velocity back
+        # into Qt and is unconditionally unstable for strong wall cooling.
+        # Using the table drho/dT keeps LTE generality (reference's scalar
+        # Rgas/Cp is the ideal-gas special case).
         dT = 1e-3 * jnp.maximum(T_new, 1.0)
         drho_dT = (_eval2(self.rho_table, T_new + dT, T_new)
                    - _eval2(self.rho_table, T_new - dT, T_new)) / (2 * dT)
         rho_new = _eval2(self.rho_table, T_new, T_new)
-        dTdt = (bd[0] * T_new + bd[1] * T + bd[2] * T_hist[0]
-                + bd[3] * T_hist[1]) / dt
-        ugT = h1.convection_apply(tab, T_new, vel) / h1.mass_lumped_diag(tab)
-        Qt = -(drho_dT / rho_new) * (dTdt + ugT)
+        cp_new = _eval2(self.cp_table, T_new, T_new)
+        kq_new = _eval2(self.kappa_table, T_new, T_new)
+        kq_new = kq_new if wq is None else h1.as_coef(
+            tab, h1.to_quad(tab, kq_new) * wq
+        )
+        lap = h1.l2_project(tab, -h1.diffusion_apply(tab, T_new, kq_new),
+                            coef=wq_c)
+        src_new = qj
+        if self.radiation is not None:
+            src_new = src_new + self.radiation.energy_sink(T_new)
+        DTDt = (lap + src_new) / (rho_new * cp_new)
+        Qt = -(drho_dT / rho_new) * DTDt * qt_mask
 
         return T_new, Qt, (T, T_hist[0])

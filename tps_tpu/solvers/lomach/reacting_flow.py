@@ -50,7 +50,8 @@ class ReactingFlow(ThermoChemBase):
     def __init__(self, tab, flow=None, species_names=(), mw=(), molar_cv_over_R=(),
                  formation_energy=(), chemistry=None, p_thermo=101325.0,
                  closed_system=False, mu0=1.68e-5, Pr=0.71, Sc=0.71,
-                 n_substeps=4, temp_bcs=(), T_init=300.0, Y_init=None,
+                 n_substeps=4, temp_bcs=(), qt_bcs=(), T_init=300.0,
+                 Y_init=None,
                  cg_tol=1e-10, cg_maxiter=500,
                  mixture=None, transport=None, radiation=None,
                  operator_split=True, const_plasma_conductivity=0.0):
@@ -115,10 +116,22 @@ class ReactingFlow(ThermoChemBase):
             self.T_mask = jnp.ones(nd)
             self.T_bc = jnp.zeros(nd)
 
+        # Qt = 0 Dirichlet at isothermal walls (reference:
+        # AddQtDirichletBC, src/reactingFlow.cpp:1391)
+        qt_free = np.ones(nd)
+        for attrs in qt_bcs:
+            qt_free[h1.boundary_dofs(tab, attrs)] = 0.0
+        self.Qt_mask = jnp.asarray(qt_free)
+
         if closed_system:
             self._mass0 = float(h1.integrate(tab, self.density()))
 
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
+
+    def set_temperature(self, T0):
+        self.T = jnp.asarray(T0)
+        self.T = self.T * self.T_mask + self.T_bc * (1.0 - self.T_mask)
+        self.T_hist = [self.T, self.T]
 
     # -- mixture properties on nodes ---------------------------------------
     def _mixture_mw(self, Y):
@@ -225,7 +238,8 @@ class ReactingFlow(ThermoChemBase):
         (self.T, self.Y, self.Qt, T_hist, Y_hist) = self._step_jit(
             self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
             vel, self.joule_heating, jnp.asarray(self.p_thermo),
-            self.T_bc, self.T_mask, jnp.asarray(dt), order=coeff.order,
+            self.T_bc, self.T_mask, self.Qt_mask, jnp.asarray(dt),
+            order=coeff.order,
         )
         self.T_hist = list(T_hist)
         self.Y_hist = list(Y_hist)
@@ -284,7 +298,7 @@ class ReactingFlow(ThermoChemBase):
         return dY, dT
 
     def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, p_thermo,
-                   tbc_vals, tmask, dt, order):
+                   tbc_vals, tmask, qt_mask, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -366,12 +380,24 @@ class ReactingFlow(ThermoChemBase):
             T_new, Y_new = jax.lax.fori_loop(0, nsub, substep, (T, Y))
             T_new = T_new * tmask + tbc_vals * (1.0 - tmask)
 
-        # ---- thermal divergence Qt = (1/T) DT/Dt - (1/W) DW/Dt ----
-        dTdt = (bd[0] * T_new + bd[1] * T + bd[2] * T_hist[0]
-                + bd[3] * T_hist[1]) / dt
-        ugT = h1.convection_apply(tab, T_new, vel) / Ml
+        # ---- thermal divergence, operator form (reference computeQtTO,
+        # src/reactingFlow.cpp:3378-3445: Qt = -(Rmix/(Cpmix p)) Mq^-1
+        # [LQ{T_next} - jh - Ms hw - crossDiff]) ----
+        # Evaluated from the diffusion + source operators, never the
+        # material derivative: the DT/Dt form feeds the constraint
+        # velocity back into Qt through u.grad(T) and is unconditionally
+        # unstable under strong wall cooling. The reference's QtTO also
+        # drops the D(W)/Dt molecular-weight term.
         W_new = self._mixture_mw(Y_new)
-        dWdt = (W_new - W) / dt
-        Qt = (dTdt + ugT) / T_new - dWdt / W_new
+        cp_new = self._cp_mass(Y_new)
+        rho_new = p_thermo * W_new / (_R * T_new)
+        lap = h1.l2_project(tab, -h1.diffusion_apply(tab, T_new, kappa))
+        src_q = cross + joule
+        if self.radiation is not None:
+            src_q = src_q + self.radiation.energy_sink(T_new)
+        if self.chemistry is not None and self.chemistry.num_reactions > 0:
+            _, dT_chem = self._reaction_source(T_new, Y_new, p=p_thermo)
+            src_q = src_q + rho_new * cp_new * dT_chem
+        Qt = (lap + src_q) / (rho_new * cp_new * T_new) * qt_mask
 
         return T_new, Y_new, Qt, (T, T_hist[0]), (Y, Y_hist[0])

@@ -59,7 +59,8 @@ def _build_lomach_mesh(inp):
     return mesh
 
 
-def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter, weight_q=None):
+def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter, weight_q=None,
+                      qt_bcs=()):
     """LTE table thermo-chem from loMach/ltethermo/table-file
     (reference: src/lte_thermo_chem.cpp:83-145, dataset T_mu_kap_sig_R_Cp)."""
     import h5py
@@ -93,6 +94,7 @@ def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter, weight_q=None):
         sigma_table=LinearTable(x=T, f=sig),
         radiation=radiation,
         temp_bcs=tuple(temp_bcs),
+        qt_bcs=qt_bcs,
         weight_q=weight_q,
         T_init=inp.get("initialConditions/temperature", 300.0),
         cg_tol=inp.get("loMach/ltethermo/linear-solver-rtol", cg_tol),
@@ -101,7 +103,7 @@ def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter, weight_q=None):
     )
 
 
-def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter):
+def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter, qt_bcs=()):
     """Finite-rate reacting thermo-chem from the [species]/[reactions] ini
     schema (reference: src/reactingFlow.cpp input parsing; same schema as
     the compressible plasma path, kept in input species order)."""
@@ -136,6 +138,7 @@ def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter):
             n_substeps=inp.get("loMach/reacting/sub-steps", 4),
             operator_split=bool(inp.get("loMach/reacting/operator-split", 1)),
             temp_bcs=tuple(temp_bcs),
+            qt_bcs=qt_bcs,
             T_init=inp.get("initialConditions/temperature", 300.0),
             Y_init=pl.initial_mass_fractions,
             const_plasma_conductivity=inp.get(
@@ -226,6 +229,7 @@ def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter):
         closed_system=not bool(inp.get("loMach/openSystem", 0)),
         n_substeps=inp.get("loMach/reacting/sub-steps", 4),
         temp_bcs=tuple(temp_bcs),
+        qt_bcs=qt_bcs,
         T_init=inp.get("initialConditions/temperature", 300.0),
         Y_init=np.asarray(imf),
         cg_tol=cg_tol,
@@ -251,10 +255,10 @@ class LoMachSolver(Solver):
         self.nparts = max(int(inp.get("mesh/partitions", 1) or 1), 1)
         tab_np = h1.build_h1(self.mesh, order=order)
         if self.nparts > 1:
-            if bool(inp.get("loMach/axisymmetric", 0)):
-                raise NotImplementedError(
-                    "[mesh]/partitions > 1 with axisymmetric loMach"
-                )
+            # axisymmetric runs shard like planar ones: the radius weight is
+            # per-element quad data, stacked per shard (h1.as_coef) exactly
+            # like any other coefficient (reference: axisym tomboulides runs
+            # under MPI like everything else, src/loMach.cpp:447)
             self.tab = h1.ShardedH1(tab_np, self.nparts, self.dtype,
                                     devices=self.config.devices)
         else:
@@ -270,22 +274,30 @@ class LoMachSolver(Solver):
         # boundary conditions
         vel_bcs, temp_bcs, ext_specs, pres_bcs = [], [], [], []
         inlet_info = []  # (patch, kind, base) for turbulence-model BCs
+        qt_attrs = []  # isothermal-wall patches: Qt = 0 Dirichlet there
         for sub in inp.sections_under("boundaryConditions"):
             base = f"boundaryConditions/{sub}"
             if not inp.has(f"{base}/patch"):
                 continue
             patch = inp.get_required(f"{base}/patch", int)
             kind = inp.get(f"{base}/type", "viscous")
+            # temperature Dirichlet applies to walls AND inlets (reference:
+            # thermoChem AddTempDirichletBC for both wall and inlet patches,
+            # src/calorifically-perfect + reactingFlow BC registration)
+            if kind != "outlet" and inp.has(f"{base}/temperature"):
+                temp_bcs.append(
+                    TemperatureDirichlet(
+                        attrs=(patch,),
+                        value=inp.get_required(f"{base}/temperature", float),
+                    )
+                )
             if kind in ("viscous", "no-slip", "viscous_isothermal"):
                 vel = inp.get_vec(f"{base}/velocity", default=[0.0] * self.mesh.dim)
                 vel_bcs.append(VelocityDirichlet(attrs=(patch,), value=tuple(vel)))
                 if inp.has(f"{base}/temperature"):
-                    temp_bcs.append(
-                        TemperatureDirichlet(
-                            attrs=(patch,),
-                            value=inp.get_required(f"{base}/temperature", float),
-                        )
-                    )
+                    # Qt = 0 at isothermal walls (reference:
+                    # AddQtDirichletBC, src/calorically_perfect.cpp:422)
+                    qt_attrs.append(patch)
             elif kind == "inlet":
                 vel = inp.get_vec(f"{base}/velocity", default=[0.0] * self.mesh.dim)
                 vel_bcs.append(VelocityDirichlet(
@@ -385,6 +397,7 @@ class LoMachSolver(Solver):
                 ),
                 Pr=inp.get("loMach/calperfect/Prandtl", 0.71),
                 temp_bcs=tuple(temp_bcs),
+                qt_bcs=(tuple(qt_attrs),) if qt_attrs else (),
                 T_init=inp.get("loMach/calperfect/ic/temperature", 300.0),
                 sponge=self.sponge, weight_q=weight_q,
                 sw_stab=bool(
@@ -398,10 +411,12 @@ class LoMachSolver(Solver):
             self.thermo = _build_lte_thermo(
                 inp, self.tab, temp_bcs, cg_tol, cg_maxiter,
                 weight_q=weight_q,
+                qt_bcs=(tuple(qt_attrs),) if qt_attrs else (),
             )
         elif tc_model == "reacting-flow":
             self.thermo = _build_reacting_flow(
-                inp, self.tab, temp_bcs, cg_tol, cg_maxiter
+                inp, self.tab, temp_bcs, cg_tol, cg_maxiter,
+                qt_bcs=(tuple(qt_attrs),) if qt_attrs else (),
             )
             # external species field initialization (reference:
             # setFieldInitSpec, src/gaussianInterpExtData.cpp:559-748,
@@ -432,6 +447,29 @@ class LoMachSolver(Solver):
                 rho=inp.get("loMach/constprop/rho", 1.0),
                 mu=inp.get("loMach/constprop/mu", 1.0e-3),
             )
+
+        # optional smooth hot-kernel temperature IC (torch ignition seed;
+        # the reference's torch decks start from restart files carrying an
+        # ignition kernel — this is the ini-driven equivalent):
+        #   [initialConditions]
+        #   profile = gaussian   temperature = peak, backgroundTemperature,
+        #   center = 'x y [z]'   width = 'wx wy [wz]' (1e30 = uniform dim)
+        if inp.get("initialConditions/profile", "uniform") == "gaussian" \
+                and hasattr(self.thermo, "set_temperature"):
+            import jax.numpy as jnp
+
+            Tpeak = inp.get("initialConditions/temperature", 300.0)
+            Tback = inp.get("initialConditions/backgroundTemperature", 300.0)
+            dim = self.mesh.dim
+            cen = np.asarray(inp.get_vec("initialConditions/center",
+                                         default=[0.0] * dim))
+            wid = np.asarray(inp.get_vec("initialConditions/width",
+                                         default=[1.0] * dim))
+            xyz = np.asarray(self.tab.xyz)
+            arg = sum(((xyz[:, d] - cen[d]) / wid[d]) ** 2
+                      for d in range(dim))
+            self.thermo.set_temperature(
+                jnp.asarray(Tback + (Tpeak - Tback) * np.exp(-arg)))
 
         # flow model factory
         flow_model = inp.get("loMach/flow-solver", "tomboulides")

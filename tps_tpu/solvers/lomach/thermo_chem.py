@@ -30,7 +30,8 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
     def __init__(self, tab, flow=None, gas_constant=287.058, gamma=1.4,
                  p_thermo=101325.0, closed_system=False,
                  mu0=1.68e-5, sutherland_T0=273.0, sutherland_S0=110.4,
-                 Pr=0.71, constant_mu=None, temp_bcs=(), heat_source=None,
+                 Pr=0.71, constant_mu=None, temp_bcs=(), qt_bcs=(),
+                 heat_source=None,
                  sponge=None, weight_q=None, sw_stab=False, reh_factor=0.5,
                  reh_offset=1.0, T_init=300.0, cg_tol=1e-10,
                  cg_maxiter=1000):
@@ -79,6 +80,14 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         else:
             self.T_mask = jnp.ones(nd)
             self.T_bc_values = jnp.zeros(nd)
+
+        # Qt = 0 Dirichlet at isothermal walls (reference: AddQtDirichletBC,
+        # src/calorically_perfect.cpp:422-424) — kills the spurious
+        # divergence spike in the wall-adjacent layer
+        qt_free = np.ones(nd)
+        for attrs in qt_bcs:
+            qt_free[h1.boundary_dofs(tab, attrs)] = 0.0
+        self.Qt_mask = jnp.asarray(qt_free)
 
         # closed system: conserve initial mass (reference updateThermoP)
         if closed_system:
@@ -136,7 +145,8 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
             kappa = kappa * self.sponge.multiplier()
         self.T, self.Qt, hist = self._step_jit(
             self.T, tuple(self.T_hist), vel, rho, kappa,
-            self.T_bc_values, self.T_mask, jnp.asarray(dt),
+            self.T_bc_values, self.T_mask, self.Qt_mask,
+            jnp.asarray(self.p_thermo), jnp.asarray(dt),
             order=coeff.order,
         )
         self.T_hist = list(hist)
@@ -147,7 +157,8 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
                 self.tab, 1.0 / self.T)
 
     # -- internals ---------------------------------------------------------
-    def _step_impl(self, T, T_hist, vel, rho, kappa, tbc_vals, tmask, dt, order):
+    def _step_impl(self, T, T_hist, vel, rho, kappa, tbc_vals, tmask,
+                   qt_mask, p_thermo, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -156,15 +167,22 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
         hist = -(bd[1] * T + bd[2] * T_hist[0] + bd[3] * T_hist[1]) / dt
 
         wq = self.weight_q  # None (planar) or radius at quad points (axisym)
-        kq = kappa if wq is None else (
-            jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, kappa)) * wq
-        )
+        # wrapped coefficients (per-shard stacked under element sharding)
+        wq_c = h1.as_coef(tab, wq)
+        if wq is None:
+            kq_c = kappa  # nodal
+            kq_cp_c = kappa / self.cp
+        else:
+            kq_g = h1.to_quad(tab, kappa) * wq
+            kq_c = h1.as_coef(tab, kq_g)
+            kq_cp_c = h1.as_coef(tab, kq_g / self.cp)
 
         # explicit advection at time n: nodal u.grad(T), mass-weighted by rho cp
         adv = h1.convection_apply(tab, T, vel) / h1.mass_lumped_diag(tab)
-        rhs = h1.mass_apply(tab, rho_cp * (hist - adv), coef=wq)
+        rhs = h1.mass_apply(tab, rho_cp * (hist - adv), coef=wq_c)
         if self.heat_source is not None:
-            rhs = rhs + h1.mass_apply(tab, self.heat_source(tab.xyz), coef=wq)
+            rhs = rhs + h1.mass_apply(tab, self.heat_source(tab.xyz),
+                                      coef=wq_c)
 
         mask = tmask
         # argument, not closure: interpolated-inlet temperatures update
@@ -175,12 +193,13 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
             # SUPG: anisotropic streamwise diffusion
             # K = rho Csupg(Reh) h |u| (u u^T / |u|^2),
             # Reh = rho h |u| / mu, Csupg = f (tanh(Reh) + offset)
-            uq = jnp.einsum("qd,ndi->nqi", tab.Bvol, h1.gather(tab, vel))
-            umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))
-            rho_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, rho))
-            mu_q = jnp.einsum(
-                "qd,nd->nq", tab.Bvol, h1.gather(tab, self.viscosity(T))
+            uq = jnp.stack(
+                [h1.to_quad(tab, vel[:, d]) for d in range(vel.shape[-1])],
+                axis=-1,
             )
+            umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))
+            rho_q = h1.to_quad(tab, rho)
+            mu_q = h1.to_quad(tab, self.viscosity(T))
             h_q = h1.grid_scale_q(tab, getattr(tab, "order", 1))
             Reh = rho_q * h_q * umag / jnp.maximum(mu_q, 1e-300)
             csupg = self.reh_factor * (jnp.tanh(Reh) + self.reh_offset)
@@ -197,15 +216,15 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
             K_supg = None
 
         def helm(v):
-            out = (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq) + \
-                h1.diffusion_apply(tab, v, kq)
+            out = (bd[0] / dt) * h1.mass_apply(tab, rho_cp * v, coef=wq_c) + \
+                h1.diffusion_apply(tab, v, kq_c)
             if K_supg is not None:
                 out = out + h1.diffusion_apply_tensor(tab, v, K_supg)
             return out
 
         diag = (bd[0] / dt) * jnp.abs(
-            h1.mass_lumped_diag(tab, rho_cp if wq is None else wq)
-        ) + h1.stiffness_diag(tab, kq)
+            h1.mass_lumped_diag(tab, rho_cp if wq is None else wq_c)
+        ) + h1.stiffness_diag(tab, kq_c)
         rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
         diag_c = diag * mask + (1.0 - mask)
         T_new = h1.cg_solve(helm, rhs, x0=T * mask, diag=diag_c,
@@ -213,10 +232,20 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
                             maxiter=self.cg_maxiter)
         T_new = T_new * mask + Tbc * (1.0 - mask)
 
-        # thermal divergence Qt = (1/T) DT/Dt (open system, constant p_th)
-        dTdt = (bd[0] * T_new + bd[1] * T + bd[2] * T_hist[0]
-                + bd[3] * T_hist[1]) / dt
-        ugT = h1.convection_apply(tab, T_new, vel) / h1.mass_lumped_diag(tab)
-        Qt = (dTdt + ugT) / T_new
+        # thermal divergence in the Thomas-Olson operator form
+        # Qt = (R/(p cp)) [div(kappa grad T) + q] = (1/(rho cp T)) [...]
+        # evaluated from the DIFFUSION operator, not the material
+        # derivative (reference computeQtTO, src/calorically_perfect.cpp:
+        # 1050-1077: Qt = -(Rgas/p) Mq^-1 [LQ{T_next}], LQ built from
+        # kappa/cp). The D T/Dt form feeds the constraint velocity back
+        # into Qt through u.grad(T) and is unconditionally unstable for
+        # strong wall cooling.
+        lq = h1.diffusion_apply(tab, T_new, kq_cp_c)
+        if K_supg is not None:
+            lq = lq + h1.diffusion_apply_tensor(tab, T_new, K_supg / self.cp)
+        qdiv = h1.l2_project(tab, -lq, coef=wq_c)
+        if self.heat_source is not None:
+            qdiv = qdiv + self.heat_source(tab.xyz) / self.cp
+        Qt = (self.R / p_thermo) * qdiv * qt_mask
 
         return T_new, Qt, (T, T_hist[0])
