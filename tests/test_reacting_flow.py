@@ -236,3 +236,127 @@ def test_p_thermo_reaches_jitted_step():
     b.p_thermo = 2.0 * 101325.0
     b.step(coeff, 1e-4)
     assert not np.allclose(np.asarray(b.T), T_ref, rtol=1e-12, atol=0)
+
+
+def test_species_dirichlet_inlet_and_wall():
+    """Species Dirichlet BCs (reference: AddSpecDirichletBC at inlets and
+    walls, src/reactingFlow.cpp:1279,1393): a fixed-composition inflow
+    holds its composition at the inlet dofs, a wall holds zero active
+    species, and mass fractions stay normalized everywhere."""
+    mesh = box_2d(4, 6, x1=0.01, y1=0.02)  # non-periodic: patches 1..4
+    tab = h1.build_h1(mesh, order=2).to_jax(jnp.float64)
+    mw = (0.03, 0.03)
+    chem = Chemistry(
+        mixture=_FakeMix(mw),
+        reactant_stoich=np.array([[1, 0]]),
+        product_stoich=np.array([[0, 1]]),
+        models=(Arrhenius(A=5.0, b=0.0, E=0.0),),
+        reaction_energies=(0.0,),
+        detailed_balance=(False,),
+        equilibrium_params=((0.0, 0.0, 0.0),),
+    )
+    from tps_tpu.solvers.lomach.thermo_chem import TemperatureDirichlet
+
+    rf = ReactingFlow(
+        tab, flow=ZeroFlow(tab), species_names=["A", "B"], mw=mw,
+        molar_cv_over_R=(2.5, 2.5), formation_energy=(1.0e4, 0.0),
+        chemistry=chem, n_substeps=2,
+        Y_init=np.array([0.3, 0.7]), T_init=900.0,
+        temp_bcs=(TemperatureDirichlet((1,), 300.0),),
+        qt_bcs=((2,),),
+        spec_bcs=(((1,), [0.05, 0.95]), ((2,), None)),
+    )
+    wall_dofs = h1.boundary_dofs(tab, (2,))
+    # corner dofs shared between patches take the LAST spec_bc entry (the
+    # wall here); assert the pure-inlet dofs only
+    inlet_dofs = np.setdiff1d(h1.boundary_dofs(tab, (1,)), wall_dofs)
+    # IC imprint
+    assert np.allclose(np.asarray(rf.Y)[inlet_dofs, 0], 0.05)
+    assert np.allclose(np.asarray(rf.Y)[wall_dofs, 0], 0.0)
+    for i in range(8):
+        rf.step(TemporalCoefficients.bdf(min(i + 1, 2)), 1e-4)
+    Y = np.asarray(rf.Y)
+    assert np.isfinite(Y).all()
+    # inflow composition holds exactly at the inlet; wall stays pure
+    # background despite the A->B reaction running in the interior
+    assert np.abs(Y[inlet_dofs, 0] - 0.05).max() < 1e-14
+    assert np.abs(Y[wall_dofs, 0]).max() < 1e-14
+    assert np.abs(Y.sum(axis=1) - 1.0).max() < 1e-12
+    # interior A is being consumed toward B (reaction active); pointwise
+    # values may overshoot slightly near the Dirichlet layers (FEM)
+    interior = np.setdiff1d(np.arange(tab.ndofs),
+                            np.concatenate([inlet_dofs, wall_dofs]))
+    assert Y[interior, 0].mean() < 0.2999
+    assert (Y[interior, 0] < 0.31).all()
+
+
+def test_species_dirichlet_ini_wired(tmp_path):
+    """The [boundaryConditions] ini schema wires species Dirichlet BCs
+    through the loMach solver factory (torch-like cold inflow of fixed
+    composition; reference: loMach/reactingFlow/neumann-species-inlet)."""
+    import os
+
+    here = os.path.dirname(__file__)
+    argon = open(os.path.join(here, "inputs", "argon_minimal.ini")).read()
+    argon = argon.split("[plasma_models]", 1)[1]
+    argon = "[plasma_models]" + argon.rsplit("[io]", 1)[0]
+
+    ini = tmp_path / "torch_spec.ini"
+    ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 4
+ny = 5
+x1 = 0.01
+y1 = 0.02
+[loMach]
+order = 1
+flow-solver = zero-flow
+thermo-solver = reacting-flow
+maxIters = 3
+[loMach/reactingFlow]
+neumann-species-inlet = 0
+neumann-species-wall = 0
+[initialConditions]
+temperature = 8000.0
+[time]
+dt_fixed = 1e-7
+[boundaryConditions/inlet1]
+patch = 1
+type = inlet
+velocity = '0.0 1.0'
+temperature = 300.0
+[boundaryConditions/wall1]
+patch = 2
+type = viscous
+temperature = 300.0
+[io]
+outdirBase = {tmp_path}/out
+{argon}
+""")
+    from tps_tpu.config.ini import IniInput
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.solvers.base import create_solver
+    import tps_tpu.harness  # noqa: F401 (registry)
+
+    inp = IniInput.read(str(ini))
+    rc = parse_run_configuration(inp)
+    rc.max_iters = 3
+    s = create_solver("loMach", rc)
+    s.initialize()
+    th = s.thermo
+    inlet_dofs = h1.boundary_dofs(s.tab, (1,))
+    wall_dofs = h1.boundary_dofs(s.tab, (2,))
+    assert np.asarray(th.Y_mask)[inlet_dofs].max() == 0.0
+    assert np.asarray(th.Y_mask)[wall_dofs].max() == 0.0
+    for _ in range(3):
+        s.solve_step()
+    Y = np.asarray(th.Y)
+    n_active = th.n_active
+    # zero active species at inlet & wall: pure background (cold argon)
+    assert np.abs(Y[inlet_dofs, :n_active]).max() < 1e-12
+    assert np.abs(Y[wall_dofs, :n_active]).max() < 1e-12
+    assert np.abs(Y.sum(axis=1) - 1.0).max() < 1e-10
+    assert np.isfinite(np.asarray(th.T)).all()

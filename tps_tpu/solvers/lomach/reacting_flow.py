@@ -50,8 +50,8 @@ class ReactingFlow(ThermoChemBase):
     def __init__(self, tab, flow=None, species_names=(), mw=(), molar_cv_over_R=(),
                  formation_energy=(), chemistry=None, p_thermo=101325.0,
                  closed_system=False, mu0=1.68e-5, Pr=0.71, Sc=0.71,
-                 n_substeps=4, temp_bcs=(), qt_bcs=(), T_init=300.0,
-                 Y_init=None,
+                 n_substeps=4, temp_bcs=(), qt_bcs=(), spec_bcs=(),
+                 T_init=300.0, Y_init=None,
                  cg_tol=1e-10, cg_maxiter=500,
                  mixture=None, transport=None, radiation=None,
                  operator_split=True, const_plasma_conductivity=0.0):
@@ -122,6 +122,34 @@ class ReactingFlow(ThermoChemBase):
         for attrs in qt_bcs:
             qt_free[h1.boundary_dofs(tab, attrs)] = 0.0
         self.Qt_mask = jnp.asarray(qt_free)
+
+        # species Dirichlet BCs (reference: AddSpecDirichletBC at inlets
+        # src/reactingFlow.cpp:1279,1317 and walls :3302/:1393): each entry
+        # is (attrs, Y_values[nsp] or None for zero active species, i.e. a
+        # pure-background inflow/wall)
+        spec_free = np.ones(nd)
+        ybc = np.zeros((nd, self.nsp))
+        ybc[:, -1] = 1.0
+        for attrs, vals in spec_bcs:
+            dofs = h1.boundary_dofs(tab, attrs)
+            spec_free[dofs] = 0.0
+            if vals is None:
+                # pure background (last-wins at corner dofs shared between
+                # patches, so a wall next to an inlet stays zero-species)
+                v = np.zeros(self.nsp)
+                v[-1] = 1.0
+            else:
+                v = np.asarray(vals, dtype=np.float64)
+                v = np.clip(v, 0.0, None)
+                v = v / max(v.sum(), 1e-300)
+            ybc[dofs] = v
+        self.Y_mask = jnp.asarray(spec_free)
+        self.Y_bc = jnp.asarray(ybc)
+        if spec_bcs:
+            # imprint the BC composition on the IC at constrained dofs
+            Ym = self.Y_mask[:, None]
+            self.Y = self.Y * Ym + self.Y_bc * (1.0 - Ym)
+            self.Y_hist = [self.Y, self.Y]
 
         if closed_system:
             self._mass0 = float(h1.integrate(tab, self.density()))
@@ -238,8 +266,8 @@ class ReactingFlow(ThermoChemBase):
         (self.T, self.Y, self.Qt, T_hist, Y_hist) = self._step_jit(
             self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
             vel, self.joule_heating, jnp.asarray(self.p_thermo),
-            self.T_bc, self.T_mask, self.Qt_mask, jnp.asarray(dt),
-            order=coeff.order,
+            self.T_bc, self.T_mask, self.Qt_mask, self.Y_bc, self.Y_mask,
+            jnp.asarray(dt), order=coeff.order,
         )
         self.T_hist = list(T_hist)
         self.Y_hist = list(Y_hist)
@@ -298,7 +326,7 @@ class ReactingFlow(ThermoChemBase):
         return dY, dT
 
     def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, p_thermo,
-                   tbc_vals, tmask, qt_mask, dt, order):
+                   tbc_vals, tmask, qt_mask, ybc_vals, ymask, dt, order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -329,8 +357,8 @@ class ReactingFlow(ThermoChemBase):
                 dY_all, _ = self._reaction_source(T, Y, p=p_thermo)
                 rhs = rhs + h1.mass_apply(tab, rho * dY_all[:, s])
             Y_new = Y_new.at[:, s].set(self._helmholtz_solve(
-                rho, diff[:, s], Y[:, s], rhs, bd[0], dt, ones,
-                jnp.zeros_like(T)))
+                rho, diff[:, s], Y[:, s], rhs, bd[0], dt, ymask,
+                ybc_vals[:, s]))
         Y_new = self._close_species(Y_new)
 
         # temperature: rho cp DT/Dt = div(k grad T) + crossDiff + jh - rad
@@ -379,6 +407,11 @@ class ReactingFlow(ThermoChemBase):
 
             T_new, Y_new = jax.lax.fori_loop(0, nsub, substep, (T, Y))
             T_new = T_new * tmask + tbc_vals * (1.0 - tmask)
+            # reimpose the species Dirichlet values after the chemistry
+            # substeps (the reference's essential dofs are never touched
+            # by the substep updates)
+            Y_new = Y_new * ymask[:, None] + ybc_vals * (1.0 - ymask[:, None])
+            Y_new = self._close_species(Y_new)
 
         # ---- thermal divergence, operator form (reference computeQtTO,
         # src/reactingFlow.cpp:3378-3445: Qt = -(Rmix/(Cpmix p)) Mq^-1

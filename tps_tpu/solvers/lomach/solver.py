@@ -103,7 +103,8 @@ def _build_lte_thermo(inp, tab, temp_bcs, cg_tol, cg_maxiter, weight_q=None,
     )
 
 
-def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter, qt_bcs=()):
+def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter, qt_bcs=(),
+                         spec_bcs=()):
     """Finite-rate reacting thermo-chem from the [species]/[reactions] ini
     schema (reference: src/reactingFlow.cpp input parsing; same schema as
     the compressible plasma path, kept in input species order)."""
@@ -139,6 +140,7 @@ def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter, qt_bcs=()):
             operator_split=bool(inp.get("loMach/reacting/operator-split", 1)),
             temp_bcs=tuple(temp_bcs),
             qt_bcs=qt_bcs,
+            spec_bcs=spec_bcs,
             T_init=inp.get("initialConditions/temperature", 300.0),
             Y_init=pl.initial_mass_fractions,
             const_plasma_conductivity=inp.get(
@@ -230,6 +232,7 @@ def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter, qt_bcs=()):
         n_substeps=inp.get("loMach/reacting/sub-steps", 4),
         temp_bcs=tuple(temp_bcs),
         qt_bcs=qt_bcs,
+        spec_bcs=spec_bcs,
         T_init=inp.get("initialConditions/temperature", 300.0),
         Y_init=np.asarray(imf),
         cg_tol=cg_tol,
@@ -414,9 +417,29 @@ class LoMachSolver(Solver):
                 qt_bcs=(tuple(qt_attrs),) if qt_attrs else (),
             )
         elif tc_model == "reacting-flow":
+            # species Dirichlet BCs (reference defaults: zero-Neumann at
+            # both inlets and walls, Dirichlet opt-in via
+            # loMach/reactingFlow/neumann-species-* = 0,
+            # src/reactingFlow.cpp:790-792). Inlet composition comes from
+            # the inlet block's speciesMassFractions (zero active species
+            # — pure background — when absent, matching the reference's
+            # AddSpecDirichletBC(0.0, inlet_attr)).
+            spec_bcs = []
+            if not bool(inp.get(
+                    "loMach/reactingFlow/neumann-species-inlet", 1)):
+                for (patch, _ikind, base) in inlet_info:
+                    vals = (inp.get_vec(f"{base}/speciesMassFractions")
+                            if inp.has(f"{base}/speciesMassFractions")
+                            else None)
+                    spec_bcs.append(((patch,), vals))
+            if not bool(inp.get(
+                    "loMach/reactingFlow/neumann-species-wall", 1)):
+                for patch in qt_attrs:
+                    spec_bcs.append(((patch,), None))
             self.thermo = _build_reacting_flow(
                 inp, self.tab, temp_bcs, cg_tol, cg_maxiter,
                 qt_bcs=(tuple(qt_attrs),) if qt_attrs else (),
+                spec_bcs=tuple(spec_bcs),
             )
             # external species field initialization (reference:
             # setFieldInitSpec, src/gaussianInterpExtData.cpp:559-748,
