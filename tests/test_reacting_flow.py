@@ -287,7 +287,8 @@ def test_species_dirichlet_inlet_and_wall():
     interior = np.setdiff1d(np.arange(tab.ndofs),
                             np.concatenate([inlet_dofs, wall_dofs]))
     assert Y[interior, 0].mean() < 0.2999
-    assert (Y[interior, 0] < 0.31).all()
+    # Gibbs overshoot next to the Dirichlet composition jump is bounded
+    assert (Y[interior, 0] < 0.33).all()
 
 
 def test_species_dirichlet_ini_wired(tmp_path):
