@@ -1,24 +1,41 @@
-"""Benchmark: DOF-steps/sec on the compressible Navier-Stokes DG solver.
+"""Benchmark: three production-path metrics on one chip.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. The primary metric (fused periodic-box
+DOF-steps/sec) keeps the round-1/2 series comparable; `extra_metrics`
+records the two real-case paths the fused number excludes
+(BASELINE.md north-star configs 2-3):
+
+  - general_ns_box_ms_per_rhs: the BC'd (slot-path) 16^3 NS box with
+    inviscid walls — every real-mesh case (cyl, plasma) runs this path.
+    vs_baseline = round-2's 1.83 ms / measured (>= 1 means no slower).
+  - argon_cli_ms_per_step: full production solve_step() on the argon
+    plasma deck (examples/cases/argon_plasma_2d.ini) including the CLI
+    services + async NaN/CFL machinery. vs_baseline = round-2's 8.8 ms
+    / measured.
 
 The reference publishes no numbers (BASELINE.md); its north star is
-">=10x DOF-steps/sec over the CPU reference".  We take 1e6 DOF-steps/sec as
-a generous estimate of the reference's CPU-core throughput on comparable
-p=2 DG Navier-Stokes (O(1us)/dof/rhs with ~4 RHS per RK4 step), so the
-baseline target is 1e7 DOF-steps/sec and vs_baseline = value / 1e7.
+">=10x DOF-steps/sec over the CPU reference". We take 1e6 DOF-steps/sec
+as a generous estimate of the reference's CPU-core throughput on
+comparable p=2 DG Navier-Stokes (O(1us)/dof/rhs with ~4 RHS per RK4
+step), so the primary baseline target is 1e7 DOF-steps/sec and
+vs_baseline = value / 1e7. That 1e6 denominator is a self-chosen
+estimate, not a measured reference number.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_DOF_STEPS_PER_SEC = 1.0e7  # 10x assumed 1e6 reference CPU
+BASELINE_GENERAL_MS_PER_RHS = 1.83  # round-2 measured (PERF.md)
+BASELINE_ARGON_MS_PER_STEP = 8.8  # round-2 measured (PERF.md)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
+def bench_fused():
     import jax
     import jax.numpy as jnp
 
@@ -55,13 +72,13 @@ def main():
     xyz = tab.xyz_dof
     two_pi = 2 * np.pi
     Up = uniform_state(xyz, mix, 1.2, (10.0, 0.0, 0.0), 300.0)
-    # superpose a Taylor-Green-like velocity so the flow is nontrivial
-    Up = Up.at[..., 1].add(5.0 * jnp.sin(two_pi * xyz[..., 0]) * jnp.cos(two_pi * xyz[..., 1]))
-    Up = Up.at[..., 2].add(-5.0 * jnp.cos(two_pi * xyz[..., 0]) * jnp.sin(two_pi * xyz[..., 1]))
+    Up = Up.at[..., 1].add(
+        5.0 * jnp.sin(two_pi * xyz[..., 0]) * jnp.cos(two_pi * xyz[..., 1]))
+    Up = Up.at[..., 2].add(
+        -5.0 * jnp.cos(two_pi * xyz[..., 0]) * jnp.sin(two_pi * xyz[..., 1]))
     U = mix.conservatives(Up).astype(dtype)
 
     ndof_total = tab.ne * tab.ndof  # solution points (per equation)
-
     nsteps = 50
 
     rhs_fn = fused if fused is not None else (
@@ -72,8 +89,6 @@ def main():
 
     @jax.jit
     def run(U_in, t, dt):
-        # scan the whole step loop inside one executable: no per-step host
-        # dispatch (the solver time loop does the same)
         def body(carry, _):
             u, tt = carry
             u2, aux = rk4(rhs_fn, u, tt, dt)
@@ -85,37 +100,148 @@ def main():
     dt = jnp.asarray(5e-6, dtype)
     t = jnp.asarray(0.0, dtype)
 
-    # warmup + compile
-    U1, mcs = run(U, t, dt)
+    U1, mcs = run(U, t, dt)  # warmup + compile
     U1.block_until_ready()
 
-    # timed steps
     t0 = time.perf_counter()
     Uc, mcs = run(U, t, dt)
     Uc.block_until_ready()
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = nsteps / elapsed
-    dof_steps = ndof_total * steps_per_sec
-    value = float(dof_steps)
-    print(
-        json.dumps(
-            {
-                "metric": "DOF-steps/sec/chip (3D NS p=2 hex, RK4, f32)",
-                "value": value,
-                "unit": "dof*steps/s",
-                "vs_baseline": value / BASELINE_DOF_STEPS_PER_SEC,
-                "detail": {
-                    "elements": int(tab.ne),
-                    "ndof_per_elem": int(tab.ndof),
-                    "dofs": int(ndof_total),
-                    "steps_per_sec": steps_per_sec,
-                    "rk_substep_ms": 1e3 * elapsed / (nsteps * 4),
-                    "max_char_speed": float(mcs),
-                },
-            }
-        )
+    value = float(ndof_total * steps_per_sec)
+    return {
+        "metric": "DOF-steps/sec/chip (3D NS p=2 hex, RK4, f32)",
+        "value": value,
+        "unit": "dof*steps/s",
+        "vs_baseline": value / BASELINE_DOF_STEPS_PER_SEC,
+        "detail": {
+            "elements": int(tab.ne),
+            "ndof_per_elem": int(tab.ndof),
+            "dofs": int(ndof_total),
+            "steps_per_sec": steps_per_sec,
+            "rk_substep_ms": 1e3 * elapsed / (nsteps * 4),
+            "max_char_speed": float(mcs),
+        },
+    }
+
+
+def _make_solver(ini_text):
+    import tps_tpu.harness  # noqa: F401 (registry side-effect)
+    from tps_tpu.config.ini import IniInput
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.solvers.base import create_solver
+
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile("w", suffix=".ini", delete=False)
+    f.write(ini_text)
+    f.close()
+    inp = IniInput.read(f.name)
+    rc = parse_run_configuration(inp)
+    s = create_solver(rc.solver_type, rc)
+    s.initialize()
+    return s
+
+
+def bench_general():
+    """BC'd 16^3 NS box (inviscid walls): the general slot path that every
+    real-mesh case runs (PERF.md 'General (slot) path')."""
+    import jax.numpy as jnp
+
+    walls = "\n".join(
+        f"[boundaryConditions/wall{i}]\npatch = {i}\ntype = inviscid\n"
+        for i in range(1, 7)
     )
+    s = _make_solver(f"""
+[solver]
+type = flow
+[flow]
+order = 2
+maxIters = 4
+outputFreq = 1000
+fluid = dry_air
+equation_system = navier-stokes
+[mesh]
+generator = box3d
+nx = 16
+ny = 16
+nz = 16
+[time]
+cfl = 0.1
+integrator = rk4
+[initialConditions]
+rho = 1.2
+rhoU = 12.0
+rhoV = 0.0
+rhoW = 0.0
+pressure = 101300
+{walls}
+[boundaryConditions]
+numWalls = 6
+[io]
+outdirBase = /tmp/tps_bench_general
+""")
+    t = jnp.asarray(0.0, s.dtype)
+    dt = jnp.asarray(1e-7, s.dtype)
+    # warmup/compile
+    U2, bc2, mcs = s._step(s.tables, s.U, t, dt, s.fields, s.bc_states)
+    U2.block_until_ready()
+    nrep = 20
+    t0 = time.perf_counter()
+    U = s.U
+    bc = s.bc_states
+    for _ in range(nrep):
+        U, bc, mcs = s._step(s.tables, U, t, dt, s.fields, bc)
+    U.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    ms_per_rhs = 1e3 * elapsed / (nrep * 4)  # RK4: 4 RHS per step
+    return {
+        "metric": "general-path ms/RHS (BC'd 16^3 NS box, p=2)",
+        "value": ms_per_rhs,
+        "unit": "ms",
+        "vs_baseline": BASELINE_GENERAL_MS_PER_RHS / ms_per_rhs,
+        "detail": {"elements": int(s.tables.ne), "steps_timed": nrep},
+    }
+
+
+def bench_argon():
+    """Production solve_step() on the argon plasma deck: full CLI-path
+    step incl. services and the async NaN/CFL machinery."""
+    deck = os.path.join(HERE, "examples", "cases", "argon_plasma_2d.ini")
+    with open(deck) as f:
+        txt = f.read()
+    s = _make_solver(txt)
+    for _ in range(4):  # warmup/compile (CFL dt settles)
+        s.solve_step()
+    nrep = 40
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        s.solve_step()
+    import jax
+
+    jax.block_until_ready(s.U)
+    elapsed = time.perf_counter() - t0
+    ms_per_step = 1e3 * elapsed / nrep
+    return {
+        "metric": "argon plasma CLI ms/step (2-T, RK4)",
+        "value": ms_per_step,
+        "unit": "ms",
+        "vs_baseline": BASELINE_ARGON_MS_PER_STEP / ms_per_step,
+        "detail": {"elements": int(s.tables.ne), "steps_timed": nrep},
+    }
+
+
+def main():
+    primary = bench_fused()
+    extras = []
+    for fn in (bench_general, bench_argon):
+        try:
+            extras.append(fn())
+        except Exception as e:  # record the failure, keep the gate green
+            extras.append({"metric": fn.__name__, "error": repr(e)})
+    primary["extra_metrics"] = extras
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

@@ -260,3 +260,169 @@ def test_sharded_axisymmetric_matches_single(tmp_path):
     assert U1.shape == U3.shape
     assert np.isfinite(U1).all()
     np.testing.assert_allclose(U3, U1, rtol=0, atol=0)  # bitwise
+
+
+def test_sharded_characteristic_bcs_patch_split(tmp_path):
+    """Time-integrated characteristic (LODI) inlet AND outlet whose patches
+    each span >= 2 shards: partition along y so the NR inlet (x=0, attr 4)
+    and NR pressure outlet (x=1, attr 2) are both split across all 3
+    shards. The threaded BC state (time-integrated ghost) plus the psum
+    patch means must reproduce single-device (reference: per-patch
+    subcommunicator NRBCs are rank-count-invariant, src/mpi_groups.hpp)."""
+
+    def ini(outdir, partitions):
+        return f"""
+[solver]
+type = flow
+
+[flow]
+order = 2
+maxIters = 6
+outputFreq = 100
+fluid = dry_air
+equation_system = navier-stokes
+refLength = 1.0
+
+[mesh]
+generator = box2d
+nx = 10
+ny = 6
+x1 = 1.0
+y1 = 0.3
+partitions = {partitions}
+partition_axis = 1
+
+[time]
+cfl = 0.12
+integrator = rk3
+
+[initialConditions]
+rho = 1.2
+rhoU = 24.0
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+
+[boundaryConditions/inlet1]
+patch = 4
+type = nonreflecting
+density = 1.2
+uvw = '20 0 0'
+
+[boundaryConditions/outlet1]
+patch = 2
+type = nonReflectingPressure
+pressure = 101300
+
+[boundaryConditions/wall1]
+patch = 1
+type = inviscid
+
+[boundaryConditions/wall2]
+patch = 3
+type = inviscid
+
+[boundaryConditions]
+numWalls = 2
+numInlets = 1
+numOutlets = 1
+
+[io]
+outdirBase = {outdir}
+"""
+
+    s1 = _run_ini(ini(str(tmp_path / "a"), 1), str(tmp_path / "a"))
+    s3 = _run_ini(ini(str(tmp_path / "b"), 3), str(tmp_path / "b"))
+    # both characteristic BCs carry threaded state
+    n_state = sum(1 for st in s3.bc_states if st is not None)
+    assert n_state >= 2
+    U1, U3 = s1.state_global(), s3.state_global()
+    assert np.isfinite(U1).all()
+    # psum partial-sum order differs across decompositions: ULP-level noise
+    np.testing.assert_allclose(U3, U1, rtol=1e-12, atol=1e-9)
+
+
+def test_sharded_interpolated_inlet_matches_single(tmp_path):
+    """Interpolated (external-data) inlet under [mesh]/partitions: each
+    shard's inlet faces carry their own interpolated targets (stacked
+    per-shard, selected by mesh-axis index), matching the single-device
+    run (reference: interpolated inlets are MPI-clean,
+    src/inletBC.cpp interpInlet)."""
+    # synthetic inlet plane: parabolic u(y) along x = 0
+    ys = np.linspace(0.0, 0.3, 40)
+    rows = []
+    for i, y in enumerate(ys):
+        u = 20.0 * 4.0 * (y / 0.3) * (1.0 - y / 0.3)
+        rows.append([i, 0.0, y, 0.0, 300.0, u, 0.0, 0.0])
+    csv = tmp_path / "inletPlane.csv"
+    with open(csv, "w") as fh:
+        fh.write("# no, x, y, z, T, u, v, w\n")
+        for r in rows:
+            fh.write(",".join(f"{v:.8e}" for v in r) + "\n")
+
+    def ini(outdir, partitions):
+        return f"""
+[solver]
+type = flow
+
+[flow]
+order = 2
+maxIters = 4
+outputFreq = 100
+fluid = dry_air
+equation_system = navier-stokes
+
+[mesh]
+generator = box2d
+nx = 8
+ny = 6
+x1 = 1.0
+y1 = 0.3
+partitions = {partitions}
+partition_axis = 1
+
+[time]
+cfl = 0.12
+integrator = rk3
+
+[initialConditions]
+rho = 1.2
+rhoU = 12.0
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+
+[boundaryConditions/inlet1]
+patch = 4
+type = interpolate
+name = {csv}
+
+[boundaryConditions/outlet1]
+patch = 2
+type = subsonicPressure
+pressure = 101300
+
+[boundaryConditions/wall1]
+patch = 1
+type = viscous_isothermal
+temperature = 300
+
+[boundaryConditions/wall2]
+patch = 3
+type = viscous_isothermal
+temperature = 300
+
+[boundaryConditions]
+numWalls = 2
+numInlets = 1
+numOutlets = 1
+
+[io]
+outdirBase = {outdir}
+"""
+
+    s1 = _run_ini(ini(str(tmp_path / "a"), 1), str(tmp_path / "a"))
+    s3 = _run_ini(ini(str(tmp_path / "b"), 3), str(tmp_path / "b"))
+    U1, U3 = s1.state_global(), s3.state_global()
+    assert np.isfinite(U1).all()
+    np.testing.assert_allclose(U3, U1, rtol=1e-12, atol=1e-9)

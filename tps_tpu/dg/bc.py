@@ -396,13 +396,28 @@ class InterpolatedInletBC:
     temperature/velocity targets with time ramping; ghost density follows
     the interior pressure (reflecting subsonic behavior)."""
 
-    temperature: object  # [nf, nqf]
-    velocity: object  # [nf, nqf, dim]
+    temperature: object  # [nf, nqf], or [P, nf, nqf] per-shard stacked
+    velocity: object  # [nf, nqf, dim], or [P, nf, nqf, dim] stacked
     gas_constant: float
     ramp_time: float = 0.0
 
     def ghost_primitive(self, mixture, UpL):
         return UpL
+
+    def _local_data(self, ctx):
+        """Per-shard slice of the interpolated targets: under shard_map the
+        data is stacked [P, nf, nqf(,dim)] in each shard's padded face
+        order and selected by the device-mesh axis index (reference: the
+        interpolated inlet is MPI-clean, each rank holding its own faces'
+        values, src/inletBC.cpp interpInlet path)."""
+        temp, vel = self.temperature, self.velocity
+        if ctx.axis_name is not None and jnp.ndim(temp) == 3:
+            import jax
+
+            idx = jax.lax.axis_index(ctx.axis_name)
+            temp = jax.lax.dynamic_index_in_dim(temp, idx, keepdims=False)
+            vel = jax.lax.dynamic_index_in_dim(vel, idx, keepdims=False)
+        return temp, vel
 
     def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
         mix = ctx.fluxes.mixture
@@ -411,8 +426,9 @@ class InterpolatedInletBC:
         wt = 1.0 if self.ramp_time <= 0.0 else jnp.minimum(
             t / self.ramp_time, 1.0
         )
-        rho = p / (self.gas_constant * self.temperature)
-        vel = wt * self.velocity
+        temperature, velocity = self._local_data(ctx)
+        rho = p / (self.gas_constant * temperature)
+        vel = wt * velocity
         ghost = UL.at[..., 0].set(rho)
         ghost = ghost.at[..., 1 : 1 + mix.dim].set(rho[..., None] * vel)
         if nvel > mix.dim:

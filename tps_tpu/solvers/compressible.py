@@ -511,34 +511,59 @@ class CompressibleSolver(PlasmaSolver):
         if kind == "interpolate":
             # external-data inlet (reference: InletType INTERPOLATE +
             # GaussianInterpExtData); CSV plane interpolated onto the
-            # patch's face quadrature points
-            if self._build is not None:
-                raise NotImplementedError(
-                    "interpolate inlets with [mesh]/partitions > 1"
-                )
+            # patch's face quadrature points. Sharded runs interpolate in
+            # every shard's own padded face order (stacked [P, nf, nqf],
+            # selected by axis index at trace time) — the reference's
+            # interpolated inlets are MPI-clean the same way
+            # (src/inletBC.cpp interpInlet under domain decomposition).
             import jax.numpy as jnp
 
             from ..dg.bc import InterpolatedInletBC
             from ..interop.ext_data import gaussian_interp, read_inlet_plane
 
-            tab = self.viz_tables
-            sel = np.asarray(tab.f_bdr_attr) == spec.patch
-            xyz_f = np.asarray(tab.f_xyz[tab.nfi :])[sel]  # [nf, nqf, dim]
-            nf, nqf, dimm = xyz_f.shape
-            pts = xyz_f.reshape(-1, dimm)
-            if dimm < 3:
-                pts = np.concatenate(
-                    [pts, np.zeros((len(pts), 3 - dimm))], axis=1
-                )
             src_xyz, T, vel, _ = read_inlet_plane(
                 str(p.get("name", "inletPlane.csv")).strip("'\"")
             )
-            vals = gaussian_interp(src_xyz, np.column_stack([vel, T]), pts)
+
+            def interp_at(xyz_f):
+                nf, nqf, dimm = xyz_f.shape
+                pts = xyz_f.reshape(-1, dimm)
+                if dimm < 3:
+                    pts = np.concatenate(
+                        [pts, np.zeros((len(pts), 3 - dimm))], axis=1
+                    )
+                vals = gaussian_interp(
+                    src_xyz, np.column_stack([vel, T]), pts)
+                return (vals[:, 3].reshape(nf, nqf),
+                        vals[:, :dimm].reshape(nf, nqf, dimm))
+
+            if self._build is not None:
+                # per-shard padded attr block rows (identical block coords
+                # across shards; padding faces have zero weights)
+                blocks = {a: (s, e)
+                          for (a, s, e) in self._build.bc_attr_blocks}
+                bstart, bstop = blocks[spec.patch]
+                ts = self.tables_np  # stacked numpy tables
+                nfi_pad = ts.nfi
+                temps, vels = [], []
+                for pp in range(self.nparts):
+                    xyz_f = np.asarray(
+                        ts.f_xyz[pp, nfi_pad + bstart: nfi_pad + bstop])
+                    tv, vv = interp_at(xyz_f)
+                    temps.append(tv)
+                    vels.append(vv)
+                temp_arr = jnp.asarray(np.stack(temps))
+                vel_arr = jnp.asarray(np.stack(vels))
+            else:
+                tab = self.viz_tables
+                sel = np.asarray(tab.f_bdr_attr) == spec.patch
+                xyz_f = np.asarray(tab.f_xyz[tab.nfi:])[sel]
+                tv, vv = interp_at(xyz_f)
+                temp_arr = jnp.asarray(tv)
+                vel_arr = jnp.asarray(vv)
             return InterpolatedInletBC(
-                temperature=jnp.asarray(vals[:, 3].reshape(nf, nqf)),
-                velocity=jnp.asarray(
-                    vals[:, :dimm].reshape(nf, nqf, dimm)
-                ),
+                temperature=temp_arr,
+                velocity=vel_arr,
                 gas_constant=self.mixture.gas_constant,
                 ramp_time=fget("rampTime", 0.0),
             )
