@@ -155,3 +155,130 @@ def test_rings_attribute_current_and_By():
     # symmetry about the midplane and decay toward the box edge
     assert np.allclose(By, By[::-1], rtol=1e-6, atol=1e-9 * abs(mid))
     assert abs(By[0]) < 0.8 * abs(mid)
+
+
+def test_tet_nedelec_patch():
+    """Whitney tet edge elements: constants exact, curl(grad) = 0, linear
+    fields exact (reference: ND_FECollection on the Gmsh tet rings meshes,
+    src/quasimagnetostatic.cpp:170)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.mesh.generators import box_3d_tet
+
+    m = box_3d_tet(3, 3, 3)
+    tabn = hcurl.build_hcurl(m, quad_order=2)
+    tab = tabn.to_jax(jnp.float64)
+    xyz_v = m.vertices
+    ev = np.asarray(tabn.edge_verts)
+
+    c = np.array([1.0, 2.0, 3.0])
+    dofs = (xyz_v[ev[:, 1]] - xyz_v[ev[:, 0]]) @ c
+    Aq = np.asarray(hcurl.field_at_quad(tab, jnp.asarray(dofs)))
+    assert np.abs(Aq - c).max() < 1e-12
+    mm = float(jnp.asarray(dofs) @ hcurl.mass_apply(tab, jnp.asarray(dofs)))
+    assert abs(mm - 14.0) < 1e-12  # int |A|^2 over the unit cube
+
+    phi = np.sin(xyz_v[:, 0]) + xyz_v[:, 1] ** 2
+    gdofs = phi[ev[:, 1]] - phi[ev[:, 0]]
+    cc = np.asarray(hcurl.curlcurl_apply(tab, jnp.asarray(gdofs)))
+    assert np.abs(cc).max() < 1e-12
+
+    # A = (0, 0, x) -> curl A = (0, -1, 0)
+    xb = 0.5 * (xyz_v[ev[:, 1], 0] + xyz_v[ev[:, 0], 0])
+    dz = xyz_v[ev[:, 1], 2] - xyz_v[ev[:, 0], 2]
+    Cq = np.asarray(hcurl.curl_at_quad(tab, jnp.asarray(xb * dz)))
+    assert np.abs(Cq - np.array([0.0, -1.0, 0.0])).max() < 1e-12
+
+
+def _tet_coil_setup(n, precond, max_iter, rtol=1e-12):
+    import jax.numpy as jnp
+
+    from tps_tpu.mesh.generators import box_3d_tet
+
+    mesh = box_3d_tet(n, n, n, bounds=((-0.5, 0.5),) * 3)
+    qms = QuasiMagnetostatic3D(
+        mesh, coils=((0.0, 0.2, 0.35, 0.1),), current_frequency=60.0,
+        current_amplitude=1000.0, rtol=rtol, max_iter=max_iter,
+        preconditioner=precond,
+    )
+    sig = np.where(
+        np.linalg.norm(np.asarray(qms.h1tab.xyz), axis=1) < 0.2, 1e4, 0.0)
+    qms.set_plasma_conductivity(jnp.asarray(sig))
+    return qms
+
+
+def _block_residual(qms):
+    import jax.numpy as jnp
+
+    tab = qms.tab
+    omega = 2 * np.pi * qms.current_frequency
+    msw_q = qms.mu0 * omega * qms.plasma_conductivity_q
+    mask = qms.mask
+    nd = tab.nedge
+    kd = hcurl.curlcurl_diag(tab)
+    md = hcurl.mass_diag(tab)
+    eps = 1e-6 * float(jnp.sum(kd) / jnp.sum(md))
+
+    def bapply(w):
+        a_re = w[:nd] * mask
+        a_im = w[nd:] * mask
+        y_re = hcurl.curlcurl_apply(tab, a_re) \
+            + eps * hcurl.mass_apply(tab, a_re) \
+            - hcurl.mass_apply(tab, a_im, msw_q)
+        y_im = hcurl.mass_apply(tab, a_re, msw_q) \
+            + hcurl.curlcurl_apply(tab, a_im) \
+            + eps * hcurl.mass_apply(tab, a_im)
+        return jnp.concatenate([y_re * mask, y_im * mask])
+
+    b_re = qms.mu0 * hcurl.rhs_vector(tab, qms._Jq)
+    b = jnp.concatenate([b_re * mask, jnp.zeros(nd)])
+    x = jnp.concatenate([qms.A_re, qms.A_im])
+    return float(jnp.linalg.norm(b - bapply(x)) / jnp.linalg.norm(b))
+
+
+def test_tet_coil_plasma_ams_beats_jacobi():
+    """Rings-style coil + conducting plasma core on a tet mesh: the
+    AMS-class auxiliary-space preconditioner at one-third the iterations
+    out-converges Jacobi by orders of magnitude (reference: HypreAMS,
+    src/quasimagnetostatic.cpp:449)."""
+    q_ams = _tet_coil_setup(5, "ams", 40)
+    q_ams.solve()
+    r_ams = _block_residual(q_ams)
+    q_jac = _tet_coil_setup(5, "jacobi", 120)
+    q_jac.solve()
+    r_jac = _block_residual(q_jac)
+    assert r_ams < r_jac / 10.0, (r_ams, r_jac)
+    assert r_ams < 1e-8
+    # eddy currents in the core: nonzero A_im and positive Joule heating
+    assert float(np.abs(np.asarray(q_ams.A_im)).max()) > 0
+    assert q_ams.total_joule_heating() > 0
+
+
+def test_em3d_sharded_matches_single():
+    """em/partitions on the 3-D solver: the element-sharded psum assembly
+    reproduces the single-device solve."""
+    import jax
+
+    if len(jax.devices()) < 3:
+        import pytest
+
+        pytest.skip("needs >= 3 devices")
+    q1 = _tet_coil_setup(4, "ams", 30)
+    q1.solve()
+    import jax.numpy as jnp
+
+    from tps_tpu.mesh.generators import box_3d_tet
+
+    mesh = box_3d_tet(4, 4, 4, bounds=((-0.5, 0.5),) * 3)
+    q3 = QuasiMagnetostatic3D(
+        mesh, coils=((0.0, 0.2, 0.35, 0.1),), current_frequency=60.0,
+        current_amplitude=1000.0, rtol=1e-12, max_iter=30,
+        preconditioner="ams", partitions=3,
+    )
+    sig = np.where(
+        np.linalg.norm(np.asarray(q3.h1tab.xyz), axis=1) < 0.2, 1e4, 0.0)
+    q3.set_plasma_conductivity(jnp.asarray(sig))
+    q3.solve()
+    a1 = np.asarray(q1.A_re)
+    a3 = np.asarray(q3.A_re)
+    assert np.abs(a1 - a3).max() < 1e-10 * max(np.abs(a1).max(), 1e-30)

@@ -79,6 +79,9 @@ class HCurlTables:
     detJ: np.ndarray  # [ne, nq]
     xyz_q: np.ndarray  # [ne, nq, 3]
     bdr_edges: np.ndarray  # boundary edge ids (for PEC A x n = 0)
+    edge_verts: np.ndarray = None  # [nedge, 2] (lo, hi) mesh vertex ids
+    ref_pts: np.ndarray = None  # [nq, 3] reference quadrature points
+    elem_valid: np.ndarray = None  # [ne] 1.0 real / 0.0 shard padding
 
     @property
     def ndofs(self):
@@ -98,39 +101,75 @@ class HCurlTables:
         return out
 
 
+_TET_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+# barycentric gradients on the reference tet (lambda0 = 1-x-y-z, ...)
+_TET_GRAD_L = np.array(
+    [[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+)
+
+
+def _tet_edge_basis_at(pts):
+    """Whitney edge basis W_e = l_a grad(l_b) - l_b grad(l_a) and its curl
+    2 grad(l_a) x grad(l_b) on the reference tet: [nq, 6, 3] each."""
+    nq = pts.shape[0]
+    lam = np.column_stack(
+        [1.0 - pts.sum(axis=1), pts[:, 0], pts[:, 1], pts[:, 2]]
+    )  # [nq, 4]
+    W = np.zeros((nq, 6, 3))
+    C = np.zeros((nq, 6, 3))
+    for e, (a, b) in enumerate(_TET_EDGES):
+        ga, gb = _TET_GRAD_L[a], _TET_GRAD_L[b]
+        W[:, e, :] = lam[:, a, None] * gb[None, :] - lam[:, b, None] * ga[None, :]
+        C[:, e, :] = 2.0 * np.cross(ga, gb)[None, :]
+    return W, C
+
+
 def build_hcurl(mesh, quad_order=3) -> HCurlTables:
+    """Lowest-order Nedelec tables on hex OR tet meshes (reference:
+    ND_FECollection accepts any 3-D element type,
+    src/quasimagnetostatic.cpp:170; the rings/coupled-3d cases are Gmsh
+    tet meshes)."""
     from ..mesh.reference_element import ReferenceElement
 
     if mesh.dim != 3:
-        raise ValueError("H(curl) tables require a hex mesh")
+        raise ValueError("H(curl) tables require a 3-D (hex or tet) mesh")
+    is_tet = mesh.geom == "tet"
+    local_edges = _TET_EDGES if is_tet else _HEX_EDGES
+    nedloc = len(local_edges)
     ne = mesh.num_elements
-    elems = mesh.elements  # [ne, 8]
+    elems = mesh.elements  # [ne, 8] or [ne, 4]
 
     # global edges by sorted vertex pair (periodic meshes: vertex ids are
     # already glued by the mesh generator's periodic mapping if any);
     # vectorized: encode each pair as one int64 key and np.unique
-    epairs = elems[:, np.asarray(_HEX_EDGES, dtype=np.int64)]  # [ne, 12, 2]
+    epairs = elems[:, np.asarray(local_edges, dtype=np.int64)]
     g0 = epairs[..., 0]
     g1 = epairs[..., 1]
     nv = int(elems.max()) + 1
     ekey = (np.minimum(g0, g1) * np.int64(nv)
             + np.maximum(g0, g1)).reshape(-1)
     uniq_keys, elem_edges = np.unique(ekey, return_inverse=True)
-    elem_edges = elem_edges.reshape(ne, 12).astype(np.int64)
+    elem_edges = elem_edges.reshape(ne, nedloc).astype(np.int64)
     edge_sign = np.where(g0 < g1, 1.0, -1.0)
     nedge = int(elem_edges.max()) + 1
 
     # quadrature + geometry
-    x1, w1 = gauss_legendre_1d(quad_order)
-    X, Y, Z = np.meshgrid(x1, x1, x1, indexing="ij")
-    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
-    wq = np.einsum("i,j,k->ijk", w1, w1, w1).ravel()
-    W, Cw = _edge_basis_at(pts)
+    if is_tet:
+        ref_q = ReferenceElement(geom="tet", order=1, basis="gauss-lobatto")
+        pts, wq = ref_q.volume_quadrature(2 * quad_order)
+        W, Cw = _tet_edge_basis_at(pts)
+    else:
+        x1, w1 = gauss_legendre_1d(quad_order)
+        X, Y, Z = np.meshgrid(x1, x1, x1, indexing="ij")
+        pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+        wq = np.einsum("i,j,k->ijk", w1, w1, w1).ravel()
+        W, Cw = _edge_basis_at(pts)
 
     ref = ReferenceElement(geom=mesh.geom, order=1, basis="gauss-lobatto")
     dN = ref.eval_geom_basis_grad(pts)  # [nq, nverts, 3]
     Ngeo = ref.eval_geom_basis(pts)  # [nq, nverts]
-    ev = mesh.vertices[elems]  # [ne, 8, 3]
+    ev = mesh.vertices[elems]  # [ne, nverts, 3]
     J = np.einsum("nvi,qvj->nqij", ev, dN)
     detJ = np.linalg.det(J)
     Jinv = np.linalg.inv(J)
@@ -151,10 +190,17 @@ def build_hcurl(mesh, quad_order=3) -> HCurlTables:
     else:
         bdr_edges = np.zeros(0, dtype=np.int64)
 
+    # edge endpoints (lo, hi): the global edge orientation is lo -> hi, so
+    # the discrete gradient is (G phi)_e = phi[hi] - phi[lo]
+    edge_verts = np.stack(
+        [uniq_keys // np.int64(nv), uniq_keys % np.int64(nv)], axis=-1
+    ).astype(np.int64)
+
     return HCurlTables(
         dim=3, ne=ne, nedge=nedge, elem_edges=elem_edges,
         edge_sign=edge_sign, W=W, Cw=Cw, wq=wq, Jinv=Jinv, Jmat=J,
-        detJ=detJ, xyz_q=xyz_q, bdr_edges=bdr_edges,
+        detJ=detJ, xyz_q=xyz_q, bdr_edges=bdr_edges, edge_verts=edge_verts,
+        ref_pts=pts,
     )
 
 
@@ -166,10 +212,12 @@ def gather(tab, x):
 
 
 def scatter_add(tab, xl):
-    """[ne, 12] signed local values -> [nedge] assembly."""
+    """[ne, nedloc] signed local values -> [nedge] assembly."""
     import jax.numpy as jnp
     from jax.ops import segment_sum
 
+    if tab.elem_valid is not None:
+        xl = xl * tab.elem_valid[:, None]
     return segment_sum(
         (xl * tab.edge_sign).reshape(-1),
         tab.elem_edges.reshape(-1),
@@ -197,6 +245,8 @@ def curl_at_quad(tab, x):
 
 def mass_apply(tab, x, coef=None):
     """y_i = int coef W_i . W_j x_j (coef given at quad points or None)."""
+    if _sharded(tab):
+        return tab.run_coef(mass_apply, x, coef)
     import jax.numpy as jnp
 
     Aq = field_at_quad(tab, x)
@@ -212,6 +262,8 @@ def mass_apply(tab, x, coef=None):
 
 def curlcurl_apply(tab, x, coef=None):
     """y_i = int coef curl W_i . curl W_j x_j."""
+    if _sharded(tab):
+        return tab.run_coef(curlcurl_apply, x, coef)
     import jax.numpy as jnp
 
     Cq = curl_at_quad(tab, x)
@@ -226,6 +278,8 @@ def curlcurl_apply(tab, x, coef=None):
 
 def rhs_vector(tab, Jsrc_q):
     """b_i = int W_i . J_src with J_src given at quad points [ne, nq, 3]."""
+    if _sharded(tab):
+        return tab.run_coef(lambda tl, cc: rhs_vector(tl, cc), None, Jsrc_q)
     import jax.numpy as jnp
 
     w = tab.wq[None, :] * tab.detJ
@@ -236,6 +290,9 @@ def rhs_vector(tab, Jsrc_q):
 
 
 def mass_diag(tab, coef=None):
+    if _sharded(tab):
+        return tab.run_coef(mass_diag, None, coef) if coef is not None \
+            else tab.run(mass_diag)
     import jax.numpy as jnp
 
     w = tab.wq[None, :] * tab.detJ
@@ -247,6 +304,9 @@ def mass_diag(tab, coef=None):
 
 
 def curlcurl_diag(tab, coef=None):
+    if _sharded(tab):
+        return tab.run_coef(curlcurl_diag, None, coef) if coef is not None \
+            else tab.run(curlcurl_diag)
     import jax.numpy as jnp
 
     w = tab.wq[None, :] * tab.detJ
@@ -260,6 +320,8 @@ def curlcurl_diag(tab, coef=None):
 def scatter_add_unsigned(tab, xl):
     from jax.ops import segment_sum
 
+    if tab.elem_valid is not None:
+        xl = xl * tab.elem_valid[:, None]
     return segment_sum(
         xl.reshape(-1), tab.elem_edges.reshape(-1), num_segments=tab.nedge
     )
@@ -267,6 +329,167 @@ def scatter_add_unsigned(tab, xl):
 
 def integrate(tab, fq):
     """int f dV for f at quadrature points [ne, nq]."""
+    if _sharded(tab):
+        return tab.run_coef(lambda tl, cc: integrate(tl, cc), None, fq)
     import jax.numpy as jnp
 
-    return jnp.sum(tab.wq[None, :] * tab.detJ * fq)
+    w = tab.wq[None, :] * tab.detJ
+    if tab.elem_valid is not None:
+        w = w * tab.elem_valid[:, None]
+    return jnp.sum(w * fq)
+
+
+# --------------------------------------------------------------------------
+# Element-sharded H(curl) assembly (em/partitions on the 3-D QMS solver)
+#
+# Mirrors fem.h1.ShardedH1: edge-dof vectors stay REPLICATED across the
+# device mesh while the element assembly loop runs sharded under shard_map
+# with a psum reduction (SURVEY.md 2.6 — the reference's EM solve runs
+# under MPI like everything else).
+
+
+class ShardedHCurl:
+    """Duck-typed HCurlTables whose assembly ops run element-sharded.
+
+    Per-element diagnostics (field_at_quad/curl_at_quad over the global
+    element list) use the retained global tables via `.global_tab`."""
+
+    def __init__(self, tab_np, nparts, dtype, axis="dd", devices=None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh as JaxMesh
+
+        self.axis = axis
+        self.nparts = nparts
+        gj = tab_np.to_jax(dtype)
+        self.global_tab = gj
+        # forwarded global surface
+        for name in ("dim", "ne", "nedge"):
+            setattr(self, name, getattr(tab_np, name))
+        for name in ("elem_edges", "edge_sign", "W", "Cw", "wq", "Jinv",
+                     "Jmat", "detJ", "xyz_q", "bdr_edges", "edge_verts",
+                     "ref_pts"):
+            setattr(self, name, getattr(gj, name))
+        self.elem_valid = None
+
+        ne = tab_np.ne
+        part = np.minimum((np.arange(ne) * nparts) // ne, nparts - 1)
+        counts = np.bincount(part, minlength=nparts)
+        nep = int(counts.max())
+        nedloc = tab_np.elem_edges.shape[1]
+
+        def z(shape):
+            return np.zeros((nparts,) + shape)
+
+        ee = np.zeros((nparts, nep, nedloc), dtype=np.int64)
+        es = z((nep, nedloc))
+        Ji = z((nep,) + tab_np.Jinv.shape[1:])
+        Jm = z((nep,) + tab_np.Jmat.shape[1:])
+        dJ = np.ones((nparts, nep) + tab_np.detJ.shape[1:])
+        xq = z((nep,) + tab_np.xyz_q.shape[1:])
+        valid = np.zeros((nparts, nep))
+        eid = np.zeros((nparts, nep), dtype=np.int64)
+        for p in range(nparts):
+            ids = np.where(part == p)[0]
+            k = len(ids)
+            pad = ids[0] if k else 0
+            sel = np.concatenate([ids, np.full(nep - k, pad)])
+            ee[p] = tab_np.elem_edges[sel]
+            es[p] = tab_np.edge_sign[sel]
+            Ji[p] = tab_np.Jinv[sel]
+            Jm[p] = tab_np.Jmat[sel]
+            dJ[p] = tab_np.detJ[sel]
+            xq[p] = tab_np.xyz_q[sel]
+            eid[p] = sel
+            valid[p, :k] = 1.0
+
+        self._elem_ids_stacked = jnp.asarray(eid)
+        self._st = {
+            "elem_edges": jnp.asarray(ee),
+            "edge_sign": jnp.asarray(es, dtype),
+            "Jinv": jnp.asarray(Ji, dtype),
+            "Jmat": jnp.asarray(Jm, dtype),
+            "detJ": jnp.asarray(dJ, dtype),
+            "xyz_q": jnp.asarray(xq, dtype),
+            "elem_valid": jnp.asarray(valid, dtype),
+        }
+        self._nep = nep
+
+        if devices is not None:
+            devs = list(devices)
+        else:
+            devs = jax.devices()
+            if len(devs) < nparts:
+                devs = jax.devices("cpu")
+        if len(devs) < nparts:
+            raise ValueError(f"need {nparts} devices, have {len(devs)}")
+        self.jmesh = JaxMesh(np.array(devs[:nparts]), (axis,))
+
+    def _localize(self, st):
+        loc = HCurlTables.__new__(HCurlTables)
+        loc.dim, loc.ne, loc.nedge = self.dim, self._nep, self.nedge
+        loc.W, loc.Cw, loc.wq = self.W, self.Cw, self.wq
+        loc.bdr_edges, loc.edge_verts = self.bdr_edges, self.edge_verts
+        loc.ref_pts = self.ref_pts
+        for k, v in st.items():
+            setattr(loc, k, v[0])
+        return loc
+
+    def run(self, op, *args):
+        import jax
+        from functools import partial as _partial
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        st_specs = {k: P(self.axis) for k in self._st}
+        in_specs = (st_specs,) + tuple(P() for _ in args)
+
+        @_partial(shard_map, mesh=self.jmesh, in_specs=in_specs,
+                  out_specs=P())
+        def f(st, *a):
+            return jax.lax.psum(op(self._localize(st), *a), self.axis)
+
+        return f(self._st, *args)
+
+    def stack_quad(self, cq):
+        """Global quad coefficient [ne, nq(, ...)] -> per-shard stacked."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(cq)[self._elem_ids_stacked]
+
+    def run_coef(self, op, x, coef):
+        if coef is None:
+            return self.run(lambda tl, xx: op(tl, xx), x)
+        import jax
+        from functools import partial as _partial
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        st_specs = {k: P(self.axis) for k in self._st}
+        cs = self.stack_quad(coef)
+        if x is None:
+            @_partial(shard_map, mesh=self.jmesh,
+                      in_specs=(st_specs, P(self.axis)), out_specs=P())
+            def f0(st, cc):
+                return jax.lax.psum(op(self._localize(st), cc[0]), self.axis)
+
+            return f0(self._st, cs)
+
+        @_partial(shard_map, mesh=self.jmesh,
+                  in_specs=(st_specs, P(), P(self.axis)), out_specs=P())
+        def f(st, xx, cc):
+            return jax.lax.psum(op(self._localize(st), xx, cc[0]), self.axis)
+
+        return f(self._st, x, cs)
+
+
+def _sharded(tab):
+    return isinstance(tab, ShardedHCurl)

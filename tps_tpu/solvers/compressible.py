@@ -714,7 +714,7 @@ class CompressibleSolver(PlasmaSolver):
         reference's own dt also trails the state by one RK stage."""
         rc = self.config
         cfl_mode = not (rc.constant_dt or rc.dt_fixed > 0)
-        lag = 0 if cfl_mode else int(getattr(rc, "mcs_lag", 8))
+        lag = int(getattr(rc, "mcs_lag", 8))
         try:
             mcs.copy_to_host_async()
         except AttributeError:
@@ -722,22 +722,16 @@ class CompressibleSolver(PlasmaSolver):
         if not hasattr(self, "_mcs_queue"):
             self._mcs_queue = []
         self._mcs_queue.append((self.iter, mcs))
-        # CFL-controlled runs drain synchronously: dt must come from THIS
-        # step's wave speed or the trajectory depends on the async queue
-        # history and restarts are no longer bit-reproducible (the fixed-dt
-        # path keeps the lag -- there dt never depends on mcs)
+        # NaN guard reads the async copies a few steps late (one
+        # synchronous host round-trip costs ~26 ms through the hosted TPU
+        # tunnel, PERF.md); checkpoints drain first so they never store NaN
         self._drain_mcs_queue(lag)
-        mcs = getattr(self, "_last_mcs", None)
-        if mcs is None:
-            mcs = float(self._mcs_queue[-1][1])  # startup: synchronous
-            if not np.isfinite(mcs):
-                self.check_nan(verbose=True)
-                raise FloatingPointError(
-                    f"NaN/Inf detected at iteration {self.iter} "
-                    f"(t={self.time:.6e})"
-                )
 
         if cfl_mode:
+            # dt from THIS step's wave speed, computed as a DEVICE scalar:
+            # deterministic across restarts (no async-queue dependence)
+            # and no per-step host sync — the scalar is only materialized
+            # on host at the timing print / checkpoint cadence
             self.dt = rc.cfl * self.hmin / mcs / self.mesh.dim
 
         if self.iter % rc.timing_freq == 0:

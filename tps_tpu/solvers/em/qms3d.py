@@ -24,7 +24,7 @@ class QuasiMagnetostatic3D(Solver):
     def __init__(self, mesh, coils=(), current_frequency=6.0e6,
                  current_amplitude=2.0e6, rtol=1e-8, max_iter=600,
                  quad_order=3, attr_currents=None, current_axis=(0.0, 1.0, 0.0),
-                 mu0=MU0):
+                 mu0=MU0, preconditioner="ams", partitions=1, devices=None):
         """coils: tuple of rings (z0, r1, r2, half_height) carrying the
         azimuthal (about the z axis) source current density.
 
@@ -51,10 +51,21 @@ class QuasiMagnetostatic3D(Solver):
         self.current_amplitude = current_amplitude
         self.rtol = rtol
         self.max_iter = max_iter
+        self.preconditioner = preconditioner
         self.dtype = jnp.float64
 
-        self.tab = hcurl.build_hcurl(mesh, quad_order=quad_order).to_jax(self.dtype)
+        tab_np = hcurl.build_hcurl(mesh, quad_order=quad_order)
+        self.tab = tab_np.to_jax(self.dtype)
         self.h1tab = h1.build_h1(mesh, order=1).to_jax(self.dtype)
+        # element-sharded assembly over a device mesh (em/partitions N):
+        # the Krylov operator applies run under shard_map with psum
+        # assembly (reference: the EM solve runs under MPI too)
+        self.nparts = max(int(partitions or 1), 1)
+        if self.nparts > 1:
+            self.stab = hcurl.ShardedHCurl(
+                tab_np, self.nparts, self.dtype, devices=devices)
+        else:
+            self.stab = self.tab
 
         nedge = self.tab.nedge
         mask = np.ones(nedge)
@@ -64,18 +75,63 @@ class QuasiMagnetostatic3D(Solver):
         self.A_re = jnp.zeros(nedge)
         self.A_im = jnp.zeros(nedge)
         self.plasma_conductivity_q = jnp.zeros(self.tab.detJ.shape)
+        # sigma also kept at the H1 quadrature points (AMS aux solves)
+        self.plasma_conductivity_h1q = jnp.zeros(self.h1tab.detJ.shape)
         self.iter = 0
 
         self._Jq = self._coil_current_density()
 
     # -- source -----------------------------------------------------------
+    def _geom_basis_at_hcurl_q(self):
+        """Vertex (geometry) basis evaluated at the H(curl) quadrature
+        reference points [nq_hc, nverts] — the H1 and H(curl) tables use
+        different quadrature rules (tet simplex rule vs tensor GL), so
+        nodal fields are interpolated onto the H(curl) points explicitly."""
+        if getattr(self, "_Nvq", None) is None:
+            from ...mesh.reference_element import ReferenceElement
+
+            ref = ReferenceElement(geom=self.mesh.geom, order=1,
+                                   basis="gauss-lobatto")
+            self._Nvq = ref.eval_geom_basis(np.asarray(self.tab.ref_pts))
+        return self._Nvq
+
     def _coil_current_density(self):
         """Azimuthal ring current density at quadrature points, with a
         discrete divergence-free projection (reference InitializeCurrent +
         DivergenceFreeProjector, src/quasimagnetostatic.cpp:227-330)."""
         import jax.numpy as jnp
 
-        xyz = self.tab.xyz_q  # [ne, nq, 3]
+        Jq_hc = self._raw_current_at(self.tab.xyz_q)
+        Jq_h1 = self._raw_current_at(self.h1tab.xyz_q)
+
+        # divergence-free projection: J <- J - grad(phi), lap(phi) = div(J)
+        # (pure Neumann; orthogonalized against constants)
+        ht = self.h1tab
+        divJ = self._div_at_dofs(Jq_h1)
+        rhs = -h1.mass_apply(ht, divJ)
+        rhs = rhs - jnp.mean(rhs)
+
+        def lap(v):
+            return h1.diffusion_apply(ht, v)
+
+        diag = h1.stiffness_diag(ht) + 1e-30
+        phi = h1.cg_solve(lap, rhs, x0=jnp.zeros(ht.ndofs), diag=diag,
+                          tol=1e-10, maxiter=400)
+        gphi = jnp.stack(
+            [h1.grad_at_dofs(ht, phi)[:, d] for d in range(3)], axis=-1
+        )
+        # grad(phi) at the H(curl) quadrature points via the vertex map
+        v2d = self._vert2dof()
+        Nvq = jnp.asarray(self._geom_basis_at_hcurl_q())
+        gv = gphi[jnp.asarray(v2d)][jnp.asarray(self.mesh.elements)]
+        gq = jnp.einsum("qv,nvk->nqk", Nvq, gv)
+        return Jq_hc - gq
+
+    def _raw_current_at(self, xyz):
+        """Analytic ring/coil current density at arbitrary points
+        [ne, nq, 3]."""
+        import jax.numpy as jnp
+
         r = jnp.sqrt(xyz[..., 0] ** 2 + xyz[..., 1] ** 2)
         Jq = jnp.zeros_like(xyz)
 
@@ -107,26 +163,7 @@ class QuasiMagnetostatic3D(Solver):
             Jq = Jq + jnp.where(
                 inside[..., None], self.current_amplitude / area * ephi, 0.0
             )
-
-        # divergence-free projection: J <- J - grad(phi), lap(phi) = div(J)
-        # (pure Neumann; orthogonalized against constants)
-        ht = self.h1tab
-        divJ = self._div_at_dofs(Jq)
-        rhs = -h1.mass_apply(ht, divJ)
-        rhs = rhs - jnp.mean(rhs)
-
-        def lap(v):
-            return h1.diffusion_apply(ht, v)
-
-        diag = h1.stiffness_diag(ht) + 1e-30
-        phi = h1.cg_solve(lap, rhs, x0=jnp.zeros(ht.ndofs), diag=diag,
-                          tol=1e-10, maxiter=400)
-        gphi = jnp.stack(
-            [h1.grad_at_dofs(ht, phi)[:, d] for d in range(3)], axis=-1
-        )
-        # interpolate grad(phi) to quadrature points
-        gq = jnp.einsum("qd,ndk->nqk", ht.Bvol, gphi[ht.elem_dofs])
-        return Jq - gq
+        return Jq
 
     def _div_at_dofs(self, Fq):
         """Weak divergence of a quad-point vector field onto H1 dofs."""
@@ -141,11 +178,18 @@ class QuasiMagnetostatic3D(Solver):
 
     # -- coupling interface ------------------------------------------------
     def set_plasma_conductivity(self, sigma_nodal):
-        """sigma given at H1 nodes; stored at quadrature points."""
+        """sigma given at H1 nodes; stored at the H(curl) quadrature
+        points (interpolated through the vertex basis — the H1 and
+        H(curl) quadrature rules differ on tet meshes)."""
         import jax.numpy as jnp
 
+        v2d = self._vert2dof()
+        Nvq = jnp.asarray(self._geom_basis_at_hcurl_q())
+        sv = jnp.asarray(sigma_nodal)[jnp.asarray(v2d)][
+            jnp.asarray(self.mesh.elements)]
+        self.plasma_conductivity_q = jnp.einsum("qv,nv->nq", Nvq, sv)
         ht = self.h1tab
-        self.plasma_conductivity_q = jnp.einsum(
+        self.plasma_conductivity_h1q = jnp.einsum(
             "qd,nd->nq", ht.Bvol, h1.gather(ht, jnp.asarray(sigma_nodal))
         )
 
@@ -156,19 +200,107 @@ class QuasiMagnetostatic3D(Solver):
     def max_iters(self):
         return 1
 
+    def _vert2dof(self):
+        """Mesh-vertex id -> order-1 H1 dof id (coordinate matching; the
+        H1 numbering is coordinate-based, not vertex-based)."""
+        if getattr(self, "_v2d", None) is not None:
+            return self._v2d
+        verts = np.asarray(self.mesh.vertices)
+        dofx = np.asarray(self.h1tab.xyz)
+        scale = max(np.abs(verts).max(), 1.0)
+
+        def key(a):
+            return [tuple(r) for r in
+                    np.round(a / scale * 1e10).astype(np.int64)]
+
+        lookup = {k: i for i, k in enumerate(key(dofx))}
+        self._v2d = np.array([lookup[k] for k in key(verts)], dtype=np.int64)
+        return self._v2d
+
+    def _ams_precond(self, msw_h1q, eps_reg, kdiag):
+        """Auxiliary-space (AMS-class) preconditioner for the SPD part
+        K + (eps + w mu0 sigma) M (reference: HypreAMS,
+        src/quasimagnetostatic.cpp:449). Additive three-term form:
+
+          P^-1 = D^-1  +  G L_grad^-1 G^T  +  Pi L_vec^-1 Pi^T
+
+        where G is the discrete gradient (edge e: phi[hi]-phi[lo]),
+        L_grad = G^T A G = H1 stiffness with coefficient (eps + w mu0
+        sigma) (curl G = 0 kills the curl term), Pi is the nodal
+        vector-field interpolation onto edges, and L_vec the nodal vector
+        analog (Laplacian + coefficient mass). Both auxiliary solves are
+        Chebyshev-smoothed (linear, so GMRES stays valid)."""
+        import jax.numpy as jnp
+        from jax.ops import segment_sum
+
+        tab, ht = self.tab, self.h1tab
+        v2d = self._vert2dof()
+        ev = np.asarray(tab.edge_verts)
+        lo = jnp.asarray(v2d[ev[:, 0]])
+        hi = jnp.asarray(v2d[ev[:, 1]])
+        tvec = jnp.asarray(
+            np.asarray(self.mesh.vertices)[ev[:, 1]]
+            - np.asarray(self.mesh.vertices)[ev[:, 0]]
+        )  # [nedge, 3] edge tangents (lo -> hi)
+        emask = self.mask
+        nh = ht.ndofs
+        vfree = np.ones(nh)
+        vfree[h1.boundary_dofs(ht)] = 0.0
+        vmask = jnp.asarray(vfree)
+
+        coef = eps_reg + msw_h1q  # [ne, nq_h1]
+
+        def Lg(v):
+            return h1.diffusion_apply(ht, v * vmask, coef) * vmask \
+                + v * (1 - vmask)
+
+        Lg_diag = h1.stiffness_diag(ht, coef) * vmask + (1 - vmask)
+        Mg = h1.chebyshev_precond(Lg, Lg_diag, degree=4)
+
+        def Lv(v):
+            return (h1.diffusion_apply(ht, v * vmask)
+                    + h1.mass_apply(ht, v * vmask, coef)) * vmask \
+                + v * (1 - vmask)
+
+        Lv_diag = (h1.stiffness_diag(ht)
+                   + h1.mass_lumped_diag(ht, coef)) * vmask + (1 - vmask)
+        Mv = h1.chebyshev_precond(Lv, Lv_diag, degree=4)
+
+        def Minv_block(r0):
+            r = r0 * emask
+            z = r / kdiag
+            # gradient-space correction
+            rg = (segment_sum(r, hi, num_segments=nh)
+                  - segment_sum(r, lo, num_segments=nh)) * vmask
+            zg = Mg(rg)
+            z = z + (zg[hi] - zg[lo])
+            # vector-nodal correction (Pi = endpoint-average . tangent)
+            for d in range(3):
+                rv = 0.5 * (
+                    segment_sum(r * tvec[:, d], hi, num_segments=nh)
+                    + segment_sum(r * tvec[:, d], lo, num_segments=nh)
+                ) * vmask
+                zv = Mv(rv)
+                z = z + 0.5 * (zv[hi] + zv[lo]) * tvec[:, d]
+            # identity on constrained (PEC) edges: a zero there makes the
+            # preconditioner singular and derails GMRES
+            return z * emask + r0 * (1 - emask)
+
+        return Minv_block
+
     def solve_step(self):
         import jax
         import jax.numpy as jnp
 
-        tab = self.tab
+        tab = self.stab  # sharded assembly tables (== self.tab unsharded)
         omega = 2.0 * PI * self.current_frequency
         msw_q = self.mu0 * omega * self.plasma_conductivity_q
         mask = self.mask
         nd = tab.nedge
 
         # small mass regularization lifts the curl-curl gradient nullspace
-        # (role of the reference's AMS preconditioner; the divergence-free
-        # projected RHS keeps gradient components out of the solution)
+        # (the divergence-free projected RHS keeps gradient components out
+        # of the solution)
         kd = hcurl.curlcurl_diag(tab)
         md = hcurl.mass_diag(tab)
         eps_reg = 1e-6 * float(jnp.sum(kd) / jnp.sum(md))
@@ -189,11 +321,20 @@ class QuasiMagnetostatic3D(Solver):
 
         kdiag = kd + eps_reg * md + hcurl.mass_diag(tab, msw_q)
         kdiag = kdiag * mask + (1 - mask)
-        dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
+
+        if self.preconditioner == "ams":
+            msw_h1q = self.mu0 * omega * self.plasma_conductivity_h1q
+            Mb = self._ams_precond(msw_h1q, eps_reg, kdiag)
+
+            def M(x):
+                return jnp.concatenate([Mb(x[:nd]), Mb(x[nd:])])
+        else:  # jacobi
+            dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
+            M = lambda x: x * dinv  # noqa: E731
 
         w, _ = jax.scipy.sparse.linalg.gmres(
             block_apply, b, tol=self.rtol, maxiter=self.max_iter,
-            M=lambda x: x * dinv, solve_method="batched", restart=40,
+            M=M, solve_method="batched", restart=40,
         )
         self.A_re = w[:nd] * mask
         self.A_im = w[nd:] * mask
@@ -313,9 +454,9 @@ class _Em3dFromConfig(QuasiMagnetostatic3D):
             from ...mesh.refine import refine_uniform
 
             mesh = read_mesh(mesh_file)
-            if mesh.dim != 3 or mesh.geom != "hex":
+            if mesh.dim != 3 or mesh.geom not in ("hex", "tet"):
                 raise NotImplementedError(
-                    "3-D EM solver requires a hex mesh "
+                    "3-D EM solver requires a hex or tet mesh "
                     f"(got {mesh.dim}-D {mesh.geom})")
             if ref_levels:
                 mesh = refine_uniform(mesh, ref_levels)
@@ -358,6 +499,9 @@ class _Em3dFromConfig(QuasiMagnetostatic3D):
             current_amplitude=amplitude,
             rtol=inp.get("em/rtol", 1e-8),
             max_iter=inp.get("em/max_iter", 600),
+            preconditioner=inp.get("em/preconditioner", "ams"),
+            partitions=inp.get("em/partitions", 1),
+            devices=getattr(config, "devices", None),
         )
         self.config = config
         self.nBy = inp.get("em/nBy", 0)
