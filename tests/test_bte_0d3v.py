@@ -148,3 +148,136 @@ Ar -> Ar^+
     # rates are per-process too
     assert "k_excitation" in c
     assert np.all(np.asarray(c["mobilityN"]) > 0)
+
+
+def test_shipped_argon_lxcat_swarm_parameters():
+    """The shipped LXCat argon set (tps_tpu/data/argon_lxcat.txt:
+    momentum transfer + 4s/4p excitations + ionization) reproduces
+    published argon swarm benchmarks (Phelps/BOLSIG+-class values;
+    the data is an approximation of the Phelps set, so the bands are
+    deliberately generous but order-of-magnitude tight):
+
+      - drift velocity w(1 Td) ~ 2.3e3 m/s
+      - mean energy at 1 Td is eV-scale (Ramsauer: argon runs hot)
+      - Townsend alpha/N rises steeply and reaches ~1e-19 m^2 by 500 Td
+      - thermal limit: EEDF relaxes to the gas Maxwellian at E/N -> 0
+    """
+    import jax.numpy as jnp
+
+    from tps_tpu.interop.bte_0d3v import (
+        KB_EV,
+        BoltzmannSolver0D3V,
+        argon_cross_sections,
+    )
+
+    cs = argon_cross_sections()
+    assert cs.momentum.table.shape[0] > 20
+    kinds = [p.kind for p in cs.processes]
+    assert kinds.count("EXCITATION") == 2 and kinds.count("IONIZATION") == 1
+    assert abs(cs.mass_ratio - 1.373e-5) < 1e-7
+
+    # thermal limit on a grid resolving kT (de << kT_gas; a 1-eV gas
+    # keeps the elastic relaxation pseudo-time reachable — the cooling
+    # rate scales with m/M ~ 1.4e-5)
+    Tg = 11604.5  # 1 eV
+    bte_th = BoltzmannSolver0D3V(n_energy=96, eps_max=8.0, n_steps=3000,
+                                 dtau=50.0, cross_sections=cs)
+    f0 = bte_th.solve_eedf(jnp.asarray([0.01]), jnp.asarray([Tg]))
+    me = float(bte_th.coefficients(f0)["mean_energy"][0])
+    assert abs(me - 1.5 * KB_EV * Tg) / (1.5 * KB_EV * Tg) < 0.2, me
+
+    # swarm sweep
+    bte = BoltzmannSolver0D3V(n_energy=192, eps_max=80.0, n_steps=1200,
+                              dtau=1.0, cross_sections=cs)
+    EoN = np.array([1.0, 10.0, 100.0, 300.0, 500.0])
+    f0 = bte.solve_eedf(jnp.asarray(EoN), jnp.full(len(EoN), 300.0))
+    c = bte.coefficients(f0)
+    muN = np.asarray(c["mobilityN"])
+    kion = np.asarray(c["k_ionization"])
+    meane = np.asarray(c["mean_energy"])
+    w = muN * EoN * 1e-21  # drift velocity [m/s]
+    alphaN = kion / w
+
+    # published w(Ar, 1 Td) ~ 2.3e3 m/s
+    assert 1.2e3 < w[0] < 4.5e3, w[0]
+    # argon mean energy at 1 Td is eV-scale (2-4 eV)
+    assert 1.5 < meane[0] < 4.5, meane[0]
+    # mean energy and ionization rate increase monotonically with E/N
+    assert (np.diff(meane) > 0).all()
+    assert (np.diff(kion) > 0).all()
+    # no ionization at 1 Td; strong by 300 Td
+    assert kion[0] < 1e-30 and kion[3] > 1e-16
+    # Townsend alpha/N order of magnitude (Kruithof-class: ~1e-20 at
+    # 100 Td rising toward ~1e-19 by 500 Td)
+    assert 1e-21 < alphaN[2] < 1e-19, alphaN[2]
+    assert 2e-20 < alphaN[4] < 1e-18, alphaN[4]
+
+
+def test_bte_rates_from_coupled_em_field():
+    """End-to-end: the axisymmetric EM solve fills the Tps2Boltzmann bus
+    E-field, the 0D3V solver consumes it and pushes electron temperature,
+    mobility and per-reaction rates back (reference flow:
+    cycle_avg_joule_coupling push -> tps-bte_0d3v.py -> fetch)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.interop.bte_0d3v import BoltzmannSolver0D3V, argon_cross_sections
+    from tps_tpu.interop.boltzmann import Tps2Boltzmann
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.solvers.em.qms import QuasiMagnetostaticSolverAxiSym
+
+    # EM mesh with a coil ring and a conducting column near the axis
+    em_mesh = box_2d(10, 10, x0=0.0, x1=0.03, y0=-0.01, y1=0.02)
+    cent = em_mesh.vertices[em_mesh.elements].mean(axis=1)
+    attrs = np.ones(em_mesh.num_elements, dtype=np.int64)
+    ring = (np.abs(cent[:, 0] - 0.018) < 0.004) & (np.abs(cent[:, 1] - 0.005) < 0.004)
+    attrs[ring] = 2
+    em_mesh.elem_attrs = attrs
+
+    class _Cfg:
+        raw = None
+
+        def __init__(self):
+            self.raw = self
+
+        def get(self, k, d=None):
+            return {"em/current_amplitude": 2e4,
+                    "em/current_frequency": 1e5}.get(k, d)
+
+        def get_required(self, k, typ=str):
+            raise KeyError(k)
+
+    em = QuasiMagnetostaticSolverAxiSym(_Cfg(), mesh=em_mesh)
+    em.initialize()
+    sig = np.where(np.asarray(em.tab.xyz)[:, 0] < 0.008, 200.0, 0.0)
+    em.set_plasma_conductivity(jnp.asarray(sig))
+    em.solve_step()
+    E_re, E_im = em.electric_field()
+    Eamp = np.asarray(jnp.sqrt(E_re**2 + E_im**2))
+    assert Eamp.max() > 0
+
+    # bus: one point per EM node, argon at 1 torr-ish density
+    npts = len(Eamp)
+    bus = Tps2Boltzmann()
+    bus.setup(nspecies=2, nreactions=2, n_efield_comps=2, shape=(npts,))
+    # low-pressure argon so the coil's E-field spans an O(10 Td) E/N range
+    N = 1.0e18  # m^-3
+    bus.setField(bus.ElectricField,
+                 np.stack([Eamp, np.zeros(npts)], axis=-1))
+    bus.setField(bus.SpeciesDensities,
+                 np.stack([np.full(npts, N), np.full(npts, 1e16)], axis=-1))
+    bus.setField(bus.HeavyTemperature, np.full((npts, 1), 400.0))
+
+    bte = BoltzmannSolver0D3V(n_energy=96, eps_max=60.0, n_steps=500,
+                              dtau=1.5, cross_sections=argon_cross_sections())
+    bte.fetch(bus)
+    bte.solve()
+    bte.push(bus)
+
+    Te = np.asarray(bus.host(bus.ElectronTemperature))[..., 0]
+    rates = np.asarray(bus.host(bus.ReactionRates))
+    assert np.isfinite(Te).all() and Te.min() > 0
+    # electrons are hottest where E/N is largest
+    assert Te.max() > Te.min()
+    iE = Eamp.argmax()
+    assert Te[iE] > np.median(Te)
+    assert np.isfinite(rates).all() and rates.max() >= 0

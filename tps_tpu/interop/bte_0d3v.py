@@ -157,6 +157,19 @@ def read_lxcat(path, species=None):
     return CrossSectionSet(momentum=mom[0], processes=inel)
 
 
+def argon_cross_sections():
+    """The shipped LXCat-format argon collision set (momentum transfer +
+    4s/4p excitations + Rapp ionization; tps_tpu/data/argon_lxcat.txt),
+    validated against published swarm benchmarks in tests/test_bte_0d3v.py.
+    Role of the reference's downloaded lxcat data consumed by
+    tps-bte_0d3v.py."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "argon_lxcat.txt")
+    return read_lxcat(path, species="Ar")
+
+
 @dataclass
 class BoltzmannSolver0D3V:
     """Steady two-term EEDF solver, batched over spatial points."""
