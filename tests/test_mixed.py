@@ -447,3 +447,99 @@ type = inviscid
     tps2.solve()
     assert tps2.solver.iter == 9
     assert tps2.solver.check_nan() == 0
+
+
+def test_mixed_nr_outlet_crossing_seam(tmp_path):
+    """An NR pressure outlet patch that CROSSES the tri/quad seam (top
+    boundary of a vertical channel, quads left of x=0.5, tris right):
+    the characteristic patch mean is accumulated over BOTH buckets'
+    face weights (one mean per patch, like the reference's per-patch
+    subcommunicators) and the run matches a pure-quad reference of the
+    same resolution to discretization error."""
+    from tps_tpu.harness import Tps
+
+    def run(meshspec, outdir):
+        ini = tmp_path / f"{outdir}.ini"
+        ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+{meshspec if meshspec.startswith("mesh") else ""}
+order = 1
+maxIters = 12
+outputFreq = 100
+fluid = dry_air
+equation_system = euler
+refLength = 1.0
+[io]
+outdirBase = {tmp_path}/{outdir}
+[time]
+cfl = 0.3
+integrator = rk3
+{meshspec if not meshspec.startswith("mesh") else ""}
+[initialConditions]
+rho = 1.2
+rhoU = 0.
+rhoV = 48.
+rhoW = 0.
+pressure = 101300
+[boundaryConditions/inlet1]
+patch = 1
+type = subsonic
+density = 1.2
+uvw = '0 40 0'
+[boundaryConditions/outlet1]
+patch = 3
+type = nonReflectingPressure
+pressure = 101300
+[boundaryConditions/wall1]
+patch = 4
+type = inviscid
+[boundaryConditions/wall2]
+patch = 2
+type = inviscid
+""")
+        tps = Tps()
+        tps.parse_command_line_args(["tps", "--runFile", str(ini)])
+        tps.parse_input()
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        tps.solve()
+        return tps.solver
+
+    meshfile = tmp_path / "seam.mesh"
+    _write_mixed_mfem(meshfile, nx=8, ny=6, x1=1.0, y1=0.6, tri_from=0.5)
+    s_mix = run(f"mesh = {meshfile}", "mix")
+    s_quad = run("""[mesh]
+generator = box2d
+nx = 8
+ny = 6
+x1 = 1.0
+y1 = 0.6""", "quad")
+    assert s_mix.check_nan() == 0 and s_quad.check_nan() == 0
+    # the outlet's threaded characteristic state exists in BOTH buckets
+    st = s_mix.bc_states
+    stateful = [x for b in st for x in b if x is not None]
+    assert len(stateful) >= 2
+    # mean outlet-adjacent pressure agrees with the pure-quad run to
+    # discretization error
+    import jax.numpy as jnp
+
+    mixm = s_mix.mixture
+
+    def mean_p_mixed(s):
+        num = den = 0.0
+        for U, tab in zip(s.U, s.mt.buckets):
+            p = np.asarray(mixm.pressure(jnp.asarray(U)))
+            y = np.asarray(tab.xyz_dof[..., 1])
+            sel = y > 0.5
+            num += p[sel].sum()
+            den += sel.sum()
+        return num / den
+
+    pq = np.asarray(s_quad.mixture.pressure(jnp.asarray(s_quad.U)))
+    yq = np.asarray(s_quad.tables.xyz_dof[..., 1])
+    p_quad = pq[yq > 0.5].mean()
+    p_mix = mean_p_mixed(s_mix)
+    assert abs(p_mix - p_quad) / p_quad < 2e-3, (p_mix, p_quad)

@@ -763,14 +763,19 @@ class CharacteristicOutletBC:
             )
         return ctx.riemann(UL, state, nor)
 
-    def advance(self, ctx, state, UL, UpL, gradL, nor, wts, dt):
+    def advance(self, ctx, state, UL, UpL, gradL, nor, wts, dt,
+                mean_up=None):
         mix = ctx.fluxes.mixture
         dim, nvel, neq = mix.dim, mix.nvel, mix.num_equations
         gam = mix.specific_heat_ratio
         nhat, _ = _unit(nor)
         t1, t2 = _tangent_frame(nhat)
 
-        mean_up = _patch_mean(UpL, wts, ctx.axis_name)  # [neq]
+        # mean_up may be precomputed PATCH-GLOBALLY (mixed tri/quad meshes
+        # combine both buckets' face weights into one mean, the analog of
+        # the reference's per-patch subcommunicator reductions)
+        if mean_up is None:
+            mean_up = _patch_mean(UpL, wts, ctx.axis_name)  # [neq]
         mean_rho = mean_up[0]
         mean_vel = mean_up[1 : 1 + nvel]
         c = mix.sound_speed_from_T(mean_up[mix.i_th])
@@ -848,7 +853,8 @@ class CharacteristicInletBC:
             state = UL
         return ctx.riemann(UL, state, nor)
 
-    def advance(self, ctx, state, UL, UpL, gradL, nor, wts, dt):
+    def advance(self, ctx, state, UL, UpL, gradL, nor, wts, dt,
+                mean_up=None):
         mix = ctx.fluxes.mixture
         dim, nvel, neq = mix.dim, mix.nvel, mix.num_equations
         gam = mix.specific_heat_ratio
@@ -856,7 +862,8 @@ class CharacteristicInletBC:
         nhat = -n_out  # inward
         t1, t2 = _tangent_frame(nhat)
 
-        mean_up = _patch_mean(UpL, wts, ctx.axis_name)
+        if mean_up is None:  # see CharacteristicOutletBC.advance
+            mean_up = _patch_mean(UpL, wts, ctx.axis_name)
         mean_rho = mean_up[0]
         mean_vel = mean_up[1 : 1 + nvel]
         c = mix.sound_speed_from_T(mean_up[mix.i_th])

@@ -423,14 +423,38 @@ def init_bc_states_mixed(mt, ctxs, Us):
 
 
 def advance_bc_states_mixed(mt, ctxs, Us, bc_states, dt):
-    """One characteristic-ODE step of every stateful BC's ghost state,
-    per bucket (patch means are bucket-local; a patch crossing the seam
-    uses two nearly-equal means)."""
+    """One characteristic-ODE step of every stateful BC's ghost state.
+
+    Patch means are PATCH-GLOBAL: the same BC object serves the patch's
+    faces in both element-type buckets, so its quadrature-weighted mean is
+    accumulated over both buckets' face weights before the per-bucket
+    advance — one mean per patch, exactly as the reference's per-patch
+    subcommunicator produces (src/mpi_groups.hpp:44-78)."""
+    import jax.numpy as jnp
+
     if bc_states is None or not any(
             getattr(s.bc, "has_state", False)
             for ctx in ctxs for s in ctx.bcs):
         return bc_states
     data = _mixed_boundary_data(mt, ctxs, Us, need_grad=True)
+
+    # cross-bucket patch means, keyed by the shared BC object
+    accum = {}
+    for b, ctx in enumerate(ctxs):
+        _ULb, UpLb, _g, _n, wmagb = data[b]
+        for s in ctx.bcs:
+            if getattr(s.bc, "has_state", False):
+                sl = slice(s.start, s.stop)
+                w = wmagb[sl]
+                num = jnp.sum(w[..., None] * UpLb[sl], axis=(0, 1))
+                den = jnp.sum(w)
+                k = id(s.bc)
+                if k in accum:
+                    accum[k] = (accum[k][0] + num, accum[k][1] + den)
+                else:
+                    accum[k] = (num, den)
+    means = {k: n / jnp.maximum(d, 1e-300) for k, (n, d) in accum.items()}
+
     out = []
     for b, ctx in enumerate(ctxs):
         ULb, UpLb, gLb, norb, wmagb = data[b]
@@ -441,7 +465,7 @@ def advance_bc_states_mixed(mt, ctxs, Us, bc_states, dt):
                 states.append(s.bc.advance(
                     ctx, bc_states[b][i], ULb[sl], UpLb[sl],
                     None if gLb is None else gLb[sl],
-                    norb[sl], wmagb[sl], dt))
+                    norb[sl], wmagb[sl], dt, mean_up=means[id(s.bc)]))
             else:
                 states.append(bc_states[b][i])
         out.append(tuple(states))

@@ -7,10 +7,10 @@ state is one element-batched array per geometry bucket; the face coupling
 lives in dg/mixed.py.  Physics models, BC option parsing, CFL control, and
 the time-loop services are shared with CompressibleSolver.
 
-Single-device only.  Known caveat: characteristic-BC patch means are
-averaged per element-type bucket, so a patch crossing the tri/quad seam
-uses two (nearly equal, for smooth flow) means rather than one
-patch-global mean.
+Single-device only.  Characteristic-BC patch means are patch-GLOBAL: a
+patch crossing the tri/quad seam accumulates one quadrature-weighted mean
+over both buckets' faces (dg/mixed.py advance_bc_states_mixed), like the
+reference's per-patch subcommunicators.
 """
 
 from __future__ import annotations
