@@ -62,6 +62,12 @@ class Tps:
         ap.add_argument("--visualization", "-visual", action="store_true")
         ap.add_argument("--debug", action="store_true")
         ap.add_argument("--device", default=None, help="tpu|cpu override")
+        # multi-host launch (reference: mpirun -np N tps ...; here: run the
+        # same command on every host with its processId)
+        ap.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (multi-host runs)")
+        ap.add_argument("--numProcesses", type=int, default=0)
+        ap.add_argument("--processId", type=int, default=0)
         args = ap.parse_args(argv[1:] if argv else sys.argv[1:])
         if args.version:
             from . import __version__
@@ -72,6 +78,10 @@ class Tps:
         self._visual = args.visualization
         if args.device:
             self._device_config = args.device
+        self._multihost = None
+        if args.coordinator:
+            self._multihost = (args.coordinator, args.numProcesses,
+                               args.processId)
         return args
 
     def parse_input(self, path=None):
@@ -87,11 +97,22 @@ class Tps:
         selects the MFEM device backend, src/tps.cpp:196-239).
 
         Uses jax.config (NOT the JAX_PLATFORMS env var, which plugin
-        backends may ignore)."""
+        backends may ignore).
+
+        Multi-host runs (--coordinator host:port --numProcesses N
+        --processId i on every host) initialize the jax multi-controller
+        runtime here, the analog of the reference's MPI_Init
+        (src/tps.cpp:72-74); jax.devices() then spans all hosts and the
+        domain-decomposition device meshes follow."""
         import jax
 
         if self._device_config == "cpu":
             jax.config.update("jax_platforms", "cpu")
+        if getattr(self, "_multihost", None):
+            from .parallel.comm import init_multi_host
+
+            coord, nproc, pid = self._multihost
+            init_multi_host(coord, nproc, pid)
 
     def choose_solver(self):
         # split-communicator analog (reference: Tps accepts any MPI_Comm,
