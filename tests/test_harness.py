@@ -420,3 +420,76 @@ pressure = 101300
         for _ in range(12):
             tps.solve_step()
         s._drain_mcs_queue(0)
+
+
+def test_no_nan_checkpoint_ever_written(tmp_path):
+    """Invariant: the async lagged NaN guard may detect a NaN up to
+    mcsLagSteps late, but a checkpoint can NEVER store NaN fields — the
+    queue is drained (lag 0) before every write_restart (reference: the
+    sanitizer runs before I/O in solveStep)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tps_tpu.harness import Tps
+
+    ini = tmp_path / "run.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+order = 1
+maxIters = 40
+outputFreq = 2
+fluid = dry_air
+equation_system = euler
+[mesh]
+generator = box2d
+nx = 4
+ny = 4
+periodic_x = 1
+periodic_y = 1
+[time]
+dt_fixed = 1e-4
+mcsLagSteps = 8
+[initialConditions]
+rho = 1.2
+rhoU = 10.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[io]
+outdirBase = {tmp_path}/out
+enableRestart = 0
+""")
+    tps = Tps()
+    tps.parse_command_line_args(["tps", "--runFile", str(ini)])
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    s = tps.solver
+    for _ in range(3):
+        tps.solve_step()
+    s.U = s.U.at[3, 0, 0].set(jnp.nan)  # planted bug mid-run
+    with pytest.raises(FloatingPointError, match="NaN/Inf detected"):
+        for _ in range(30):
+            tps.solve_step()  # checkpoints every 2 steps, NaN lag 8
+    # every checkpoint written before the failure is NaN-free
+    import glob
+
+    import h5py
+
+    files = glob.glob(f"{tmp_path}/out/**/*.h5", recursive=True)
+    checked = 0
+    for fn in files:
+        with h5py.File(fn, "r") as f:
+            def walk(name, obj):
+                nonlocal checked
+                if hasattr(obj, "shape") and obj.dtype.kind == "f":
+                    assert np.isfinite(np.asarray(obj)).all(), (fn, name)
+                    checked += 1
+
+            f.visititems(walk)
+    # the run must actually have written checkpoints for this to mean
+    # anything
+    assert checked > 0, files

@@ -39,6 +39,7 @@ class ShardedBuild:
     partition: np.ndarray  # [ne_global] shard of each element
     bc_attr_blocks: list  # [(attr, start, stop)] in padded bdr-face coords
     global_tables: DGTables | None = None  # unsharded tables (IO/viz/BC setup)
+    bdr_rows: np.ndarray | None = None  # [P, NFB] global bdr row (-1 pad)
 
 
 def block_partition(ne: int, nparts: int) -> np.ndarray:
@@ -61,10 +62,15 @@ def build_sharded_tables(
     order: int,
     nparts: int,
     partition: np.ndarray | None = None,
+    faces=None,
     **build_kw,
 ) -> ShardedBuild:
-    """Build stacked per-shard DG tables from a global mesh."""
-    faces = mesh.build_faces()
+    """Build stacked per-shard DG tables from a global mesh.
+
+    `faces` overrides the face topology (mixed-mesh buckets carry their
+    tri/quad interface faces as extra boundary faces)."""
+    if faces is None:
+        faces = mesh.build_faces()
     g = build_tables(mesh, order, faces=faces, **build_kw)
     ne_g = g.ne
     if partition is None:
@@ -181,6 +187,10 @@ def build_sharded_tables(
         "bdr_slot": np.full((P, NFB), NE * g.nlf, dtype=np.int32),
         "nor_wpf": zeros((g.nlf, NE, g.nqf * g.dim)),
     }
+    # global attr-sorted bdr-face index per padded slot (-1 padding):
+    # mixed-mesh interface blocks use it to address the cross-bucket
+    # interface buffers
+    bdr_rows = np.full((P, NFB), -1, dtype=np.int32)
     # axisymmetric runs carry the radius tables through the same slicing
     # (reference: axisym under MPI like everything else, src/M2ulPhyS.cpp)
     axisym = g.rad_vol is not None
@@ -232,6 +242,7 @@ def build_sharded_tables(
             st["f_bdr_attr"][p, bstart:bstop] = a
             if k:
                 gid = g.nfi + rows
+                bdr_rows[p, dst : dst + k] = rows
                 st["f_elem_l"][p, dst : dst + k] = [lm[int(g.f_elem_l[j])] for j in gid]
                 st["f_slot_l"][p, dst : dst + k] = g.f_slot_l[gid]
                 st["f_nor"][p, dst : dst + k] = g.f_nor[gid]
@@ -315,6 +326,7 @@ def build_sharded_tables(
         partition=partition,
         bc_attr_blocks=bc_attr_blocks,
         global_tables=g,
+        bdr_rows=bdr_rows,
     )
 
 
