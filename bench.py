@@ -8,6 +8,11 @@ records the two real-case paths the fused number excludes
   - general_ns_box_ms_per_rhs: the BC'd (slot-path) 16^3 NS box with
     inviscid walls — every real-mesh case (cyl, plasma) runs this path.
     vs_baseline = round-2's 1.83 ms / measured (>= 1 means no slower).
+    NOTE: round 2's 1.83 was a pure-RHS timing; this metric times the
+    full production step (4 RHS + RK4 + wave-speed reduction + per-step
+    dispatch) / 4, so ~0.3 ms/RHS of step overhead is included. The
+    pure-RHS time measured under the same protocol as round 2 is
+    ~1.9-2.0 ms.
   - argon_cli_ms_per_step: full production solve_step() on the argon
     plasma deck (examples/cases/argon_plasma_2d.ini) including the CLI
     services + async NaN/CFL machinery. vs_baseline = round-2's 8.8 ms
@@ -186,8 +191,9 @@ outdirBase = /tmp/tps_bench_general
     dt = jnp.asarray(1e-7, s.dtype)
     # warmup/compile
     U2, bc2, mcs = s._step(s.tables, s.U, t, dt, s.fields, s.bc_states)
+    U2, bc2, mcs = s._step(s.tables, U2, t, dt, s.fields, bc2)
     U2.block_until_ready()
-    nrep = 20
+    nrep = 40
     t0 = time.perf_counter()
     U = s.U
     bc = s.bc_states
@@ -212,9 +218,12 @@ def bench_argon():
     with open(deck) as f:
         txt = f.read()
     s = _make_solver(txt)
-    for _ in range(4):  # warmup/compile (CFL dt settles)
+    for _ in range(12):  # warmup/compile (CFL dt + async mcs queue settle)
         s.solve_step()
-    nrep = 40
+    import jax as _jax
+
+    _jax.block_until_ready(s.U)
+    nrep = 60
     t0 = time.perf_counter()
     for _ in range(nrep):
         s.solve_step()
