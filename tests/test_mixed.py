@@ -543,3 +543,86 @@ y1 = 0.6""", "quad")
     p_quad = pq[yq > 0.5].mean()
     p_mix = mean_p_mixed(s_mix)
     assert abs(p_mix - p_quad) / p_quad < 2e-3, (p_mix, p_quad)
+
+
+def test_mixed_sharded_matches_single(tmp_path):
+    """[mesh]/partitions on a mixed tri/quad mesh: per-bucket halo
+    exchange + psum-assembled interface buffers reproduce the
+    single-device run (including the NR pressure outlet and the seam
+    coupling); one shard owns ZERO tri elements, exercising the empty-
+    bucket-shard padding path."""
+    from tps_tpu.harness import Tps
+
+    meshfile = tmp_path / "mix.mesh"
+    _write_mixed_mfem(meshfile, nx=8, ny=6, x1=1.0, y1=0.6, tri_from=0.5)
+
+    def run(parts, outdir):
+        ini = tmp_path / f"{outdir}.ini"
+        ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+mesh = {meshfile}
+order = 1
+maxIters = 8
+outputFreq = 100
+fluid = dry_air
+equation_system = navier-stokes
+refLength = 1.0
+[mesh]
+partitions = {parts}
+partition_axis = 0
+[io]
+outdirBase = {tmp_path}/{outdir}
+[time]
+cfl = 0.3
+integrator = rk3
+[initialConditions]
+rho = 1.2
+rhoU = 40.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[boundaryConditions/inlet1]
+patch = 4
+type = subsonic
+density = 1.2
+uvw = '33.3 0 0'
+[boundaryConditions/outlet1]
+patch = 2
+type = nonReflectingPressure
+pressure = 101300
+[boundaryConditions/wall1]
+patch = 1
+type = inviscid
+[boundaryConditions/wall2]
+patch = 3
+type = inviscid
+""")
+        tps = Tps()
+        tps.parse_command_line_args(
+            ["tps", "--runFile", str(ini), "--device", "cpu"])
+        tps.parse_input()
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        tps.solve()
+        return tps.solver
+
+    s1 = run(1, "a")
+    s3 = run(3, "b")
+    assert s3.nparts == 3 and s3._smx is not None
+    # one shard owns zero tri elements (tris live at x >= 0.5)
+    own0 = np.asarray(s3._smx.builds[0].tables.own_mask)
+    assert (own0.sum(axis=1) == 0).any()
+    assert s3.check_nan() == 0
+    U1, U3 = s1.state_global(), s3.state_global()
+    for a, c in zip(U1, U3):
+        a, c = np.asarray(a), np.asarray(c)
+        # psum partial-sum order differs across decompositions: ULP noise
+        np.testing.assert_allclose(c, a, rtol=0, atol=5e-9 * np.abs(a).max())
+    # restart roundtrip through the gathered writer
+    s3.write_restart()
+    s3.read_restart()
+    for a, c in zip(U3, s3.state_global()):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a))

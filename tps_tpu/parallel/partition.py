@@ -242,7 +242,7 @@ def build_sharded_tables(
             st["f_bdr_attr"][p, bstart:bstop] = a
             if k:
                 gid = g.nfi + rows
-                bdr_rows[p, dst : dst + k] = rows
+                bdr_rows[p, bstart : bstart + k] = rows
                 st["f_elem_l"][p, dst : dst + k] = [lm[int(g.f_elem_l[j])] for j in gid]
                 st["f_slot_l"][p, dst : dst + k] = g.f_slot_l[gid]
                 st["f_nor"][p, dst : dst + k] = g.f_nor[gid]

@@ -7,10 +7,12 @@ state is one element-batched array per geometry bucket; the face coupling
 lives in dg/mixed.py.  Physics models, BC option parsing, CFL control, and
 the time-loop services are shared with CompressibleSolver.
 
-Single-device only.  Characteristic-BC patch means are patch-GLOBAL: a
+Runs element-sharded under [mesh]/partitions (per-bucket halo exchange,
+psum-assembled tri/quad interface buffers; dg/mixed.py
+build_sharded_mixed).  Characteristic-BC patch means are patch-GLOBAL: a
 patch crossing the tri/quad seam accumulates one quadrature-weighted mean
-over both buckets' faces (dg/mixed.py advance_bc_states_mixed), like the
-reference's per-patch subcommunicators.
+over both buckets' faces (and all shards), like the reference's per-patch
+subcommunicators.
 """
 
 from __future__ import annotations
@@ -75,34 +77,66 @@ class MixedCompressibleSolver(CompressibleSolver):
         self._build = None
         self.nparts = 1
         self._mixed = True
+        self._smx = None
 
-        if rc.raw is not None and int(rc.raw.get("mesh/partitions", 1) or 1) > 1:
-            raise NotImplementedError("[mesh]/partitions > 1 on mixed meshes")
+        if rc.raw is not None:
+            self.nparts = max(int(rc.raw.get("mesh/partitions", 1) or 1), 1)
 
         basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
-        self.mt_np = build_mixed_tables(
-            self.mesh, order=rc.order, basis=basis,
-            axisymmetric=rc.axisymmetric,
-        )
-        self.mt = self.mt_np.to_jax(self.dtype)
+        if self.nparts > 1:
+            from ..dg.mixed import (
+                build_sharded_mixed,
+                localize_mixed,
+                make_bc_slices_sharded,
+                mixed_spec_tree,
+            )
+
+            paxis = int(rc.raw.get("mesh/partition_axis", 0) or 0)
+            self._smx = build_sharded_mixed(
+                self.mesh, order=rc.order, nparts=self.nparts, basis=basis,
+                axisymmetric=rc.axisymmetric, partition_axis=paxis,
+            )
+            self.mt_np = self._smx.global_mt  # unsharded (IO/viz/BC setup)
+            self.mt = self._smx.stacked.to_jax(self.dtype)
+        else:
+            self.mt_np = build_mixed_tables(
+                self.mesh, order=rc.order, basis=basis,
+                axisymmetric=rc.axisymmetric,
+            )
+            self.mt = self.mt_np.to_jax(self.dtype)
 
         dim = self.mesh.dim
         nvel = 3 if (rc.axisymmetric and dim == 2) else dim
         forcings = self._build_physics(dim, nvel)
 
         bc_by_attr = {spec.patch: self._make_bc(spec) for spec in rc.bcs}
-        slices = make_bc_slices(self.mt_np, bc_by_attr)
+        if self._smx is not None:
+            slices = make_bc_slices_sharded(self._smx, bc_by_attr)
+        else:
+            slices = make_bc_slices(self.mt_np, bc_by_attr)
+        axis = "dd" if self._smx is not None else None
         self.ctxs = tuple(
             RHSContext(fluxes=self.fluxes, riemann=self.riemann,
-                       bcs=slices[b], forcings=tuple(forcings))
+                       bcs=slices[b], forcings=tuple(forcings),
+                       axis_name=axis)
             for b in range(2)
         )
 
-        # initial condition per bucket
+        # initial condition per bucket (global dof coordinates)
         mix = self.mixture
-        self.U = tuple(
-            self._bucket_ic(tab.xyz_dof) for tab in self.mt.buckets
+        U_global = tuple(
+            self._bucket_ic(jnp.asarray(tab.xyz_dof, self.dtype))
+            for tab in self.mt_np.buckets
         )
+        if self._smx is not None:
+            from ..parallel.partition import scatter_state
+
+            self.U = tuple(
+                jnp.asarray(scatter_state(sb, np.asarray(Ug)), self.dtype)
+                for sb, Ug in zip(self._smx.builds, U_global)
+            )
+        else:
+            self.U = U_global
         self.time = 0.0
         self.iter = 0
         self.fields = {}
@@ -113,20 +147,59 @@ class MixedCompressibleSolver(CompressibleSolver):
         )
         base_int = get_integrator(rc.integrator)
 
-        def _step(Us, t, dt, bc_states):
+        def _step_body(mt_loc, Us, t, dt, bc_states):
             def rf(tv, tt):
-                dU, aux = compute_rhs_mixed(self.mt, self.ctxs, tv.t, tt,
+                dU, aux = compute_rhs_mixed(mt_loc, self.ctxs, tv.t, tt,
                                             bc_states=bc_states)
                 return _TreeVec(dU), aux
 
             out, aux = base_int(rf, _TreeVec(Us), t, dt)
-            bc2 = advance_bc_states_mixed(self.mt, self.ctxs, out.t,
+            bc2 = advance_bc_states_mixed(mt_loc, self.ctxs, out.t,
                                           bc_states, dt)
             return out.t, bc2, aux["max_char_speed"]
 
-        self._step_mixed = jax.jit(_step)
-        self._init_bc_mixed = jax.jit(
-            lambda us: init_bc_states_mixed(self.mt, self.ctxs, us))
+        if self._smx is None:
+            self._step_mixed = jax.jit(
+                lambda Us, t, dt, bc: _step_body(self.mt, Us, t, dt, bc))
+            self._init_bc_mixed = jax.jit(
+                lambda us: init_bc_states_mixed(self.mt, self.ctxs, us))
+        else:
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as PS
+
+            from ..parallel.sharding import device_mesh, shard_map
+
+            self._jmesh = device_mesh(self.nparts, devices=rc.devices)
+            specs = mixed_spec_tree(self.mt, "dd")
+            uspec = tuple(PS("dd") for _ in self.U)
+
+            @partial(shard_map, mesh=self._jmesh,
+                     in_specs=(specs, uspec, PS(), PS(), PS("dd")),
+                     out_specs=(uspec, PS("dd"), PS()))
+            def _step_sm(mt_s, Us, t, dt, bc_states):
+                mtl = localize_mixed(mt_s)
+                Ul = tuple(u[0] for u in Us)
+                bl = jax.tree.map(lambda a: a[0], bc_states)
+                U2, bc2, mcs = _step_body(mtl, Ul, t, dt, bl)
+                return (tuple(u[None] for u in U2),
+                        jax.tree.map(lambda a: a[None], bc2), mcs)
+
+            _step_jit = jax.jit(_step_sm)
+            self._step_mixed = lambda Us, t, dt, bc: _step_jit(
+                self.mt, Us, t, dt, bc)
+
+            @partial(shard_map, mesh=self._jmesh,
+                     in_specs=(specs, uspec), out_specs=PS("dd"))
+            def _init_sm(mt_s, Us):
+                mtl = localize_mixed(mt_s)
+                sts = init_bc_states_mixed(mtl, self.ctxs,
+                                           tuple(u[0] for u in Us))
+                return jax.tree.map(lambda a: a[None], sts)
+
+            _init_jit = jax.jit(_init_sm)
+            self._init_bc_mixed = lambda us: _init_jit(self.mt, us)
+
         self.bc_states = self._init_bc_mixed(self.U)
         self._mcs_fn_mixed = jax.jit(
             lambda us: jnp.maximum(
@@ -137,7 +210,7 @@ class MixedCompressibleSolver(CompressibleSolver):
         if rc.dt_fixed > 0:
             self.dt = rc.dt_fixed
         else:
-            mcs0 = float(self._mcs_fn_mixed(self.U))
+            mcs0 = float(self._mcs_fn_mixed(U_global))
             self.dt = rc.cfl * self.hmin / mcs0 / dim
 
         self._wall0 = _time.perf_counter()
@@ -190,6 +263,19 @@ class MixedCompressibleSolver(CompressibleSolver):
                 np.sum(np.asarray(tab.f_wts[tab.nfi:])[sel] * nrm))
         return total
 
+    def state_global(self):
+        """Per-bucket global states (owned rows gathered when sharded)."""
+        import jax.numpy as jnp
+
+        if self._smx is None:
+            return self.U
+        from ..parallel.partition import gather_state
+
+        return tuple(
+            jnp.asarray(gather_state(sb, np.asarray(u)), self.dtype)
+            for sb, u in zip(self._smx.builds, self.U)
+        )
+
     # ------------------------------------------------------------------
     def solve_step(self):
         import jax.numpy as jnp
@@ -203,10 +289,11 @@ class MixedCompressibleSolver(CompressibleSolver):
         self.time += self.dt
         self.iter += 1
 
-        for avg, U, tab in zip(self.averaging_b, self.U, self.mt.buckets):
-            if avg.enabled:
-                avg.add_sample(self.iter, self.mixture.primitives(U),
-                               self.mixture.nvel)
+        if any(avg.enabled for avg in self.averaging_b):
+            for avg, U in zip(self.averaging_b, self.state_global()):
+                if avg.enabled:
+                    avg.add_sample(self.iter, self.mixture.primitives(U),
+                                   self.mixture.nvel)
 
         self._post_step_services(mcs)
 
@@ -231,11 +318,11 @@ class MixedCompressibleSolver(CompressibleSolver):
 
         with h5py.File(self._restart_path(), "w") as f:
             f.attrs["iteration"] = self.iter
-            f.attrs["time"] = self.time
-            f.attrs["dt"] = self.dt
+            f.attrs["time"] = float(self.time)
+            f.attrs["dt"] = float(self.dt)
             f.attrs["order"] = self.config.order
             f.attrs["mixed"] = True
-            for g, U in zip(self.mesh.geoms, self.U):
+            for g, U in zip(self.mesh.geoms, self.state_global()):
                 f.create_dataset(f"solution/{g}", data=np.asarray(U))
 
     def read_restart(self):
@@ -259,13 +346,19 @@ class MixedCompressibleSolver(CompressibleSolver):
                         f"restart mesh mismatch: bucket {g} has {arr.shape[0]}"
                         f" elements, expected {tab.ne}")
                 us.append(jnp.asarray(arr, self.dtype))
+        if self._smx is not None:
+            from ..parallel.partition import scatter_state
+
+            us = [jnp.asarray(scatter_state(sb, np.asarray(u)), self.dtype)
+                  for sb, u in zip(self._smx.builds, us)]
         self.U = tuple(us)
         if getattr(self, "bc_states", None) is not None:
             # re-seed characteristic ghosts from the restored state
             self.bc_states = self._init_bc_mixed(self.U)
 
     def check_nan(self, verbose=False) -> int:
-        bad = sum(int(np.sum(~np.isfinite(np.asarray(U)))) for U in self.U)
+        bad = sum(int(np.sum(~np.isfinite(np.asarray(U))))
+                  for U in self.state_global())
         if verbose and bad:
             print(f"found {bad} non-finite state entries across buckets")
         return bad
@@ -281,7 +374,7 @@ class MixedCompressibleSolver(CompressibleSolver):
         _os.makedirs(self.config.outdir, exist_ok=True)
         paths = []
         for g, part, tab, U in zip(self.mesh.geoms, self.mesh.parts,
-                                   self.mt_np.buckets, self.U):
+                                   self.mt_np.buckets, self.state_global()):
             Up = mix.primitives(jnp.asarray(U))
             fields = {
                 "density": np.asarray(Up[..., 0]),
