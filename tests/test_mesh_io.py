@@ -208,3 +208,74 @@ def test_refine_uniform_quad():
     fi = r.build_faces()
     assert fi.bdr_elem.shape[0] == r.bdr_faces.shape[0]
     assert set(np.unique(r.bdr_attrs)) == set(np.unique(m.bdr_attrs))
+
+
+def test_make_ic_sine_roundtrip(tmp_path):
+    """tools/make_ic.py (role of utils/sine_ic.cpp etc.): imprint a sine
+    blend profile on the conserved state, write the restart, and start a
+    run from it."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    ini = tmp_path / "r.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+order = 1
+maxIters = 3
+fluid = dry_air
+equation_system = euler
+[mesh]
+generator = box2d
+nx = 8
+ny = 4
+periodic_x = 1
+periodic_y = 1
+[time]
+cfl = 0.1
+integrator = rk3
+[initialConditions]
+rho = 1.0
+rhoU = 0.
+rhoV = 0.
+rhoW = 0.
+pressure = 101325
+[io]
+outdirBase = {tmp_path}/out
+[utils/sine_initial_condition]
+offset = 0.5
+scale = 0.4
+solution1/Q1 = 1.0
+solution1/Q2 = 10.0
+solution1/Q3 = 0.0
+solution1/Q4 = 253312.5
+solution2/Q1 = 1.2
+solution2/Q2 = 12.0
+solution2/Q3 = 0.0
+solution2/Q4 = 253312.5
+""")
+    here = os.path.dirname(__file__)
+    spec = importlib.util.spec_from_file_location(
+        "make_ic", os.path.join(here, "..", "tools", "make_ic.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.main([str(ini), "--profile", "sine"])
+
+    from tps_tpu.config.ini import IniInput
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.solvers.base import create_solver
+    import tps_tpu.harness  # noqa: F401
+
+    inp = IniInput.read(str(ini))
+    inp.values["io/enableRestart"] = "1"
+    rc = parse_run_configuration(inp)
+    rc.max_iters = 3
+    s = create_solver("flow", rc)
+    s.initialize()
+    rho = np.asarray(s.U[..., 0])
+    assert 0.99 < rho.min() < 1.01 and 1.19 < rho.max() < 1.21
+    s.solve()
+    assert s.check_nan() == 0
