@@ -40,10 +40,15 @@ def test_sponge_damps_toward_target():
     mix = DryAir(dim=2, nvel=2)
     mesh = box_2d(6, 2, periodic_y=True, periodic_x=True)
     tab = build_tables(mesh, order=1).to_jax(jnp.float64)
-    target = (1.0, 5.0, 0.0, 300.0)
+    from tps_tpu.dg.forcing import sponge_target_conserved
+
+    p_t = 1.0 * mix.gas_constant * 300.0
+    target = sponge_target_conserved(mix, 1.0, (5.0, 0.0), p_t)
+    # slab 0.5 < x < 1 with sigma ramping up toward x=1 (reference
+    # convention: normal points from the p0 plane back into the domain)
     sz = SpongeZone(
-        mixture=mix, target_up=target, normal=(1.0, 0.0), point=(0.5, 0.0),
-        length=0.5, mult=0.1,
+        mixture=mix, target_u=target, normal=(-1.0, 0.0), p0=(1.0, 0.0),
+        p_init=(0.5, 0.0), mult=0.1,
     )
     ctx = _ctx(mix, [sz])
     Up = uniform_state(tab.xyz_dof, mix, 1.0, (20.0, 0.0), 300.0)

@@ -69,35 +69,102 @@ class HeatSource:
         return out
 
 
+def sponge_target_conserved(mixture, rho, vel, pressure, mass_fracs=(),
+                            electron_temp=None, single_temperature=False):
+    """Conserved sponge target from the deck's userDef primitives
+    (reference: src/forcing_terms.cpp:486-518): density, velocity, species
+    mass fractions, then total energy fixed by `modify_energy_for_pressure`.
+    Returns a plain tuple (static data baked into the jitted forcing)."""
+    nvel = getattr(mixture, "nvel", mixture.dim)
+    cons = np.zeros(mixture.num_equations)
+    cons[0] = rho
+    for d in range(nvel):
+        cons[1 + d] = rho * vel[d]
+    for sp in range(mixture.num_active_species):
+        cons[nvel + 2 + sp] = rho * mass_fracs[sp]
+    modify_electron = True
+    if mixture.two_temperature:
+        modify_electron = bool(single_temperature)
+        if not modify_electron:
+            import jax.numpy as _jnp  # noqa: F401
+
+            n_sp = np.asarray(mixture.number_densities(jnp.asarray(cons)))
+            ne = n_sp[mixture.i_electron]
+            cons[mixture.num_equations - 1] = (
+                ne * float(mixture.molar_cv[mixture.i_electron]) * electron_temp
+            )
+    out = mixture.modify_energy_for_pressure(
+        jnp.asarray(cons), jnp.asarray(pressure),
+        modify_electron_energy=modify_electron,
+    )
+    return tuple(float(v) for v in np.asarray(out))
+
+
 @dataclass(frozen=True)
 class SpongeZone:
-    """Planar sponge: damp the state toward a target between two planes.
+    """Sponge zone: damp the state toward a target between two planes
+    (reference: src/forcing_terms.cpp:480-710).
 
-    dU/dt -= c_target * sigma(x) * mult * (U - U_target)
-    with sigma ramping linearly 0 -> 1 from the head plane (at point p0 with
-    inward normal n) to the tail plane distance L along n
-    (reference: src/forcing_terms.cpp:637-710, planar case).
+    dU/dt -= c_target * mult * sigma(x) * (U - U_target)
+
+    Planar: sigma = distInit / L^2 inside the slab between the plane through
+    `p_init` and the plane through `p0` (normal `n` points from the p0 side
+    toward p_init; distInit = -n.(x - p_init), distF = n.(x - p0), both > 0
+    inside, L = distInit + distF).  Annulus: sigma = (R - r1)/(r2 - r1)^2 for
+    radius R about the axis through `p_init` along n, and the target velocity
+    is interpreted as cylindrical (V_r, V_theta, V_axial) components rotated
+    into Cartesian per node (reference: src/forcing_terms.cpp:590-630,667-709).
     """
 
     mixture: object
-    target_up: tuple  # primitive target (rho, u..., T)
+    target_u: tuple  # conserved target (sponge_target_conserved)
     normal: tuple
-    point: tuple
-    length: float
+    p0: tuple
+    p_init: tuple
     mult: float = 1.0
+    sz_type: str = "planar"  # "planar" | "annulus"
+    r1: float = 0.0
+    r2: float = 0.0
 
     def __call__(self, t, tab, U, Up, grad_up, fields=None):
         mix = self.mixture
         dtype = U.dtype
-        n = jnp.asarray(self.normal[: mix.dim], dtype)
-        n = n / jnp.linalg.norm(n)
-        p0 = jnp.asarray(self.point[: mix.dim], dtype)
-        dist = jnp.einsum("...d,d->...", tab.xyz_dof - p0, n)
-        sigma = jnp.clip(dist / self.length, 0.0, 1.0)
+        dim = mix.dim
+        n = np.asarray(self.normal[:dim], float)
+        n = jnp.asarray(n / np.linalg.norm(n), dtype)
+        p0 = jnp.asarray(self.p0[:dim], dtype)
+        pi = jnp.asarray(self.p_init[:dim], dtype)
+        xyz = tab.xyz_dof
+        dist_init = -jnp.einsum("...d,d->...", xyz - pi, n)
+        dist_f = jnp.einsum("...d,d->...", xyz - p0, n)
+        inside = (dist_init > 0.0) & (dist_f > 0.0)
 
-        up_t = jnp.asarray(self.target_up, dtype)
-        U_t = self.mixture.conservatives(up_t)
-        c = self.mixture.sound_speed_from_T(up_t[mix.i_th])
+        U_t = jnp.asarray(self.target_u, dtype)
+        if self.sz_type == "planar":
+            L = dist_init + dist_f
+            sigma = jnp.where(inside, dist_init / (L * L), 0.0)
+        else:  # annulus
+            radial = xyz - pi + dist_init[..., None] * n
+            R = jnp.linalg.norm(radial, axis=-1)
+            inside = inside & (R > self.r1)
+            dr = self.r2 - self.r1
+            sigma = jnp.where(inside, (R - self.r1) / (dr * dr), 0.0)
+            # rotate the cylindrical target velocity (V_r, V_theta, V_axial)
+            # into Cartesian at each node: v = Vr*ur + Vt*uth + Vx*n
+            ur = radial / jnp.maximum(R, 1e-300)[..., None]
+            if dim == 3:
+                uth = jnp.cross(jnp.broadcast_to(n, ur.shape), ur)
+            else:
+                uth = jnp.stack([-ur[..., 1], ur[..., 0]], axis=-1)
+            mom = U_t[1 : 1 + dim]
+            v_cart = mom[0] * ur + mom[1] * uth
+            if dim == 3:
+                v_cart = v_cart + mom[2] * n
+            U_t = jnp.broadcast_to(U_t, U.shape)
+            U_t = U_t.at[..., 1 : 1 + dim].set(v_cart)
+
+        up_t = mix.primitives(jnp.asarray(self.target_u, dtype))
+        c = mix.sound_speed_from_T(up_t[mix.i_th])
         return -(c * self.mult) * sigma[..., None] * (U - U_t)
 
 

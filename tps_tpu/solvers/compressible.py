@@ -222,9 +222,11 @@ class CompressibleSolver(PlasmaSolver):
             visc_sponge = PlanarViscousSponge(
                 point=tuple(rc.raw.get_vec("viscosityMultiplierFunction/point")),
                 normal=tuple(rc.raw.get_vec("viscosityMultiplierFunction/normal")),
-                width=rc.raw.get_required("viscosityMultiplierFunction/width"),
+                width=rc.raw.get_required(
+                    "viscosityMultiplierFunction/width", float
+                ),
                 ratio=rc.raw.get_required(
-                    "viscosityMultiplierFunction/viscosityRatio"
+                    "viscosityMultiplierFunction/viscosityRatio", float
                 ),
             )
 
@@ -244,6 +246,49 @@ class CompressibleSolver(PlasmaSolver):
             forcings.append(
                 AxisymmetricSource(mixture=self.mixture, fluxes=self.fluxes)
             )
+        raw = rc.raw
+        # imposed pressure gradient ([flow]/enablePressureForcing,
+        # reference: src/M2ulPhyS.cpp:2681-2684)
+        if raw is not None and raw.get("flow/enablePressureForcing", 0):
+            from ..dg.forcing import ConstantPressureGradient as _CPG
+
+            forcings.append(
+                _CPG(mixture=self.mixture,
+                     press_grad=tuple(raw.get_vec("flow/pressureGrad")))
+            )
+        # cylindrical volumetric heat sources ([heatSource] sections,
+        # reference: src/M2ulPhyS.cpp:2751-2785)
+        n_hs = raw.get("heatSource/numHeatSources", 0) if raw is not None else 0
+        for s in range(1, n_hs + 1):
+            base = f"heatSource{s}"
+            if not raw.get(f"{base}/isEnabled", 0):
+                continue
+            dist = raw.get_required(f"{base}/distribution")
+            if dist != "cylinder":
+                raise ValueError(f"unknown heat source distribution '{dist}'")
+            from ..dg.forcing import HeatSource as _HS
+
+            forcings.append(
+                _HS(
+                    mixture=self.mixture,
+                    value=raw.get_required(f"{base}/value", float),
+                    point1=tuple(raw.get_vec(f"{base}/point1")),
+                    point2=tuple(raw.get_vec(f"{base}/point2")),
+                    radius=raw.get_required(f"{base}/radius", float),
+                )
+            )
+        # sponge zones ([spongezone] sections,
+        # reference: src/M2ulPhyS.cpp:3682-3760, src/forcing_terms.cpp:480-710)
+        n_sz = (
+            raw.get("spongezone/numSpongeZones", 0) if raw is not None else 0
+        )
+        for sz_i in range(1, n_sz + 1):
+            base = f"spongezone{sz_i}"
+            if raw.has(f"{base}/isEnabled") and not raw.get(
+                f"{base}/isEnabled", 1
+            ):
+                continue
+            forcings.append(self._build_sponge_zone(raw, base))
         # passive-scalar injection points ([passiveScalars] sections)
         if rc.raw is not None and rc.raw.get("passiveScalars/numScalars", 0):
             from ..dg.forcing import PassiveScalar as _PS
@@ -259,6 +304,56 @@ class CompressibleSolver(PlasmaSolver):
                     )
                 )
         return forcings
+
+    # ------------------------------------------------------------------
+    def _build_sponge_zone(self, raw, base):
+        """One [spongezoneN] section -> SpongeZone forcing (reference:
+        src/M2ulPhyS.cpp:3682-3760)."""
+        import numpy as np
+
+        from ..dg.forcing import SpongeZone, sponge_target_conserved
+
+        sz_type = raw.get(f"{base}/type", "none")
+        if sz_type not in ("planar", "annulus"):
+            raise ValueError(f"unknown sponge zone type '{sz_type}'")
+        sol_type = raw.get_required(f"{base}/targetSolType")
+        if sol_type != "userDef":
+            raise NotImplementedError(
+                f"sponge targetSolType '{sol_type}' not supported (userDef "
+                "only; the reference's mixedOut plane average is not "
+                "reproduced)"
+            )
+        mix = self.mixture
+        rho = raw.get_required(f"{base}/density", float)
+        vel = tuple(raw.get_vec(f"{base}/uvw", 3))
+        pressure = raw.get_required(f"{base}/pressure", float)
+        mass_fracs = []
+        if mix.num_active_species > 0:
+            i2m = self.plasma.input_to_mixture
+            for sp in range(mix.num_active_species):
+                inp_idx = int(np.where(i2m == sp)[0][0])
+                mass_fracs.append(raw.get_required(
+                    f"{base}/mass_fraction/species{inp_idx + 1}", float))
+        single_t = False
+        te = None
+        if mix.two_temperature:
+            single_t = bool(raw.get(f"{base}/single_temperature", 0))
+            if not single_t:
+                te = raw.get_required(f"{base}/electron_temperature", float)
+        target = sponge_target_conserved(
+            mix, rho, vel, pressure, tuple(mass_fracs), te, single_t
+        )
+        return SpongeZone(
+            mixture=mix,
+            target_u=target,
+            normal=tuple(raw.get_vec(f"{base}/normal", 3)),
+            p0=tuple(raw.get_vec(f"{base}/p0", 3)),
+            p_init=tuple(raw.get_vec(f"{base}/pInit", 3)),
+            mult=raw.get(f"{base}/multiplier", 1.0),
+            sz_type=sz_type,
+            r1=raw.get(f"{base}/r1", 0.0),
+            r2=raw.get(f"{base}/r2", 0.0),
+        )
 
     # ------------------------------------------------------------------
     def _initialize_state_and_loop(self):
