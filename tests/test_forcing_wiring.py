@@ -192,3 +192,95 @@ def test_annulus_sponge_swirl_target():
     assert (tangential[active] < 0.0).all()
     # and no forcing outside the annulus slab
     assert np.abs(out[R < 0.15]).max() == pytest.approx(0.0, abs=1e-14)
+
+
+# ---------------------------------------------------------------------------
+# mixedOut sponge target (reference: SpongeZone::computeMixedOutValues,
+# src/forcing_terms.cpp:712-744 + computeConservedStateFromConvectiveFlux)
+# ---------------------------------------------------------------------------
+
+def test_mixed_out_roundtrip_dryair():
+    """For a uniform subsonic state, inverting its own convective normal
+    flux must reproduce the state (the reference's quadratic picks the
+    subsonic root)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.physics.gas import DryAir
+
+    mix = DryAir(dim=2, nvel=2)
+    fl = Fluxes(mixture=mix)
+    Up = jnp.asarray([1.2, 30.0, 10.0, 350.0], jnp.float64)
+    U = mix.conservatives(Up)
+    n = jnp.asarray([1.0, 0.0], jnp.float64)
+    F = fl.convective(U)
+    Fn = jnp.einsum("qd,d->q", F, n)
+    U2 = mix.conserved_from_convective_flux(Fn, n)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U), rtol=1e-12)
+
+
+@pytest.mark.parametrize("ambipolar", [False, True])
+@pytest.mark.parametrize("two_t", [False, True])
+def test_mixed_out_roundtrip_argon(ambipolar, two_t):
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.physics.perfect_mixture import PerfectMixture
+
+    MW_AR, MW_E = 39.948e-3, 5.4858e-07
+    mix = PerfectMixture(
+        dim=2, nvel=2,
+        mw=(MW_AR - MW_E, MW_E, MW_AR),
+        charges=(1.0, -1.0, 0.0),
+        formation_energy=(1520.57e3, 0.0, 0.0),
+        molar_cv_over_R=(1.5, 1.5, 1.5),
+        ambipolar=ambipolar, two_temperature=two_t,
+    )
+    na = mix.num_active_species
+    # primitive: [rho, u, v, Th, n_active..., (Te)]; number densities are
+    # MOLAR (mol/m^3) — rho=1.6 of argon is ~40 mol/m^3, a 1% ionization
+    # fraction is ~0.4 mol/m^3
+    up = [1.6, 40.0, -5.0, 9000.0]
+    n_ion = 0.4
+    up += [n_ion]  # Ar+
+    if not ambipolar:
+        up += [n_ion]  # electrons (quasineutral anyway)
+    assert len(up) == mix.nvel + 2 + na
+    if two_t:
+        up += [11000.0]
+    Up = jnp.asarray(up, jnp.float64)
+    U = mix.conservatives(Up)
+    fl = Fluxes(mixture=mix)
+    n = jnp.asarray([1.0, 0.0], jnp.float64)
+    Fn = jnp.einsum("qd,d->q", fl.convective(U), n)
+    U2 = mix.conserved_from_convective_flux(Fn, n)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U), rtol=1e-10)
+
+
+MIXEDOUT_DECK = DRYAIR_DECK.replace(
+    """targetSolType = userDef
+density = 1.2
+uvw = '10.0 0.0 0.0'
+pressure = 101300.0
+normal = '-1 0 0'""",
+    """targetSolType = mixedOut
+tolerance = 0.2
+normal = '-1 0 0'""",
+)
+
+
+def test_mixed_out_sponge_ini(tmp_path):
+    """mixedOut deck runs; with a uniform IC the mixed-out target equals the
+    state itself, so the sponge forcing starts at ~zero and stays finite."""
+    from tps_tpu.dg.forcing import SpongeZone as _SZ
+
+    tps = _run_deck(tmp_path, MIXEDOUT_DECK.format(out=tmp_path / "o"))
+    sz = next(f for f in tps.solver.ctx.forcings if isinstance(f, _SZ))
+    assert sz.sol_type == "mixedOut" and sz.target_u is None
+    assert np.isfinite(np.asarray(tps.solver.U)).all()
+
+
+def test_mixed_out_empty_plane_rejected(tmp_path):
+    deck = MIXEDOUT_DECK.replace("tolerance = 0.2", "tolerance = 1e-12")
+    with pytest.raises(ValueError, match="no dof nodes within tolerance"):
+        _run_deck(tmp_path, deck.format(out=tmp_path / "o"), iters=0)

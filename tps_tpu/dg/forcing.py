@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,7 +118,8 @@ class SpongeZone:
     """
 
     mixture: object
-    target_u: tuple  # conserved target (sponge_target_conserved)
+    target_u: tuple | None  # conserved target (sponge_target_conserved);
+    #                         None for the mixedOut dynamic target
     normal: tuple
     p0: tuple
     p_init: tuple
@@ -125,6 +127,34 @@ class SpongeZone:
     sz_type: str = "planar"  # "planar" | "annulus"
     r1: float = 0.0
     r2: float = 0.0
+    sol_type: str = "userDef"  # "userDef" | "mixedOut"
+    tol: float = 1e-5  # mixed-out plane node search tolerance
+    fluxes: object = None  # convective flux evaluator (mixedOut only)
+    axis_name: str | None = None  # device-mesh axis for sharded mixedOut
+
+    def _mixed_out_target(self, tab, U, n, dist_init, R):
+        """Per-step mixed-out target: mean convective normal flux over the
+        nodes on the pInit plane (planar) / r1 cylinder (annulus), inverted
+        to a conserved state (reference: SpongeZone::computeMixedOutValues,
+        src/forcing_terms.cpp:712-744; the MPI_Allreduce over partitions
+        becomes a psum over the device mesh)."""
+        if self.sz_type == "planar":
+            on_plane = jnp.abs(dist_init) < self.tol
+        else:
+            on_plane = jnp.abs(R - self.r1) < self.tol
+        own = getattr(tab, "own_mask", None)
+        if own is not None:
+            on_plane = on_plane & (own[:, None] > 0.5)
+        w = on_plane.astype(U.dtype)
+        F = self.fluxes.convective(U)  # [..., neq, dim]
+        Fn = jnp.einsum("...qd,d->...q", F[..., : len(n)], n)
+        num = jnp.einsum("...q,...->q", Fn, w)
+        den = jnp.sum(w)
+        if self.axis_name is not None:
+            num = jax.lax.psum(num, self.axis_name)
+            den = jax.lax.psum(den, self.axis_name)
+        mean_flux = num / den
+        return self.mixture.conserved_from_convective_flux(mean_flux, n)
 
     def __call__(self, t, tab, U, Up, grad_up, fields=None):
         mix = self.mixture
@@ -139,13 +169,21 @@ class SpongeZone:
         dist_f = jnp.einsum("...d,d->...", xyz - p0, n)
         inside = (dist_init > 0.0) & (dist_f > 0.0)
 
-        U_t = jnp.asarray(self.target_u, dtype)
+        R = None
+        if self.sz_type == "annulus":
+            radial = xyz - pi + dist_init[..., None] * n
+            R = jnp.linalg.norm(radial, axis=-1)
+
+        if self.sol_type == "mixedOut":
+            target_vec = self._mixed_out_target(tab, U, n, dist_init, R)
+        else:
+            target_vec = jnp.asarray(self.target_u, dtype)
+
+        U_t = target_vec
         if self.sz_type == "planar":
             L = dist_init + dist_f
             sigma = jnp.where(inside, dist_init / (L * L), 0.0)
         else:  # annulus
-            radial = xyz - pi + dist_init[..., None] * n
-            R = jnp.linalg.norm(radial, axis=-1)
             inside = inside & (R > self.r1)
             dr = self.r2 - self.r1
             sigma = jnp.where(inside, (R - self.r1) / (dr * dr), 0.0)
@@ -156,14 +194,14 @@ class SpongeZone:
                 uth = jnp.cross(jnp.broadcast_to(n, ur.shape), ur)
             else:
                 uth = jnp.stack([-ur[..., 1], ur[..., 0]], axis=-1)
-            mom = U_t[1 : 1 + dim]
+            mom = target_vec[1 : 1 + dim]
             v_cart = mom[0] * ur + mom[1] * uth
             if dim == 3:
                 v_cart = v_cart + mom[2] * n
             U_t = jnp.broadcast_to(U_t, U.shape)
             U_t = U_t.at[..., 1 : 1 + dim].set(v_cart)
 
-        up_t = mix.primitives(jnp.asarray(self.target_u, dtype))
+        up_t = mix.primitives(target_vec)
         c = mix.sound_speed_from_T(up_t[mix.i_th])
         return -(c * self.mult) * sigma[..., None] * (U - U_t)
 

@@ -133,5 +133,34 @@ class DryAir:
         v2 = jnp.sum(vel * vel, axis=-1)
         return rho * (self.gas_constant * T / (self.specific_heat_ratio - 1.0) + 0.5 * v2)
 
+    def conserved_from_convective_flux(self, mean_flux, normal):
+        """Mixed-out conserved state whose convective normal flux equals
+        `mean_flux` (reference: DryAir::computeConservedStateFromConvectiveFlux,
+        src/equation_of_state.cpp:414-443): solve the quadratic for pressure,
+        then invert the flux relations.  `normal` has `dim` components;
+        azimuthal momentum (axisymmetric nvel > dim) carries no pressure term.
+        """
+        gamma = self.specific_heat_ratio
+        mdot = mean_flux[0]
+        mom_n = jnp.sum(mean_flux[1 : 1 + self.dim] * normal[: self.dim])
+        A = 1.0 - 2.0 * gamma / (gamma - 1.0)
+        B = 2.0 * mom_n / (gamma - 1.0)
+        C = -2.0 * mdot * mean_flux[self.i_th] + jnp.sum(
+            mean_flux[1 : 1 + self.nvel] ** 2
+        )
+        p = (-B - jnp.sqrt(B * B - 4.0 * A * C)) / (2.0 * A)
+        rho = mdot * mdot / (mom_n - p)
+        n_full = jnp.zeros(self.nvel, mean_flux.dtype).at[: self.dim].set(
+            normal[: self.dim]
+        )
+        vel = (mean_flux[1 : 1 + self.nvel] - p * n_full) / mdot
+        T = p / (self.gas_constant * rho)
+        # passive scalars: Y = (rho Y u_n) / mdot
+        rest = mean_flux[self.nvel + 2 :] / mdot
+        up = jnp.concatenate(
+            [rho[None], vel, T[None], rest]
+        )
+        return self.conservatives(up)
+
     def molar_mass(self):
         return UNIVERSAL_GAS_CONSTANT / self.gas_constant

@@ -322,6 +322,80 @@ class PerfectMixture:
             dp = (nh_grad + ne_grad) * Th + (n_h + ne) * dTh
         return _R * dp
 
+    def conserved_from_convective_flux(self, mean_flux, normal):
+        """Mixed-out conserved state whose convective normal flux equals
+        `mean_flux` (reference:
+        PerfectMixture::computeConservedStateFromConvectiveFlux,
+        src/equation_of_state.cpp:1744-1824): per-species number-density
+        fluxes, electron flux (quasineutral under ambipolar), the quadratic
+        for pressure with formation-energy and two-temperature corrections,
+        then the primitive inversion."""
+        nvel, na, nsp = self.nvel, self.num_active_species, self.num_species
+        mw = self._arr(self.mw)
+        hf = self._arr(self.formation_energy)
+        cp = self.molar_cp
+        mdot = mean_flux[0]
+
+        n_flux = mean_flux[nvel + 2 : nvel + 2 + na] / mw[:na]
+        form_flux = jnp.sum(n_flux * hf[:na])
+        nB_flux = mdot - jnp.sum(mean_flux[nvel + 2 : nvel + 2 + na])
+        if self.ambipolar:
+            z = self._arr(self.charges)[:na]
+            ne_flux = jnp.sum(n_flux * z)
+            form_flux = form_flux + ne_flux * hf[self.i_electron]
+            nB_flux = nB_flux - ne_flux * mw[self.i_electron]
+        else:
+            ne_flux = n_flux[self.i_electron]
+        nB_flux = nB_flux / mw[self.i_background]
+        form_flux = form_flux + nB_flux * hf[self.i_background]
+
+        Te = None
+        if self.two_temperature:
+            Te = mean_flux[self.i_te] / cp[self.i_electron] / ne_flux
+
+        # heavy molar mixture heat capacity from the fluxes (electron
+        # included only in the single-temperature case)
+        heavy = [sp for sp in range(nsp - 2)]
+        n_mix = jnp.sum(n_flux[jnp.asarray(heavy, dtype=int)]) if heavy else 0.0
+        cp_mix = (
+            jnp.sum(n_flux[jnp.asarray(heavy, dtype=int)]
+                    * cp[jnp.asarray(heavy, dtype=int)])
+            if heavy else 0.0
+        )
+        n_mix = n_mix + nB_flux
+        cp_mix = cp_mix + nB_flux * cp[self.i_background]
+        if not self.two_temperature:
+            n_mix = n_mix + ne_flux
+            cp_mix = cp_mix + ne_flux * cp[self.i_electron]
+        cp_mix = cp_mix / n_mix
+
+        mom_n = jnp.sum(mean_flux[1 : 1 + self.dim] * normal[: self.dim])
+        A = 1.0 - 2.0 * cp_mix / _R
+        B = 2.0 * mom_n * (cp_mix / _R - 1.0)
+        C = -2.0 * mdot * mean_flux[self.i_th] + jnp.sum(
+            mean_flux[1 : 1 + nvel] ** 2
+        )
+        if self.two_temperature:
+            C = C + 2.0 * mdot * ne_flux * (cp[self.i_electron] - cp_mix) * Te
+        C = C + 2.0 * mdot * form_flux
+        p = (-B - jnp.sqrt(B * B - 4.0 * A * C)) / (2.0 * A)
+
+        Th = (mom_n - p) / mdot * p / _R
+        if self.two_temperature:
+            Th = Th - ne_flux * Te
+        Th = Th / n_mix
+
+        rho = mdot * mdot / (mom_n - p)
+        n_full = jnp.zeros(nvel, mean_flux.dtype).at[: self.dim].set(
+            normal[: self.dim]
+        )
+        vel = (mean_flux[1 : 1 + nvel] - p * n_full) / mdot
+        n_active = n_flux * mdot / (mom_n - p)
+        parts = [rho[None], vel, Th[None], n_active]
+        if self.two_temperature:
+            parts.append(Te[None])
+        return self.conservatives(jnp.concatenate(parts))
+
     # -- species views -----------------------------------------------------
     def species_enthalpies(self, U):
         """Volumetric species enthalpies n_s (Cp_s T + h_f)  [J/m^3]."""

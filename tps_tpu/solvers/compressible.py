@@ -317,13 +317,56 @@ class CompressibleSolver(PlasmaSolver):
         if sz_type not in ("planar", "annulus"):
             raise ValueError(f"unknown sponge zone type '{sz_type}'")
         sol_type = raw.get_required(f"{base}/targetSolType")
-        if sol_type != "userDef":
-            raise NotImplementedError(
-                f"sponge targetSolType '{sol_type}' not supported (userDef "
-                "only; the reference's mixedOut plane average is not "
-                "reproduced)"
-            )
+        if sol_type not in ("userDef", "mixedOut"):
+            raise ValueError(f"unknown sponge targetSolType '{sol_type}'")
         mix = self.mixture
+        common = dict(
+            mixture=mix,
+            normal=tuple(raw.get_vec(f"{base}/normal", 3)),
+            p0=tuple(raw.get_vec(f"{base}/p0", 3)),
+            p_init=tuple(raw.get_vec(f"{base}/pInit", 3)),
+            mult=raw.get(f"{base}/multiplier", 1.0),
+            sz_type=sz_type,
+            r1=raw.get(f"{base}/r1", 0.0),
+            r2=raw.get(f"{base}/r2", 0.0),
+        )
+        if sol_type == "mixedOut":
+            # dynamic plane-averaged target (reference: computeMixedOutValues,
+            # src/forcing_terms.cpp:712-744)
+            tol = raw.get(f"{base}/tolerance", 1e-5)
+            tabs = getattr(self, "viz_tables", None)
+            if tabs is not None:
+                # the reference finds plane nodes once at construction
+                # (src/forcing_terms.cpp:565-603); validate non-empty here
+                # since a zero count silently yields a 0/0 target
+                dim = mix.dim
+                nrm = np.asarray(common["normal"][:dim], float)
+                nrm = nrm / np.linalg.norm(nrm)
+                xyz = np.asarray(tabs.xyz_dof).reshape(-1, dim)
+                d_init = -np.einsum("nd,d->n", xyz - common["p_init"][:dim], nrm)
+                if sz_type == "planar":
+                    cnt = int(np.sum(np.abs(d_init) < tol))
+                else:
+                    rad = (xyz - common["p_init"][:dim]
+                           + d_init[:, None] * nrm)
+                    cnt = int(np.sum(
+                        np.abs(np.linalg.norm(rad, axis=-1)
+                               - common["r1"]) < tol))
+                if cnt == 0:
+                    raise ValueError(
+                        f"[{base}] mixedOut: no dof nodes within tolerance "
+                        f"{tol} of the sampling plane; raise "
+                        f"{base}/tolerance (dof nodes are interior Gauss "
+                        "points)"
+                    )
+            return SpongeZone(
+                target_u=None,
+                sol_type="mixedOut",
+                tol=tol,
+                fluxes=self.fluxes,
+                axis_name="dd" if self._build is not None else None,
+                **common,
+            )
         rho = raw.get_required(f"{base}/density", float)
         vel = tuple(raw.get_vec(f"{base}/uvw", 3))
         pressure = raw.get_required(f"{base}/pressure", float)
@@ -343,17 +386,7 @@ class CompressibleSolver(PlasmaSolver):
         target = sponge_target_conserved(
             mix, rho, vel, pressure, tuple(mass_fracs), te, single_t
         )
-        return SpongeZone(
-            mixture=mix,
-            target_u=target,
-            normal=tuple(raw.get_vec(f"{base}/normal", 3)),
-            p0=tuple(raw.get_vec(f"{base}/p0", 3)),
-            p_init=tuple(raw.get_vec(f"{base}/pInit", 3)),
-            mult=raw.get(f"{base}/multiplier", 1.0),
-            sz_type=sz_type,
-            r1=raw.get(f"{base}/r1", 0.0),
-            r2=raw.get(f"{base}/r2", 0.0),
-        )
+        return SpongeZone(target_u=target, **common)
 
     # ------------------------------------------------------------------
     def _initialize_state_and_loop(self):
