@@ -14,8 +14,10 @@ import os
 import numpy as np
 
 
-def _state_field_names(mixture):
-    """Equation component names matching the reference's conventions."""
+def _state_field_names(mixture, species_names=None):
+    """Equation component names matching the reference's conventions
+    (reference: registerIOVar 'rho-Y_' + speciesName, src/M2ulPhyS.cpp:1843;
+    indexed fallback when the solver has no species-name table)."""
     names = ["density"]
     comps = ["x-mom", "y-mom", "z-mom"]
     for d in range(mixture.nvel):
@@ -23,10 +25,46 @@ def _state_field_names(mixture):
     names.append("rho-E")
     nact = mixture.num_active_species
     for s in range(nact):
-        names.append(f"rho-Y_{s}")
+        if species_names is not None:
+            names.append(f"rho-Y_{species_names[s]}")
+        else:
+            names.append(f"rho-Y_{s}")
     if mixture.two_temperature:
         names.append("rhoE_e")
     return names
+
+
+def _solver_field_names(solver):
+    plasma = getattr(solver, "plasma", None)
+    return _state_field_names(
+        solver.mixture,
+        species_names=None if plasma is None else plasma.species_names,
+    )
+
+
+def _field_aliases(solver):
+    """Alternate dataset spellings: named species fields also accept the
+    indexed 'rho-Y_<k>' form (older checkpoints) and vice versa."""
+    mixture = solver.mixture
+    named = _solver_field_names(solver)
+    indexed = _state_field_names(mixture)
+    return {a: [b] for a, b in zip(named, indexed) if a != b}
+
+
+def _read_field(group, name, aliases, optional, shape):
+    """Read one /solution dataset; `aliases` maps a field to alternate
+    dataset spellings, and fields in `optional` fall back to zeros when
+    absent (the LTE->noneq restart: species and electron energy are not in
+    an LTE checkpoint — reference registerIOVar(..., required=false),
+    src/M2ulPhyS.cpp:1842-1853)."""
+    if name in group:
+        return np.asarray(group[name]).reshape(shape)
+    for alias in aliases.get(name, ()):
+        if alias in group:
+            return np.asarray(group[alias]).reshape(shape)
+    if name in optional:
+        return np.zeros(shape)
+    raise KeyError(f"restart file is missing /solution/{name}")
 
 
 class RestartIO:
@@ -49,7 +87,7 @@ class RestartIO:
     def write(self, solver):
         import h5py
 
-        names = _state_field_names(solver.mixture)
+        names = _solver_field_names(solver)
         # the sharded solver exposes the reassembled global state
         # (gather over owned rows, reference: serializeForWrite)
         U = (np.asarray(solver.state_global())
@@ -80,7 +118,9 @@ class RestartIO:
     def read(self, solver):
         import h5py
 
-        names = _state_field_names(solver.mixture)
+        names = _solver_field_names(solver)
+        aliases = _field_aliases(solver)
+        optional = frozenset(getattr(solver, "_restart_optional_fields", ()))
         path = self.path()
         mode = self._mode()
         shards_on_disk = os.path.exists(
@@ -119,7 +159,10 @@ class RestartIO:
             # (also covers restarting a single-shard run from a partitioned
             # checkpoint — the reference's serialized<->partitioned restart)
             try:
-                Upart, attrs = read_partitioned(self.outdir, ne, ndof, names)
+                Upart, attrs = read_partitioned(
+                    self.outdir, ne, ndof, names,
+                    aliases=aliases, optional=optional,
+                )
             except FileNotFoundError:
                 raise FileNotFoundError(f"restart file not found: {path}")
             solver.iter = int(attrs["iteration"])
@@ -146,10 +189,14 @@ class RestartIO:
             solver.time = float(f.attrs["time"])
             solver.dt = float(f.attrs["dt"])
             stored_order = int(f.attrs.get("order", solver.config.order))
-            cols = []
-            for name in names:
-                col = np.asarray(f["solution"][name]).reshape(ne, -1)
-                cols.append(col)
+            g = f["solution"]
+            rho = _read_field(g, names[0], aliases, optional, (ne, -1))
+            ndof_stored = rho.shape[1]
+            cols = [rho]
+            for name in names[1:]:
+                cols.append(
+                    _read_field(g, name, aliases, optional, (ne, ndof_stored))
+                )
             U = np.stack(cols, axis=-1)
         if stored_order != solver.config.order:
             # variable-order restart (reference [io]/restartMode variableP,
@@ -201,7 +248,7 @@ def write_partitioned(outdir, U, partition, names, *, iteration=0, time=0.0,
                 g.create_dataset(name, data=U[gids, :, k].reshape(-1))
 
 
-def read_partitioned(outdir, ne, ndof, names):
+def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=()):
     """Reassemble the global state from per-shard restart files.
 
     Works for any current decomposition (incl. a different shard count —
@@ -228,8 +275,9 @@ def read_partitioned(outdir, ne, ndof, names):
             attrs = {k: f.attrs[k] for k in f.attrs}
             gids = np.asarray(f["loc_to_glob_elem"])
             for k, name in enumerate(names):
-                U[gids, :, k] = np.asarray(f["solution"][name]).reshape(
-                    len(gids), ndof
+                U[gids, :, k] = _read_field(
+                    f["solution"], name, aliases or {}, optional,
+                    (len(gids), ndof),
                 )
             filled[gids] = True
     if not filled.all():

@@ -39,6 +39,10 @@ class PerfectMixture:
     ambipolar: bool = False
     two_temperature: bool = False
     const_plasma_conductivity: float = 0.0
+    # per-species lumped level degeneracy g_s (ini [species/*]/level_degeneracy,
+    # reference: GasParams::SPECIES_DEGENERACY, src/M2ulPhyS.cpp:3057);
+    # only used by the LTE species initialization. None -> all 1.
+    degeneracy: tuple | None = None
 
     def __post_init__(self):
         ns = self.num_species
@@ -558,18 +562,153 @@ def saha_ionization_fraction(n_total, T, ionization_energy_J_per_mol,
     return jnp.clip(x, 0.0, 1.0)
 
 
+def _lte_level_structure(mixture):
+    """Static (numpy) description of the neutral level system: lumped
+    excited neutral levels among the actives, the single positive ion,
+    and per-species degeneracies (level_degeneracy in the ini)."""
+    charges = np.asarray(mixture.charges)
+    na = mixture.num_active_species
+    g = np.asarray(
+        mixture.degeneracy
+        if getattr(mixture, "degeneracy", None) is not None
+        else np.ones(mixture.num_species)
+    )
+    ions = [
+        sp for sp in range(na)
+        if charges[sp] > 0.0 and sp != mixture.i_electron
+    ]
+    if len(ions) != 1:
+        raise NotImplementedError(
+            "LTE species initialization supports exactly one positive ion "
+            f"(found {len(ions)} among the active species); the reference "
+            "makes the same assumption (src/equation_of_state.cpp:1902-1905)"
+        )
+    levels = [
+        sp for sp in range(na)
+        if charges[sp] == 0.0 and sp != mixture.i_electron
+    ]
+    return levels, ions[0], g
+
+
 def species_from_lte(mixture, rho, T):
-    """Primitive species number densities [.., n_active] at Saha equilibrium
-    for a ternary [ion, e, neutral] mixture at (rho, T)."""
+    """Primitive active-species number densities [..., n_active] at LTE for
+    a weakly-ionized atomic mixture at (rho, T): Saha equation for the
+    ionization balance with the neutral partition function over the lumped
+    excited levels, then Boltzmann level populations (reference:
+    PerfectMixture::GetSpeciesFromLTE(T, p, n_sp),
+    src/equation_of_state.cpp:1894-1966; level degeneracies from the ini
+    [species/*]/level_degeneracy, src/M2ulPhyS.cpp:3057).
+
+    The reference works from the table pressure (n_0 = p/(R T)); here the
+    nuclei density comes from the mass density directly
+    (n_nuc = rho / mw_background, exact when every heavy species carries
+    one background nucleus), so mass is preserved instead of pressure.
+    """
     import jax.numpy as jnp
 
+    from ..constants import (
+        AVOGADRO_NUMBER,
+        BOLTZMANN_CONSTANT,
+        ELECTRON_MASS,
+        PI,
+        PLANCK_CONSTANT,
+        UNIVERSAL_GAS_CONSTANT,
+    )
+
     mw = np.asarray(mixture.mw)
+    hf = np.asarray(mixture.formation_energy)
+    levels, i_ion, g = _lte_level_structure(mixture)
     ib = mixture.i_background
-    n_nuc = rho / mw[ib]  # all nuclei counted as the background species
-    E_ion = mixture.formation_energy[0]  # ion formation energy [J/mol]
-    x = saha_ionization_fraction(n_nuc, T, E_ion)
-    n_ion = x * n_nuc
-    out = [n_ion]  # ion is active species 0
-    if not mixture.ambipolar and mixture.num_active_species > 1:
-        out.append(n_ion)  # explicit electron
+
+    n_nuc = rho / mw[ib]
+
+    # neutral partition function: ground state (+1) plus the lumped levels
+    RT = UNIVERSAL_GAS_CONSTANT * T
+    Q_n = 1.0
+    for sp in levels:
+        Q_n = Q_n + g[sp] * jnp.exp(-hf[sp] / RT)
+    Q_i = g[i_ion]
+    Q_e = 2.0
+    mr32 = (mw[i_ion] / mw[ib]) ** 1.5
+
+    # Saha coefficient S = mr32 (Q_e Q_i / Q_n) / (lambda_e^3 N_A)
+    # exp(-E_ion/RT), lambda_e = h / sqrt(2 pi m_e k T).  Evaluated in log
+    # space: 2 pi m_e k T ~ 1e-52 underflows f32 (lambda -> inf, S -> 0),
+    # which silently de-ionized the f32 production path.
+    log_lam3 = 3.0 * (
+        float(np.log(PLANCK_CONSTANT))
+        - 0.5 * (
+            float(np.log(2.0 * PI * ELECTRON_MASS * BOLTZMANN_CONSTANT))
+            + jnp.log(T)
+        )
+    )
+    S = jnp.exp(
+        float(np.log(mr32 * Q_e / AVOGADRO_NUMBER))
+        + jnp.log(Q_i / Q_n)
+        - log_lam3
+        - hf[i_ion] / RT
+    )  # [mol/m^3]
+    # Saha: n_e^2 = S * n_neutral with n_neutral = n_nuc - n_e
+    n_e = 0.5 * (-S + jnp.sqrt(S * S + 4.0 * S * n_nuc))
+    n_e = jnp.clip(n_e, 0.0, n_nuc)
+    n_neutral = n_nuc - n_e
+
+    out = [None] * mixture.num_active_species
+    for sp in levels:
+        out[sp] = n_neutral * g[sp] * jnp.exp(-hf[sp] / RT) / Q_n
+    out[i_ion] = n_e
+    if not mixture.ambipolar:
+        out[mixture.i_electron] = n_e
     return jnp.stack(out, axis=-1)
+
+
+def state_from_lte(mixture, U, newton_iters=30):
+    """Full conserved state at LTE from the bulk fields of `U` (density,
+    momentum, total energy; species/electron-energy slots ignored).
+
+    The role of io/restartFromLTE + M2ulPhyS::initilizeSpeciesFromLTE
+    (reference: src/M2ulPhyS.cpp:2388-2470): the reference interpolates T
+    from the LTE e_rev/thermo tables, then preserves (T, p) and adjusts
+    rho slightly.  Here the temperature is instead solved self-consistently
+    from the mixture's own thermodynamics — Newton on
+    e_int(T; Saha species at (rho, T)) = rhoE - ke — which preserves mass,
+    momentum, AND energy exactly and needs no external table files.
+    Two-temperature mixtures get Te = T (reference :2455)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..constants import UNIVERSAL_GAS_CONSTANT as _Ru
+
+    mw = np.asarray(mixture.mw)
+    nvel, na = mixture.nvel, mixture.num_active_species
+    rho = U[..., 0]
+    mom = U[..., 1 : 1 + nvel]
+    ke = 0.5 * jnp.sum(mom * mom, axis=-1) / rho
+    e_target = U[..., mixture.i_th] - ke
+
+    def _e_int(T):
+        n_act = species_from_lte(mixture, rho, T)
+        parts = [rho[..., None], jnp.zeros_like(mom), T[..., None], n_act]
+        if mixture.two_temperature:
+            parts.append(T[..., None])
+        Up0 = jnp.concatenate(parts, axis=-1)
+        return mixture.conservatives(Up0)[..., mixture.i_th]
+
+    # initial guess: all-neutral background gas
+    cv_bg = mixture.molar_cv_over_R[mixture.i_background] * _Ru
+    T = jnp.maximum(e_target / (rho / mw[mixture.i_background] * cv_bg), 200.0)
+    for _ in range(newton_iters):
+        resid, dresid = jax.jvp(
+            lambda TT: _e_int(TT) - e_target, (T,), (jnp.ones_like(T),)
+        )
+        # dresid = d(rhoE)/dT >= rho cv > 0 analytically; the guard only
+        # protects against float roundoff producing 0/0 -> NaN
+        step = resid / jnp.where(dresid > 0.0, dresid, 1.0)
+        T = jnp.maximum(jnp.where(dresid > 0.0, T - step, T), 200.0)
+
+    n_act = species_from_lte(mixture, rho, T)
+    vel = mom / rho[..., None]
+    parts = [rho[..., None], vel, T[..., None], n_act]
+    if mixture.two_temperature:
+        parts.append(T[..., None])
+    return mixture.conservatives(jnp.concatenate(parts, axis=-1))

@@ -72,7 +72,8 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
     # ---- species (input order) ----
     nsp = inp.get_required("species/numSpecies", int)
     bg_input = inp.get_required("species/background_index", int)  # 1-based
-    names, mws, charges, hf, cv, imf, comps = [], [], [], [], [], [], []
+    names, mws, charges, hf, cv, imf, comps, degen = \
+        [], [], [], [], [], [], [], []
     for s in range(1, nsp + 1):
         base = f"species/species{s}"
         name = inp.get_required(f"{base}/name")
@@ -86,6 +87,7 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
         hf.append(inp.get(f"{base}/formation_energy", 0.0))
         cv.append(inp.get(f"{base}/perfect_mixture/constant_molar_cv", 1.5))
         imf.append(inp.get(f"{base}/initialMassFraction", 0.0))
+        degen.append(inp.get(f"{base}/level_degeneracy", 1.0))
 
     # ---- reorder to mixture convention: [others..., E, background] ----
     e_input = names.index("E")
@@ -106,6 +108,7 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
         charges=tuple(charges[i] for i in order),
         formation_energy=tuple(hf[i] for i in order),
         molar_cv_over_R=tuple(cv[i] for i in order),
+        degeneracy=tuple(degen[i] for i in order),
         ambipolar=ambipolar,
         two_temperature=two_temp,
         const_plasma_conductivity=inp.get(

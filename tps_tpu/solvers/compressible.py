@@ -535,10 +535,26 @@ class CompressibleSolver(PlasmaSolver):
         # restartCycle only gate *reading* at startup (:1930-1946)
         self._io = None
         self._init_io()
+        restart_from_lte = (
+            rc.raw is not None and rc.raw.get("io/restartFromLTE", 0)
+        )
+        if restart_from_lte:
+            # species + electron-energy datasets are not in an LTE
+            # checkpoint: register them optional (reference:
+            # registerIOVar(..., required=false), src/M2ulPhyS.cpp:1842-1853)
+            from ..io.restart import _solver_field_names
+
+            names = _solver_field_names(self)
+            n_bulk = 1 + self.mixture.nvel + 1
+            self._restart_optional_fields = frozenset(names[n_bulk:])
         if rc.enable_restart or rc.restart_cycle:
             self.read_restart()
-        if rc.raw is not None and rc.raw.get("io/restartFromLTE", 0):
+        if restart_from_lte:
             self._init_species_from_lte()
+            # write the converted non-equilibrium restart immediately
+            # (reference: src/M2ulPhyS.cpp:1985-1991 "Writing
+            # non-equilibrium restart files!")
+            self.write_restart()
 
         # statistics + history (reference: Averaging engine, history.hist)
         from ..io.averaging import Averaging, HistoryFile
@@ -963,25 +979,27 @@ class CompressibleSolver(PlasmaSolver):
         return self.mixture.primitives(self.U)
 
     def _init_species_from_lte(self):
-        """Overwrite species with the Saha/LTE equilibrium at the local
-        (rho, T) (reference: io/restartFromLTE + GetSpeciesFromLTE)."""
+        """Overwrite the state with the multi-level Saha/Boltzmann LTE
+        equilibrium consistent with the checkpoint's bulk (rho, mom, rhoE)
+        fields (reference: io/restartFromLTE +
+        M2ulPhyS::initilizeSpeciesFromLTE, src/M2ulPhyS.cpp:2388-2470 +
+        Check_Undershoot)."""
         import jax.numpy as jnp
 
-        from ..physics.perfect_mixture import species_from_lte
+        from ..physics.perfect_mixture import state_from_lte
 
         mix = self.mixture
         if getattr(mix, "num_active_species", 0) == 0:
             return
-        Up = mix.primitives(self.U)
-        rho = Up[..., 0]
-        T = Up[..., mix.i_th]
-        n_act = species_from_lte(mix, rho, T)
-        Up = Up.at[..., mix.nvel + 2 : mix.nvel + 2 + n_act.shape[-1]].set(
-            n_act
+        # Newton in f64 where enabled (falls back to f32 on accelerators
+        # without x64); the result is cast back to the solver dtype
+        U = state_from_lte(mix, self.U.astype(jnp.float64))
+        na = mix.num_active_species
+        sp = U[..., mix.nvel + 2 : mix.nvel + 2 + na]
+        U = U.at[..., mix.nvel + 2 : mix.nvel + 2 + na].set(
+            jnp.maximum(sp, 0.0)
         )
-        if mix.two_temperature:
-            Up = Up.at[..., mix.i_te].set(T)
-        self.U = mix.conservatives(Up).astype(self.dtype)
+        self.U = U.astype(self.dtype)
 
     def _init_io(self):
         from ..io.restart import RestartIO
