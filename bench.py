@@ -187,27 +187,27 @@ numWalls = 6
 [io]
 outdirBase = /tmp/tps_bench_general
 """)
-    t = jnp.asarray(0.0, s.dtype)
-    dt = jnp.asarray(1e-7, s.dtype)
-    # warmup/compile
-    U2, bc2, mcs = s._step(s.tables, s.U, t, dt, s.fields, s.bc_states)
-    U2, bc2, mcs = s._step(s.tables, U2, t, dt, s.fields, bc2)
-    U2.block_until_ready()
-    nrep = 40
+    import jax
+
+    # warmup/compile the chunked production path (solve() runs this when
+    # no per-step diagnostics are enabled)
+    s.solve_chunk(16)
+    s.solve_chunk(16)
+    jax.block_until_ready(s.U)
+    nchunk = 8
     t0 = time.perf_counter()
-    U = s.U
-    bc = s.bc_states
-    for _ in range(nrep):
-        U, bc, mcs = s._step(s.tables, U, t, dt, s.fields, bc)
-    U.block_until_ready()
+    for _ in range(nchunk):
+        s.solve_chunk(16)
+    jax.block_until_ready(s.U)
     elapsed = time.perf_counter() - t0
-    ms_per_rhs = 1e3 * elapsed / (nrep * 4)  # RK4: 4 RHS per step
+    ms_per_rhs = 1e3 * elapsed / (nchunk * 16 * 4)  # RK4: 4 RHS per step
     return {
-        "metric": "general-path ms/RHS (BC'd 16^3 NS box, p=2)",
+        "metric": "general-path ms/RHS (BC'd 16^3 NS box, p=2, chunked)",
         "value": ms_per_rhs,
         "unit": "ms",
         "vs_baseline": BASELINE_GENERAL_MS_PER_RHS / ms_per_rhs,
-        "detail": {"elements": int(s.tables.ne), "steps_timed": nrep},
+        "detail": {"elements": int(s.tables.ne),
+                   "steps_timed": nchunk * 16},
     }
 
 
@@ -218,26 +218,26 @@ def bench_argon():
     with open(deck) as f:
         txt = f.read()
     s = _make_solver(txt)
-    for _ in range(12):  # warmup/compile (CFL dt + async mcs queue settle)
-        s.solve_step()
-    import jax as _jax
-
-    _jax.block_until_ready(s.U)
-    nrep = 60
-    t0 = time.perf_counter()
-    for _ in range(nrep):
-        s.solve_step()
     import jax
 
+    # warmup/compile the chunked production path
+    s.solve_chunk(16)
+    s.solve_chunk(16)
+    jax.block_until_ready(s.U)
+    nchunk = 8
+    t0 = time.perf_counter()
+    for _ in range(nchunk):
+        s.solve_chunk(16)
     jax.block_until_ready(s.U)
     elapsed = time.perf_counter() - t0
-    ms_per_step = 1e3 * elapsed / nrep
+    ms_per_step = 1e3 * elapsed / (nchunk * 16)
     return {
-        "metric": "argon plasma CLI ms/step (2-T, RK4)",
+        "metric": "argon plasma CLI ms/step (2-T, RK4, chunked)",
         "value": ms_per_step,
         "unit": "ms",
         "vs_baseline": BASELINE_ARGON_MS_PER_STEP / ms_per_step,
-        "detail": {"elements": int(s.tables.ne), "steps_timed": nrep},
+        "detail": {"elements": int(s.tables.ne),
+                   "steps_timed": nchunk * 16},
     }
 
 

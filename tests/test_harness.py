@@ -493,3 +493,38 @@ enableRestart = 0
     # the run must actually have written checkpoints for this to mean
     # anything
     assert checked > 0, files
+
+
+def test_chunked_solve_matches_per_step(tmp_path):
+    """solve_chunk(n) is bitwise-identical to n solve_step() calls
+    (chunked production loop; PERF.md round 3 dispatch amortization)."""
+    import jax.numpy as jnp
+
+    a = _run("channel2d.ini", max_iters=8, outdir=str(tmp_path / "a"))
+    b = _run("channel2d.ini", max_iters=8, outdir=str(tmp_path / "b"))
+    sa, sb = a.solver, b.solver
+    for _ in range(8):
+        sa.solve_step()
+    sb.solve_chunk(4)
+    sb.solve_chunk(4)
+    assert sb.iter == sa.iter == 8
+    np.testing.assert_array_equal(np.asarray(sa.U), np.asarray(sb.U))
+    assert float(sa.dt) == float(sb.dt)
+    np.testing.assert_allclose(float(sa.time), float(sb.time), rtol=1e-12)
+
+
+def test_chunk_size_respects_service_boundaries(tmp_path):
+    a = _run("channel2d.ini", max_iters=100, outdir=str(tmp_path / "c"))
+    s = a.solver
+    s.config.timing_freq = 100
+    s.config.output_freq = 10
+    s.config.exit_check_freq = 1000
+    assert s._chunk_size() == 8  # largest power of two <= 10
+    s.iter = 6
+    assert s._chunk_size() == 4  # 4 steps to the output boundary
+    s.iter = 9
+    assert s._chunk_size() == 1
+    s.config.output_freq = 1000
+    s._io = None  # no restart IO -> output boundary not a constraint
+    s.iter = 0
+    assert s._chunk_size() == 64

@@ -120,6 +120,13 @@ class DGTables:
     rad_face: np.ndarray | None = None
     Minv_rad: np.ndarray | None = None
 
+    # ---- diagonal inverse mass (set when M is numerically diagonal:
+    # affine tensor-product elements with the collocated-exact GL nodal
+    # basis).  apply_minv then runs as one lane-dense fused multiply
+    # instead of a batched [ndof, ndof] matmul (PERF.md round 3).
+    minv_diag: np.ndarray | None = None  # [ne, ndof]
+    minv_rad_diag: np.ndarray | None = None  # [ne, ndof]
+
     # ---- domain-decomposition fields (None on single-device tables) ----
     # When built by parallel.partition.build_sharded_tables, every per-entity
     # array above carries a leading shard axis [P, ...] and these are set:
@@ -453,6 +460,20 @@ def detect_roll_topology(grid_shape, nlf, n_combo, nbr_row, interior_mask):
     return (grid_shape, tuple(info))
 
 
+def extract_diag(Minv, rtol=1e-10):
+    """The diagonal of a batched matrix when it is numerically diagonal,
+    else None.  The DG mass matrix is exactly diagonal for affine
+    tensor-product elements with the nodal GL basis (the collocated
+    quadrature is exact for the degree-2p integrand), which covers every
+    generated/structured mesh; curved, sheared, and simplex elements fall
+    back to the full batched inverse."""
+    d = np.einsum("nii->ni", Minv)
+    off = Minv - d[:, :, None] * np.eye(Minv.shape[-1])
+    if np.max(np.abs(off)) <= rtol * np.max(np.abs(d)):
+        return np.ascontiguousarray(d)
+    return None
+
+
 def build_tables(
     mesh: Mesh,
     order: int,
@@ -512,12 +533,15 @@ def build_tables(
     # M[n,i,j] = sum_q w_q B[q,i] B[q,j] detJ[n,q]
     M = np.einsum("q,qi,qj,nq->nij", wm, Bm, Bm, detJm)
     Minv = np.linalg.inv(M)
+    minv_diag = extract_diag(Minv)
     Minv_rad = None
+    minv_rad_diag = None
     if axisymmetric:
         Nm = geo_eval(m_pts)
         rm = np.einsum("qv,nv->nq", Nm, elem_verts[..., 0])
         M_rad = np.einsum("q,qi,qj,nq,nq->nij", wm, Bm, Bm, detJm, rm)
         Minv_rad = np.linalg.inv(M_rad)
+        minv_rad_diag = extract_diag(Minv_rad)
 
     # ---- dof coordinates & element size ----
     Ndof = geo_eval(ref.nodes)  # [ndof, ngeo]
@@ -721,5 +745,7 @@ def build_tables(
         rad_vol=rad_vol,
         rad_face=rad_face,
         Minv_rad=Minv_rad,
+        minv_diag=minv_diag,
+        minv_rad_diag=minv_rad_diag,
         **oriented,
     )

@@ -178,7 +178,7 @@ def _adjj_rep(tab, neq):
     return a.reshape(tab.dim, tab.dim, tab.adjJ.shape[0], tab.nq * neq)
 
 
-def volume_weak_div(tab, Fdof):
+def volume_weak_div(tab, Fdof, fused_out=False):
     """Volume term sum_q w_q grad(phi_i) . F, with F given at solution nodes.
 
     Fdof: [ne, ndof, neq, dim] -> z [ne, ndof, neq]
@@ -212,6 +212,8 @@ def volume_weak_div(tab, Fdof):
         K_gw = jnp.einsum("q,qj,ef->qfje", tab.wq, tab.Gvol[:, :, kk],
                           eye_e).reshape(nq * neq, ndof * neq)
         z2 = z2 + Fk @ K_gw
+    if fused_out:
+        return z2
     return z2.reshape(ne, ndof, neq)
 
 
@@ -219,9 +221,39 @@ def apply_minv(tab, Z, radial=False):
     """Element-wise inverse mass: [ne, ndof, k] -> [ne, ndof, k].
 
     radial=True uses the radius-weighted mass (axisymmetric RHS apply,
-    reference: src/rhs_operator.cpp:443-445)."""
-    M = tab.Minv_rad if (radial and tab.Minv_rad is not None) else tab.Minv
+    reference: src/rhs_operator.cpp:443-445).
+
+    When the mass matrix is diagonal (affine tensor-product elements; see
+    discretization.extract_diag) this is one lane-dense multiply on the
+    fused [ne, ndof*k] layout — the batched [ndof, ndof] einsum reads a
+    67 MB padded Minv and wastes the MXU on [27, 27] @ [27, k] tiles."""
+    use_rad = radial and tab.Minv_rad is not None
+    d = getattr(tab, "minv_rad_diag" if use_rad else "minv_diag", None)
+    if d is not None:
+        ne, ndof, k = Z.shape
+        drep = jnp.repeat(d[..., None], k, axis=-1).reshape(ne, ndof * k)
+        return (Z.reshape(ne, ndof * k) * drep).reshape(ne, ndof, k)
+    M = tab.Minv_rad if use_rad else tab.Minv
     return jnp.einsum("nij,njk->nik", M, Z)
+
+
+def apply_minv2(tab, Z2, k, radial=False):
+    """Inverse mass on the fused layout: [ne, ndof*k] -> [ne, ndof*k].
+
+    Keeps the whole RHS tail on fused-minor buffers (no padded
+    [ne, ndof, k] round trip); diagonal-mass meshes pay one lane-dense
+    multiply, others one batched matmul."""
+    use_rad = radial and tab.Minv_rad is not None
+    d = getattr(tab, "minv_rad_diag" if use_rad else "minv_diag", None)
+    ne = Z2.shape[0]
+    if d is not None:
+        drep = jnp.repeat(d[..., None], k, axis=-1).reshape(ne, -1)
+        return Z2 * drep
+    M = tab.Minv_rad if use_rad else tab.Minv
+    ndof = M.shape[-1]
+    return jnp.einsum(
+        "nij,njk->nik", M, Z2.reshape(ne, ndof, k)
+    ).reshape(ne, ndof * k)
 
 
 def dg_gradient(tab, Up, bdr_up2=None):

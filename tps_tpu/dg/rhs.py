@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .operators import (
     apply_minv,
+    apply_minv2,
     dg_gradient,
     elem_traces,
     face_gather,
@@ -61,16 +62,25 @@ def _clip_species(mix, U):
     return U.at[..., mix.nvel + 2 : mix.nvel + 2 + nact].set(jnp.maximum(sp, 0.0))
 
 
-def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
+def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None,
+                fused_io=False):
     """Return (dU/dt, aux) with aux containing max_char_speed.
 
     bc_states: optional tuple aligned with ctx.bcs carrying persistent
     per-BC state (the time-integrated characteristic ghosts; reference:
     boundaryU in src/inletBC.cpp / src/outletBC.cpp).  None entries for
-    stateless BCs."""
+    stateless BCs.
+
+    fused_io=True: U is [ne, ndof*neq] and the result is returned in the
+    same fused layout.  The integrator state then stays on fused-minor
+    buffers (4 MB vs 67 MB padded per materialization on a p=2 16^3 box),
+    so the RK axpy chain and the RHS head/tail avoid the (8,128)-tile
+    round trips entirely (PERF.md round 3)."""
     mix = ctx.mixture
     neq = mix.num_equations
     dim = tab.dim
+    if fused_io:
+        U = U.reshape(U.shape[0], -1, neq)
     ne, ndof = U.shape[0], U.shape[1]
     viscous = ctx.fluxes.eq_system != "euler"
 
@@ -205,7 +215,7 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
                 )
                 z2 = z2 + zb[:, lf] @ K_out
 
-        z_face = -z2.reshape(ne, ndof, neq)
+        z2_face = -z2  # fused [ne, ndof*neq]
     else:
         # legacy path (sharded tables): single-ordering + point permutations
         Utr = elem_traces(tab, U)
@@ -259,26 +269,31 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
 
         Fel = face_scatter_gather(tab, flux_w)
         sign = jnp.repeat(tab.ef_sign.reshape(tab.ne, tab.nlf), tab.nqf, axis=1)
-        z_face = trace_transpose(tab, -sign[..., None] * Fel)
+        z2_face = trace_transpose(tab, -sign[..., None] * Fel).reshape(
+            ne, ndof * neq
+        )
 
     # ---- volume term ----
     Uv = _clip_species(mix, U)
     Fdof = ctx.fluxes.total_at_dofs(
         Uv, Up, grad_up, tab.xyz_dof, tab.delta[:, None], distance=tab.distance
     )
-    z_vol = volume_weak_div(tab, Fdof)
+    z2_vol = volume_weak_div(tab, Fdof, fused_out=True)
 
-    y = apply_minv(tab, z_vol + z_face, radial=True)
+    y2 = apply_minv2(tab, z2_vol + z2_face, neq, radial=True)
 
     # ---- forcing (added to dU/dt directly; reference rhs_operator.cpp:452-461)
-    for f in ctx.forcings:
-        y = y + f(t, tab, U, Up, grad_up, fields)
+    if ctx.forcings:
+        yf = y2.reshape(ne, ndof, neq)
+        for f in ctx.forcings:
+            yf = yf + f(t, tab, U, Up, grad_up, fields)
+        y2 = yf.reshape(ne, ndof * neq)
 
     mcs_field = mix.max_char_speed(U)
     if ctx.axis_name is not None:
         # zero residuals on halo/padding rows and reduce the wave speed
         # globally (reference: MPI_Allreduce at src/rhs_operator.cpp:557)
-        y = y * tab.own_mask[:, None, None]
+        y2 = y2 * tab.own_mask[:, None]
         mcs = jax.lax.pmax(
             jnp.max(jnp.where(tab.own_mask > 0.5, jnp.max(mcs_field, axis=-1), 0.0)),
             ctx.axis_name,
@@ -286,6 +301,7 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None):
     else:
         mcs = jnp.max(mcs_field)
     aux = {"max_char_speed": mcs}
+    y = y2 if fused_io else y2.reshape(ne, ndof, neq)
     return y, aux
 
 

@@ -196,6 +196,12 @@ def build_sharded_tables(
     axisym = g.rad_vol is not None
     elem_fields = list(ELEM_FIELDS) + (["rad_vol", "Minv_rad"] if axisym
                                        else [])
+    # diagonal inverse mass (when the mesh is affine) shards like any
+    # other per-element table
+    if g.minv_diag is not None:
+        elem_fields.append("minv_diag")
+    if axisym and g.minv_rad_diag is not None:
+        elem_fields.append("minv_rad_diag")
     for name in elem_fields:
         arr = getattr(g, name)
         st[name] = zeros((NE,) + arr.shape[1:], arr.dtype)

@@ -430,10 +430,17 @@ class CompressibleSolver(PlasmaSolver):
                 )
                 U2 = self._fused.from_fused(U2f)
             else:
-                rhs = lambda u, tt: compute_rhs(self.ctx, tab_loc, u, tt,
-                                                fields=fields,
-                                                bc_states=bc_states)
-                U2, aux = self._integrator(rhs, U, t, dt)
+                # integrate on the fused [ne, ndof*neq] layout: the RK axpy
+                # chain and the RHS head/tail then avoid padded
+                # [ne, ndof, neq] materializations (PERF.md round 3)
+                rhs = lambda u2, tt: compute_rhs(self.ctx, tab_loc, u2, tt,
+                                                 fields=fields,
+                                                 bc_states=bc_states,
+                                                 fused_io=True)
+                U2f, aux = self._integrator(
+                    rhs, U.reshape(U.shape[0], -1), t, dt
+                )
+                U2 = U2f.reshape(U.shape)
             if nact > 0:
                 # clip species-density undershoots on the stored state
                 # (reference: M2ulPhyS::Check_Undershoot, called each step)
@@ -444,11 +451,35 @@ class CompressibleSolver(PlasmaSolver):
             bc2 = advance_bc_states(self.ctx, tab_loc, U2, bc_states, dt)
             return U2, bc2, aux["max_char_speed"]
 
+        # chunked stepping: scan nsub steps inside one jit so the per-step
+        # python dispatch (~0.3-0.6 ms through the hosted-TPU tunnel) and
+        # the jit entry/exit relayouts amortize.  dt updates INSIDE the
+        # scan from each step's own wave speed (identical semantics to the
+        # per-step loop: the next step uses the previous step's mcs).
+        cfl_mode_ = not (rc.constant_dt or rc.dt_fixed > 0)
+        cfl_hmin_ = rc.cfl * self.hmin
+        dim_ = self.mesh.dim
+
+        def _substep_n(tab_loc, U, t, dt, fields, bc_states, nsub):
+            def body(carry, _):
+                Uc, bcc, tc, dtc = carry
+                U2, bc2, mcs = _substep(tab_loc, Uc, tc, dtc, fields, bcc)
+                t2 = tc + dtc
+                # bitwise-identical to the per-step update in
+                # _post_step_services: dt = cfl*hmin/mcs/dim
+                dt2 = (cfl_hmin_ / mcs / dim_) if cfl_mode_ else dtc
+                return (U2, bc2, t2, dt2), mcs
+            (Uf, bcf, tf, dtf), mcs_seq = jax.lax.scan(
+                body, (U, bc_states, t, dt), None, length=nsub
+            )
+            return Uf, bcf, tf, dtf, mcs_seq
+
         if self._build is None:
             self._init_bc_fn = jax.jit(
                 lambda tab, U: init_bc_states(self.ctx, tab, U)
             )
             self._step = jax.jit(_substep)
+            self._step_n = jax.jit(_substep_n, static_argnums=6)
         else:
             # SPMD: one shard_map program over the "dd" device-mesh axis
             # (reference: everything-under-MPI, src/tps.cpp:200-239)
@@ -504,6 +535,34 @@ class CompressibleSolver(PlasmaSolver):
                 return step_cache[key](tab, U, t, dt, fields, bc_states)
 
             self._step = _step
+
+            def _make_step_n(field_keys, nsub):
+                fspec = {k: PS("dd") for k in field_keys}
+
+                @partial(
+                    shard_map, mesh=self._jmesh,
+                    in_specs=(specs, PS("dd"), PS(), PS(), fspec, PS("dd")),
+                    out_specs=(PS("dd"), PS("dd"), PS(), PS(), PS()),
+                )
+                def _step_sm_n(tab_s, U_s, t, dt, fields, bc_states):
+                    tl = localize_tables(tab_s)
+                    fl = {k: v[0] for k, v in fields.items()}
+                    bl = jax.tree.map(lambda a: a[0], bc_states)
+                    Uf, bcf, tf, dtf, mcs = _substep_n(
+                        tl, U_s[0], t, dt, fl, bl, nsub
+                    )
+                    return (Uf[None], jax.tree.map(lambda a: a[None], bcf),
+                            tf, dtf, mcs)
+
+                return jax.jit(_step_sm_n)
+
+            def _step_n(tab, U, t, dt, fields, bc_states, nsub):
+                key = (tuple(sorted(fields)), nsub)
+                if key not in step_cache:
+                    step_cache[key] = _make_step_n(key[0], nsub)
+                return step_cache[key](tab, U, t, dt, fields, bc_states)
+
+            self._step_n = _step_n
 
         self.bc_states = self._init_bc_fn(self.tables, self.U)
 
@@ -829,20 +888,105 @@ class CompressibleSolver(PlasmaSolver):
 
     def _drain_mcs_queue(self, lag):
         """Read max-char-speed values whose async host copies are at least
-        `lag` steps old; NaN-guard each and keep the newest for CFL."""
+        `lag` steps old; NaN-guard each and keep the newest for CFL.
+        Entries are (iter_of_last_covered_step, scalar_or_[n]-vector) —
+        chunked steps enqueue one vector per chunk."""
         q = getattr(self, "_mcs_queue", None)
         if not q:
             return
         while q and (self.iter - q[0][0] >= lag):
             it0, m = q.pop(0)
-            m = float(m)
-            if not np.isfinite(m):
+            arr = np.asarray(m).ravel()
+            if not np.all(np.isfinite(arr)):
                 self.check_nan(verbose=True)
+                bad = int(np.argmax(~np.isfinite(arr)))
                 raise FloatingPointError(
-                    f"NaN/Inf detected at iteration {it0} "
-                    f"(reported at {self.iter}, t={self.time:.6e})"
+                    f"NaN/Inf detected at iteration {it0 - len(arr) + 1 + bad} "
+                    f"(reported at {self.iter}, t={float(self.time):.6e})"
                 )
-            self._last_mcs = m
+            self._last_mcs = float(arr[-1])
+
+    def _chunk_size(self):
+        """Steps safe to run inside one jitted scan before the next
+        python-side service boundary (timing print, restart write, exit
+        check, averaging sample).  Power-of-two sized to bound the number
+        of compiled chunk variants."""
+        rc = self.config
+        if self._history is not None:
+            return 1  # per-step dU/dt diagnostics
+        rem = self.max_iters - self.iter
+        bounds = [rem]
+        for freq in (rc.timing_freq, max(rc.exit_check_freq, 1)):
+            bounds.append(freq - self.iter % freq)
+        if self._restart_io_ready():
+            bounds.append(rc.output_freq - self.iter % rc.output_freq)
+        av = self.averaging
+        if av.enabled:
+            if self.iter >= av.start_iter:
+                return 1  # per-step running statistics
+            bounds.append(av.start_iter - self.iter)
+        n = min(bounds)
+        chunk = 1
+        while chunk * 2 <= min(n, 64):
+            chunk *= 2
+        return chunk
+
+    def solve_chunk(self, n):
+        """Run n time steps inside one jitted scan (dispatch-amortized
+        production path; per-step semantics identical to solve_step with
+        history/averaging off)."""
+        import jax.numpy as jnp
+
+        U, bc, t2, dt2, mcs_seq = self._step_n(
+            self.tables, self.U, jnp.asarray(self.time, self.dtype),
+            jnp.asarray(self.dt, self.dtype), self.fields, self.bc_states, n,
+        )
+        self.U = U
+        self.bc_states = bc
+        self.time = t2  # device scalars; materialized only at service cadence
+        self.dt = dt2
+        self.iter += n
+        try:
+            mcs_seq.copy_to_host_async()
+        except AttributeError:
+            pass
+        if not hasattr(self, "_mcs_queue"):
+            self._mcs_queue = []
+        self._mcs_queue.append((self.iter, mcs_seq))
+        self._post_chunk_services()
+
+    def _post_chunk_services(self):
+        """Service tail after a chunk: NaN guard drain, timing print,
+        restart cadence, job management.  CFL dt was already updated
+        inside the chunk scan."""
+        rc = self.config
+        lag = int(getattr(rc, "mcs_lag", 8))
+        self._drain_mcs_queue(lag)
+        if self.iter % rc.timing_freq == 0:
+            wall = _time.perf_counter() - self._wall0
+            print(
+                f"time step: {self.iter}, physical time {float(self.time):.6e} s"
+                f", wall {wall / rc.timing_freq:.4f} s/iter",
+                flush=True,
+            )
+            self._wall0 = _time.perf_counter()
+        if self._restart_io_ready() and self.iter % rc.output_freq == 0:
+            self._drain_mcs_queue(0)
+            self.write_restart()
+        if self.iter % max(rc.exit_check_freq, 1) == 0:
+            self._job_management()
+
+    def solve(self):
+        """Chunk-aware solve loop (reference: M2ulPhyS::solve, the while
+        loop at src/M2ulPhyS.cpp:2137-2177)."""
+        self.solve_begin()
+        while self.iter < self.max_iters and self.status == 0:
+            n = self._chunk_size()
+            if n > 1:
+                self.solve_chunk(n)
+            else:
+                self.solve_step()
+        self.solve_end()
 
     def _post_step_services(self, mcs):
         """Shared post-step tail: NaN guard, CFL dt, timing print, restart
@@ -895,27 +1039,31 @@ class CompressibleSolver(PlasmaSolver):
         # job management (reference: Check_JobResubmit / DIE-file hooks,
         # src/M2ulPhyS.cpp:2160-2177)
         if self.iter % max(rc.exit_check_freq, 1) == 0:
-            from ..utils.job_management import (
-                STATUS_EARLY_EXIT,
-                STATUS_JOB_RESTART,
-                check_die_file,
-                job_almost_done,
-            )
+            self._job_management()
 
-            if check_die_file(rc.outdir):
-                print("DIE file detected: exiting early", flush=True)
-                self._drain_mcs_queue(0)
-                if self._restart_io_ready():
-                    self.write_restart()
-                self.status = STATUS_EARLY_EXIT
-            elif rc.enable_auto_restart and job_almost_done(rc.rm_threshold):
-                print("walltime threshold reached: checkpoint + resubmit",
-                      flush=True)
-                self._drain_mcs_queue(0)
-                if not self._restart_io_ready():
-                    self._init_io()
+    def _job_management(self):
+        rc = self.config
+        from ..utils.job_management import (
+            STATUS_EARLY_EXIT,
+            STATUS_JOB_RESTART,
+            check_die_file,
+            job_almost_done,
+        )
+
+        if check_die_file(rc.outdir):
+            print("DIE file detected: exiting early", flush=True)
+            self._drain_mcs_queue(0)
+            if self._restart_io_ready():
                 self.write_restart()
-                self.status = STATUS_JOB_RESTART
+            self.status = STATUS_EARLY_EXIT
+        elif rc.enable_auto_restart and job_almost_done(rc.rm_threshold):
+            print("walltime threshold reached: checkpoint + resubmit",
+                  flush=True)
+            self._drain_mcs_queue(0)
+            if not self._restart_io_ready():
+                self._init_io()
+            self.write_restart()
+            self.status = STATUS_JOB_RESTART
 
     def solve_end(self):
         self._drain_mcs_queue(0)  # flush pending NaN guards
