@@ -422,34 +422,39 @@ class CompressibleSolver(PlasmaSolver):
             if self._build is None else None
         )
 
-        def _substep(tab_loc, U, t, dt, fields, bc_states):
-            """Shared single-device / per-shard step body."""
+        def _substep2(tab_loc, U2, t, dt, fields, bc_states, shape3):
+            """Fused-layout step body: U2 is [ne, ndof*neq] throughout.
+            The RK axpy chain, the RHS head/tail, the species clip and the
+            scan carry all stay on fused-minor buffers (PERF.md round 3)."""
             if self._fused is not None:
-                U2f, aux = self._integrator(
-                    self._fused, self._fused.to_fused(U), t, dt
-                )
-                U2 = self._fused.from_fused(U2f)
+                U2b, aux = self._integrator(self._fused, U2, t, dt)
             else:
-                # integrate on the fused [ne, ndof*neq] layout: the RK axpy
-                # chain and the RHS head/tail then avoid padded
-                # [ne, ndof, neq] materializations (PERF.md round 3)
                 rhs = lambda u2, tt: compute_rhs(self.ctx, tab_loc, u2, tt,
                                                  fields=fields,
                                                  bc_states=bc_states,
                                                  fused_io=True)
-                U2f, aux = self._integrator(
-                    rhs, U.reshape(U.shape[0], -1), t, dt
-                )
-                U2 = U2f.reshape(U.shape)
+                U2b, aux = self._integrator(rhs, U2, t, dt)
             if nact > 0:
                 # clip species-density undershoots on the stored state
                 # (reference: M2ulPhyS::Check_Undershoot, called each step)
-                sp = U2[..., mix_.nvel + 2 : mix_.nvel + 2 + nact]
-                U2 = U2.at[..., mix_.nvel + 2 : mix_.nvel + 2 + nact].set(
+                U3 = U2b.reshape(shape3)
+                sp = U3[..., mix_.nvel + 2 : mix_.nvel + 2 + nact]
+                U3 = U3.at[..., mix_.nvel + 2 : mix_.nvel + 2 + nact].set(
                     jnp.maximum(sp, 0.0)
                 )
-            bc2 = advance_bc_states(self.ctx, tab_loc, U2, bc_states, dt)
-            return U2, bc2, aux["max_char_speed"]
+                U2b = U3.reshape(U2b.shape)
+            bc2 = advance_bc_states(
+                self.ctx, tab_loc, U2b.reshape(shape3), bc_states, dt
+            )
+            return U2b, bc2, aux["max_char_speed"]
+
+        def _substep(tab_loc, U, t, dt, fields, bc_states):
+            """Shared single-device / per-shard step body."""
+            U2b, bc2, mcs = _substep2(
+                tab_loc, U.reshape(U.shape[0], -1), t, dt, fields, bc_states,
+                U.shape,
+            )
+            return U2b.reshape(U.shape), bc2, mcs
 
         # chunked stepping: scan nsub steps inside one jit so the per-step
         # python dispatch (~0.3-0.6 ms through the hosted-TPU tunnel) and
@@ -461,18 +466,22 @@ class CompressibleSolver(PlasmaSolver):
         dim_ = self.mesh.dim
 
         def _substep_n(tab_loc, U, t, dt, fields, bc_states, nsub):
+            shape3 = U.shape
+
             def body(carry, _):
-                Uc, bcc, tc, dtc = carry
-                U2, bc2, mcs = _substep(tab_loc, Uc, tc, dtc, fields, bcc)
+                U2c, bcc, tc, dtc = carry
+                U2b, bc2, mcs = _substep2(tab_loc, U2c, tc, dtc, fields, bcc,
+                                          shape3)
                 t2 = tc + dtc
                 # bitwise-identical to the per-step update in
                 # _post_step_services: dt = cfl*hmin/mcs/dim
                 dt2 = (cfl_hmin_ / mcs / dim_) if cfl_mode_ else dtc
-                return (U2, bc2, t2, dt2), mcs
-            (Uf, bcf, tf, dtf), mcs_seq = jax.lax.scan(
-                body, (U, bc_states, t, dt), None, length=nsub
+                return (U2b, bc2, t2, dt2), mcs
+            (U2f, bcf, tf, dtf), mcs_seq = jax.lax.scan(
+                body, (U.reshape(U.shape[0], -1), bc_states, t, dt), None,
+                length=nsub,
             )
-            return Uf, bcf, tf, dtf, mcs_seq
+            return U2f.reshape(shape3), bcf, tf, dtf, mcs_seq
 
         if self._build is None:
             self._init_bc_fn = jax.jit(
