@@ -626,3 +626,75 @@ type = inviscid
     s3.read_restart()
     for a, c in zip(U3, s3.state_global()):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a))
+
+
+def test_mixed_stateless_patch_means_cross_seam():
+    """The mass-flow outlet's density mean and the far-field "patch-mean"
+    reference velocity are accumulated over BOTH buckets of a patch
+    crossing the tri/quad seam (reference: bucket-agnostic per-patch
+    subcommunicators, src/mpi_groups.hpp:44-78)."""
+    from tps_tpu.dg.mixed import _stateless_patch_stats
+    from tps_tpu.dg.operators import elem_traces
+
+    mix = DryAir(dim=2, nvel=2, gas_constant=287.0)
+    mm = mixed_box_2d(6, 4, tri_from=0.5)  # seam at x=0.5
+    mt = build_mixed_tables(mm, order=2).to_jax(jnp.float64)
+    # patch 3 (top) crosses the seam; give it a mass-flow NR outlet
+    bcs = {
+        1: WallBC(kind="inviscid"),
+        2: WallBC(kind="inviscid"),
+        4: WallBC(kind="inviscid"),
+        3: OutletBC(kind="nonReflectingMassFlow", mass_flow=1.0, area=1.0,
+                    pressure=101300.0),
+    }
+    ctxs = _contexts(mt, mix, "euler", bcs)
+
+    # non-uniform density: rho varies with x so bucket-local means differ
+    Us = []
+    for b in mt.buckets:
+        x = b.xyz_dof[..., 0]
+        Up = uniform_state(b.xyz_dof, mix, 1.2, (5.0, 0.0), 300.0)
+        Up = Up.at[..., 0].set(1.2 + 0.5 * x)
+        Us.append(mix.conservatives(Up))
+    Us = tuple(Us)
+
+    trX = [
+        elem_traces(tab, Us[b]).reshape(
+            Us[b].shape[0] * tab.nlf, tab.nqf, -1)
+        for b, tab in enumerate(mt.buckets)
+    ]
+    stats = _stateless_patch_stats(mt, ctxs, trX)
+    bc3 = bcs[3]
+    assert id(bc3) in stats and "rho_mean" in stats[id(bc3)]
+    rho_mean = float(stats[id(bc3)]["rho_mean"])
+
+    # manual two-bucket quadrature mean over patch-3 faces
+    num = den = 0.0
+    for b, tab in enumerate(mt.buckets):
+        attrs = np.asarray(tab.f_bdr_attr)
+        rows = np.where(attrs == 3)[0]
+        if len(rows) == 0:
+            continue
+        ULb = np.asarray(trX[b][np.asarray(tab.bdr_slot)][..., :4])
+        norb = np.asarray(tab.f_nor[tab.nfi:])
+        w = np.asarray(tab.f_wts[tab.nfi:]) * np.linalg.norm(norb, axis=-1)
+        num += float(np.sum(w[rows] * ULb[rows, :, 0]))
+        den += float(np.sum(w[rows]))
+        # both buckets must contribute faces (the patch crosses the seam)
+        assert len(rows) > 0
+    assert den > 0
+    np.testing.assert_allclose(rho_mean, num / den, rtol=1e-12)
+    # the mean differs from either bucket-local mean (rho varies with x)
+    for b, tab in enumerate(mt.buckets):
+        attrs = np.asarray(tab.f_bdr_attr)
+        rows = np.where(attrs == 3)[0]
+        ULb = np.asarray(trX[b][np.asarray(tab.bdr_slot)][..., :4])
+        norb = np.asarray(tab.f_nor[tab.nfi:])
+        w = np.asarray(tab.f_wts[tab.nfi:]) * np.linalg.norm(norb, axis=-1)
+        local = np.sum(w[rows] * ULb[rows, :, 0]) / np.sum(w[rows])
+        assert abs(local - rho_mean) > 1e-4, (b, local, rho_mean)
+
+    # the RHS consumes the override (runs without error, finite output)
+    ys, aux = compute_rhs_mixed(mt, ctxs, Us)
+    for y in ys:
+        assert np.all(np.isfinite(np.asarray(y)))

@@ -586,7 +586,13 @@ class OutletBC:
     def ghost_primitive(self, mixture, UpL):
         return UpL
 
-    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None, wts=None):
+    def flux(self, ctx, UL, UpL, gradL, nor, xyz, delta, t, state=None,
+             wts=None, patch_stats=None):
+        """patch_stats: optional {"rho_mean": x, "un_mean": y} overriding
+        the internally computed patch means — used by the mixed-mesh RHS
+        to supply means accumulated over BOTH element-type buckets of a
+        patch crossing the tri/quad seam (the reference's per-patch
+        subcommunicators are bucket-agnostic, src/mpi_groups.hpp:44-78)."""
         mix = ctx.fluxes.mixture
         nvel = mix.nvel
         if self.kind in ("nonReflectingMassFlow",
@@ -601,7 +607,10 @@ class OutletBC:
             s_ent = p_in / rho**gam
             Rplus = un + 2.0 * c_in / (gam - 1.0)  # outgoing
             w = wts if wts is not None else self.wts
-            if self.kind == "nonReflectingMassFlow" and w is not None:
+            if self.kind == "nonReflectingMassFlow" and (
+                    patch_stats is not None and "rho_mean" in patch_stats):
+                rho_eff = patch_stats["rho_mean"]  # cross-bucket mean
+            elif self.kind == "nonReflectingMassFlow" and w is not None:
                 # patch-mean density (masked psum across shards)
                 rho_eff = _patch_mean(rho[..., None], w, ctx.axis_name)[0]
             else:
@@ -645,8 +654,11 @@ class OutletBC:
         rho_inf = (p_inf / s_ent) ** (1.0 / gam)  # far field on local isentrope
         c_inf = jnp.sqrt(gam * p_inf / rho_inf)
         if isinstance(self.ref_vel_n, str):  # "patch-mean"
-            w = wts if wts is not None else self.wts
-            un_ref = _patch_mean(un[..., None], w, ctx.axis_name)[0]
+            if patch_stats is not None and "un_mean" in patch_stats:
+                un_ref = patch_stats["un_mean"]  # cross-bucket mean
+            else:
+                w = wts if wts is not None else self.wts
+                un_ref = _patch_mean(un[..., None], w, ctx.axis_name)[0]
         else:
             un_ref = jnp.asarray(self.ref_vel_n, UL.dtype)
         Rminus = un_ref - 2.0 * c_inf / (gam - 1.0)

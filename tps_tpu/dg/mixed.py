@@ -322,6 +322,64 @@ def _interface_bdr_up2(mt, trUp, b, tab):
     return own_b.at[i0:i1].set(partner)
 
 
+def _stateless_patch_stats(mt, ctxs, trX):
+    """Cross-bucket patch means for stateless BCs that compute one
+    internally: the mass-flow outlet's density mean and the far-field
+    "patch-mean" reference velocity.  A patch crossing the tri/quad seam
+    is served by ONE BC object in both buckets' slices; its mean must
+    cover both buckets' faces (and all shards), like the reference's
+    bucket-agnostic per-patch subcommunicators (src/mpi_groups.hpp:44-78).
+    Returns {id(bc): {"rho_mean": ..., "un_mean": ...}}."""
+    import jax
+    import jax.numpy as jnp
+
+    from .rhs import _clip_species
+
+    mix = ctxs[0].mixture
+    neq = mix.num_equations
+    nvel = mix.nvel
+    accum = {}
+    for b, tab in enumerate(mt.buckets):
+        if not tab.nfb:
+            continue
+        nfi = tab.nfi
+        ULb = _clip_species(mix, trX[b][tab.bdr_slot][..., :neq])
+        norb = tab.f_nor[nfi:]
+        nmag = jnp.linalg.norm(norb, axis=-1)
+        wmagb = tab.f_wts[nfi:] * nmag
+        nhat = norb / jnp.maximum(nmag, 1e-300)[..., None]
+        for s in ctxs[b].bcs:
+            bc = s.bc
+            need_rho = getattr(bc, "kind", None) == "nonReflectingMassFlow"
+            need_un = isinstance(getattr(bc, "ref_vel_n", 0.0), str)
+            if not (need_rho or need_un):
+                continue
+            sl = slice(s.start, s.stop)
+            UL = ULb[sl]
+            w = wmagb[sl]
+            rho = UL[..., 0]
+            vel = UL[..., 1 : 1 + nvel] / rho[..., None]
+            un = jnp.einsum("...d,...d->...", vel[..., : tab.dim], nhat[sl])
+            e = accum.setdefault(id(bc), [0.0, 0.0, 0.0, need_rho, need_un])
+            e[0] = e[0] + jnp.sum(w * rho)
+            e[1] = e[1] + jnp.sum(w * un)
+            e[2] = e[2] + jnp.sum(w)
+    out = {}
+    for k, (nr, nu, den, need_rho, need_un) in accum.items():
+        if mt.axis_name is not None:
+            nr = jax.lax.psum(nr, mt.axis_name)
+            nu = jax.lax.psum(nu, mt.axis_name)
+            den = jax.lax.psum(den, mt.axis_name)
+        den = jnp.maximum(den, 1e-300)
+        d = {}
+        if need_rho:
+            d["rho_mean"] = nr / den
+        if need_un:
+            d["un_mean"] = nu / den
+        out[k] = d
+    return out
+
+
 def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
     """Mixed-mesh RHS: per-bucket slot face sweeps with interface fluxes
     evaluated against partner-bucket traces.  Mirrors compute_rhs
@@ -400,6 +458,10 @@ def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
                                      0.5 * (Fv1 + Fv2), nor)
         return flux
 
+    # patch-global means for stateless BCs (mass-flow density mean,
+    # far-field "patch-mean" velocity) accumulated over BOTH buckets
+    patch_stats = _stateless_patch_stats(mt, ctxs, trX)
+
     ys, mcss = [], []
     for b, tab in enumerate(mt.buckets):
         ctx = ctxs[b]
@@ -448,11 +510,14 @@ def compute_rhs_mixed(mt: MixedDGTables, ctxs, Us, t=0.0, bc_states=None):
             for i, s in enumerate(ctx.bcs):
                 sl = slice(s.start, s.stop)
                 st = None if bc_states is None else bc_states[b][i]
+                extra = {}
+                if id(s.bc) in patch_stats:
+                    extra["patch_stats"] = patch_stats[id(s.bc)]
                 bdr_fluxes.append(
                     s.bc.flux(ctx, ULb[sl], UpLb[sl],
                               None if gLb is None else gLb[sl],
                               norb[sl], xyzb[sl], deltab[sl], t,
-                              state=st, wts=wmagb[sl]))
+                              state=st, wts=wmagb[sl], **extra))
             i0, i1 = _ifb(mt, b)
             covered = sum(s.stop - s.start for s in ctx.bcs)
             if covered != i0:

@@ -921,6 +921,8 @@ class CompressibleSolver(PlasmaSolver):
         check, averaging sample).  Power-of-two sized to bound the number
         of compiled chunk variants."""
         rc = self.config
+        if getattr(self, "_step_n", None) is None:
+            return 1  # subclass without a chunked step (mixed-mesh solver)
         if self._history is not None:
             return 1  # per-step dU/dt diagnostics
         rem = self.max_iters - self.iter
@@ -929,8 +931,8 @@ class CompressibleSolver(PlasmaSolver):
             bounds.append(freq - self.iter % freq)
         if self._restart_io_ready():
             bounds.append(rc.output_freq - self.iter % rc.output_freq)
-        av = self.averaging
-        if av.enabled:
+        av = getattr(self, "averaging", None)
+        if av is not None and av.enabled:
             if self.iter >= av.start_iter:
                 return 1  # per-step running statistics
             bounds.append(av.start_iter - self.iter)
