@@ -168,3 +168,77 @@ def test_sharded_axisym_lomach_matches_single(tmp_path):
     assert np.abs(u3 - u1).max() / (np.abs(u1).max() + 1e-30) < 1e-6
     ut1, ut3 = np.asarray(s1.flow.ut), np.asarray(s3.flow.ut)
     assert np.abs(ut3 - ut1).max() <= 1e-6 * (np.abs(ut1).max() + 1.0)
+
+
+def _run_axisym_supg(tmp_path, nparts, iters=5):
+    """Axisymmetric calorically-perfect thermo WITH SUPG streamwise
+    stabilization under [mesh]/partitions — exercises the sharded
+    coefficient build (to_quad / grid_scale_q / diffusion_apply_tensor
+    on axisymmetric radius-weighted tables)."""
+    ini = tmp_path / f"axisupg{nparts}.ini"
+    ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 6
+ny = 9
+x1 = 0.02
+y1 = 0.08
+partitions = {nparts}
+[loMach]
+order = 2
+axisymmetric = 1
+flow-solver = tomboulides
+thermo-solver = calorically-perfect
+maxIters = {iters}
+outputFreq = 1000
+[loMach/calperfect]
+streamwise-stabilization = 1
+[initialConditions]
+profile = gaussian
+temperature = 1500.0
+backgroundTemperature = 300.0
+center = '0.0 0.04'
+width = '0.009 0.025'
+[time]
+dt_fixed = 2.5e-7
+[boundaryConditions/inlet1]
+patch = 1
+type = inlet
+velocity = '0.0 1.0'
+rampTime = 2e-5
+temperature = 300.0
+[boundaryConditions/wall1]
+patch = 2
+type = viscous
+temperature = 300.0
+[boundaryConditions/outlet1]
+patch = 3
+type = outlet
+pressure = 0.0
+[io]
+outdirBase = {tmp_path}/axisupg_out{nparts}
+""")
+    from tps_tpu.harness import Tps
+
+    tps = Tps()
+    tps.parse_command_line_args(
+        ["tps", "--runFile", str(ini), "--device", "cpu"])
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    tps.solve()
+    return tps.solver
+
+
+def test_sharded_axisym_supg_matches_single(tmp_path):
+    s1 = _run_axisym_supg(tmp_path, 1)
+    s3 = _run_axisym_supg(tmp_path, 3)
+    assert s1.thermo.sw_stab and s3.thermo.sw_stab
+    T1, T3 = np.asarray(s1.thermo.T), np.asarray(s3.thermo.T)
+    assert np.isfinite(T1).all() and np.isfinite(T3).all()
+    assert np.abs(T3 - T1).max() / np.abs(T1).max() < 1e-8
+    u1, u3 = np.asarray(s1.flow.u), np.asarray(s3.flow.u)
+    assert np.abs(u3 - u1).max() / (np.abs(u1).max() + 1e-30) < 1e-6
