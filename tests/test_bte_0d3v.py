@@ -281,3 +281,92 @@ def test_bte_rates_from_coupled_em_field():
     iE = Eamp.argmax()
     assert Te[iE] > np.median(Te)
     assert np.isfinite(rates).all() and rates.max() >= 0
+
+
+def test_transient_converges_and_conserves():
+    """The transient march conserves the EEDF normalization, converges
+    cycle-to-cycle, and lands in the same energy range as the steady
+    solve (reference transient mode, src/tps-bte_0d3v.py:1622).  The
+    quantitative limit check is the high-frequency RMS test below."""
+    bte = BoltzmannSolver0D3V(n_energy=96, n_steps=2000, dtau=5.0)
+    EoN = np.array([20.0, 80.0])
+    Tg = np.array([300.0, 300.0])
+    N = np.array([2.5e25, 2.5e25])
+    f_dc = bte.solve_eedf(EoN, Tg)
+    f_tr, rel = bte.solve_eedf_transient(
+        EoN, np.zeros_like(EoN), Tg, 13.56e6, N,
+        n_cycles=6, steps_per_cycle=48)
+    f_tr = np.asarray(f_tr)
+    sqe_w = np.sqrt(bte.eps_c) * bte.de
+    z = np.sum(f_tr * sqe_w[None, :], axis=1)
+    np.testing.assert_allclose(z, 1.0, rtol=1e-6)
+    assert np.all(np.asarray(rel) < 1e-3), np.asarray(rel)
+    assert np.all(np.isfinite(f_tr)) and np.all(f_tr >= 0)
+    # mean energies of transient (RMS-field-averaged) and DC solves are
+    # the same order: within a factor 2
+    c_dc = bte.coefficients(np.asarray(f_dc))
+    c_tr = bte.coefficients(f_tr)
+    r = np.asarray(c_tr["mean_energy"]) / np.asarray(c_dc["mean_energy"])
+    assert np.all(r > 0.3) and np.all(r < 1.5), r
+
+
+def test_transient_high_freq_matches_steady_at_rms():
+    """When the RF period is short against the energy-relaxation time the
+    cycle-averaged EEDF equals the DC EEDF at the RMS field E0/sqrt(2)
+    (heating goes as <E^2>): the classical effective-field limit."""
+    bte = BoltzmannSolver0D3V(n_energy=96, n_steps=3000, dtau=5.0)
+    E0 = np.array([60.0])
+    Tg = np.array([300.0])
+    N = np.array([2.5e25])
+    # energy relaxation rate ~ 2 (m/M) nu_m ~ 1e7/s at 1 atm; run at
+    # 1 GHz >> that
+    f_tr, rel = bte.solve_eedf_transient(
+        E0, np.zeros(1), Tg, 1.0e9, N, n_cycles=16, steps_per_cycle=32)
+    f_rms = bte.solve_eedf(E0 / np.sqrt(2.0), Tg)
+    c_tr = bte.coefficients(np.asarray(f_tr))
+    c_rms = bte.coefficients(np.asarray(f_rms))
+    e_tr = float(c_tr["mean_energy"][0])
+    e_rms = float(c_rms["mean_energy"][0])
+    assert abs(e_tr - e_rms) / e_rms < 0.08, (e_tr, e_rms)
+
+
+def test_transient_driver_protocol():
+    """solver_type='transient' flows through the fetch/solve/push bus
+    protocol and produces finite coefficients."""
+    class FakeBus:
+        ElectricField = 0
+        SpeciesDensities = 1
+        HeavyTemperature = 2
+        ElectronTemperature = 3
+        ElectronMobility = 4
+        ReactionRates = 5
+
+        def __init__(self, n):
+            rng = np.random.default_rng(0)
+            self.data = {
+                self.ElectricField: 2000.0 + 500 * rng.random((n, 2)),
+                self.SpeciesDensities: np.full((n, 2), 1.2e25),
+                self.HeavyTemperature: np.full((n, 1), 300.0),
+            }
+            self.out = {}
+
+        def host(self, idx):
+            return self.data[idx]
+
+        def nComponents(self, idx):
+            return 2
+
+        def setField(self, idx, arr):
+            self.out[idx] = np.asarray(arr)
+
+    bus = FakeBus(5)
+    bte = BoltzmannSolver0D3V(n_energy=64, solver_type="transient",
+                              e_freq=6.0e6, bte_cycles=4,
+                              bte_steps_per_cycle=24)
+    bte.fetch(bus)
+    bte.solve()
+    bte.push(bus)
+    assert np.all(np.isfinite(bus.out[bus.ElectronTemperature]))
+    assert np.all(bus.out[bus.ElectronMobility] > 0)
+    assert np.all(np.isfinite(bus.out[bus.ReactionRates]))
+    assert np.all(np.isfinite(np.asarray(bte._rel_cycle_change)))

@@ -183,6 +183,14 @@ class BoltzmannSolver0D3V:
     # optional tabulated collision data (CrossSectionSet from read_lxcat);
     # None keeps the built-in synthetic argon shapes
     cross_sections: object = None
+    # driver-protocol solve mode (reference: BoltzmannSolverParams
+    # solver_type / Efreq, src/tps-bte_0d3v.py:88,104): "steady-state"
+    # solves the DC EEDF at |E|; "transient" cycle-averages the EEDF
+    # under the e_freq RF field
+    solver_type: str = "steady-state"
+    e_freq: float = 0.0  # [Hz]
+    bte_cycles: int = 8
+    bte_steps_per_cycle: int = 64
 
     def __post_init__(self):
         self.eps = np.linspace(0.0, self.eps_max, self.n_energy + 1)
@@ -298,6 +306,109 @@ class BoltzmannSolver0D3V:
         return f0
 
     # ------------------------------------------------------------------
+    def solve_eedf_transient(self, EoN_re, EoN_im, T_gas, freq, N_gas,
+                             n_cycles=8, steps_per_cycle=64,
+                             mass_ratio=None):
+        """RF-cycle-resolved EEDF (the reference's `transient` solver
+        mode, src/tps-bte_0d3v.py:88,794,1622): march f0(t) in PHYSICAL
+        time under the oscillating field
+
+            E(t)/N = EoN_re cos(2 pi f t) + EoN_im sin(2 pi f t)   [Td]
+
+        with backward-Euler tridiagonal steps (the sqrt(eps) metric of
+        d(sqrt(eps) f0)/dt included — the steady solver's pseudo-time
+        drops it, which changes the transient but not the fixed point).
+
+        freq [Hz]; N_gas [1/m^3] sets the collisional time scale
+        (t_norm = t * gamma * N * SIG0).  Returns (f_avg [n, m],
+        rel_change [n]): the final-cycle-averaged EEDF and its relative
+        change from the previous cycle (convergence monitor, the role of
+        the reference's abs_error/rel_error cycle check)."""
+        import jax
+        import jax.numpy as jnp
+
+        if mass_ratio is None:
+            mass_ratio = self.default_mass_ratio
+        SIG0 = 1.0e-20
+        Er = jnp.atleast_1d(jnp.asarray(EoN_re)) * 1e-21 / SIG0
+        Ei = jnp.atleast_1d(jnp.asarray(EoN_im)) * 1e-21 / SIG0
+        Tg = jnp.atleast_1d(jnp.asarray(T_gas))
+        Ng = jnp.atleast_1d(jnp.asarray(N_gas))
+        n = Er.shape[0]
+        m = self.n_energy
+        de = self.de
+        epsf = jnp.asarray(self.eps[1:-1])
+        eps_c = jnp.asarray(self.eps_c)
+        sqer = jnp.sqrt(eps_c)
+
+        sig_m = self._sigma_m(epsf) / SIG0
+        kTg = KB_EV * Tg[:, None]
+        W_el = 2.0 * mass_ratio * epsf[None, :] ** 2 * sig_m[None, :]
+        D_th = W_el * kTg
+
+        proc_nu = []
+        nu_loss = jnp.zeros((1, m))
+        for (_name, thr, sig_fn) in self._procs():
+            nu = sqer * sig_fn(eps_c) / SIG0
+            proc_nu.append((int(round(thr / de)), nu))
+            nu_loss = nu_loss + nu[None, :]
+
+        dt_phys = 1.0 / (freq * steps_per_cycle)
+        # normalized step per point: dt * gamma * N * sigma0, divided by
+        # the sqrt(eps) time metric per energy cell
+        r = (dt_phys * GAMMA * SIG0) * Ng[:, None] / sqer[None, :]  # [n, m]
+        omega = 2.0 * np.pi * freq
+
+        sqe_w = sqer * de
+        zero = jnp.zeros((n, 1))
+
+        def normalize(f):
+            z = jnp.sum(f * sqe_w[None, :], axis=1, keepdims=True)
+            return f / jnp.maximum(z, 1e-300)
+
+        def substep(f, k):
+            t = (k + 1.0) * dt_phys
+            EoN_t = jnp.abs(Er * jnp.cos(omega * t) + Ei * jnp.sin(omega * t))
+            D = (EoN_t[:, None] ** 2) * epsf[None, :] / (3.0 * sig_m[None, :]) \
+                + D_th
+            a = -0.5 * W_el + D / de
+            b = -0.5 * W_el - D / de
+            lower = jnp.concatenate([zero, a], axis=1) / de
+            upper = jnp.concatenate([-b, zero], axis=1) / de
+            diag = (jnp.concatenate([zero, b], axis=1)
+                    - jnp.concatenate([a, zero], axis=1)) / de
+            gain = jnp.zeros_like(f)
+            for (shift, nu) in proc_nu:
+                if shift < m:
+                    gain = gain.at[:, : m - shift].add(
+                        nu[None, shift:] * f[:, shift:]
+                    )
+            rhs = f + r * gain
+            f_new = jax.lax.linalg.tridiagonal_solve(
+                -r * lower, 1.0 - r * (diag - nu_loss), -r * upper,
+                rhs[..., None],
+            )[..., 0]
+            return normalize(jnp.maximum(f_new, 0.0)), None
+
+        def cycle(f, c):
+            def body(carry, k):
+                f2, acc = carry
+                f3, _ = substep(f2, c * steps_per_cycle + k)
+                return (f3, acc + f3), None
+
+            (f2, acc), _ = jax.lax.scan(
+                body, (f, jnp.zeros_like(f)), jnp.arange(steps_per_cycle)
+            )
+            return f2, acc / steps_per_cycle
+
+        f = normalize(jnp.exp(-eps_c[None, :] / 2.0) * jnp.ones((n, 1)))
+        f, avgs = jax.lax.scan(cycle, f, jnp.arange(n_cycles))
+        f_avg = avgs[-1]
+        prev = avgs[-2] if n_cycles > 1 else avgs[-1]
+        rel = jnp.sum(jnp.abs(f_avg - prev) * sqe_w[None, :], axis=1)
+        return f_avg, rel
+
+    # ------------------------------------------------------------------
     def coefficients(self, f0):
         """Transport/rate coefficients from the EEDF (per gas density):
         mean energy [eV], mobility*N [1/(m V s)], k_exc, k_ion [m^3/s]."""
@@ -350,8 +461,18 @@ class BoltzmannSolver0D3V:
         N = np.maximum(self._n_sp.sum(axis=-1).reshape(-1), 1e10)
         EoN_td = Emag / N / 1e-21  # Townsend
         EoN_td = np.clip(EoN_td, 0.01, 1000.0)
-        f0 = self.solve_eedf(jnp.asarray(EoN_td),
-                             jnp.asarray(self._Th.reshape(-1)))
+        if self.solver_type == "transient" and self.e_freq > 0.0:
+            # RF-cycle-averaged EEDF: the bus field is the phasor
+            # amplitude (cycle-avg coupled EM), so E(t) = |E| cos(wt)
+            f0, self._rel_cycle_change = self.solve_eedf_transient(
+                jnp.asarray(EoN_td), jnp.zeros_like(jnp.asarray(EoN_td)),
+                jnp.asarray(self._Th.reshape(-1)), self.e_freq,
+                jnp.asarray(N), n_cycles=self.bte_cycles,
+                steps_per_cycle=self.bte_steps_per_cycle,
+            )
+        else:
+            f0 = self.solve_eedf(jnp.asarray(EoN_td),
+                                 jnp.asarray(self._Th.reshape(-1)))
         self._coeffs = self.coefficients(f0)
         self._f0 = f0
 
