@@ -33,6 +33,10 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: the implicit-solver benches compile
+# multi-minute programs (warmup only; never inside a timed section)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 BASELINE_DOF_STEPS_PER_SEC = 1.0e7  # 10x assumed 1e6 reference CPU
 BASELINE_GENERAL_MS_PER_RHS = 1.83  # round-2 measured (PERF.md)
 BASELINE_ARGON_MS_PER_STEP = 8.8  # round-2 measured (PERF.md)
@@ -241,10 +245,227 @@ def bench_argon():
     }
 
 
+def bench_cyl():
+    """Viscous flow past a cylinder on a curved O-grid at production
+    resolution (BASELINE.md north-star config 2, cyl3d-class): curved
+    elements (full batched inverse mass), isothermal wall +
+    characteristic far field, chunked production stepping."""
+    import jax
+
+    s = _make_solver("""
+[solver]
+type = flow
+[flow]
+order = 2
+maxIters = 4
+outputFreq = 1000
+fluid = dry_air
+equation_system = navier-stokes
+viscosityMultiplier = 1000.
+[mesh]
+generator = annulus2d
+nr = 24
+ntheta = 96
+r0 = 0.5
+r1 = 8.0
+[time]
+cfl = 0.15
+integrator = rk4
+[initialConditions]
+rho = 1.2
+rhoU = 40.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[boundaryConditions/wall1]
+patch = 4
+type = viscous_isothermal
+temperature = 300
+[boundaryConditions/farfield1]
+patch = 2
+type = farfield
+density = 1.2
+uvw = '33.3 0 0'
+pressure = 101300
+[boundaryConditions]
+numWalls = 1
+numOutlets = 1
+[io]
+outdirBase = /tmp/tps_bench_cyl
+""")
+    s.solve_chunk(16)
+    s.solve_chunk(16)
+    jax.block_until_ready(s.U)
+    nchunk = 6
+    t0 = time.perf_counter()
+    for _ in range(nchunk):
+        s.solve_chunk(16)
+    jax.block_until_ready(s.U)
+    elapsed = time.perf_counter() - t0
+    nsteps = nchunk * 16
+    ms_per_rhs = 1e3 * elapsed / (nsteps * 4)
+    dofsteps = s.tables.ne * s.tables.ndof * nsteps / elapsed
+    return {
+        "metric": "cyl O-grid ms/RHS (curved 2304-elem p=2 NS)",
+        "value": ms_per_rhs,
+        "unit": "ms",
+        "vs_baseline": dofsteps / BASELINE_DOF_STEPS_PER_SEC,
+        "detail": {"elements": int(s.tables.ne),
+                   "dof_steps_per_sec": dofsteps,
+                   "steps_timed": nsteps},
+    }
+
+
+def bench_argon_big():
+    """Argon 2-T ternary plasma at production resolution (north-star
+    config 3): 32x32 p=2 box, ambipolar + two-temperature + chemistry."""
+    import jax
+
+    deck = os.path.join(HERE, "examples", "cases", "argon_plasma_2d.ini")
+    with open(deck) as f:
+        txt = f.read()
+    txt = txt.replace("nx = 6", "nx = 32").replace("ny = 6", "ny = 32")
+    txt = txt.replace("order = 1", "order = 2")
+    # at this resolution the ELECTRON-energy diffusion limit (dt ~ h^2 /
+    # alpha_e) binds before the convective CFL (dt ~ h) that the CFL
+    # controller tracks (the reference's dt formula is convective-only
+    # too, src/M2ulPhyS.cpp:2013-2016); cfl=0.02 keeps dt under it
+    txt = txt.replace("cfl = 0.1", "cfl = 0.02")
+    s = _make_solver(txt)
+    s.solve_chunk(16)
+    s.solve_chunk(16)
+    jax.block_until_ready(s.U)
+    nchunk = 6
+    t0 = time.perf_counter()
+    for _ in range(nchunk):
+        s.solve_chunk(16)
+    jax.block_until_ready(s.U)
+    elapsed = time.perf_counter() - t0
+    nsteps = nchunk * 16
+    ms_per_step = 1e3 * elapsed / nsteps
+    dofsteps = s.tables.ne * s.tables.ndof * nsteps / elapsed
+    return {
+        "metric": "argon plasma ms/step (1024-elem p=2, 2-T ternary)",
+        "value": ms_per_step,
+        "unit": "ms",
+        "vs_baseline": dofsteps / BASELINE_DOF_STEPS_PER_SEC,
+        "detail": {"elements": int(s.tables.ne),
+                   "dof_steps_per_sec": dofsteps,
+                   "steps_timed": nsteps},
+    }
+
+
+def bench_lomach_reacting():
+    """Low-Mach finite-rate reacting flow (north-star config 4,
+    lomach-reacting class): Tomboulides split scheme + operator-split
+    reacting thermo with argon 3-species chemistry, implicit Helmholtz/
+    pressure solves, 24x48 p=2."""
+    import jax
+
+    deck = os.path.join(HERE, "examples", "cases", "argon_plasma_2d.ini")
+    with open(deck) as f:
+        argon = f.read()
+    argon = "[plasma_models]" + argon.split("[plasma_models]", 1)[1]
+    argon = argon.rsplit("[io]", 1)[0]
+    s = _make_solver(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 24
+ny = 48
+x1 = 0.01
+y1 = 0.02
+[loMach]
+order = 2
+flow-solver = tomboulides
+thermo-solver = reacting-flow
+maxIters = 100
+outputFreq = 1000
+[initialConditions]
+profile = gaussian
+temperature = 8000.0
+backgroundTemperature = 2000.0
+center = '0.005 0.01'
+width = '0.003 0.006'
+[time]
+dt_fixed = 1e-7
+[boundaryConditions/inlet1]
+patch = 1
+type = inlet
+velocity = '0.0 1.0'
+temperature = 2000.0
+[boundaryConditions/wall1]
+patch = 2
+type = viscous
+temperature = 2000.0
+[boundaryConditions/outlet1]
+patch = 3
+type = outlet
+pressure = 0.0
+[boundaryConditions/wall2]
+patch = 4
+type = viscous
+temperature = 2000.0
+[io]
+outdirBase = /tmp/tps_bench_lomach_react
+{argon}
+""")
+    for _ in range(4):  # warmup/compile
+        s.solve_step()
+    jax.block_until_ready(s.thermo.T)
+    nrep = 20
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        s.solve_step()
+    jax.block_until_ready(s.thermo.T)
+    elapsed = time.perf_counter() - t0
+    ms_per_step = 1e3 * elapsed / nrep
+    return {
+        "metric": "loMach reacting ms/step (1152-elem p=2, argon chem)",
+        "value": ms_per_step,
+        "unit": "ms",
+        "vs_baseline": 0.0,  # first recording of this metric (round 3)
+        "detail": {"elements": 24 * 48, "steps_timed": nrep},
+    }
+
+
+def bench_torch_coupled():
+    """Coupled axisymmetric plasma torch (north-star config 5): low-Mach
+    LTE column + ring-coil EM, cycle-averaged Joule coupling with power
+    control (solve-em-every-n = 10); mean ms per flow step including the
+    amortized EM solves."""
+    import jax
+
+    deck = os.path.join(HERE, "examples", "cases",
+                        "torch_axisym_coupled.ini")
+    with open(deck) as f:
+        txt = f.read()
+    txt = txt.replace("outdirBase = output/torch",
+                      "outdirBase = /tmp/tps_bench_torch")
+    s = _make_solver(txt)
+    for _ in range(12):  # warmup: includes one EM solve (every 10)
+        s.solve_step()
+    nrep = 40
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        s.solve_step()
+    elapsed = time.perf_counter() - t0
+    ms_per_step = 1e3 * elapsed / nrep
+    return {
+        "metric": "coupled torch ms/step (axisym LTE + EM every 10)",
+        "value": ms_per_step,
+        "unit": "ms",
+        "vs_baseline": 0.0,  # first recording of this metric (round 3)
+        "detail": {"steps_timed": nrep, "solve_em_every_n": 10},
+    }
+
+
 def main():
     primary = bench_fused()
     extras = []
-    for fn in (bench_general, bench_argon):
+    for fn in (bench_general, bench_argon, bench_cyl, bench_argon_big,
+               bench_lomach_reacting, bench_torch_coupled):
         try:
             extras.append(fn())
         except Exception as e:  # record the failure, keep the gate green

@@ -1,0 +1,126 @@
+"""Ternary-plasma manufactured-solution spatial verification (the role of
+the reference's mms.ternary_plasma.2d tests, src/masa_handler.cpp
+dryair3d/ternary2d handlers + test/mms.euler_2d.test RHS-error pattern).
+
+Instead of linking MASA, the analytic flux divergence of a smooth
+manufactured two-temperature ambipolar state is computed pointwise with
+jax autodiff (forward-mode through the convective + viscous + species
+diffusion flux functions), and the DISCRETE DG residual of the same
+state must converge to it at the design order as the periodic mesh is
+refined.  This exercises the full plasma spatial operator: gradients,
+per-species Curtiss-Hirschfelder diffusion, ambipolar electric field,
+two-temperature heat fluxes."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+L = 0.01  # deck box size
+
+
+def _build(order, n):
+    from tps_tpu.harness import Tps
+
+    with open(os.path.join(HERE, "inputs", "argon_minimal.ini")) as f:
+        txt = f.read()
+    txt = txt.replace("nx = 6", f"nx = {n}").replace("ny = 6", f"ny = {n}")
+    txt = txt.replace("order = 1", f"order = {order}")
+    ini = f"/tmp/mms_ternary_{order}_{n}.ini"
+    with open(ini, "w") as f:
+        f.write(txt)
+    tps = Tps()
+    tps.input_file = ini
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    return tps.solver
+
+
+def _manufactured(mix):
+    """Smooth periodic primitive field Up*(x) with physically valid
+    two-temperature ambipolar states."""
+    two_pi = 2 * np.pi / L
+
+    def up_point(x):
+        s = jnp.sin(two_pi * x[0])
+        c = jnp.cos(two_pi * x[1])
+        sc = jnp.sin(two_pi * x[0]) * jnp.cos(two_pi * x[1])
+        rho = 1.6 + 0.1 * sc
+        u = 30.0 + 5.0 * s
+        v = 3.0 * c
+        Th = 400.0 + 40.0 * sc
+        ne_ = (1.0 + 0.5 * s * c) * 1e-5  # active-species molar density
+        # [mol/m^3] (~3e-7 ionization fraction at 1 atm)
+        Te = 700.0 + 80.0 * c
+        return jnp.stack([rho, u, v, Th, ne_, Te])
+
+    return up_point
+
+
+@pytest.mark.parametrize("order,meshes,min_rate", [
+    # the strong-form DG residual of the interpolated exact state
+    # converges at O(h^p) in L2 (one order below the solution error,
+    # same convention as the reference's bracketed RHS-error test);
+    # measured asymptotic per-equation rates: p1 ~ [1.18, 0.96, 0.96,
+    # 1.3, 1.75, 1.0], p2 ~ [2.0, 2.5, 2.8, 2.0, 2.0, 2.0]
+    (1, (12, 24), 0.8),
+    (2, (8, 16), 1.7),
+])
+def test_ternary_plasma_rhs_convergence(order, meshes, min_rate):
+    from tps_tpu.dg.rhs import compute_rhs
+
+    errs = []
+    for n in meshes:
+        s = _build(order, n)
+        mix = s.mixture
+        tab = s.tables
+        ctx = s.ctx
+        import dataclasses
+
+        ctx = dataclasses.replace(ctx, forcings=())  # spatial operator only
+        up_point = _manufactured(mix)
+
+        def u_point(x):
+            return mix.conservatives(up_point(x)[None])[0]
+
+        def flux_point(x):
+            """Total flux tensor F(x) [neq, dim] at a point, from the
+            exact state and its exact gradient."""
+            U = u_point(x)[None, None]
+            Up = up_point(x)[None, None]
+            g = jax.jacfwd(up_point)(x)[None, None]  # [1,1,neq,dim]
+            F = ctx.fluxes.total_at_dofs(
+                U, Up, g, x[None, None], jnp.ones((1, 1)) * 1e9,
+                distance=None,
+            )
+            return F[0, 0]  # [neq, dim]
+
+        def minus_div_flux(x):
+            dF = jax.jacfwd(flux_point)(x)  # [neq, dim(flux), dim(deriv)]
+            return -jnp.einsum("edd->e", dF)
+
+        xyz = tab.xyz_dof.reshape(-1, tab.dim)
+        Up_dof = jax.vmap(up_point)(xyz).reshape(tab.ne, tab.ndof, -1)
+        U_dof = mix.conservatives(Up_dof)
+        y_exact = jax.vmap(minus_div_flux)(xyz).reshape(U_dof.shape)
+
+        y_disc, _ = compute_rhs(ctx, tab, U_dof, 0.0)
+
+        w = np.einsum("q,nq->nq", np.asarray(tab.wq), np.asarray(tab.detJ))
+        diff = np.asarray(y_disc - y_exact)
+        ref = np.asarray(y_exact)
+        # per-equation relative L2 errors
+        num = np.sqrt(np.sum(w[..., None] * diff**2, axis=(0, 1)))
+        den = np.sqrt(np.sum(w[..., None] * ref**2, axis=(0, 1)))
+        errs.append(num / np.maximum(den, 1e-300))
+
+    rates = np.log2(errs[0] / errs[1]) / np.log2(meshes[1] / meshes[0])
+    assert np.all(errs[1] < errs[0]), errs
+    assert rates.min() > min_rate, (errs, rates)
+    # absolute sanity: the fine-mesh relative error is actually small
+    assert errs[1].max() < 0.2, errs

@@ -111,6 +111,11 @@ class DGTables:
     interior_mask: np.ndarray | None = None  # [ne, nlf] 1 interior, 0 bdr
     bdr_slot: np.ndarray | None = None  # [nfb] flat slot id e*nlf+lf
     nor_wpf: np.ndarray | None = None  # [nlf, ne, nqf*dim] wts(+rad)-folded
+    # static per-local-face boundary index (single-device tables only):
+    # tuple over lf of (elem_ids, rows_into_nfb) as int tuples.  Lets the
+    # boundary gather/scatter run per face buffer instead of stacking all
+    # nlf trace buffers into an [ne, nlf, nqf*k] padded array first.
+    bdr_by_lf: tuple | None = None
 
     # ---- axisymmetric fields (None for planar/3D runs) ----
     # radius (x-coordinate) at volume/face quadrature points, and the
@@ -397,6 +402,14 @@ def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
         np.transpose(nor_slot * w_eff[..., None], (1, 0, 2, 3))
     ).reshape(nlf, ne, nqf * dim)
 
+    sl = np.asarray(bdr_slot)
+    bdr_by_lf = tuple(
+        (
+            tuple(int(e) for e in (sl[sl % nlf == lf] // nlf)),
+            tuple(int(r) for r in np.where(sl % nlf == lf)[0]),
+        )
+        for lf in range(nlf)
+    )
     return {
         "nbr_row": nbr_row,
         "nor_slot": nor_slot,
@@ -407,6 +420,7 @@ def build_slot_tables(oriented, ne, nlf, nqf, dim, nfi, nft,
         "interior_mask": interior_mask,
         "bdr_slot": bdr_slot,
         "nor_wpf": nor_wpf,
+        "bdr_by_lf": bdr_by_lf,
     }
 
 
@@ -414,7 +428,7 @@ def _register_dgtables_pytree():
     import jax
 
     meta = ["dim", "order", "ne", "ndof", "nq", "nlf", "nqf", "nfi", "nfb",
-            "n_combo", "roll_info"]
+            "n_combo", "roll_info", "bdr_by_lf"]
     data = [f.name for f in fields(DGTables) if f.name not in meta]
     jax.tree_util.register_dataclass(DGTables, data_fields=data, meta_fields=meta)
 

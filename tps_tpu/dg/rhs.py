@@ -174,9 +174,23 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None,
         # boundary slots: BC fluxes (interior contributions are masked off
         # above); scattered through a fused-minor zeros buffer
         if tab.nfb:
-            own_b = jnp.stack(own_pf, axis=1).reshape(
-                ne * tab.nlf, tab.nqf, X.shape[-1]
-            )[tab.bdr_slot]
+            kx = X.shape[-1]
+            bbl = getattr(tab, "bdr_by_lf", None)
+            if bbl is not None:
+                # per-face gather of only the boundary rows (the stacked
+                # [ne, nlf, nqf*k] alternative pads ~10x in HBM just to
+                # select nfb rows)
+                ob2 = jnp.zeros((tab.nfb, tab.nqf * kx), dtype=U.dtype)
+                for lf, (els, rows) in enumerate(bbl):
+                    if els:
+                        ob2 = ob2.at[jnp.asarray(rows)].set(
+                            own_pf[lf][jnp.asarray(els)]
+                        )
+                own_b = ob2.reshape(tab.nfb, tab.nqf, kx)
+            else:
+                own_b = jnp.stack(own_pf, axis=1).reshape(
+                    ne * tab.nlf, tab.nqf, kx
+                )[tab.bdr_slot]
             ULb = _clip_species(mix, own_b[..., :neq])
             gLb = (own_b[..., neq:].reshape(own_b.shape[:-1] + (neq, dim))
                    if viscous else None)
@@ -205,15 +219,29 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None,
             if tab.rad_face is not None:
                 fwb = fwb * tab.rad_face[nfi:]
             fb2 = (flux_b * fwb[..., None]).reshape(tab.nfb, tab.nqf * neq)
-            zb = jnp.zeros((ne * tab.nlf, tab.nqf * neq), dtype=U.dtype)
-            zb = zb.at[tab.bdr_slot].set(fb2, mode="drop")
-            zb = zb.reshape(ne, tab.nlf, tab.nqf * neq)
-            for lf in range(tab.nlf):
-                B = tab.Btr[lf * tab.nqf : (lf + 1) * tab.nqf]
-                K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
-                    tab.nqf * neq, ndof * neq
-                )
-                z2 = z2 + zb[:, lf] @ K_out
+            if bbl is not None:
+                for lf, (els, rows) in enumerate(bbl):
+                    if not els:
+                        continue
+                    zlf = jnp.zeros((ne, tab.nqf * neq), dtype=U.dtype)
+                    zlf = zlf.at[jnp.asarray(els)].set(
+                        fb2[jnp.asarray(rows)]
+                    )
+                    B = tab.Btr[lf * tab.nqf : (lf + 1) * tab.nqf]
+                    K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
+                        tab.nqf * neq, ndof * neq
+                    )
+                    z2 = z2 + zlf @ K_out
+            else:
+                zb = jnp.zeros((ne * tab.nlf, tab.nqf * neq), dtype=U.dtype)
+                zb = zb.at[tab.bdr_slot].set(fb2, mode="drop")
+                zb = zb.reshape(ne, tab.nlf, tab.nqf * neq)
+                for lf in range(tab.nlf):
+                    B = tab.Btr[lf * tab.nqf : (lf + 1) * tab.nqf]
+                    K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
+                        tab.nqf * neq, ndof * neq
+                    )
+                    z2 = z2 + zb[:, lf] @ K_out
 
         z2_face = -z2  # fused [ne, ndof*neq]
     else:
@@ -338,9 +366,20 @@ def _boundary_interior_data(ctx: RHSContext, tab, U, need_grad):
         else:
             X = U
         own_pf = perface_own_traces(tab, X)
-        own_b = jnp.stack(own_pf, axis=1).reshape(
-            ne * tab.nlf, tab.nqf, X.shape[-1]
-        )[tab.bdr_slot]
+        kx = X.shape[-1]
+        bbl = getattr(tab, "bdr_by_lf", None)
+        if bbl is not None:
+            ob2 = jnp.zeros((tab.nfb, tab.nqf * kx), dtype=U.dtype)
+            for lf, (els, rows) in enumerate(bbl):
+                if els:
+                    ob2 = ob2.at[jnp.asarray(rows)].set(
+                        own_pf[lf][jnp.asarray(els)]
+                    )
+            own_b = ob2.reshape(tab.nfb, tab.nqf, kx)
+        else:
+            own_b = jnp.stack(own_pf, axis=1).reshape(
+                ne * tab.nlf, tab.nqf, kx
+            )[tab.bdr_slot]
         ULb = _clip_species(mix, own_b[..., :neq])
         gLb = (own_b[..., neq:].reshape(own_b.shape[:-1] + (neq, dim))
                if need_grad else None)
