@@ -167,7 +167,11 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
             tab, v, self.r_q if r_q is None else r_q
         ) + h1.mass_apply(tab, v, self.inv_r_q if inv_r_q is None else inv_r_q)
 
-    def solve_step(self):
+    def _solve_core(self, sigma, J0_q):
+        """One frequency-domain solve from (sigma nodal, J0 at quad pts).
+        Pure function of its arguments (jitted once and cached — an eager
+        gmres call would re-trace and re-compile the whole Krylov loop on
+        EVERY coupled EM solve)."""
         import jax
         import jax.numpy as jnp
 
@@ -177,11 +181,7 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
 
         # sigma at quad points (nodal field; computed on the global tables,
         # coefficients stacked per shard when the solve is element-sharded)
-        import jax.numpy as jnp  # noqa: F811
-
-        sig_q = jnp.einsum(
-            "qd,nd->nq", tab.Bvol, h1.gather(tab, self.plasma_conductivity)
-        )
+        sig_q = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, sigma))
         msw_q = mu0_omega * sig_q * self.r_q
 
         stab = self.stab
@@ -206,7 +206,7 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
 
         # rhs: (v, J0 r) on the real block
         rhs_re = h1.mass_apply(stab, jnp.ones(nd, self.dtype),
-                               wrap(self.J0_q * self.r_q))
+                               wrap(J0_q * self.r_q))
         b = jnp.concatenate([rhs_re * mask, jnp.zeros(nd, self.dtype)])
 
         # diagonal preconditioner from K's diagonal
@@ -220,12 +220,20 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
             block_apply, b, tol=self.rtol, maxiter=self.max_iter,
             M=lambda x: x * dinv, solve_method="batched", restart=30,
         )
-        self.A_re = w[:nd] * mask
-        self.A_im = w[nd:] * mask
+        A_re = w[:nd] * mask
+        A_im = w[nd:] * mask
 
         # Joule heating q_J = 2 w^2 sigma |A|^2 (reference :1073-1086)
-        self.joule_heating = (
-            2.0 * omega**2 * self.plasma_conductivity * (self.A_re**2 + self.A_im**2)
+        joule = 2.0 * omega**2 * sigma * (A_re**2 + A_im**2)
+        return A_re, A_im, joule
+
+    def solve_step(self):
+        import jax
+
+        if getattr(self, "_solve_jit", None) is None:
+            self._solve_jit = jax.jit(self._solve_core)
+        self.A_re, self.A_im, self.joule_heating = self._solve_jit(
+            self.plasma_conductivity, self.J0_q
         )
         self.iter += 1
 

@@ -290,11 +290,26 @@ class QuasiMagnetostatic3D(Solver):
 
     def solve_step(self):
         import jax
+
+        if getattr(self, "_solve_jit", None) is None:
+            self._solve_jit = jax.jit(self._solve_core)
+        self.A_re, self.A_im = self._solve_jit(
+            self._Jq, self.plasma_conductivity_q,
+            self.plasma_conductivity_h1q,
+        )
+        self.iter += 1
+
+    def _solve_core(self, Jq, sigma_q, sigma_h1q):
+        """One frequency-domain block solve as a pure jitted function of
+        (source current, conductivity at H(curl)/H1 quad points).  An
+        eager gmres re-traces and re-compiles the Krylov loop on every
+        coupled EM solve."""
+        import jax
         import jax.numpy as jnp
 
         tab = self.stab  # sharded assembly tables (== self.tab unsharded)
         omega = 2.0 * PI * self.current_frequency
-        msw_q = self.mu0 * omega * self.plasma_conductivity_q
+        msw_q = self.mu0 * omega * sigma_q
         mask = self.mask
         nd = tab.nedge
 
@@ -303,7 +318,9 @@ class QuasiMagnetostatic3D(Solver):
         # of the solution)
         kd = hcurl.curlcurl_diag(tab)
         md = hcurl.mass_diag(tab)
-        eps_reg = 1e-6 * float(jnp.sum(kd) / jnp.sum(md))
+        # device scalar (a float() here would sync the host per solve and
+        # break the jitted trace)
+        eps_reg = 1e-6 * jnp.sum(kd) / jnp.sum(md)
 
         def block_apply(w):
             a_re = w[:nd] * mask
@@ -316,14 +333,14 @@ class QuasiMagnetostatic3D(Solver):
             y_im = y_im * mask + w[nd:] * (1 - mask)
             return jnp.concatenate([y_re, y_im])
 
-        b_re = self.mu0 * hcurl.rhs_vector(tab, self._Jq)
-        b = jnp.concatenate([b_re * mask, jnp.zeros(nd, self.dtype)])
-
         kdiag = kd + eps_reg * md + hcurl.mass_diag(tab, msw_q)
         kdiag = kdiag * mask + (1 - mask)
 
+        b_re = self.mu0 * hcurl.rhs_vector(tab, Jq)
+        b = jnp.concatenate([b_re * mask, jnp.zeros(nd, self.dtype)])
+
         if self.preconditioner == "ams":
-            msw_h1q = self.mu0 * omega * self.plasma_conductivity_h1q
+            msw_h1q = self.mu0 * omega * sigma_h1q
             Mb = self._ams_precond(msw_h1q, eps_reg, kdiag)
 
             def M(x):
@@ -336,9 +353,7 @@ class QuasiMagnetostatic3D(Solver):
             block_apply, b, tol=self.rtol, maxiter=self.max_iter,
             M=M, solve_method="batched", restart=40,
         )
-        self.A_re = w[:nd] * mask
-        self.A_im = w[nd:] * mask
-        self.iter += 1
+        return w[:nd] * mask, w[nd:] * mask
 
     def solve(self):
         self.solve_step()

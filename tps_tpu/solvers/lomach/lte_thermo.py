@@ -66,6 +66,12 @@ class LteThermoChem(ThermoChemBase):
         self.Qt_mask = jnp.asarray(qt_free)
 
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
+        # jitted property lookups: eager per-op dispatch of the table
+        # interpolations costs ~0.3 ms/op through the hosted-TPU tunnel
+        # (tables are immutable closures; T rides as the argument)
+        self._tab_jit = jax.jit(
+            lambda tbl, T: _eval2(tbl, T, T), static_argnums=0
+        )
 
     def set_temperature(self, T0):
         self.T = jnp.asarray(T0)
@@ -74,19 +80,19 @@ class LteThermoChem(ThermoChemBase):
 
     # -- property fields ---------------------------------------------------
     def density(self):
-        return _eval2(self.rho_table, self.T, self.T)
+        return self._tab_jit(self.rho_table, self.T)
 
     def viscosity(self):
-        return _eval2(self.mu_table, self.T, self.T)
+        return self._tab_jit(self.mu_table, self.T)
 
     def conductivity(self):
-        return _eval2(self.kappa_table, self.T, self.T)
+        return self._tab_jit(self.kappa_table, self.T)
 
     def plasma_conductivity(self):
         """sigma(T) for the EM coupling (reference lte_thermo_chem Joule path)."""
         if self.sigma_table is None:
             return jnp.zeros_like(self.T)
-        return _eval2(self.sigma_table, self.T, self.T)
+        return self._tab_jit(self.sigma_table, self.T)
 
     def set_joule_heating(self, qj):
         self.joule_heating = jnp.asarray(qj)

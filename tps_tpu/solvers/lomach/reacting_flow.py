@@ -155,6 +155,17 @@ class ReactingFlow(ThermoChemBase):
             self._mass0 = float(h1.integrate(tab, self.density()))
 
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
+        # jitted property evaluations: viscosity/conductivity run the full
+        # collision-integral transport chain — evaluated EAGERLY they cost
+        # hundreds of per-op dispatches (~0.3 ms each on the hosted-TPU
+        # tunnel).  p_thermo rides as an ARGUMENT (mutable on closed
+        # systems; a closure would bake the first-trace value)
+        self._props_jit = jax.jit(
+            lambda T, Y, p: self._transport_props(T, Y, p=p)
+        )
+        self._density_jit = jax.jit(
+            lambda T, Y, p: p * self._mixture_mw(Y) / (_R * T)
+        )
 
     def set_temperature(self, T0):
         self.T = jnp.asarray(T0)
@@ -168,6 +179,9 @@ class ReactingFlow(ThermoChemBase):
                                 jnp.asarray(1.0 / self.mw))
 
     def density(self):
+        jf = getattr(self, "_density_jit", None)
+        if jf is not None:
+            return jf(self.T, self.Y, jnp.asarray(self.p_thermo))
         W = self._mixture_mw(self.Y)
         return self.p_thermo * W / (_R * self.T)
 
@@ -226,12 +240,14 @@ class ReactingFlow(ThermoChemBase):
 
     def viscosity(self):
         if self.transport is not None and self.mixture is not None:
-            return self._transport_props(self.T, self.Y)[1]
+            return self._props_jit(self.T, self.Y,
+                                   jnp.asarray(self.p_thermo))[1]
         return self.mu0 * (self.T / 273.0) ** 0.7
 
     def conductivity(self):
         if self.transport is not None and self.mixture is not None:
-            return self._transport_props(self.T, self.Y)[2]
+            return self._props_jit(self.T, self.Y,
+                                   jnp.asarray(self.p_thermo))[2]
         return self._cp_mass(self.Y) / self.Pr * self.viscosity()
 
     def thermal_divergence(self):
@@ -250,6 +266,18 @@ class ReactingFlow(ThermoChemBase):
         tr = transport if transport is not None else self.transport
         if tr is None or self.mixture is None:
             return jnp.zeros(self.tab.ndofs)
+
+        if getattr(self, "_sigma_jit", None) is None:
+            import jax
+
+            def _sigma(T, Y, p, _tr=tr):
+                U, Up = self._conserved_state(T, Y, p=p)
+                return _tr.electric_conductivity(U, Up)
+
+            self._sigma_jit = (tr, jax.jit(_sigma))
+        tr0, jf = self._sigma_jit
+        if tr0 is tr:
+            return jf(self.T, self.Y, jnp.asarray(self.p_thermo))
         U, Up = self._conserved_state(self.T, self.Y)
         return tr.electric_conductivity(U, Up)
 
