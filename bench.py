@@ -411,13 +411,14 @@ temperature = 2000.0
 outdirBase = /tmp/tps_bench_lomach_react
 {argon}
 """)
-    for _ in range(4):  # warmup/compile
+    for _ in range(4):  # warmup/compile (BDF startup runs per-step)
         s.solve_step()
+    s.solve_chunk(8)  # compile the chunked production path
     jax.block_until_ready(s.thermo.T)
-    nrep = 20
+    nrep = 24
     t0 = time.perf_counter()
-    for _ in range(nrep):
-        s.solve_step()
+    for _ in range(nrep // 8):
+        s.solve_chunk(8)
     jax.block_until_ready(s.thermo.T)
     elapsed = time.perf_counter() - t0
     ms_per_step = 1e3 * elapsed / nrep

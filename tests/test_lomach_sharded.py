@@ -242,3 +242,110 @@ def test_sharded_axisym_supg_matches_single(tmp_path):
     assert np.abs(T3 - T1).max() / np.abs(T1).max() < 1e-8
     u1, u3 = np.asarray(s1.flow.u), np.asarray(s3.flow.u)
     assert np.abs(u3 - u1).max() / (np.abs(u1).max() + 1e-30) < 1e-6
+
+
+def test_chunked_lomach_matches_per_step(tmp_path):
+    """LoMachSolver.solve() with chunked scanning matches per-step
+    solve_step() stepping (LTE axisym torch-column config)."""
+    (tmp_path / "ps").mkdir()
+    (tmp_path / "ck").mkdir()
+    a = _run_axisym(tmp_path / "ps", 1, iters=0)
+    b = _run_axisym(tmp_path / "ck", 1, iters=0)
+    for _ in range(8):
+        a.solve_step()
+    b.max_iters_cfg = 8
+    b.solve()  # per-step through BDF startup, then chunks
+    assert b.iter == a.iter == 8
+    # not bitwise: the chunk compiles the same math in one fusion context
+    # (observed ~1e-10 relative after 8 steps)
+    T1, T2 = np.asarray(a.thermo.T), np.asarray(b.thermo.T)
+    assert np.abs(T2 - T1).max() / np.abs(T1).max() < 1e-8
+    u1, u2 = np.asarray(a.flow.u), np.asarray(b.flow.u)
+    assert np.abs(u2 - u1).max() <= 1e-8 * (np.abs(u1).max() + 1.0)
+    ut1, ut2 = np.asarray(a.flow.ut), np.asarray(b.flow.ut)
+    assert np.abs(ut2 - ut1).max() <= 1e-8 * (np.abs(ut1).max() + 1.0)
+    np.testing.assert_allclose(float(b.time), float(a.time), rtol=1e-12)
+
+
+def test_chunked_lomach_reacting_matches_per_step(tmp_path):
+    """Chunked scanning parity for the reacting-flow thermo (argon
+    chemistry, closed-system thermodynamic pressure carried in the
+    chunk state)."""
+    import os
+
+    here = os.path.dirname(__file__)
+    argon = open(os.path.join(here, "inputs", "argon_minimal.ini")).read()
+    argon = "[plasma_models]" + argon.split("[plasma_models]", 1)[1]
+    argon = argon.rsplit("[io]", 1)[0]
+
+    def build(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        ini = d / "run.ini"
+        ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 4
+ny = 6
+x1 = 0.01
+y1 = 0.02
+[loMach]
+order = 2
+flow-solver = tomboulides
+thermo-solver = reacting-flow
+maxIters = 8
+outputFreq = 1000
+[initialConditions]
+profile = gaussian
+temperature = 8000.0
+backgroundTemperature = 2000.0
+center = '0.005 0.01'
+width = '0.003 0.006'
+[time]
+dt_fixed = 1e-7
+[boundaryConditions/inlet1]
+patch = 1
+type = inlet
+velocity = '0.0 1.0'
+temperature = 2000.0
+[boundaryConditions/wall1]
+patch = 2
+type = viscous
+temperature = 2000.0
+[boundaryConditions/outlet1]
+patch = 3
+type = outlet
+pressure = 0.0
+[boundaryConditions/wall2]
+patch = 4
+type = viscous
+temperature = 2000.0
+[io]
+outdirBase = {d}/out
+{argon}
+""")
+        tps = Tps()
+        tps.parse_command_line_args(
+            ["tps", "--runFile", str(ini), "--device", "cpu"])
+        tps.parse_input()
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        return tps.solver
+
+    a = build("ps")
+    b = build("ck")
+    for _ in range(8):
+        a.solve_step()
+    b.solve()
+    assert b.iter == a.iter == 8
+    T1, T2 = np.asarray(a.thermo.T), np.asarray(b.thermo.T)
+    assert np.abs(T2 - T1).max() / np.abs(T1).max() < 1e-8
+    Y1, Y2 = np.asarray(a.thermo.Y), np.asarray(b.thermo.Y)
+    assert np.abs(Y2 - Y1).max() < 1e-8
+    u1, u2 = np.asarray(a.flow.u), np.asarray(b.flow.u)
+    assert np.abs(u2 - u1).max() <= 1e-8 * (np.abs(u1).max() + 1.0)
+    np.testing.assert_allclose(float(b.thermo.p_thermo),
+                               float(a.thermo.p_thermo), rtol=1e-10)

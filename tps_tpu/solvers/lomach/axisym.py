@@ -103,6 +103,35 @@ class TomboulidesAxisym(Tomboulides):
         self.ut_hist = list(ut_hist)
         self.Nt_hist = list(Nt_hist)
 
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk) ------------------
+    def chunk_pack(self):
+        import jax.numpy as jnp
+
+        return (self.u, self.p, self.ut,
+                tuple(self.u_hist), tuple(self.N_hist),
+                tuple(self.ut_hist), tuple(self.Nt_hist),
+                jnp.asarray(getattr(self, "_time", 0.0)))
+
+    def chunk_unpack(self, s):
+        u, p, ut, uh, Nh, uth, Nth, t = s
+        self.u, self.p, self.ut = u, p, ut
+        self.u_hist, self.N_hist = list(uh), list(Nh)
+        self.ut_hist, self.Nt_hist = list(uth), list(Nth)
+        self._time = float(t)
+
+    def chunk_velocity(self, s):
+        return s[0]
+
+    def chunk_step(self, s, rho, mu, qt, dt, order):
+        u, p, ut, uh, Nh, uth, Nth, t = s
+        t2 = t + dt
+        u2, p2, ut2, uh2, Nh2, uth2, Nth2 = self._step_impl_axi(
+            u, p, ut, uh, Nh, uth, Nth, rho, mu, qt,
+            self._ramped_ubc_traced(t2), self.swirl_bc_values, dt, order,
+        )
+        return (u2, p2, ut2, tuple(uh2), tuple(Nh2), tuple(uth2),
+                tuple(Nth2), t2), {}
+
     # ------------------------------------------------------------------
     def _step_impl_axi(self, u, p, ut, u_hist, N_hist, ut_hist, Nt_hist,
                        rho, mu, qt, ubc_vals, sbc_vals, dt, order):

@@ -113,6 +113,29 @@ class LteThermoChem(ThermoChemBase):
         )
         self.T_hist = list(hist)
 
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk) ------------------
+    def chunk_pack(self):
+        return (self.T, tuple(self.T_hist), self.Qt)
+
+    def chunk_unpack(self, s):
+        T, hist, Qt = s
+        self.T, self.T_hist, self.Qt = T, list(hist), Qt
+
+    def chunk_step(self, s, vel, dt, order):
+        T, hist, _Qt = s
+        T2, Qt2, hist2 = self._step_impl(
+            T, hist, vel, self.joule_heating, self.T_bc, self.T_mask,
+            self.Qt_mask, dt, order,
+        )
+        return (T2, tuple(hist2), Qt2)
+
+    def chunk_props(self, s):
+        T = s[0]
+        return _eval2(self.rho_table, T, T), _eval2(self.mu_table, T, T)
+
+    def chunk_qt(self, s):
+        return s[2]
+
     def _step_impl(self, T, T_hist, vel, qj, tbc_vals, tmask, qt_mask, dt,
                    order):
         tab = self.tab

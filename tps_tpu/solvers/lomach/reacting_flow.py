@@ -306,6 +306,39 @@ class ReactingFlow(ThermoChemBase):
             self.p_thermo = self._mass0 * _R / h1.integrate(
                 self.tab, W / self.T)
 
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk) ------------------
+    def chunk_pack(self):
+        return (self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
+                self.Qt, jnp.asarray(self.p_thermo))
+
+    def chunk_unpack(self, s):
+        T, Y, th, yh, Qt, p = s
+        self.T, self.Y, self.Qt = T, Y, Qt
+        self.T_hist, self.Y_hist = list(th), list(yh)
+        if self.closed_system:
+            self.p_thermo = p
+
+    def chunk_step(self, s, vel, dt, order):
+        T, Y, th, yh, _Qt, p = s
+        T2, Y2, Qt2, th2, yh2 = self._step_impl(
+            T, Y, th, yh, vel, self.joule_heating, p,
+            self.T_bc, self.T_mask, self.Qt_mask, self.Y_bc, self.Y_mask,
+            dt, order,
+        )
+        if self.closed_system:
+            W = self._mixture_mw(Y2)
+            p = self._mass0 * _R / h1.integrate(self.tab, W / T2)
+        return (T2, Y2, tuple(th2), tuple(yh2), Qt2, p)
+
+    def chunk_props(self, s):
+        T, Y, _th, _yh, _qt, p = s
+        rho = p * self._mixture_mw(Y) / (_R * T)
+        _diff, mu, _kappa = self._transport_props(T, Y, p=p)
+        return rho, mu
+
+    def chunk_qt(self, s):
+        return s[4]
+
     def _helmholtz_solve(self, rho_c, kappa, x0, rhs, bd0, dt, mask, bc_vals):
         tab = self.tab
 

@@ -671,6 +671,98 @@ class LoMachSolver(Solver):
     def max_iters(self):
         return self.max_iters_cfg
 
+    # -- chunked stepping (scan nsub steps inside one jit; the loMach
+    # analog of the compressible solver's solve_chunk: amortizes the
+    # per-step jit dispatches and eager glue, which dominate small cases
+    # on the hosted-TPU tunnel) --------------------------------------------
+    def _chunkable(self):
+        from .base import ZeroTurbModel
+
+        return (
+            not self.ext_data
+            and not self.averaging.enabled
+            and isinstance(self.turb, ZeroTurbModel)
+            and hasattr(self.thermo, "chunk_step")
+            and hasattr(self.flow, "chunk_step")
+            and self.iter + 1 >= self.max_bdf_order  # constant BDF order
+        )
+
+    def _chunk_size(self):
+        if not self._chunkable():
+            return 1
+        rem = self.max_iters - self.iter
+        bound = min(rem, self.output_freq - self.iter % self.output_freq)
+        chunk = 1
+        while chunk * 2 <= min(bound, 32):
+            chunk *= 2
+        return chunk
+
+    def _make_chunk(self, nsub, order):
+        import jax
+        import jax.numpy as jnp
+
+        thermo, flow = self.thermo, self.flow
+        sponge = getattr(flow, "sponge", None)
+
+        def run(ts, fs, dt):
+            def body(carry, _):
+                ts, fs = carry
+                vel = flow.chunk_velocity(fs)
+                ts2 = thermo.chunk_step(ts, vel, dt, order)
+                rho, mu = thermo.chunk_props(ts2)
+                if sponge is not None:
+                    mu = mu * sponge.multiplier()
+                qt = thermo.chunk_qt(ts2)
+                fs2, info = flow.chunk_step(fs, rho, mu, qt, dt, order)
+                return (ts2, fs2), info
+
+            (ts, fs), infos = jax.lax.scan(body, (ts, fs), None,
+                                           length=nsub)
+            return ts, fs, infos
+
+        return jax.jit(run)
+
+    def solve_chunk(self, n):
+        import jax.numpy as jnp
+
+        order = min(self.iter + 1, self.max_bdf_order)
+        if not hasattr(self, "_chunk_cache"):
+            self._chunk_cache = {}
+        key = (n, order)
+        if key not in self._chunk_cache:
+            self._chunk_cache[key] = self._make_chunk(n, order)
+        ts, fs, infos = self._chunk_cache[key](
+            self.thermo.chunk_pack(), self.flow.chunk_pack(),
+            jnp.asarray(self.dt),
+        )
+        self.thermo.chunk_unpack(ts)
+        self.flow.chunk_unpack(fs)
+        self.iter += n
+        self.time += n * self.dt
+        if hasattr(self.flow, "chunk_check"):
+            self.flow.chunk_check(infos)
+        if self.iter % self.output_freq == 0:
+            wall = _time.perf_counter() - self._wall0
+            print(
+                f"loMach step {self.iter} t={self.time:.6e} "
+                f"wall/step={wall / self.output_freq:.4f}s (chunked)",
+                flush=True,
+            )
+            self._wall0 = _time.perf_counter()
+            self.write_restart()
+
+    def solve(self):
+        """Chunk-aware solve loop (reference: LoMachSolver::solve,
+        src/loMach.cpp:543)."""
+        self.solve_begin()
+        while self.iter < self.max_iters and self.status == 0:
+            n = self._chunk_size()
+            if n > 1:
+                self.solve_chunk(n)
+            else:
+                self.solve_step()
+        self.solve_end()
+
     def solve_step(self):
         """extData -> thermo -> flow -> turb (reference: loMach.cpp:414-437)."""
         coeff = TemporalCoefficients.bdf(min(self.iter + 1, self.max_bdf_order))

@@ -156,6 +156,40 @@ class CaloricallyPerfectThermoChem(ThermoChemBase):
             self.p_thermo = self._mass0 * self.R / h1.integrate(
                 self.tab, 1.0 / self.T)
 
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk): the model state
+    # as an explicit pytree + a traced step over it, so a scan can carry
+    # the whole thermo/flow system inside one jit ----------------------------
+    def chunk_pack(self):
+        return (self.T, tuple(self.T_hist), self.Qt,
+                jnp.asarray(self.p_thermo))
+
+    def chunk_unpack(self, s):
+        T, hist, Qt, p = s
+        self.T, self.T_hist, self.Qt = T, list(hist), Qt
+        if self.closed_system:
+            self.p_thermo = p
+
+    def chunk_step(self, s, vel, dt, order):
+        T, hist, Qt, p = s
+        rho = p / (self.R * T)
+        kappa = self.cp / self.Pr * self.viscosity(T)
+        if self.sponge is not None:
+            kappa = kappa * self.sponge.multiplier()
+        T2, Qt2, hist2 = self._step_impl(
+            T, hist, vel, rho, kappa, self.T_bc_values, self.T_mask,
+            self.Qt_mask, p, dt, order,
+        )
+        if self.closed_system:
+            p = self._mass0 * self.R / h1.integrate(self.tab, 1.0 / T2)
+        return (T2, tuple(hist2), Qt2, p)
+
+    def chunk_props(self, s):
+        T, _hist, _qt, p = s
+        return p / (self.R * T), self.viscosity(T)
+
+    def chunk_qt(self, s):
+        return s[2]
+
     # -- internals ---------------------------------------------------------
     def _step_impl(self, T, T_hist, vel, rho, kappa, tbc_vals, tmask,
                    qt_mask, p_thermo, dt, order):

@@ -215,6 +215,54 @@ class Tomboulides(FlowBase):
             ubc = ubc.at[jd].set(w * v)
         return ubc
 
+    def _ramped_ubc_traced(self, t):
+        """Traced ramp at time t (chunked scan; same math as
+        _ramped_ubc with jnp.clip in place of python min/max)."""
+        ubc = self.vel_bc_values
+        for (jd, v, ramp) in self._vel_ramps:
+            w = jnp.clip(t / ramp, 0.0, 1.0)
+            ubc = ubc.at[jd].set(w * v)
+        return ubc
+
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk) ------------------
+    def chunk_pack(self):
+        return (self.u, self.p, tuple(self.u_hist), tuple(self.N_hist),
+                jnp.asarray(getattr(self, "_time", 0.0)))
+
+    def chunk_unpack(self, s):
+        u, p, uh, Nh, t = s
+        self.u, self.p = u, p
+        self.u_hist, self.N_hist = list(uh), list(Nh)
+        self._time = float(t)
+
+    def chunk_velocity(self, s):
+        return s[0]
+
+    def chunk_step(self, s, rho, mu, qt, dt, order):
+        u, p, uh, Nh, t = s
+        t2 = t + dt
+        u2, p2, uh2, Nh2, info = self._step_impl(
+            u, p, uh, Nh, rho, mu, qt, self._ramped_ubc_traced(t2),
+            dt, order,
+        )
+        return (u2, p2, tuple(uh2), tuple(Nh2), t2), info
+
+    def chunk_check(self, infos):
+        """Convergence guard over a chunk's stacked per-step info (one
+        host fetch per chunk; role of the per-step deferred check)."""
+        if not infos:
+            return
+        vals = {k: np.asarray(v) for k, v in infos.items()}
+        if "p_res" in vals and not (
+            np.all(vals["p_res"] < 1e-3) and np.all(vals["v_res"] < 1e-3)
+        ):
+            raise FloatingPointError(
+                f"implicit solve did not converge in chunk: "
+                f"{ {k: v.max() for k, v in vals.items()} }"
+            )
+        # keep the newest scalars for the screen report
+        self._pending_info = {k: v[-1] for k, v in vals.items()}
+
     # -- internals ---------------------------------------------------------
     def _convection(self, u):
         """-M^-1_lumped (v,(u.grad)u) nodal convection acceleration."""
