@@ -445,12 +445,14 @@ def bench_torch_coupled():
     txt = txt.replace("outdirBase = output/torch",
                       "outdirBase = /tmp/tps_bench_torch")
     s = _make_solver(txt)
-    for _ in range(12):  # warmup: includes one EM solve (every 10)
-        s.solve_step()
+    # warmup through the chunk-aware coupled loop (compiles the EM solve,
+    # the flow chunk scans, and the interpolators)
+    s.flow.max_iters_cfg = 24
+    s.solve()
     nrep = 40
+    s.flow.max_iters_cfg = 24 + nrep
     t0 = time.perf_counter()
-    for _ in range(nrep):
-        s.solve_step()
+    s.solve()
     elapsed = time.perf_counter() - t0
     ms_per_step = 1e3 * elapsed / nrep
     return {

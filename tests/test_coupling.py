@@ -301,3 +301,103 @@ def test_cycle_avg_joule_coupling_sharded_flow():
     assert abs(q2 - q1) < 1e-10 * max(abs(q1), 1e-300)
     scale = np.abs(U1).max()
     assert np.abs(U2 - U1).max() < 1e-9 * scale
+
+
+def test_coupled_chunked_matches_per_step(tmp_path):
+    """CycleAvgJouleCoupling.solve() (flow steps chunked between EM
+    solves) matches the per-step solve_step() loop: joule heating is
+    constant between EM solves either way, so the EM cadence and the
+    flow trajectory are unchanged."""
+    import h5py
+
+    T = np.linspace(200.0, 20000.0, 199)
+    data = np.stack(
+        [T, 1.8e-5 * (T / 300.0) ** 0.7, 0.025 * (T / 300.0) ** 0.8,
+         np.where(T > 6000.0, 50.0 * (T - 6000.0) / 14000.0, 0.0),
+         np.full_like(T, 287.0), np.full_like(T, 1004.0)], axis=1)
+
+    def build(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        tf = d / "lte.h5"
+        with h5py.File(tf, "w") as f:
+            f["T_mu_kap_sig_R_Cp"] = data
+        ini = d / "torch.ini"
+        ini.write_text(f"""
+[solver]
+type = cycle-avg-joule-coupled
+[cycle-avg-joule-coupled]
+plasma-solver = lomach
+axisymmetric = 1
+solve-em-every-n = 4
+input-power = 100.0
+[mesh]
+generator = box2d
+nx = 6
+ny = 9
+x1 = 0.02
+y1 = 0.08
+[loMach]
+order = 2
+axisymmetric = 1
+swirl = 1
+flow-solver = tomboulides
+thermo-solver = lte-thermo-chem
+maxIters = 8
+outputFreq = 1000
+[loMach/ltethermo]
+table-file = {tf}
+[initialConditions]
+profile = gaussian
+temperature = 8000.0
+backgroundTemperature = 300.0
+center = '0.0 0.04'
+width = '0.009 0.025'
+[time]
+dt_fixed = 2.5e-7
+[boundaryConditions/inlet1]
+patch = 1
+type = inlet
+velocity = '0.0 1.0'
+rampTime = 2e-5
+temperature = 300.0
+[boundaryConditions/wall1]
+patch = 2
+type = viscous
+temperature = 300.0
+[boundaryConditions/outlet1]
+patch = 3
+type = outlet
+pressure = 0.0
+[io]
+outdirBase = {d}/out
+""")
+        inp = IniInput.read(str(ini))
+        rc = parse_run_configuration(inp)
+        rc.max_iters = 8
+        em_mesh = box_2d(10, 10, x0=0.0, x1=0.05, y0=-0.02, y1=0.10)
+        cent = em_mesh.vertices[em_mesh.elements].mean(axis=1)
+        attrs = np.ones(em_mesh.num_elements, dtype=np.int64)
+        ring = (np.abs(cent[:, 0] - 0.03) < 0.007) \
+            & (np.abs(cent[:, 1] - 0.04) < 0.012)
+        attrs[ring] = 2
+        em_mesh.elem_attrs = attrs
+        inp.values["em/current_amplitude"] = "1e6"
+        inp.values["em/current_frequency"] = "1e5"
+        coupled = CycleAvgJouleCoupling(rc)
+        coupled._em_in = QuasiMagnetostaticSolverAxiSym(rc, mesh=em_mesh)
+        coupled._em_in.initialize()
+        coupled.initialize()
+        return coupled
+
+    a = build("ps")
+    for _ in range(8):
+        a.solve_step()
+    b = build("ck")
+    b.solve()
+    assert b.iter == a.iter == 8
+    T1 = np.asarray(a.flow.thermo.T)
+    T2 = np.asarray(b.flow.thermo.T)
+    assert np.abs(T2 - T1).max() / np.abs(T1).max() < 1e-8
+    u1, u2 = np.asarray(a.flow.flow.u), np.asarray(b.flow.flow.u)
+    assert np.abs(u2 - u1).max() <= 1e-8 * (np.abs(u1).max() + 1.0)

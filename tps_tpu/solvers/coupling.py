@@ -127,6 +127,41 @@ class CycleAvgJouleCoupling(Solver):
         return self.flow.max_iters
 
     def solve_step(self):
+        self._maybe_em_update()
+        self.flow.solve_step()
+        self.iter = self.flow.iter
+        self.time = self.flow.time
+
+    def solve(self):
+        """Chunk-aware coupled loop: the flow steps between EM solves run
+        through the flow solver's chunked scan when it supports one
+        (reference loop shape: CycleAvgJouleCoupling::solve,
+        src/cycle_avg_joule_coupling.cpp:384-520; the EM cadence is
+        unchanged — joule heating is constant between EM solves in the
+        per-step path too)."""
+        ev = max(self.solve_em_every_n, 1)
+        can_chunk = hasattr(self.flow, "solve_chunk") and hasattr(
+            self.flow, "_chunk_size"
+        )
+        while self.iter < self.max_iters and self.status == 0:
+            self._maybe_em_update()
+            target = min(self.iter + ev - self.iter % ev, self.max_iters)
+            while self.flow.iter < target and self.status == 0:
+                m = 1
+                if can_chunk:
+                    n = self.flow._chunk_size()
+                    while m * 2 <= min(n, target - self.flow.iter):
+                        m *= 2
+                if m > 1:
+                    self.flow.solve_chunk(m)
+                else:
+                    self.flow.solve_step()
+                self.status = getattr(self.flow, "status", 0)
+            self.iter = self.flow.iter
+            self.time = self.flow.time
+        self.solve_end()
+
+    def _maybe_em_update(self):
         import jax.numpy as jnp
 
         if self.iter % self.solve_em_every_n == 0:
@@ -200,10 +235,6 @@ class CycleAvgJouleCoupling(Solver):
                 else:
                     ne, ndof = self.flow.ne_global, self.flow.viz_tables.ndof
                     self.flow.set_efield(e_flow.reshape(ne, ndof))
-
-        self.flow.solve_step()
-        self.iter = self.flow.iter
-        self.time = self.flow.time
 
     def _em_joule_nodal(self):
         """Joule heating as an H1 nodal field on the EM mesh."""
