@@ -82,6 +82,13 @@ class HCurlTables:
     edge_verts: np.ndarray = None  # [nedge, 2] (lo, hi) mesh vertex ids
     ref_pts: np.ndarray = None  # [nq, 3] reference quadrature points
     elem_valid: np.ndarray = None  # [ne] 1.0 real / 0.0 shard padding
+    # ---- higher-order (k >= 2) interpolatory metadata ----
+    order: int = 1
+    dof_dirs: np.ndarray = None  # [ndloc] axis family per local dof
+    ref_dof_pts: np.ndarray = None  # [ndloc, 3] dof nodes on the ref cube
+    Gref: np.ndarray = None  # [ndloc, 8] d(phi_vert)/dxi_{dir} at dof nodes
+    tau_dof: np.ndarray = None  # [ne, ndloc, 3] physical dof tangents
+    dof_mult: np.ndarray = None  # [nedge] (elem, local) count per global dof
 
     @property
     def ndofs(self):
@@ -99,6 +106,125 @@ class HCurlTables:
             else:
                 setattr(out, name, v)
         return out
+
+
+# MFEM hex local faces as (normal axis, coordinate value, vertex ids)
+_HEX_FACES = [
+    (0, 0.0, (0, 3, 7, 4)), (0, 1.0, (1, 2, 6, 5)),
+    (1, 0.0, (0, 1, 5, 4)), (1, 1.0, (3, 2, 6, 7)),
+    (2, 0.0, (0, 1, 2, 3)), (2, 1.0, (4, 5, 6, 7)),
+]
+
+
+def _hex_nedelec_k_dofs(order):
+    """Interpolatory Nedelec-I(k) dof metadata on the unit cube: per axis
+    family d, nodes at (Gauss_k along d) x (Lobatto_{k+1})^2 transverse,
+    functional A_ref . e_d at the node (reference: ND_FECollection(order),
+    src/quasimagnetostatic.cpp:170).  Returns (ref_pts [nd, 3],
+    dirs [nd]); k=1 reproduces the 12 Whitney edge dofs."""
+    from ..mesh.reference_element import gauss_lobatto_1d
+
+    g, _ = gauss_legendre_1d(order)
+    lb, _ = gauss_lobatto_1d(order + 1)
+    pts, dirs = [], []
+    for d in range(3):
+        t1, t2 = [a for a in range(3) if a != d]
+        for i in range(order):
+            for j in range(order + 1):
+                for k2 in range(order + 1):
+                    p = np.zeros(3)
+                    p[d] = g[i]
+                    p[t1] = lb[j]
+                    p[t2] = lb[k2]
+                    pts.append(p)
+                    dirs.append(d)
+    return np.asarray(pts), np.asarray(dirs, dtype=np.int64)
+
+
+def _hex_nedelec_k_basis(order, pts_eval):
+    """W [nq, nd, 3] and curl W [nq, nd, 3] for order-k hex Nedelec."""
+    from ..mesh.reference_element import (
+        gauss_lobatto_1d,
+        lagrange_deriv,
+        lagrange_eval,
+    )
+
+    g, _ = gauss_legendre_1d(order)
+    lb, _ = gauss_lobatto_1d(order + 1)
+    nq = pts_eval.shape[0]
+    LG = [lagrange_eval(g, pts_eval[:, a]) for a in range(3)]
+    dLG = [lagrange_deriv(g, pts_eval[:, a]) for a in range(3)]
+    LL = [lagrange_eval(lb, pts_eval[:, a]) for a in range(3)]
+    dLL = [lagrange_deriv(lb, pts_eval[:, a]) for a in range(3)]
+    W, C = [], []
+    for d in range(3):
+        t1, t2 = [a for a in range(3) if a != d]
+        ed = np.zeros(3)
+        ed[d] = 1.0
+        for i in range(order):
+            for j in range(order + 1):
+                for k2 in range(order + 1):
+                    f = LG[d][:, i] * LL[t1][:, j] * LL[t2][:, k2]
+                    grad = np.zeros((nq, 3))
+                    grad[:, d] = dLG[d][:, i] * LL[t1][:, j] * LL[t2][:, k2]
+                    grad[:, t1] = LG[d][:, i] * dLL[t1][:, j] * LL[t2][:, k2]
+                    grad[:, t2] = LG[d][:, i] * LL[t1][:, j] * dLL[t2][:, k2]
+                    Wd = np.zeros((nq, 3))
+                    Wd[:, d] = f
+                    W.append(Wd)
+                    C.append(np.cross(grad, ed[None, :]))
+    return np.stack(W, axis=1), np.stack(C, axis=1)
+
+
+def _number_hcurl_dofs_k(mesh, ref_pts, dirs):
+    """Global numbering for the interpolatory dofs by geometric matching:
+    two element-local dofs are the same global dof iff they share the
+    physical node AND the tangent line; the local sign is the tangent's
+    orientation against the canonical one.  Orientation-case-free: works
+    for any conforming (even curved-face) hex mesh because both elements
+    parametrize a shared face by the same bilinear surface."""
+    from ..mesh.reference_element import ReferenceElement
+
+    ne = mesh.num_elements
+    nd = len(dirs)
+    ref = ReferenceElement(geom="hex", order=1, basis="gauss-lobatto")
+    Ngeo = ref.eval_geom_basis(ref_pts)  # [nd, 8]
+    dN = ref.eval_geom_basis_grad(ref_pts)  # [nd, 8, 3]
+    ev = mesh.vertices[mesh.elements]  # [ne, 8, 3]
+    X = np.einsum("dv,nvi->ndi", Ngeo, ev)  # dof points [ne, nd, 3]
+    J = np.einsum("nvi,dvj->ndij", ev, dN)  # [ne, nd, 3, 3]
+    tau = np.empty((ne, nd, 3))
+    for d in range(3):
+        m = dirs == d
+        tau[:, m, :] = J[..., d][:, m, :]
+
+    scale = max(float(np.abs(mesh.vertices).max()), 1.0)
+    Xr = np.round(X / scale * 1e8).astype(np.int64)
+    tn = tau / np.linalg.norm(tau, axis=-1, keepdims=True)
+    # canonical orientation: first significant component positive
+    sig = np.abs(tn) > 1e-8
+    first = np.argmax(sig, axis=-1)
+    comp = np.take_along_axis(tn, first[..., None], axis=-1)[..., 0]
+    sgn = np.where(comp >= 0, 1.0, -1.0)
+    tr = np.round(tn * sgn[..., None] * 1e5).astype(np.int64)
+
+    keys = np.concatenate([Xr, tr], axis=-1).reshape(ne * nd, 6)
+    _uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    elem_dofs = inv.reshape(ne, nd).astype(np.int64)
+    dof_sign = sgn
+    ndof = int(elem_dofs.max()) + 1
+
+    # PEC boundary dofs: face-tangential dofs of boundary faces
+    bdr_keys = {frozenset(int(v) for v in f) for f in mesh.bdr_faces}
+    bdr = np.zeros(ndof, dtype=bool)
+    elems = mesh.elements
+    for n in range(ne):
+        for (ax, val, vids) in _HEX_FACES:
+            if frozenset(int(elems[n, v]) for v in vids) in bdr_keys:
+                sel = (np.abs(ref_pts[:, ax] - val) < 1e-12) & (dirs != ax)
+                bdr[elem_dofs[n, sel]] = True
+    bdr_dofs = np.where(bdr)[0].astype(np.int64)
+    return elem_dofs, dof_sign, ndof, bdr_dofs, X, tau
 
 
 _TET_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
@@ -125,16 +251,25 @@ def _tet_edge_basis_at(pts):
     return W, C
 
 
-def build_hcurl(mesh, quad_order=3) -> HCurlTables:
-    """Lowest-order Nedelec tables on hex OR tet meshes (reference:
-    ND_FECollection accepts any 3-D element type,
+def build_hcurl(mesh, quad_order=3, order=1) -> HCurlTables:
+    """Nedelec H(curl) tables on hex OR tet meshes (reference:
+    ND_FECollection(order, dim) accepts any order and 3-D element type,
     src/quasimagnetostatic.cpp:170; the rings/coupled-3d cases are Gmsh
-    tet meshes)."""
+    tet meshes).  order=1 is the Whitney edge space on either geometry;
+    order>=2 is the interpolatory Nedelec-I(k) family on hexes
+    (geometric dof matching — see _number_hcurl_dofs_k)."""
     from ..mesh.reference_element import ReferenceElement
 
     if mesh.dim != 3:
         raise ValueError("H(curl) tables require a 3-D (hex or tet) mesh")
     is_tet = mesh.geom == "tet"
+    if order > 1:
+        if is_tet:
+            raise NotImplementedError(
+                "order >= 2 Nedelec is implemented on hex meshes "
+                "(tet meshes are lowest-order)"
+            )
+        return _build_hcurl_hex_k(mesh, order, quad_order)
     local_edges = _TET_EDGES if is_tet else _HEX_EDGES
     nedloc = len(local_edges)
     ne = mesh.num_elements
@@ -201,6 +336,49 @@ def build_hcurl(mesh, quad_order=3) -> HCurlTables:
         edge_sign=edge_sign, W=W, Cw=Cw, wq=wq, Jinv=Jinv, Jmat=J,
         detJ=detJ, xyz_q=xyz_q, bdr_edges=bdr_edges, edge_verts=edge_verts,
         ref_pts=pts,
+    )
+
+
+def _build_hcurl_hex_k(mesh, order, quad_order):
+    from ..mesh.reference_element import ReferenceElement
+
+    ref_dof_pts, dirs = _hex_nedelec_k_dofs(order)
+    elem_dofs, dof_sign, ndof, bdr_dofs, _X, tau = _number_hcurl_dofs_k(
+        mesh, ref_dof_pts, dirs
+    )
+
+    qo = max(quad_order, order + 2)
+    x1, w1 = gauss_legendre_1d(qo)
+    Xq, Yq, Zq = np.meshgrid(x1, x1, x1, indexing="ij")
+    pts = np.stack([Xq.ravel(), Yq.ravel(), Zq.ravel()], axis=-1)
+    wq = np.einsum("i,j,k->ijk", w1, w1, w1).ravel()
+    W, Cw = _hex_nedelec_k_basis(order, pts)
+
+    ref = ReferenceElement(geom="hex", order=1, basis="gauss-lobatto")
+    dN = ref.eval_geom_basis_grad(pts)
+    Ngeo = ref.eval_geom_basis(pts)
+    ev = mesh.vertices[mesh.elements]
+    J = np.einsum("nvi,qvj->nqij", ev, dN)
+    detJ = np.linalg.det(J)
+    Jinv = np.linalg.inv(J)
+    xyz_q = np.einsum("qv,nvi->nqi", Ngeo, ev)
+
+    # discrete-gradient reference block for the AMS auxiliary space:
+    # (G p)_dof = d(p o geomap)/dxi_{dir} at the dof node (the covariant
+    # dof of a gradient field is purely a reference-space derivative)
+    dNd = ref.eval_geom_basis_grad(ref_dof_pts)  # [ndloc, 8, 3]
+    Gref = np.take_along_axis(
+        dNd, dirs[:, None, None], axis=2
+    )[..., 0]  # [ndloc, 8]
+
+    mult = np.bincount(elem_dofs.reshape(-1), minlength=ndof).astype(float)
+
+    return HCurlTables(
+        dim=3, ne=mesh.num_elements, nedge=ndof, elem_edges=elem_dofs,
+        edge_sign=dof_sign, W=W, Cw=Cw, wq=wq, Jinv=Jinv, Jmat=J,
+        detJ=detJ, xyz_q=xyz_q, bdr_edges=bdr_dofs, edge_verts=None,
+        ref_pts=pts, order=order, dof_dirs=dirs, ref_dof_pts=ref_dof_pts,
+        Gref=Gref, tau_dof=tau, dof_mult=mult,
     )
 
 

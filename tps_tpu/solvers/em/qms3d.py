@@ -24,7 +24,8 @@ class QuasiMagnetostatic3D(Solver):
     def __init__(self, mesh, coils=(), current_frequency=6.0e6,
                  current_amplitude=2.0e6, rtol=1e-8, max_iter=600,
                  quad_order=3, attr_currents=None, current_axis=(0.0, 1.0, 0.0),
-                 mu0=MU0, preconditioner="ams", partitions=1, devices=None):
+                 mu0=MU0, preconditioner="ams", partitions=1, devices=None,
+                 order=1):
         """coils: tuple of rings (z0, r1, r2, half_height) carrying the
         azimuthal (about the z axis) source current density.
 
@@ -54,7 +55,9 @@ class QuasiMagnetostatic3D(Solver):
         self.preconditioner = preconditioner
         self.dtype = jnp.float64
 
-        tab_np = hcurl.build_hcurl(mesh, quad_order=quad_order)
+        self.order = int(order)
+        tab_np = hcurl.build_hcurl(mesh, quad_order=quad_order,
+                                   order=self.order)
         self.tab = tab_np.to_jax(self.dtype)
         self.h1tab = h1.build_h1(mesh, order=1).to_jax(self.dtype)
         # element-sharded assembly over a device mesh (em/partitions N):
@@ -62,6 +65,10 @@ class QuasiMagnetostatic3D(Solver):
         # assembly (reference: the EM solve runs under MPI too)
         self.nparts = max(int(partitions or 1), 1)
         if self.nparts > 1:
+            if self.order > 1:
+                raise NotImplementedError(
+                    "em/partitions with order >= 2 Nedelec"
+                )
             self.stab = hcurl.ShardedHCurl(
                 tab_np, self.nparts, self.dtype, devices=devices)
         else:
@@ -234,6 +241,8 @@ class QuasiMagnetostatic3D(Solver):
         from jax.ops import segment_sum
 
         tab, ht = self.tab, self.h1tab
+        if tab.edge_verts is None:
+            return self._ams_precond_ho(msw_h1q, eps_reg, kdiag)
         v2d = self._vert2dof()
         ev = np.asarray(tab.edge_verts)
         lo = jnp.asarray(v2d[ev[:, 0]])
@@ -287,6 +296,98 @@ class QuasiMagnetostatic3D(Solver):
             return z * emask + r0 * (1 - emask)
 
         return Minv_block
+
+    def _ams_precond_ho(self, msw_h1q, eps_reg, kdiag):
+        """Auxiliary-space preconditioner for order >= 2 Nedelec: the
+        discrete gradient and nodal interpolation act through the
+        per-element interpolatory blocks (Gref, tau_dof) instead of the
+        Whitney edge-endpoint incidence.  Interpolation-consistent
+        assembly: shared dofs are averaged over their (element, local)
+        copies (dof_mult); the adjoints use the matching 1/mult gather."""
+        import jax.numpy as jnp
+        from jax.ops import segment_sum
+
+        tab, ht = self.tab, self.h1tab
+        v2d = self._vert2dof()
+        ev_dofs = jnp.asarray(v2d[np.asarray(self.mesh.elements)])  # [ne, 8]
+        ed = jnp.asarray(tab.elem_edges)  # [ne, ndloc]
+        sg = jnp.asarray(tab.edge_sign)
+        Gref = jnp.asarray(tab.Gref)  # [ndloc, 8]
+        tau = jnp.asarray(tab.tau_dof)  # [ne, ndloc, 3]
+        mult = jnp.asarray(tab.dof_mult)
+        Pref = jnp.asarray(self._geo_basis_at_dof_pts())  # [ndloc, 8]
+
+        emask = self.mask
+        nh = ht.ndofs
+        ndof = tab.nedge
+        vfree = np.ones(nh)
+        vfree[h1.boundary_dofs(ht)] = 0.0
+        vmask = jnp.asarray(vfree)
+
+        coef = eps_reg + msw_h1q
+
+        def Lg(v):
+            return h1.diffusion_apply(ht, v * vmask, coef) * vmask \
+                + v * (1 - vmask)
+
+        Lg_diag = h1.stiffness_diag(ht, coef) * vmask + (1 - vmask)
+        Mg = h1.chebyshev_precond(Lg, Lg_diag, degree=4)
+
+        def Lv(v):
+            return (h1.diffusion_apply(ht, v * vmask)
+                    + h1.mass_apply(ht, v * vmask, coef)) * vmask \
+                + v * (1 - vmask)
+
+        Lv_diag = (h1.stiffness_diag(ht)
+                   + h1.mass_lumped_diag(ht, coef)) * vmask + (1 - vmask)
+        Mv = h1.chebyshev_precond(Lv, Lv_diag, degree=4)
+
+        def G_apply(p):
+            gl = (p[ev_dofs] @ Gref.T) * sg  # [ne, ndloc]
+            return segment_sum(gl.reshape(-1), ed.reshape(-1),
+                               num_segments=ndof) / mult
+
+        def GT_apply(r):
+            rl = (r / mult)[ed] * sg
+            rv = rl @ Gref  # [ne, 8]
+            return segment_sum(rv.reshape(-1), ev_dofs.reshape(-1),
+                               num_segments=nh)
+
+        def Pi_apply(u):  # u [nh, 3]
+            u_at = jnp.einsum("dv,nvi->ndi", Pref, u[ev_dofs])
+            val = jnp.einsum("ndi,ndi->nd", u_at, tau) * sg
+            return segment_sum(val.reshape(-1), ed.reshape(-1),
+                               num_segments=ndof) / mult
+
+        def PiT_apply(r):
+            rl = (r / mult)[ed] * sg  # [ne, ndloc]
+            contrib = jnp.einsum("nd,dv,ndi->nvi", rl, Pref, tau)
+            return segment_sum(
+                contrib.reshape(-1, 3), ev_dofs.reshape(-1),
+                num_segments=nh,
+            )
+
+        def Minv_block(r0):
+            r = r0 * emask
+            z = r / kdiag
+            zg = Mg(GT_apply(r) * vmask)
+            z = z + G_apply(zg)
+            rv = PiT_apply(r) * vmask[:, None]
+            zv = jnp.stack([Mv(rv[:, d]) for d in range(3)], axis=-1)
+            z = z + Pi_apply(zv * vmask[:, None])
+            return z * emask + r0 * (1 - emask)
+
+        return Minv_block
+
+    def _geo_basis_at_dof_pts(self):
+        """Vertex (geometry) basis at the Nedelec dof nodes [ndloc, 8]."""
+        if getattr(self, "_Nvd", None) is None:
+            from ...mesh.reference_element import ReferenceElement
+
+            ref = ReferenceElement(geom="hex", order=1,
+                                   basis="gauss-lobatto")
+            self._Nvd = ref.eval_geom_basis(np.asarray(self.tab.ref_dof_pts))
+        return self._Nvd
 
     def solve_step(self):
         import jax
@@ -517,6 +618,7 @@ class _Em3dFromConfig(QuasiMagnetostatic3D):
             preconditioner=inp.get("em/preconditioner", "ams"),
             partitions=inp.get("em/partitions", 1),
             devices=getattr(config, "devices", None),
+            order=inp.get("em/order", 1),
         )
         self.config = config
         self.nBy = inp.get("em/nBy", 0)
