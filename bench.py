@@ -37,6 +37,14 @@ import numpy as np
 # multi-minute programs (warmup only; never inside a timed section)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+# TPS_BENCH_SMOKE=1: minimal step counts on the CPU backend (CI smoke of
+# every bench path; timings meaningless)
+SMOKE = bool(int(os.environ.get("TPS_BENCH_SMOKE", "0")))
+if SMOKE:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 BASELINE_DOF_STEPS_PER_SEC = 1.0e7  # 10x assumed 1e6 reference CPU
 BASELINE_GENERAL_MS_PER_RHS = 1.83  # round-2 measured (PERF.md)
 BASELINE_ARGON_MS_PER_STEP = 8.8  # round-2 measured (PERF.md)
@@ -88,7 +96,7 @@ def bench_fused():
     U = mix.conservatives(Up).astype(dtype)
 
     ndof_total = tab.ne * tab.ndof  # solution points (per equation)
-    nsteps = 50
+    nsteps = 4 if SMOKE else 50
 
     rhs_fn = fused if fused is not None else (
         lambda uu, t2: compute_rhs(ctx, tab, uu, t2)
@@ -195,23 +203,24 @@ outdirBase = /tmp/tps_bench_general
 
     # warmup/compile the chunked production path (solve() runs this when
     # no per-step diagnostics are enabled)
-    s.solve_chunk(16)
-    s.solve_chunk(16)
+    ck = 2 if SMOKE else 16
+    s.solve_chunk(ck)
+    s.solve_chunk(ck)
     jax.block_until_ready(s.U)
-    nchunk = 8
+    nchunk = 1 if SMOKE else 8
     t0 = time.perf_counter()
     for _ in range(nchunk):
-        s.solve_chunk(16)
+        s.solve_chunk(ck)
     jax.block_until_ready(s.U)
     elapsed = time.perf_counter() - t0
-    ms_per_rhs = 1e3 * elapsed / (nchunk * 16 * 4)  # RK4: 4 RHS per step
+    ms_per_rhs = 1e3 * elapsed / (nchunk * ck * 4)  # RK4: 4 RHS per step
     return {
         "metric": "general-path ms/RHS (BC'd 16^3 NS box, p=2, chunked)",
         "value": ms_per_rhs,
         "unit": "ms",
         "vs_baseline": BASELINE_GENERAL_MS_PER_RHS / ms_per_rhs,
         "detail": {"elements": int(s.tables.ne),
-                   "steps_timed": nchunk * 16},
+                   "steps_timed": nchunk * ck},
     }
 
 
@@ -225,23 +234,24 @@ def bench_argon():
     import jax
 
     # warmup/compile the chunked production path
-    s.solve_chunk(16)
-    s.solve_chunk(16)
+    ck = 2 if SMOKE else 16
+    s.solve_chunk(ck)
+    s.solve_chunk(ck)
     jax.block_until_ready(s.U)
-    nchunk = 8
+    nchunk = 1 if SMOKE else 8
     t0 = time.perf_counter()
     for _ in range(nchunk):
-        s.solve_chunk(16)
+        s.solve_chunk(ck)
     jax.block_until_ready(s.U)
     elapsed = time.perf_counter() - t0
-    ms_per_step = 1e3 * elapsed / (nchunk * 16)
+    ms_per_step = 1e3 * elapsed / (nchunk * ck)
     return {
         "metric": "argon plasma CLI ms/step (2-T, RK4, chunked)",
         "value": ms_per_step,
         "unit": "ms",
         "vs_baseline": BASELINE_ARGON_MS_PER_STEP / ms_per_step,
         "detail": {"elements": int(s.tables.ne),
-                   "steps_timed": nchunk * 16},
+                   "steps_timed": nchunk * ck},
     }
 
 
@@ -293,16 +303,17 @@ numOutlets = 1
 [io]
 outdirBase = /tmp/tps_bench_cyl
 """)
-    s.solve_chunk(16)
-    s.solve_chunk(16)
+    ck = 2 if SMOKE else 16
+    s.solve_chunk(ck)
+    s.solve_chunk(ck)
     jax.block_until_ready(s.U)
-    nchunk = 6
+    nchunk = 1 if SMOKE else 6
     t0 = time.perf_counter()
     for _ in range(nchunk):
-        s.solve_chunk(16)
+        s.solve_chunk(ck)
     jax.block_until_ready(s.U)
     elapsed = time.perf_counter() - t0
-    nsteps = nchunk * 16
+    nsteps = nchunk * ck
     ms_per_rhs = 1e3 * elapsed / (nsteps * 4)
     dofsteps = s.tables.ne * s.tables.ndof * nsteps / elapsed
     return {
@@ -332,16 +343,17 @@ def bench_argon_big():
     # too, src/M2ulPhyS.cpp:2013-2016); cfl=0.02 keeps dt under it
     txt = txt.replace("cfl = 0.1", "cfl = 0.02")
     s = _make_solver(txt)
-    s.solve_chunk(16)
-    s.solve_chunk(16)
+    ck = 2 if SMOKE else 16
+    s.solve_chunk(ck)
+    s.solve_chunk(ck)
     jax.block_until_ready(s.U)
-    nchunk = 6
+    nchunk = 1 if SMOKE else 6
     t0 = time.perf_counter()
     for _ in range(nchunk):
-        s.solve_chunk(16)
+        s.solve_chunk(ck)
     jax.block_until_ready(s.U)
     elapsed = time.perf_counter() - t0
-    nsteps = nchunk * 16
+    nsteps = nchunk * ck
     ms_per_step = 1e3 * elapsed / nsteps
     dofsteps = s.tables.ne * s.tables.ndof * nsteps / elapsed
     return {
@@ -415,7 +427,7 @@ outdirBase = /tmp/tps_bench_lomach_react
         s.solve_step()
     s.solve_chunk(8)  # compile the chunked production path
     jax.block_until_ready(s.thermo.T)
-    nrep = 24
+    nrep = 8 if SMOKE else 24
     t0 = time.perf_counter()
     for _ in range(nrep // 8):
         s.solve_chunk(8)
@@ -447,10 +459,10 @@ def bench_torch_coupled():
     s = _make_solver(txt)
     # warmup through the chunk-aware coupled loop (compiles the EM solve,
     # the flow chunk scans, and the interpolators)
-    s.flow.max_iters_cfg = 24
+    s.flow.max_iters_cfg = 12 if SMOKE else 24
     s.solve()
-    nrep = 40
-    s.flow.max_iters_cfg = 24 + nrep
+    nrep = 12 if SMOKE else 40
+    s.flow.max_iters_cfg = s.flow.iter + nrep
     t0 = time.perf_counter()
     s.solve()
     elapsed = time.perf_counter() - t0
