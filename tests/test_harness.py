@@ -528,3 +528,53 @@ def test_chunk_size_respects_service_boundaries(tmp_path):
     s._io = None  # no restart IO -> output boundary not a constraint
     s.iter = 0
     assert s._chunk_size() == 64
+
+
+def test_chunked_solve_with_stateful_bcs(tmp_path):
+    """Chunked scanning carries the time-integrated characteristic BC
+    ghost state through the scan: parity with per-step stepping on a
+    nonReflectingPressure outlet (stateful CharacteristicOutletBC)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.rhs import has_stateful_bcs
+
+    def build(sub):
+        tps = _run("channel2d.ini", max_iters=8,
+                   outdir=str(tmp_path / sub))
+        return tps.solver
+
+    # rewrite the deck's outlet to the stateful characteristic one
+    import os
+
+    src = open(os.path.join(HERE, "inputs", "channel2d.ini")).read()
+    assert "subsonicPressure" in src
+    mod = src.replace("type = subsonicPressure",
+                      "type = nonReflectingPressure")
+    pa = tmp_path / "nr.ini"
+    pa.write_text(mod)
+
+    def build_nr(sub):
+        from tps_tpu.harness import Tps
+
+        tps = Tps()
+        tps.input_file = str(pa)
+        tps.parse_input()
+        tps.config.max_iters = 8
+        tps.config.outdir = str(tmp_path / sub)
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        return tps.solver
+
+    a = build_nr("a")
+    assert has_stateful_bcs(a.ctx)
+    b = build_nr("b")
+    for _ in range(8):
+        a.solve_step()
+    b.solve_chunk(4)
+    b.solve_chunk(4)
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+    # the BC ghost state itself matches
+    for sa, sb in zip(a.bc_states, b.bc_states):
+        if sa is not None:
+            np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
