@@ -349,3 +349,66 @@ outdirBase = {d}/out
     assert np.abs(u2 - u1).max() <= 1e-8 * (np.abs(u1).max() + 1.0)
     np.testing.assert_allclose(float(b.thermo.p_thermo),
                                float(a.thermo.p_thermo), rtol=1e-10)
+
+
+def test_chunked_lomach_with_sgs_matches_per_step(tmp_path):
+    """Chunk parity with an ACTIVE turbulence model: the eddy viscosity
+    rides the scan carry with the per-step lag semantics (flow uses the
+    previous step's nu_t; turb updates after the flow)."""
+    def build(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        ini = d / "run.ini"
+        ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 8
+ny = 8
+x1 = 6.283185307179586
+y1 = 6.283185307179586
+periodic_x = 1
+periodic_y = 1
+[loMach]
+flow-solver = tomboulides
+thermo-solver = constant-property
+turb-model = smagorinsky
+order = 2
+maxIters = 8
+outputFreq = 10000
+[loMach/constprop]
+rho = 1.0
+mu = 0.001
+[loMach/tomboulides]
+ic = tgv2d
+[time]
+enableConstantTimestep = True
+dt_fixed = 1e-3
+bdfOrder = 2
+[io]
+outdirBase = {d}/out
+""")
+        tps = Tps()
+        tps.parse_command_line_args(
+            ["tps", "--runFile", str(ini), "--device", "cpu"])
+        tps.parse_input()
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        return tps.solver
+
+    a = build("ps")
+    b = build("ck")
+    from tps_tpu.solvers.lomach.turb import AlgebraicSubgridModel
+
+    assert isinstance(a.turb, AlgebraicSubgridModel)
+    for _ in range(8):
+        a.solve_step()
+    b.solve()
+    assert b.iter == a.iter == 8
+    u1, u2 = np.asarray(a.flow.u), np.asarray(b.flow.u)
+    assert np.abs(u2 - u1).max() <= 1e-8 * (np.abs(u1).max() + 1.0)
+    n1 = np.asarray(a.turb.eddy_viscosity())
+    n2 = np.asarray(b.turb.eddy_viscosity())
+    assert np.abs(n2 - n1).max() <= 1e-8 * (np.abs(n1).max() + 1e-12)

@@ -131,6 +131,16 @@ class ZeroTurbModel(TurbModelBase):
     def eddy_viscosity(self):
         return self._nut
 
+    # chunked scan: no eddy viscosity, nothing carried
+    def chunk_nut(self, u):
+        return None
+
+    def chunk_pack(self):
+        return None
+
+    def chunk_unpack(self, nut):
+        pass
+
 
 class SpongeBase:
     """Damping-coefficient field interface (reference: src/sponge_base.hpp:67)."""

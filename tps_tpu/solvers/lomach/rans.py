@@ -29,8 +29,11 @@ class AlgebraicRans(TurbModelBase):
         self._nut = jnp.zeros(tab.ndofs)
 
     def step(self, coeff, dt):
+        self._nut = self.nut_of(self.flow.velocity())
+
+    def nut_of(self, u):
+        """nu_t as a pure (traced) function of the velocity field."""
         tab = self.tab
-        u = self.flow.velocity()
         g = jnp.stack(
             [h1.grad_at_dofs(tab, u[:, d]) for d in range(tab.dim)], axis=1
         )  # [nd, comp, dim]
@@ -43,12 +46,21 @@ class AlgebraicRans(TurbModelBase):
             wz = g[:, 1, 0] - g[:, 0, 1]
             mag = jnp.sqrt(wx * wx + wy * wy + wz * wz)
         ell = jnp.minimum(self.kappa * self.dist, self.max_len)
-        rho = self.thermo.density()
         # nu_t (kinematic); flow adds rho * nu_t to mu
-        self._nut = ell * ell * mag * jnp.ones_like(rho)
+        return ell * ell * mag
 
     def eddy_viscosity(self):
         return self._nut
+
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk) ------------------
+    def chunk_nut(self, u):
+        return self.nut_of(u)
+
+    def chunk_pack(self):
+        return self._nut
+
+    def chunk_unpack(self, nut):
+        self._nut = nut
 
 
 class StaticRans(TurbModelBase):
@@ -59,3 +71,13 @@ class StaticRans(TurbModelBase):
 
     def eddy_viscosity(self):
         return self._nut
+
+    # frozen field: trivially chunkable
+    def chunk_nut(self, u):
+        return self._nut
+
+    def chunk_pack(self):
+        return self._nut
+
+    def chunk_unpack(self, nut):
+        self._nut = nut

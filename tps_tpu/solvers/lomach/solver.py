@@ -676,12 +676,10 @@ class LoMachSolver(Solver):
     # per-step jit dispatches and eager glue, which dominate small cases
     # on the hosted-TPU tunnel) --------------------------------------------
     def _chunkable(self):
-        from .base import ZeroTurbModel
-
         return (
             not self.ext_data
             and not self.averaging.enabled
-            and isinstance(self.turb, ZeroTurbModel)
+            and hasattr(self.turb, "chunk_nut")  # zero/LES/algebraic/static
             and hasattr(self.thermo, "chunk_step")
             and hasattr(self.flow, "chunk_step")
             and self.iter + 1 >= self.max_bdf_order  # constant BDF order
@@ -701,24 +699,29 @@ class LoMachSolver(Solver):
         import jax
         import jax.numpy as jnp
 
-        thermo, flow = self.thermo, self.flow
+        thermo, flow, turb = self.thermo, self.flow, self.turb
         sponge = getattr(flow, "sponge", None)
 
-        def run(ts, fs, dt):
+        def run(ts, fs, nut, dt):
             def body(carry, _):
-                ts, fs = carry
+                ts, fs, nut = carry
                 vel = flow.chunk_velocity(fs)
                 ts2 = thermo.chunk_step(ts, vel, dt, order)
                 rho, mu = thermo.chunk_props(ts2)
+                if nut is not None:
+                    # per-step semantics: flow uses the PREVIOUS step's
+                    # eddy viscosity (turb steps after the flow)
+                    mu = mu + rho * nut
                 if sponge is not None:
                     mu = mu * sponge.multiplier()
                 qt = thermo.chunk_qt(ts2)
                 fs2, info = flow.chunk_step(fs, rho, mu, qt, dt, order)
-                return (ts2, fs2), info
+                nut2 = turb.chunk_nut(flow.chunk_velocity(fs2))
+                return (ts2, fs2, nut2), info
 
-            (ts, fs), infos = jax.lax.scan(body, (ts, fs), None,
-                                           length=nsub)
-            return ts, fs, infos
+            (ts, fs, nut), infos = jax.lax.scan(body, (ts, fs, nut), None,
+                                                length=nsub)
+            return ts, fs, nut, infos
 
         return jax.jit(run)
 
@@ -731,12 +734,13 @@ class LoMachSolver(Solver):
         key = (n, order)
         if key not in self._chunk_cache:
             self._chunk_cache[key] = self._make_chunk(n, order)
-        ts, fs, infos = self._chunk_cache[key](
+        ts, fs, nut, infos = self._chunk_cache[key](
             self.thermo.chunk_pack(), self.flow.chunk_pack(),
-            jnp.asarray(self.dt),
+            self.turb.chunk_pack(), jnp.asarray(self.dt),
         )
         self.thermo.chunk_unpack(ts)
         self.flow.chunk_unpack(fs)
+        self.turb.chunk_unpack(nut)
         self.iter += n
         self.time += n * self.dt
         if hasattr(self.flow, "chunk_check"):

@@ -38,8 +38,12 @@ class AlgebraicSubgridModel(TurbModelBase):
         self._nut = jnp.zeros(tab.ndofs)
 
     def step(self, coeff, dt):
+        self._nut = self.nut_of(self.flow.velocity())
+
+    def nut_of(self, u):
+        """nu_t as a pure (traced) function of the velocity field —
+        shared by the per-step path and the chunked scan."""
         tab = self.tab
-        u = self.flow.velocity()
         # nodal velocity gradient via lumped projection, per component
         g = jnp.stack(
             [h1.grad_at_dofs(tab, u[:, d]) for d in range(tab.dim)], axis=1
@@ -47,7 +51,7 @@ class AlgebraicSubgridModel(TurbModelBase):
         S = 0.5 * (g + jnp.swapaxes(g, 1, 2))
         if self.model == "smagorinsky":
             smag = jnp.sqrt(2.0 * jnp.einsum("nij,nij->n", S, S))
-            self._nut = (self.const * self.delta) ** 2 * smag
+            return (self.const * self.delta) ** 2 * smag
         elif self.model == "wale":
             # Nicoud & Ducros 1999 via the Ducros direct formula
             # (reference: src/algebraicSubgridModels.cpp:324-452)
@@ -63,7 +67,7 @@ class AlgebraicSubgridModel(TurbModelBase):
                 0.0,
             )
             omega = G2**1.5 / jnp.maximum(Smag2**2.5 + G2**1.25, 1e-12)
-            self._nut = (self.const * self.delta) ** 2 * omega
+            return (self.const * self.delta) ** 2 * omega
         else:  # sigma model (Nicoud et al. 2011)
             G = jnp.einsum("nki,nkj->nij", g, g)
             # eigenvalues of symmetric G (ascending)
@@ -72,7 +76,17 @@ class AlgebraicSubgridModel(TurbModelBase):
             s3, s2, s1 = jnp.sqrt(ev[:, 0]), jnp.sqrt(ev[:, 1]), jnp.sqrt(ev[:, -1])
             denom = jnp.maximum(s1 * s1, 1e-30)
             D = s3 * (s1 - s2) * (s2 - s3) / denom
-            self._nut = (self.const * self.delta) ** 2 * D
+            return (self.const * self.delta) ** 2 * D
 
     def eddy_viscosity(self):
         return self._nut
+
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk) ------------------
+    def chunk_nut(self, u):
+        return self.nut_of(u)
+
+    def chunk_pack(self):
+        return self._nut
+
+    def chunk_unpack(self, nut):
+        self._nut = nut
