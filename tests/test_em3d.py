@@ -282,3 +282,40 @@ def test_em3d_sharded_matches_single():
     a1 = np.asarray(q1.A_re)
     a3 = np.asarray(q3.A_re)
     assert np.abs(a1 - a3).max() < 1e-10 * max(np.abs(a1).max(), 1e-30)
+
+
+def test_em3d_sharded_order2_matches_single():
+    """em/partitions with order-2 Nedelec: the sharded Krylov-operator
+    assembly is order-agnostic (the HO AMS preconditioner acts on the
+    global tables), so the N-shard solve must reproduce single-device
+    (reference: the EM solve runs under MPI at any order,
+    src/quasimagnetostatic.cpp:170)."""
+    import jax
+
+    if len(jax.devices()) < 3:
+        import pytest
+
+        pytest.skip("needs >= 3 devices")
+    import jax.numpy as jnp
+
+    def setup(nparts):
+        q = QuasiMagnetostatic3D(
+            box_3d(3, 3, 3, bounds=((-0.5, 0.5),) * 3),
+            coils=((0.0, 0.25, 0.4, 0.1),), current_frequency=6.0e6,
+            current_amplitude=1000.0, rtol=1e-10, max_iter=60,
+            preconditioner="ams", order=2, partitions=nparts,
+        )
+        xyz = np.asarray(q.h1tab.xyz)
+        sig = np.where(np.linalg.norm(xyz[:, :2], axis=1) < 0.3, 1e3, 0.0)
+        q.set_plasma_conductivity(jnp.asarray(sig))
+        q.solve()
+        return q
+
+    q1, q3 = setup(1), setup(3)
+    a1, a3 = np.asarray(q1.A_re), np.asarray(q3.A_re)
+    scale = max(np.abs(a1).max(), 1e-30)
+    # psum reassociates the per-shard partial sums, so agreement is to
+    # roundoff accumulation, not bitwise
+    assert np.abs(a1 - a3).max() < 1e-7 * scale
+    assert abs(q1.total_joule_heating() - q3.total_joule_heating()) \
+        <= 1e-6 * max(abs(q1.total_joule_heating()), 1e-30)

@@ -541,12 +541,15 @@ class ShardedHCurl:
         self.nparts = nparts
         gj = tab_np.to_jax(dtype)
         self.global_tab = gj
-        # forwarded global surface
-        for name in ("dim", "ne", "nedge"):
+        # forwarded global surface (incl. the order-k interpolatory
+        # metadata consumed by the HO AMS preconditioner, which acts on
+        # the GLOBAL tables — only the Krylov operator applies shard)
+        for name in ("dim", "ne", "nedge", "order"):
             setattr(self, name, getattr(tab_np, name))
         for name in ("elem_edges", "edge_sign", "W", "Cw", "wq", "Jinv",
                      "Jmat", "detJ", "xyz_q", "bdr_edges", "edge_verts",
-                     "ref_pts"):
+                     "ref_pts", "dof_dirs", "ref_dof_pts", "Gref",
+                     "tau_dof", "dof_mult"):
             setattr(self, name, getattr(gj, name))
         self.elem_valid = None
 

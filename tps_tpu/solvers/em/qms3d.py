@@ -65,10 +65,6 @@ class QuasiMagnetostatic3D(Solver):
         # assembly (reference: the EM solve runs under MPI too)
         self.nparts = max(int(partitions or 1), 1)
         if self.nparts > 1:
-            if self.order > 1:
-                raise NotImplementedError(
-                    "em/partitions with order >= 2 Nedelec"
-                )
             self.stab = hcurl.ShardedHCurl(
                 tab_np, self.nparts, self.dtype, devices=devices)
         else:
