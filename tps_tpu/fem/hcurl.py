@@ -10,6 +10,7 @@ friendly; systems are solved matrix-free (CG/GMRES).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -86,9 +87,14 @@ class HCurlTables:
     order: int = 1
     dof_dirs: np.ndarray = None  # [ndloc] axis family per local dof
     ref_dof_pts: np.ndarray = None  # [ndloc, 3] dof nodes on the ref cube
-    Gref: np.ndarray = None  # [ndloc, 8] d(phi_vert)/dxi_{dir} at dof nodes
+    Gref: np.ndarray = None  # [ndloc, nv] (hex) or [ne, ndloc, nv] (tet)
     tau_dof: np.ndarray = None  # [ne, ndloc, 3] physical dof tangents
     dof_mult: np.ndarray = None  # [nedge] (elem, local) count per global dof
+    # ---- tet k >= 2: 2-slot dof mixing (local dof = sum_s mixW * x[mixI];
+    # generalizes the +-1 edge_sign to the face-tangent change of basis
+    # between element-local and canonical global functionals) ----
+    mixI: np.ndarray = None  # [ne, ndloc, 2] global dof ids
+    mixW: np.ndarray = None  # [ne, ndloc, 2] mixing weights
 
     @property
     def ndofs(self):
@@ -251,13 +257,378 @@ def _tet_edge_basis_at(pts):
     return W, C
 
 
+# -- arbitrary-order Nedelec-I(k) on tets ----------------------------------
+#
+# Interpolatory point-tangent dofs (the structure MFEM's ND tet elements
+# use, reference ND_FECollection(order, dim), src/quasimagnetostatic.cpp:170):
+#   * k Gauss points per edge, tangent = edge vector;
+#   * interior points of the degree-(k+1) principal lattice per face, two
+#     tangents each (face edge vectors);
+#   * interior lattice points, three axis tangents each.
+# The reference basis is built numerically: span N-I(k) = (P_{k-1})^3 (+)
+# S_k (homogeneous p with x.p = 0, via SVD null space) in the monomial
+# basis, then invert the dof Vandermonde.  Inter-element conformity uses
+# CANONICAL global functionals (tangents built from sorted global vertex
+# ids); each element-local dof is a 1- or 2-term combination of the
+# canonical dofs at the same physical point (mixI/mixW tables), which
+# generalizes the +-1 edge sign of the Whitney space.
+
+_TET_FACES = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+_TET_REF_VERTS = np.array(
+    [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+)
+# tangent (rank_from, rank_to) -> coefficients on (t1, t2) where
+# t1 = x(g1) - x(g0), t2 = x(g2) - x(g0) for sorted global face verts
+_FACE_TAN_COEF = np.zeros((3, 3, 2))
+_FACE_TAN_COEF[0, 1] = (1.0, 0.0)
+_FACE_TAN_COEF[1, 0] = (-1.0, 0.0)
+_FACE_TAN_COEF[0, 2] = (0.0, 1.0)
+_FACE_TAN_COEF[2, 0] = (0.0, -1.0)
+_FACE_TAN_COEF[1, 2] = (-1.0, 1.0)
+_FACE_TAN_COEF[2, 1] = (1.0, -1.0)
+
+
+def _tri_interior_lattice(order):
+    """Interior points of the degree-(order+1) principal lattice on a
+    triangle, as barycentric integer triples (i, j, l), i+j+l = order+1,
+    all >= 1, enumerated lexicographically: k(k-1)/2 points."""
+    n = order + 1
+    return [(i, j, n - i - j)
+            for i in range(1, n) for j in range(1, n - i)]
+
+
+def _tet_interior_lattice(order):
+    n = order + 1
+    return [(i, j, l, n - i - j - l)
+            for i in range(1, n) for j in range(1, n - i)
+            for l in range(1, n - i - j)]
+
+
+def _monomial_exps(order):
+    """All 3-var monomial exponents of total degree <= order."""
+    return np.array(
+        [(a, b, c) for a in range(order + 1)
+         for b in range(order + 1 - a) for c in range(order + 1 - a - b)],
+        dtype=np.int64,
+    )
+
+
+def _mono_eval(exps, pts):
+    """[npts, nmono] monomial values (0^0 = 1)."""
+    return np.prod(
+        np.where(exps[None, :, :] == 0, 1.0,
+                 pts[:, None, :] ** exps[None, :, :]),
+        axis=-1,
+    )
+
+
+def _deriv_mats(exps):
+    """D[i] [nmono, nmono] mapping coefficient vectors to d/dx_i coefs."""
+    nm = len(exps)
+    idx = {tuple(e): m for m, e in enumerate(exps)}
+    D = np.zeros((3, nm, nm))
+    for m, e in enumerate(exps):
+        for i in range(3):
+            if e[i] > 0:
+                e2 = list(e)
+                e2[i] -= 1
+                D[i, idx[tuple(e2)], m] = e[i]
+    return D
+
+
+@functools.lru_cache(maxsize=None)
+def _tet_nedelec_k_ref(order):
+    """Reference-element data for Nedelec-I(k) on the unit tet: returns
+    (exps, Cn [nd, nmono, 3] nodal coefficients, ref_pts [nd, 3],
+    ref_dirs [nd, 3], kinds [nd] 0/1/2, ents [nd], subs [nd], tslots [nd])."""
+    k = order
+    exps = _monomial_exps(k)
+    nm = len(exps)
+    idx = {tuple(e): m for m, e in enumerate(exps)}
+
+    # span: (P_{k-1})^3
+    span = []
+    for m, e in enumerate(exps):
+        if e.sum() <= k - 1:
+            for d in range(3):
+                c = np.zeros((nm, 3))
+                c[m, d] = 1.0
+                span.append(c)
+    # span: S_k = {p in (H_k)^3 : x . p = 0} via SVD null space of the
+    # multiplication map (H_k)^3 -> H_{k+1}
+    hk = [m for m, e in enumerate(exps) if e.sum() == k]
+    e1 = _monomial_exps(k + 1)
+    idx1 = {tuple(e): m for m, e in enumerate(e1)}
+    h1e = [m for m, e in enumerate(e1) if e.sum() == k + 1]
+    row = {m: r for r, m in enumerate(h1e)}
+    Con = np.zeros((len(h1e), 3 * len(hk)))
+    for c_, m in enumerate(hk):
+        for d in range(3):
+            e2 = exps[m].copy()
+            e2[d] += 1
+            Con[row[idx1[tuple(e2)]], d * len(hk) + c_] = 1.0
+    _u, s, vt = np.linalg.svd(Con)
+    null = vt[np.sum(s > 1e-10):]
+    for vec in null:
+        c = np.zeros((nm, 3))
+        for d in range(3):
+            for c_, m in enumerate(hk):
+                c[m, d] += vec[d * len(hk) + c_]
+        span.append(c)
+    C = np.stack(span)  # [nspan, nmono, 3]
+
+    # dofs
+    g, _ = gauss_legendre_1d(k)
+    pts, dirs, kinds, ents, subs, tslots = [], [], [], [], [], []
+    for e, (a, b) in enumerate(_TET_EDGES):
+        va, vb = _TET_REF_VERTS[a], _TET_REF_VERTS[b]
+        for i in range(k):
+            pts.append(va + g[i] * (vb - va))
+            dirs.append(vb - va)
+            kinds.append(0)
+            ents.append(e)
+            subs.append(i)
+            tslots.append(0)
+    lat = _tri_interior_lattice(k)
+    for f, fv in enumerate(_TET_FACES):
+        va, vb, vc = (_TET_REF_VERTS[v] for v in fv)
+        for p, (i, j, l) in enumerate(lat):
+            pt = (i * va + j * vb + l * vc) / float(k + 1)
+            for s, d in enumerate((vb - va, vc - va)):
+                pts.append(pt)
+                dirs.append(d)
+                kinds.append(1)
+                ents.append(f)
+                subs.append(p)
+                tslots.append(s)
+    lat3 = _tet_interior_lattice(k)
+    for p, (i, j, l, m_) in enumerate(lat3):
+        pt = (i * _TET_REF_VERTS[0] + j * _TET_REF_VERTS[1]
+              + l * _TET_REF_VERTS[2] + m_ * _TET_REF_VERTS[3]) / float(k + 1)
+        for s in range(3):
+            d = np.zeros(3)
+            d[s] = 1.0
+            pts.append(pt)
+            dirs.append(d)
+            kinds.append(2)
+            ents.append(0)
+            subs.append(p)
+            tslots.append(s)
+    pts = np.asarray(pts)
+    dirs = np.asarray(dirs)
+    nd = len(pts)
+    if C.shape[0] != nd:
+        raise RuntimeError(
+            f"Nedelec-I({k}) span/dof mismatch: {C.shape[0]} vs {nd}")
+
+    mv = _mono_eval(exps, pts)  # [nd, nmono]
+    V = np.einsum("im,jmc,ic->ij", mv, C, dirs)  # V[i, j] = l_i(span_j)
+    cond = np.linalg.cond(V)
+    if cond > 1e10:
+        raise RuntimeError(
+            f"ill-conditioned Nedelec-I({k}) tet Vandermonde: cond={cond:g}")
+    Vinv = np.linalg.inv(V)
+    Cn = np.einsum("js,jmc->smc", Vinv, C)  # nodal basis coefficients
+    return (exps, Cn, pts, dirs, np.asarray(kinds, dtype=np.int64),
+            np.asarray(ents, dtype=np.int64), np.asarray(subs, np.int64),
+            np.asarray(tslots, dtype=np.int64))
+
+
+def _tet_nedelec_k_basis(order, pts_eval):
+    """W [nq, nd, 3] and curl W [nq, nd, 3] for order-k tet Nedelec."""
+    exps, Cn, *_ = _tet_nedelec_k_ref(order)
+    D = _deriv_mats(exps)
+    mv = _mono_eval(exps, pts_eval)  # [nq, nmono]
+    W = np.einsum("qm,dmc->qdc", mv, Cn)
+    Cc = np.empty_like(Cn)
+    Cc[:, :, 0] = Cn[:, :, 2] @ D[1].T - Cn[:, :, 1] @ D[2].T
+    Cc[:, :, 1] = Cn[:, :, 0] @ D[2].T - Cn[:, :, 2] @ D[0].T
+    Cc[:, :, 2] = Cn[:, :, 1] @ D[0].T - Cn[:, :, 0] @ D[1].T
+    Cw = np.einsum("qm,dmc->qdc", mv, Cc)
+    return W, Cw
+
+
+def _number_hcurl_tet_k(mesh, order):
+    """Structural (entity-based) global numbering + the local->canonical
+    mixing tables for order-k tet Nedelec.  Canonical functionals: edge
+    dofs at Gauss points along the global lo->hi direction; face dofs at
+    face-lattice points with tangents t_s = x(g_s) - x(g_0) for the
+    face's SORTED global vertices; interior dofs element-private."""
+    k = order
+    elems = np.asarray(mesh.elements, dtype=np.int64)  # [ne, 4]
+    ne = elems.shape[0]
+    X = np.asarray(mesh.vertices)
+    (_exps, _Cn, _pts, _dirs, kinds, ents, subs, tslots) = \
+        _tet_nedelec_k_ref(order)
+    nd = len(kinds)
+
+    # ---- global edges
+    epairs = elems[:, np.asarray(_TET_EDGES, dtype=np.int64)]  # [ne, 6, 2]
+    nv = int(elems.max()) + 1
+    g0, g1 = epairs[..., 0], epairs[..., 1]
+    ekey = (np.minimum(g0, g1) * np.int64(nv) + np.maximum(g0, g1))
+    uniq_ekeys, eid = np.unique(ekey.reshape(-1), return_inverse=True)
+    eid = eid.reshape(ne, 6)
+    easc = g0 < g1
+    nedge = len(uniq_ekeys)
+
+    # ---- global faces
+    ftrip = np.sort(elems[:, np.asarray(_TET_FACES, dtype=np.int64)],
+                    axis=-1)  # [ne, 4, 3] sorted global ids
+    fkey = (ftrip[..., 0] * np.int64(nv) + ftrip[..., 1]) * np.int64(nv) \
+        + ftrip[..., 2]
+    uniq_fkeys, fid = np.unique(fkey.reshape(-1), return_inverse=True)
+    fid = fid.reshape(ne, 4)
+    nface = len(uniq_fkeys)
+
+    lat = _tri_interior_lattice(k)
+    npf = len(lat)
+    nint_pts = len(_tet_interior_lattice(k))
+    face_base = nedge * k
+    int_base = face_base + nface * npf * 2
+    ndof = int_base + ne * nint_pts * 3
+
+    # canonical lattice-point index lookup (encode (i,j,l) base k+2)
+    enc = {}
+    for p, (i, j, l) in enumerate(lat):
+        enc[(i * (k + 2) + j) * (k + 2) + l] = p
+
+    mixI = np.zeros((ne, nd, 2), dtype=np.int64)
+    mixW = np.zeros((ne, nd, 2))
+    elem_dofs = np.zeros((ne, nd), dtype=np.int64)  # canonical-aligned
+    tau = np.zeros((ne, nd, 3))  # canonical physical tangents per slot
+
+    # edge dofs (vectorized over elements)
+    for j in range(nd):
+        if kinds[j] != 0:
+            continue
+        e, i = int(ents[j]), int(subs[j])
+        asc = easc[:, e]
+        slot = np.where(asc, i, k - 1 - i)
+        gid = eid[:, e] * k + slot
+        elem_dofs[:, j] = gid
+        mixI[:, j, 0] = gid
+        mixI[:, j, 1] = gid
+        mixW[:, j, 0] = np.where(asc, 1.0, -1.0)
+        lo = np.minimum(g0[:, e], g1[:, e])
+        hi = np.maximum(g0[:, e], g1[:, e])
+        tau[:, j, :] = X[hi] - X[lo]
+
+    # face dofs
+    loc_faces = np.asarray(_TET_FACES, dtype=np.int64)
+    for f in range(4):
+        gf = elems[:, loc_faces[f]]  # [ne, 3] global ids, local order
+        ranks = np.argsort(np.argsort(gf, axis=-1), axis=-1)  # [ne, 3]
+        gsorted = np.sort(gf, axis=-1)
+        t12 = np.stack([X[gsorted[:, 1]] - X[gsorted[:, 0]],
+                        X[gsorted[:, 2]] - X[gsorted[:, 0]]], axis=1)
+        for j in range(nd):
+            if kinds[j] != 1 or ents[j] != f:
+                continue
+            p, s = int(subs[j]), int(tslots[j])
+            i, jj, l = lat[p]
+            # canonical lattice coords: weight of sorted-global vertex r
+            trip = np.zeros((ne, 3), dtype=np.int64)
+            np.put_along_axis(
+                trip, ranks,
+                np.broadcast_to(np.array([i, jj, l]), (ne, 3)), axis=-1)
+            code = (trip[:, 0] * (k + 2) + trip[:, 1]) * (k + 2) + trip[:, 2]
+            can_p = np.array([enc[c] for c in code.tolist()], dtype=np.int64)
+            base = face_base + fid[:, f] * (npf * 2) + can_p * 2
+            # local tangent s: from rank of local vert a to rank of b/c
+            r_from = ranks[:, 0]
+            r_to = ranks[:, 1 + s]
+            w = _FACE_TAN_COEF[r_from, r_to]  # [ne, 2]
+            elem_dofs[:, j] = base + s
+            mixI[:, j, 0] = base
+            mixI[:, j, 1] = base + 1
+            mixW[:, j, :] = w
+            tau[:, j, :] = t12[:, s, :]
+
+    # interior dofs
+    for j in range(nd):
+        if kinds[j] != 2:
+            continue
+        p, s = int(subs[j]), int(tslots[j])
+        gid = int_base + np.arange(ne, dtype=np.int64) * (nint_pts * 3) \
+            + p * 3 + s
+        elem_dofs[:, j] = gid
+        mixI[:, j, 0] = gid
+        mixI[:, j, 1] = gid
+        mixW[:, j, 0] = 1.0
+        tau[:, j, s] = 1.0
+
+    # PEC boundary dofs: edge + face dofs of boundary faces
+    bdr = np.zeros(ndof, dtype=bool)
+    if len(mesh.bdr_faces):
+        bf = np.sort(np.asarray(mesh.bdr_faces, dtype=np.int64), axis=-1)
+        bfkey = (bf[:, 0] * np.int64(nv) + bf[:, 1]) * np.int64(nv) + bf[:, 2]
+        pos = np.clip(np.searchsorted(uniq_fkeys, bfkey), 0, nface - 1)
+        for fidx in np.unique(pos[uniq_fkeys[pos] == bfkey]):
+            base = face_base + fidx * (npf * 2)
+            bdr[base:base + npf * 2] = True
+        # edges of boundary faces
+        b0 = bf
+        b1 = np.roll(bf, -1, axis=1)
+        bek = (np.minimum(b0, b1) * np.int64(nv)
+               + np.maximum(b0, b1)).reshape(-1)
+        pos = np.clip(np.searchsorted(uniq_ekeys, bek), 0, nedge - 1)
+        hit = uniq_ekeys[pos] == bek
+        for eidx in np.unique(pos[hit]):
+            bdr[eidx * k:(eidx + 1) * k] = True
+    bdr_dofs = np.where(bdr)[0].astype(np.int64)
+
+    mult = np.bincount(elem_dofs.reshape(-1), minlength=ndof).astype(float)
+    return elem_dofs, mixI, mixW, tau, ndof, bdr_dofs, mult
+
+
+def _build_hcurl_tet_k(mesh, order, quad_order):
+    from ..mesh.reference_element import ReferenceElement
+
+    (exps, Cn, ref_dof_pts, ref_dirs, kinds, _e, _s, tslots) = \
+        _tet_nedelec_k_ref(order)
+    elem_dofs, mixI, mixW, tau, ndof, bdr_dofs, mult = \
+        _number_hcurl_tet_k(mesh, order)
+
+    ref_q = ReferenceElement(geom="tet", order=1, basis="gauss-lobatto")
+    deg = max(2 * quad_order, 2 * order + 2)
+    pts, wq = ref_q.volume_quadrature(deg)
+    W, Cw = _tet_nedelec_k_basis(order, pts)
+
+    dN = ref_q.eval_geom_basis_grad(pts)
+    Ngeo = ref_q.eval_geom_basis(pts)
+    ev = mesh.vertices[mesh.elements]  # [ne, 4, 3]
+    J = np.einsum("nvi,qvj->nqij", ev, dN)
+    detJ = np.linalg.det(J)
+    Jinv = np.linalg.inv(J)
+    xyz_q = np.einsum("qv,nvi->nqi", Ngeo, ev)
+
+    # per-element discrete-gradient block for the AMS auxiliary space:
+    # (G p)_slot = grad(p) . tau_canonical = sum_v p_v (J^{-T} grad
+    # lambda_v) . tau  (affine tets: constant J); tangential derivatives
+    # of a continuous p agree between the sharing elements, so the
+    # mult-averaged assembly is exact
+    gradphi = np.einsum("nji,vj->nvi", Jinv[:, 0], _TET_GRAD_L)  # [ne, 4, 3]
+    Gref = np.einsum("nvi,ndi->ndv", gradphi, tau)  # [ne, nd, 4]
+
+    return HCurlTables(
+        dim=3, ne=mesh.num_elements, nedge=ndof, elem_edges=elem_dofs,
+        edge_sign=np.ones_like(mixW[..., 0]), W=W, Cw=Cw, wq=wq, Jinv=Jinv,
+        Jmat=J, detJ=detJ, xyz_q=xyz_q, bdr_edges=bdr_dofs, edge_verts=None,
+        ref_pts=pts, order=order, dof_dirs=tslots, ref_dof_pts=ref_dof_pts,
+        Gref=Gref, tau_dof=tau, dof_mult=np.maximum(mult, 1.0),
+        mixI=mixI, mixW=mixW,
+    )
+
+
 def build_hcurl(mesh, quad_order=3, order=1) -> HCurlTables:
     """Nedelec H(curl) tables on hex OR tet meshes (reference:
     ND_FECollection(order, dim) accepts any order and 3-D element type,
     src/quasimagnetostatic.cpp:170; the rings/coupled-3d cases are Gmsh
     tet meshes).  order=1 is the Whitney edge space on either geometry;
     order>=2 is the interpolatory Nedelec-I(k) family on hexes
-    (geometric dof matching — see _number_hcurl_dofs_k)."""
+    (geometric dof matching — see _number_hcurl_dofs_k) and on tets
+    (canonical functionals + mixing tables — see _number_hcurl_tet_k)."""
     from ..mesh.reference_element import ReferenceElement
 
     if mesh.dim != 3:
@@ -265,10 +636,7 @@ def build_hcurl(mesh, quad_order=3, order=1) -> HCurlTables:
     is_tet = mesh.geom == "tet"
     if order > 1:
         if is_tet:
-            raise NotImplementedError(
-                "order >= 2 Nedelec is implemented on hex meshes "
-                "(tet meshes are lowest-order)"
-            )
+            return _build_hcurl_tet_k(mesh, order, quad_order)
         return _build_hcurl_hex_k(mesh, order, quad_order)
     local_edges = _TET_EDGES if is_tet else _HEX_EDGES
     nedloc = len(local_edges)
@@ -385,17 +753,26 @@ def _build_hcurl_hex_k(mesh, order, quad_order):
 # -- operators (jax) --------------------------------------------------------
 
 def gather(tab, x):
-    """x [nedge] -> [ne, 12] signed local dofs."""
+    """x [nedge] -> [ne, ndloc] local dofs (signed, or 2-slot mixed for
+    tet k >= 2 where face dofs change tangent basis per element)."""
+    if getattr(tab, "mixI", None) is not None:
+        return (x[tab.mixI] * tab.mixW).sum(-1)
     return x[tab.elem_edges] * tab.edge_sign
 
 
 def scatter_add(tab, xl):
-    """[ne, nedloc] signed local values -> [nedge] assembly."""
+    """[ne, nedloc] local values -> [nedge] assembly (adjoint of gather)."""
     import jax.numpy as jnp
     from jax.ops import segment_sum
 
     if tab.elem_valid is not None:
         xl = xl * tab.elem_valid[:, None]
+    if getattr(tab, "mixI", None) is not None:
+        return segment_sum(
+            (xl[..., None] * tab.mixW).reshape(-1),
+            tab.mixI.reshape(-1),
+            num_segments=tab.nedge,
+        )
     return segment_sum(
         (xl * tab.edge_sign).reshape(-1),
         tab.elem_edges.reshape(-1),
@@ -496,10 +873,19 @@ def curlcurl_diag(tab, coef=None):
 
 
 def scatter_add_unsigned(tab, xl):
+    """Diagonal-style assembly: global_g += sum over local copies.  With
+    2-slot mixing the exact assembled diagonal has cross terms; the
+    sum-of-squares form used here is the positive Jacobi-safe bound."""
     from jax.ops import segment_sum
 
     if tab.elem_valid is not None:
         xl = xl * tab.elem_valid[:, None]
+    if getattr(tab, "mixI", None) is not None:
+        return segment_sum(
+            (xl[..., None] * tab.mixW**2).reshape(-1),
+            tab.mixI.reshape(-1),
+            num_segments=tab.nedge,
+        )
     return segment_sum(
         xl.reshape(-1), tab.elem_edges.reshape(-1), num_segments=tab.nedge
     )
@@ -549,7 +935,7 @@ class ShardedHCurl:
         for name in ("elem_edges", "edge_sign", "W", "Cw", "wq", "Jinv",
                      "Jmat", "detJ", "xyz_q", "bdr_edges", "edge_verts",
                      "ref_pts", "dof_dirs", "ref_dof_pts", "Gref",
-                     "tau_dof", "dof_mult"):
+                     "tau_dof", "dof_mult", "mixI", "mixW"):
             setattr(self, name, getattr(gj, name))
         self.elem_valid = None
 
@@ -570,6 +956,10 @@ class ShardedHCurl:
         xq = z((nep,) + tab_np.xyz_q.shape[1:])
         valid = np.zeros((nparts, nep))
         eid = np.zeros((nparts, nep), dtype=np.int64)
+        has_mix = tab_np.mixI is not None
+        if has_mix:
+            mI = np.zeros((nparts, nep, nedloc, 2), dtype=np.int64)
+            mW = z((nep, nedloc, 2))
         for p in range(nparts):
             ids = np.where(part == p)[0]
             k = len(ids)
@@ -583,6 +973,9 @@ class ShardedHCurl:
             xq[p] = tab_np.xyz_q[sel]
             eid[p] = sel
             valid[p, :k] = 1.0
+            if has_mix:
+                mI[p] = tab_np.mixI[sel]
+                mW[p] = tab_np.mixW[sel]
 
         self._elem_ids_stacked = jnp.asarray(eid)
         self._st = {
@@ -594,6 +987,10 @@ class ShardedHCurl:
             "xyz_q": jnp.asarray(xq, dtype),
             "elem_valid": jnp.asarray(valid, dtype),
         }
+        if has_mix:
+            self._st["mixI"] = jnp.asarray(mI)
+            self._st["mixW"] = jnp.asarray(mW, dtype)
+        self._has_mix = has_mix
         self._nep = nep
 
         if devices is not None:
@@ -612,6 +1009,8 @@ class ShardedHCurl:
         loc.W, loc.Cw, loc.wq = self.W, self.Cw, self.wq
         loc.bdr_edges, loc.edge_verts = self.bdr_edges, self.edge_verts
         loc.ref_pts = self.ref_pts
+        if not self._has_mix:
+            loc.mixI = loc.mixW = None
         for k, v in st.items():
             setattr(loc, k, v[0])
         return loc

@@ -305,13 +305,17 @@ class QuasiMagnetostatic3D(Solver):
 
         tab, ht = self.tab, self.h1tab
         v2d = self._vert2dof()
-        ev_dofs = jnp.asarray(v2d[np.asarray(self.mesh.elements)])  # [ne, 8]
+        ev_dofs = jnp.asarray(v2d[np.asarray(self.mesh.elements)])  # [ne, nv]
         ed = jnp.asarray(tab.elem_edges)  # [ne, ndloc]
         sg = jnp.asarray(tab.edge_sign)
-        Gref = jnp.asarray(tab.Gref)  # [ndloc, 8]
+        # Gref: [ndloc, nv] fixed reference block (hex: dof directions are
+        # reference axes) or [ne, ndloc, nv] per-element (tet: canonical
+        # tangents pulled back through the affine J)
+        Gref = jnp.asarray(tab.Gref)
+        per_elem_G = Gref.ndim == 3
         tau = jnp.asarray(tab.tau_dof)  # [ne, ndloc, 3]
         mult = jnp.asarray(tab.dof_mult)
-        Pref = jnp.asarray(self._geo_basis_at_dof_pts())  # [ndloc, 8]
+        Pref = jnp.asarray(self._geo_basis_at_dof_pts())  # [ndloc, nv]
 
         emask = self.mask
         nh = ht.ndofs
@@ -339,13 +343,19 @@ class QuasiMagnetostatic3D(Solver):
         Mv = h1.chebyshev_precond(Lv, Lv_diag, degree=4)
 
         def G_apply(p):
-            gl = (p[ev_dofs] @ Gref.T) * sg  # [ne, ndloc]
+            if per_elem_G:
+                gl = jnp.einsum("nv,ndv->nd", p[ev_dofs], Gref) * sg
+            else:
+                gl = (p[ev_dofs] @ Gref.T) * sg  # [ne, ndloc]
             return segment_sum(gl.reshape(-1), ed.reshape(-1),
                                num_segments=ndof) / mult
 
         def GT_apply(r):
             rl = (r / mult)[ed] * sg
-            rv = rl @ Gref  # [ne, 8]
+            if per_elem_G:
+                rv = jnp.einsum("nd,ndv->nv", rl, Gref)
+            else:
+                rv = rl @ Gref  # [ne, nv]
             return segment_sum(rv.reshape(-1), ev_dofs.reshape(-1),
                                num_segments=nh)
 
@@ -376,11 +386,11 @@ class QuasiMagnetostatic3D(Solver):
         return Minv_block
 
     def _geo_basis_at_dof_pts(self):
-        """Vertex (geometry) basis at the Nedelec dof nodes [ndloc, 8]."""
+        """Vertex (geometry) basis at the Nedelec dof nodes [ndloc, nv]."""
         if getattr(self, "_Nvd", None) is None:
             from ...mesh.reference_element import ReferenceElement
 
-            ref = ReferenceElement(geom="hex", order=1,
+            ref = ReferenceElement(geom=self.mesh.geom, order=1,
                                    basis="gauss-lobatto")
             self._Nvd = ref.eval_geom_basis(np.asarray(self.tab.ref_dof_pts))
         return self._Nvd
