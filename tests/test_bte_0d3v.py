@@ -370,3 +370,68 @@ def test_transient_driver_protocol():
     assert np.all(bus.out[bus.ElectronMobility] > 0)
     assert np.all(np.isfinite(bus.out[bus.ReactionRates]))
     assert np.all(np.isfinite(np.asarray(bte._rel_cycle_change)))
+
+
+def test_per_reaction_rate_mapping():
+    """Every bus ReactionRates component whose equation is an
+    electron-impact process gets its own BTE rate, derived from the
+    reaction equation strings (role of the reference's bus write-back
+    index map TPSINDEX.RR_IDX, src/tps-bte_0d3v.py:147): ionization and
+    each excitation channel carry distinct rates; recombination (not an
+    e-impact process the 0d3v solver rates) stays zero."""
+    import jax.numpy as jnp
+
+    from tps_tpu.interop.boltzmann import Tps2Boltzmann
+    from tps_tpu.interop.bte_0d3v import (
+        BoltzmannSolver0D3V,
+        argon_cross_sections,
+    )
+
+    eqs = ["Ar + E => Ar.+1 + 2 E",      # ionization
+           "Ar + E => Ar_m + E",         # excitation channel 1
+           "Ar + E => Ar_p + E",         # excitation channel 2
+           "Ar.+1 + 2 E => Ar + E"]      # 3-body recombination: no rate
+
+    class Bus(Tps2Boltzmann):
+        def getReactionEquation(self, r):
+            return eqs[r]
+
+    npts = 4
+    bus = Bus()
+    bus.setup(nspecies=3, nreactions=4, n_efield_comps=2, shape=(npts,))
+    bus.setField(bus.ElectricField, jnp.full((npts, 2), 4.0e4))
+    bus.setField(bus.SpeciesDensities, jnp.full((npts, 3), 1.0e24))
+    bus.setField(bus.HeavyTemperature, jnp.full((npts, 1), 500.0))
+
+    bte = BoltzmannSolver0D3V(n_steps=300,
+                              cross_sections=argon_cross_sections())
+    bte.fetch(bus)
+    bte.solve()
+    bte.push(bus)
+    rates = np.asarray(bus.host(bus.ReactionRates))
+    assert rates.shape == (npts, 4)
+    assert np.isfinite(rates).all() and (rates >= 0).all()
+    assert rates[:, 0].max() > 0          # ionization rated
+    assert rates[:, 1].max() > 0          # first excitation rated
+    assert rates[:, 2].max() > 0          # second excitation rated
+    # distinct channels, not copies of one another (atol=0: the rates are
+    # ~1e-17 m^3/s, far below allclose's default absolute tolerance)
+    assert not np.allclose(rates[:, 1], rates[:, 2], rtol=1e-3, atol=0.0)
+    assert not np.allclose(rates[:, 0], rates[:, 1], rtol=1e-3, atol=0.0)
+    assert np.all(rates[:, 3] == 0.0)     # recombination left to chemistry
+
+    # explicit reaction_map override (the reference's hand-set RR_IDX)
+    bte2 = BoltzmannSolver0D3V(n_steps=300,
+                               cross_sections=argon_cross_sections(),
+                               reaction_map=("excitation", None))
+    bus2 = Bus()
+    bus2.setup(nspecies=3, nreactions=2, n_efield_comps=2, shape=(npts,))
+    bus2.setField(bus2.ElectricField, jnp.full((npts, 2), 4.0e4))
+    bus2.setField(bus2.SpeciesDensities, jnp.full((npts, 3), 1.0e24))
+    bus2.setField(bus2.HeavyTemperature, jnp.full((npts, 1), 500.0))
+    bte2.fetch(bus2)
+    bte2.solve()
+    bte2.push(bus2)
+    r2 = np.asarray(bus2.host(bus2.ReactionRates))
+    assert np.allclose(r2[:, 0], rates[:, 1], rtol=1e-12, atol=0.0)
+    assert np.all(r2[:, 1] == 0.0)

@@ -191,6 +191,10 @@ class BoltzmannSolver0D3V:
     e_freq: float = 0.0  # [Hz]
     bte_cycles: int = 8
     bte_steps_per_cycle: int = 64
+    # optional explicit bus-reaction -> process-name map (the reference's
+    # TPSINDEX.RR_IDX analog, src/tps-bte_0d3v.py:147); None derives the
+    # map from the bus reaction equations at push time
+    reaction_map: tuple = None
 
     def __post_init__(self):
         self.eps = np.linspace(0.0, self.eps_max, self.n_energy + 1)
@@ -476,8 +480,76 @@ class BoltzmannSolver0D3V:
         self._coeffs = self.coefficients(f0)
         self._f0 = f0
 
+    def _classify_reaction(self, equation):
+        """Map one chemistry equation string to an electron-impact process
+        class: 'ionization' (electron count grows across =>), 'excitation'
+        (electron-preserving e-impact on a ground-state reactant), or None
+        (recombination / heavy-particle reactions the BTE does not rate)."""
+        if "=>" not in equation:
+            return None
+        lhs, rhs = equation.replace("<=>", "=>").split("=>", 1)
+
+        def e_count(side):
+            n = 0
+            for term in side.split("+"):
+                toks = term.strip().strip("'\"").split()
+                if toks and toks[-1] == "E":
+                    n += int(toks[0]) if len(toks) > 1 else 1
+            return n
+
+        el, er = e_count(lhs), e_count(rhs)
+        if el == 0:
+            return None
+        if er > el:
+            return "ionization"
+        if er == el:
+            # excitation: a ground-state heavy reactant gains an internal
+            # label (Ar -> Ar_m / Ar_p / Ar(1S5) / Ar*) on the product side
+            heavy_l = [t.strip().split()[-1] for t in lhs.split("+")
+                       if t.strip() and t.strip().split()[-1] != "E"]
+            heavy_r = [t.strip().split()[-1] for t in rhs.split("+")
+                       if t.strip() and t.strip().split()[-1] != "E"]
+            ground = [s for s in heavy_l
+                      if not any(m in s for m in ("_", "(", "*", ".+"))]
+            excited = [s for s in heavy_r
+                       if any(m in s for m in ("_", "(", "*"))
+                       and ".+" not in s]
+            if ground and excited:
+                return "excitation"
+        return None
+
+    def _bus_rate_names(self, interface, nr):
+        """Per-bus-reaction BTE process names (reference: the rate
+        write-back maps bus reaction indices to solver QoI slots,
+        src/tps-bte_0d3v.py TPSINDEX.RR_IDX; here the map is either given
+        explicitly (reaction_map) or derived from the reaction equations)."""
+        if self.reaction_map is not None:
+            return list(self.reaction_map)[:nr] + [None] * (
+                nr - len(self.reaction_map))
+        get_eq = getattr(interface, "getReactionEquation", None)
+        if get_eq is None:
+            return (["ionization", "excitation"] + [None] * nr)[:nr]
+        exc_procs = [n for (n, _t, _s) in self._procs()
+                     if n.startswith("excitation")]
+        names, next_exc = [], 0
+        for r in range(nr):
+            kind = self._classify_reaction(str(get_eq(r)))
+            if kind == "excitation":
+                if next_exc < len(exc_procs):
+                    names.append(exc_procs[next_exc])
+                    next_exc += 1
+                else:  # more excitation channels than processes: reuse last
+                    names.append(exc_procs[-1] if exc_procs else None)
+            else:
+                names.append(kind)  # 'ionization' or None
+        return names
+
     def push(self, interface):
-        """Write electron temperature, mobility, and rates to the bus."""
+        """Write electron temperature, mobility, and per-reaction rates to
+        the bus.  Every bus ReactionRates component whose equation is an
+        electron-impact process gets its own BTE rate (negative rates
+        clamped to zero as in the reference write-back,
+        src/tps-bte_0d3v.py rates[rates<0] = 0.0)."""
         import jax.numpy as jnp
 
         c = self._coeffs
@@ -491,13 +563,12 @@ class BoltzmannSolver0D3V:
             (c["mobilityN"].reshape(self._shape) / N)[..., None],
         )
         nr = interface.nComponents(interface.ReactionRates)
-        rates = [c["k_ionization"], c["k_excitation"]][:nr]
-        if rates:
+        if nr:
+            zeros = jnp.zeros(self._shape)
+            cols = []
+            for name in self._bus_rate_names(interface, nr):
+                k = c.get(f"k_{name}") if name else None
+                cols.append(jnp.maximum(k.reshape(self._shape), 0.0)
+                            if k is not None else zeros)
             interface.setField(
-                interface.ReactionRates,
-                jnp.stack(
-                    [r.reshape(self._shape) for r in rates]
-                    + [jnp.zeros(self._shape)] * (nr - len(rates)),
-                    axis=-1,
-                ),
-            )
+                interface.ReactionRates, jnp.stack(cols, axis=-1))
