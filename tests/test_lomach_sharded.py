@@ -412,3 +412,79 @@ outdirBase = {d}/out
     n1 = np.asarray(a.turb.eddy_viscosity())
     n2 = np.asarray(b.turb.eddy_viscosity())
     assert np.abs(n2 - n1).max() <= 1e-8 * (np.abs(n1).max() + 1e-12)
+
+
+def test_chunked_lomach_with_zeta_f_matches_per_step(tmp_path):
+    """Chunk parity with the TRANSPORTED zeta-f model: the full 4-equation
+    state (k, eps, v2, f + BDF histories) rides the scan carry via the
+    rich chunk protocol (turb.chunk_step), with the same per-step lag
+    semantics as the algebraic models."""
+    def build(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        ini = d / "run.ini"
+        ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 8
+ny = 6
+x1 = 6.283185307179586
+y1 = 1.0
+periodic_x = 1
+[loMach]
+flow-solver = tomboulides
+thermo-solver = constant-property
+turb-model = zeta-f
+order = 2
+maxIters = 8
+outputFreq = 10000
+[loMach/constprop]
+rho = 1.0
+mu = 0.001
+[loMach/tomboulides]
+ic = tgv2d
+[ransModel]
+walls = '1 3'
+tke-ic = 1e-3
+[time]
+enableConstantTimestep = True
+dt_fixed = 1e-3
+bdfOrder = 2
+[boundaryConditions/wall1]
+patch = 1
+type = viscous
+[boundaryConditions/wall2]
+patch = 3
+type = viscous
+[io]
+outdirBase = {d}/out
+""")
+        tps = Tps()
+        tps.parse_command_line_args(
+            ["tps", "--runFile", str(ini), "--device", "cpu"])
+        tps.parse_input()
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        return tps.solver
+
+    a = build("ps")
+    b = build("ck")
+    from tps_tpu.solvers.lomach.zeta_model import ZetaModel
+
+    assert isinstance(a.turb, ZetaModel)
+    for _ in range(8):
+        a.solve_step()
+    b.solve()
+    assert b.iter == a.iter == 8
+    u1, u2 = np.asarray(a.flow.u), np.asarray(b.flow.u)
+    assert np.abs(u2 - u1).max() <= 1e-8 * (np.abs(u1).max() + 1.0)
+    for name in ("k", "eps", "v2", "f", "_mut"):
+        q1 = np.asarray(getattr(a.turb, name))
+        q2 = np.asarray(getattr(b.turb, name))
+        assert np.abs(q2 - q1).max() <= 1e-8 * (np.abs(q1).max() + 1e-12), \
+            name
+    # the state actually evolved (the carry mattered)
+    assert np.abs(np.asarray(a.turb.k) - 1e-3).max() > 1e-6

@@ -679,7 +679,10 @@ class LoMachSolver(Solver):
         return (
             not self.ext_data
             and not self.averaging.enabled
-            and hasattr(self.turb, "chunk_nut")  # zero/LES/algebraic/static
+            # zero/LES/algebraic/static carry a bare nut (chunk_nut);
+            # transported models (zeta-f) carry full state (chunk_step)
+            and (hasattr(self.turb, "chunk_nut")
+                 or hasattr(self.turb, "chunk_step"))
             and hasattr(self.thermo, "chunk_step")
             and hasattr(self.flow, "chunk_step")
             and self.iter + 1 >= self.max_bdf_order  # constant BDF order
@@ -701,27 +704,34 @@ class LoMachSolver(Solver):
 
         thermo, flow, turb = self.thermo, self.flow, self.turb
         sponge = getattr(flow, "sponge", None)
+        # transported turbulence (zeta-f): the carry is the model's full
+        # state pytree and the step needs (u, rho, mu, dt, order)
+        rich_turb = hasattr(turb, "chunk_step")
 
-        def run(ts, fs, nut, dt):
+        def run(ts, fs, tst, dt):
             def body(carry, _):
-                ts, fs, nut = carry
+                ts, fs, tst = carry
                 vel = flow.chunk_velocity(fs)
                 ts2 = thermo.chunk_step(ts, vel, dt, order)
                 rho, mu = thermo.chunk_props(ts2)
-                if nut is not None:
+                mu_eff = mu
+                if tst is not None:
                     # per-step semantics: flow uses the PREVIOUS step's
                     # eddy viscosity (turb steps after the flow)
-                    mu = mu + rho * nut
+                    nut = turb.chunk_nut_from(tst, rho) if rich_turb else tst
+                    mu_eff = mu + rho * nut
                 if sponge is not None:
-                    mu = mu * sponge.multiplier()
+                    mu_eff = mu_eff * sponge.multiplier()
                 qt = thermo.chunk_qt(ts2)
-                fs2, info = flow.chunk_step(fs, rho, mu, qt, dt, order)
-                nut2 = turb.chunk_nut(flow.chunk_velocity(fs2))
-                return (ts2, fs2, nut2), info
+                fs2, info = flow.chunk_step(fs, rho, mu_eff, qt, dt, order)
+                vel2 = flow.chunk_velocity(fs2)
+                tst2 = (turb.chunk_step(tst, vel2, rho, mu, dt, order)
+                        if rich_turb else turb.chunk_nut(vel2))
+                return (ts2, fs2, tst2), info
 
-            (ts, fs, nut), infos = jax.lax.scan(body, (ts, fs, nut), None,
+            (ts, fs, tst), infos = jax.lax.scan(body, (ts, fs, tst), None,
                                                 length=nsub)
-            return ts, fs, nut, infos
+            return ts, fs, tst, infos
 
         return jax.jit(run)
 

@@ -109,6 +109,26 @@ class ZetaModel(TurbModelBase):
         )
         self.k_hist, self.eps_hist, self.v2_hist = list(kh), list(eh), list(vh)
 
+    # -- chunked-scan adapters (LoMachSolver.solve_chunk, rich protocol:
+    # the carry is the full transported state, not just nu_t) --------------
+    def chunk_pack(self):
+        return (self.k, self.eps, self.v2, self.f, self._mut,
+                tuple(self.k_hist), tuple(self.eps_hist),
+                tuple(self.v2_hist))
+
+    def chunk_unpack(self, st):
+        (self.k, self.eps, self.v2, self.f, self._mut, kh, eh, vh) = st
+        self.k_hist, self.eps_hist, self.v2_hist = list(kh), list(eh), list(vh)
+
+    def chunk_nut_from(self, st, rho):
+        """Kinematic eddy viscosity carried by the chunk state."""
+        return st[4] / jnp.maximum(rho, 1e-300)
+
+    def chunk_step(self, st, u, rho, mu, dt, order):
+        k, eps, v2, _f, _mut, kh, eh, vh = st
+        return self._step_impl(k, eps, v2, kh, eh, vh, u, rho, mu, dt,
+                               order)
+
     # -- internals ---------------------------------------------------------
     def _scales(self, k, eps, v2, rho, mu, smag):
         c = self.c
