@@ -435,3 +435,118 @@ def test_per_reaction_rate_mapping():
     r2 = np.asarray(bus2.host(bus2.ReactionRates))
     assert np.allclose(r2[:, 0], rates[:, 1], rtol=1e-12, atol=0.0)
     assert np.all(r2[:, 1] == 0.0)
+
+
+def test_ee_collisions_landau_structure():
+    """Electron-electron Coulomb collisions (reference: boltzmannSolver/
+    ee_collisions, src/tps-bte_0d3v.py:96).  The antisymmetric discrete
+    Landau form must conserve density exactly, approximately conserve
+    energy through the Picard-lagged transient, and relax a bimodal EEDF
+    to a Maxwellian (exactly stationary discrete exponential)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tps_tpu.interop.bte_0d3v import (
+        BoltzmannSolver0D3V,
+        argon_cross_sections,
+    )
+
+    bte = BoltzmannSolver0D3V(n_energy=128, eps_max=12.0,
+                              cross_sections=argon_cross_sections(),
+                              ee_collisions=True, ion_deg=1e-2)
+    eps_c = np.asarray(bte.eps_c)
+    de = bte.de
+    epsf = np.asarray(bte.eps[1:-1])
+    sqer = np.sqrt(eps_c)
+    sqe_w = sqer * de
+    F = np.exp(-eps_c / 0.5) + 0.3 * np.exp(-((eps_c - 6.0) / 0.8) ** 2)
+    F /= np.sum(F * sqe_w)
+    mean0 = np.sum(eps_c * F * sqe_w)
+    aee = jnp.asarray(np.asarray(bte._ee_coeff(1e-2)))
+    f = jnp.asarray(F[None, :])
+    zero = jnp.zeros((1, 1))
+    rs = 1.0 / jnp.asarray(sqer)[None, :]
+    for _ in range(3000):
+        W, D = bte._ee_face_coeffs(f, aee, jnp.asarray(eps_c),
+                                   jnp.asarray(epsf), jnp.asarray(sqer),
+                                   de)
+        a2 = -0.5 * W + D / de
+        b2 = -0.5 * W - D / de
+        lo = jnp.concatenate([zero, a2], axis=1) / de
+        up = jnp.concatenate([-b2, zero], axis=1) / de
+        dg = (jnp.concatenate([zero, b2], axis=1)
+              - jnp.concatenate([a2, zero], axis=1)) / de
+        f = jax.lax.linalg.tridiagonal_solve(
+            -rs * lo, 1.0 - rs * dg, -rs * up, f[..., None])[..., 0]
+    Fn = np.asarray(f)[0]
+    dens = np.sum(Fn * sqe_w)
+    mean = np.sum(eps_c * Fn * sqe_w) / dens
+    assert abs(dens - 1.0) < 1e-10           # exact density conservation
+    assert abs(mean - mean0) / mean0 < 0.05  # near-conservative transient
+    sel = Fn > 1e-10
+    x, y = eps_c[sel], np.log(Fn[sel])
+    A = np.vstack([x, np.ones_like(x)]).T
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert np.sqrt(np.mean((y - A @ coef) ** 2)) < 0.01  # Maxwellian
+    assert coef[0] < 0
+
+
+def test_ee_collisions_maxwellianize_under_field():
+    """At high ionization degree the field-driven EEDF approaches a
+    Maxwellian (the physical effect ee_collisions exists to capture);
+    at ion_deg = 0 the operator is off and the non-Maxwellian inelastic
+    cutoff shape is preserved."""
+    import jax.numpy as jnp
+
+    from tps_tpu.interop.bte_0d3v import (
+        BoltzmannSolver0D3V,
+        argon_cross_sections,
+    )
+
+    def lnf_rms(ion):
+        b = BoltzmannSolver0D3V(n_energy=128, eps_max=40.0, n_steps=2500,
+                                dtau=1.0,
+                                cross_sections=argon_cross_sections(),
+                                ee_collisions=ion > 0, ion_deg=ion)
+        f = np.asarray(b.solve_eedf(jnp.asarray([30.0]),
+                                    jnp.asarray([400.0])))[0]
+        eps = np.asarray(b.eps_c)
+        sel = (f > 1e-12) & (eps < 25.0)
+        x, y = eps[sel], np.log(f[sel])
+        A = np.vstack([x, np.ones_like(x)]).T
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        return float(np.sqrt(np.mean((y - A @ coef) ** 2)))
+
+    r_off, r_on = lnf_rms(0.0), lnf_rms(1e-2)
+    assert r_on < 0.3 * r_off, (r_off, r_on)
+
+
+def test_ee_collisions_bus_driven():
+    """Driver protocol with ee_collisions: ionization degree comes from
+    the bus electron density (electron_index)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.interop.boltzmann import Tps2Boltzmann
+    from tps_tpu.interop.bte_0d3v import (
+        BoltzmannSolver0D3V,
+        argon_cross_sections,
+    )
+
+    npts = 3
+    bus = Tps2Boltzmann()
+    bus.setup(nspecies=3, nreactions=1, n_efield_comps=2, shape=(npts,))
+    bus.setField(bus.ElectricField, jnp.full((npts, 2), 2.0e4))
+    n_sp = np.full((npts, 3), 1.0e24)
+    n_sp[:, 1] = 1.0e22  # electrons: ion_deg ~ 5e-3
+    bus.setField(bus.SpeciesDensities, jnp.asarray(n_sp))
+    bus.setField(bus.HeavyTemperature, jnp.full((npts, 1), 500.0))
+    bte = BoltzmannSolver0D3V(n_steps=400,
+                              cross_sections=argon_cross_sections(),
+                              ee_collisions=True, electron_index=1)
+    bte.fetch(bus)
+    bte.solve()
+    bte.push(bus)
+    Te = np.asarray(bus.host(bus.ElectronTemperature))
+    assert np.isfinite(Te).all() and (Te > 0).all()
+    rates = np.asarray(bus.host(bus.ReactionRates))
+    assert np.isfinite(rates).all() and (rates >= 0).all()

@@ -195,6 +195,17 @@ class BoltzmannSolver0D3V:
     # TPSINDEX.RR_IDX analog, src/tps-bte_0d3v.py:147); None derives the
     # map from the bus reaction equations at push time
     reaction_map: tuple = None
+    # electron-electron Coulomb collisions (reference: boltzmannSolver/
+    # ee_collisions, src/tps-bte_0d3v.py:96): isotropic Fokker-Planck
+    # operator a d/de[3 A1 F + 2 (A2 + e^{3/2} A3) dF/de] with
+    # Picard-lagged Rosenbluth moments A1/A2/A3 (cumulative sums).  The
+    # coefficient a = (2 pi / 3) (n_e/N) lnL (e^2/4 pi eps0)^2 / SIG0 is
+    # fixed by the fast-electron stopping-power limit; the Maxwellian is
+    # an exact equilibrium of the discrete flux form.
+    ee_collisions: bool = False
+    ion_deg: float = 0.0  # n_e / N when densities are not bus-provided
+    ln_lambda: float = 10.0  # Coulomb logarithm
+    electron_index: int = None  # bus SpeciesDensities slot of n_e
 
     def __post_init__(self):
         self.eps = np.linspace(0.0, self.eps_max, self.n_energy + 1)
@@ -228,8 +239,43 @@ class BoltzmannSolver0D3V:
             return self.cross_sections.mass_ratio
         return 1.36e-5  # electron/argon
 
+    def _ee_coeff(self, ion_deg):
+        """Normalized e-e Fokker-Planck coefficient a [eV^2] per point."""
+        import jax.numpy as jnp
+
+        K = 1.439964e-9  # e^2 / (4 pi eps0)  [eV m]
+        ion = jnp.atleast_1d(jnp.asarray(ion_deg))
+        return (2.0 * np.pi / 3.0) * ion[:, None] * self.ln_lambda \
+            * (K * K / 1.0e-20)
+
+    def _ee_face_coeffs(self, f, aee, eps_c, epsf, sqer, de):
+        """Face drift/diffusion (W_ee, D_ee) [n, m-1] from the lagged
+        Rosenbluth moments of the current EEDF, in the ANTISYMMETRIC
+        Landau form
+
+            Phi(e) = 2a int min(e,u)^{3/2} [F'(e)F(u) - F(e)F'(u)] du
+
+        (identical to the A1/A2/A3 form in the continuum: int k F du =
+        A2 + e^{3/2} A3, int k F' du = -(3/2) A1).  Discretized with BOTH
+        slots at faces, the e<->u antisymmetry makes density and energy
+        conservation and the stationarity of every discrete Maxwellian
+        EXACT — cumulative-sum moments instead have an O(de^2) cold bias
+        that self-amplifies at ee rates >> elastic rates."""
+        import jax.numpy as jnp
+
+        kmat = getattr(self, "_ee_kmat", None)
+        if kmat is None:
+            ef = np.asarray(epsf)
+            kmat = jnp.asarray(np.minimum(ef[:, None], ef[None, :]) ** 1.5)
+            self._ee_kmat = kmat
+        Fb = 0.5 * (f[:, :-1] + f[:, 1:])
+        dF = (f[:, 1:] - f[:, :-1]) / de
+        Abar = de * (Fb @ kmat)   # ~ A2 + e^{3/2} A3
+        B = de * (dF @ kmat)      # ~ -(3/2) A1
+        return -2.0 * aee * B, 2.0 * aee * Abar
+
     # ------------------------------------------------------------------
-    def solve_eedf(self, EoN, T_gas, mass_ratio=None):
+    def solve_eedf(self, EoN, T_gas, mass_ratio=None, ion_deg=None):
         """f0 per point: EoN [n] in Townsend (1 Td = 1e-21 V m^2),
         T_gas [n] in K.  Returns f0 [n, n_energy] normalized so
         int f0 sqrt(eps) deps = 1.
@@ -237,7 +283,9 @@ class BoltzmannSolver0D3V:
         All cross sections are normalized by 1e-20 m^2 so the operator is
         O(1); the steady state is scale-invariant.  The drift-diffusion +
         loss part is advanced implicitly with a batched tridiagonal solve;
-        energy-shifted in-scattering is explicit."""
+        energy-shifted in-scattering is explicit.  With ee_collisions the
+        tridiagonal is rebuilt each pseudo-step from the Picard-lagged
+        Rosenbluth moments (nonlinear in f0)."""
         import jax
         import jax.numpy as jnp
 
@@ -286,6 +334,17 @@ class BoltzmannSolver0D3V:
         du = -dtau * upper
         dd = 1.0 - dtau * (diag - nu_loss)
 
+        ee = self.ee_collisions
+        if ee:
+            aee = self._ee_coeff(
+                self.ion_deg if ion_deg is None else ion_deg)
+            # physical sqrt(eps) time metric (the transient solver's r):
+            # a pure row scaling, so the fixed point is unchanged — but it
+            # makes the pseudo-dynamics energy-physical, which the
+            # NONLINEAR e-e operator needs (without it the EEDF slides
+            # along the one-parameter Maxwellian family toward T -> 0)
+            rs = dtau / sqer[None, :]
+
         sqe_w = sqer * de
 
         def normalize(f):
@@ -301,8 +360,25 @@ class BoltzmannSolver0D3V:
                     gain = gain.at[:, : m - shift].add(
                         nu[None, shift:] * f[:, shift:]
                     )
-            rhs = f + dtau * gain
-            f_new = jax.lax.linalg.tridiagonal_solve(dl, dd, du, rhs[..., None])[..., 0]
+            if ee:
+                Wee, Dee = self._ee_face_coeffs(f, aee, eps_c, epsf, sqer,
+                                                de)
+                Wt, Dt = W + Wee, D + Dee
+                a2 = -0.5 * Wt + Dt / de
+                b2 = -0.5 * Wt - Dt / de
+                lo2 = jnp.concatenate([zero, a2], axis=1) / de
+                up2 = jnp.concatenate([-b2, zero], axis=1) / de
+                dg2 = (jnp.concatenate([zero, b2], axis=1)
+                       - jnp.concatenate([a2, zero], axis=1)) / de
+                dls = -rs * lo2
+                dds = 1.0 - rs * (dg2 - nu_loss)
+                dus = -rs * up2
+                rhs = f + rs * gain
+            else:
+                dls, dds, dus = dl, dd, du
+                rhs = f + dtau * gain
+            f_new = jax.lax.linalg.tridiagonal_solve(
+                dls, dds, dus, rhs[..., None])[..., 0]
             f_new = jnp.maximum(f_new, 0.0)
             return normalize(f_new), None
 
@@ -312,7 +388,7 @@ class BoltzmannSolver0D3V:
     # ------------------------------------------------------------------
     def solve_eedf_transient(self, EoN_re, EoN_im, T_gas, freq, N_gas,
                              n_cycles=8, steps_per_cycle=64,
-                             mass_ratio=None):
+                             mass_ratio=None, ion_deg=None):
         """RF-cycle-resolved EEDF (the reference's `transient` solver
         mode, src/tps-bte_0d3v.py:88,794,1622): march f0(t) in PHYSICAL
         time under the oscillating field
@@ -370,13 +446,23 @@ class BoltzmannSolver0D3V:
             z = jnp.sum(f * sqe_w[None, :], axis=1, keepdims=True)
             return f / jnp.maximum(z, 1e-300)
 
+        ee = self.ee_collisions
+        if ee:
+            aee = self._ee_coeff(
+                self.ion_deg if ion_deg is None else ion_deg)
+
         def substep(f, k):
             t = (k + 1.0) * dt_phys
             EoN_t = jnp.abs(Er * jnp.cos(omega * t) + Ei * jnp.sin(omega * t))
             D = (EoN_t[:, None] ** 2) * epsf[None, :] / (3.0 * sig_m[None, :]) \
                 + D_th
-            a = -0.5 * W_el + D / de
-            b = -0.5 * W_el - D / de
+            W = W_el
+            if ee:
+                Wee, Dee = self._ee_face_coeffs(f, aee, eps_c, epsf, sqer,
+                                                de)
+                W, D = W + Wee, D + Dee
+            a = -0.5 * W + D / de
+            b = -0.5 * W - D / de
             lower = jnp.concatenate([zero, a], axis=1) / de
             upper = jnp.concatenate([-b, zero], axis=1) / de
             diag = (jnp.concatenate([zero, b], axis=1)
@@ -465,6 +551,12 @@ class BoltzmannSolver0D3V:
         N = np.maximum(self._n_sp.sum(axis=-1).reshape(-1), 1e10)
         EoN_td = Emag / N / 1e-21  # Townsend
         EoN_td = np.clip(EoN_td, 0.01, 1000.0)
+        # ionization degree for e-e collisions: from the bus electron
+        # density when the species slot is known, else the fixed ion_deg
+        ion = None
+        if self.ee_collisions and self.electron_index is not None:
+            ion = jnp.asarray(
+                self._n_sp[..., self.electron_index].reshape(-1) / N)
         if self.solver_type == "transient" and self.e_freq > 0.0:
             # RF-cycle-averaged EEDF: the bus field is the phasor
             # amplitude (cycle-avg coupled EM), so E(t) = |E| cos(wt)
@@ -472,11 +564,12 @@ class BoltzmannSolver0D3V:
                 jnp.asarray(EoN_td), jnp.zeros_like(jnp.asarray(EoN_td)),
                 jnp.asarray(self._Th.reshape(-1)), self.e_freq,
                 jnp.asarray(N), n_cycles=self.bte_cycles,
-                steps_per_cycle=self.bte_steps_per_cycle,
+                steps_per_cycle=self.bte_steps_per_cycle, ion_deg=ion,
             )
         else:
             f0 = self.solve_eedf(jnp.asarray(EoN_td),
-                                 jnp.asarray(self._Th.reshape(-1)))
+                                 jnp.asarray(self._Th.reshape(-1)),
+                                 ion_deg=ion)
         self._coeffs = self.coefficients(f0)
         self._f0 = f0
 
