@@ -206,11 +206,50 @@ class BoltzmannSolver0D3V:
     ion_deg: float = 0.0  # n_e / N when densities are not bus-provided
     ln_lambda: float = 10.0  # Coulomb logarithm
     electron_index: int = None  # bus SpeciesDensities slot of n_e
+    # coupled-loop cadence (reference: boltzmannSolver/bte_solve_freq,
+    # src/tps-bte_0d3v.py:274): consumed by driver loops, not the solver
+    bte_solve_freq: int = 1
+
+    @classmethod
+    def from_ini(cls, inp):
+        """Build from a [boltzmannSolver] ini section (the reference's
+        BoltzmannSolverParams reader, src/tps-bte_0d3v.py:250-280;
+        reference key names kept where the concept maps 1:1)."""
+        sec = "boltzmannSolver"
+        csp = inp.get(f"{sec}/cross_sections", "argon")
+        if csp in ("argon", "", None):
+            cs = argon_cross_sections()
+        else:
+            cs = read_lxcat(str(csp))
+        rmap = inp.get_vec(f"{sec}/reaction_map", typ=str) \
+            if inp.has(f"{sec}/reaction_map") else None
+        ei = inp.get(f"{sec}/electron_index", None)
+        return cls(
+            n_energy=int(inp.get(f"{sec}/n_energy", 128)),
+            eps_max=float(inp.get(f"{sec}/eps_max", 60.0)),
+            n_steps=int(inp.get(f"{sec}/max_iter", 400)),
+            dtau=float(inp.get(f"{sec}/dtau", 2.0)),
+            cross_sections=cs,
+            solver_type=str(inp.get(f"{sec}/solver_type", "steady-state")),
+            e_freq=float(inp.get(f"{sec}/Efreq", 0.0)),
+            bte_cycles=int(inp.get(f"{sec}/cycles", 8)),
+            ee_collisions=bool(int(inp.get(f"{sec}/ee_collisions", 0))),
+            ion_deg=float(inp.get(f"{sec}/ion_deg", 0.0)),
+            ln_lambda=float(inp.get(f"{sec}/ln_lambda", 10.0)),
+            electron_index=None if ei is None else int(ei),
+            reaction_map=tuple(rmap) if rmap is not None else None,
+            bte_solve_freq=int(inp.get(f"{sec}/bte_solve_freq", 1)),
+        )
 
     def __post_init__(self):
         self.eps = np.linspace(0.0, self.eps_max, self.n_energy + 1)
         self.de = self.eps[1] - self.eps[0]
         self.eps_c = 0.5 * (self.eps[:-1] + self.eps[1:])  # cell centers
+        # e-e Landau kernel min(e,u)^{3/2} at interior faces; built
+        # EAGERLY (numpy) — creating it lazily inside a traced scan body
+        # would cache a tracer and leak it into the next trace
+        ef = self.eps[1:-1]
+        self._ee_kmat = np.minimum(ef[:, None], ef[None, :]) ** 1.5
 
     def _sigma_m(self, eps):
         if self.cross_sections is not None:
@@ -263,11 +302,7 @@ class BoltzmannSolver0D3V:
         that self-amplifies at ee rates >> elastic rates."""
         import jax.numpy as jnp
 
-        kmat = getattr(self, "_ee_kmat", None)
-        if kmat is None:
-            ef = np.asarray(epsf)
-            kmat = jnp.asarray(np.minimum(ef[:, None], ef[None, :]) ** 1.5)
-            self._ee_kmat = kmat
+        kmat = jnp.asarray(self._ee_kmat)
         Fb = 0.5 * (f[:, :-1] + f[:, 1:])
         dF = (f[:, 1:] - f[:, :-1]) / de
         Abar = de * (Fb @ kmat)   # ~ A2 + e^{3/2} A3
@@ -617,8 +652,9 @@ class BoltzmannSolver0D3V:
         src/tps-bte_0d3v.py TPSINDEX.RR_IDX; here the map is either given
         explicitly (reaction_map) or derived from the reaction equations)."""
         if self.reaction_map is not None:
-            return list(self.reaction_map)[:nr] + [None] * (
-                nr - len(self.reaction_map))
+            names = [None if m in (None, "", "none", "-") else m
+                     for m in self.reaction_map]
+            return names[:nr] + [None] * (nr - len(names))
         get_eq = getattr(interface, "getReactionEquation", None)
         if get_eq is None:
             return (["ionization", "excitation"] + [None] * nr)[:nr]
