@@ -550,3 +550,37 @@ def test_ee_collisions_bus_driven():
     assert np.isfinite(Te).all() and (Te > 0).all()
     rates = np.asarray(bus.host(bus.ReactionRates))
     assert np.isfinite(rates).all() and (rates >= 0).all()
+
+
+def test_electron_diffusion_einstein_relation():
+    """The free-diffusion coefficient D*N fills the bus ElectronDiffusion
+    slot (reference Index taxonomy, src/tps2Boltzmann.hpp:70-86); at the
+    thermal limit the Einstein relation D/mu = kT holds."""
+    import jax.numpy as jnp
+
+    from tps_tpu.interop.boltzmann import Tps2Boltzmann
+
+    import jax.numpy as jnp2
+
+    bte = BoltzmannSolver0D3V(n_energy=96, eps_max=8.0)
+    T = 1.0  # eV
+    eps = np.asarray(bte.eps_c)
+    F = np.exp(-eps / T)
+    F /= np.sum(F * np.sqrt(eps) * bte.de)
+    c = bte.coefficients(jnp2.asarray(F[None, :]))
+    ratio = float(c["diffusionN"][0] / c["mobilityN"][0])  # [V]
+    # exact for a Maxwellian up to the finite-domain truncation
+    assert abs(ratio - T) / T < 0.05, ratio
+
+    bus = Tps2Boltzmann()
+    npts = 3
+    bus.setup(nspecies=2, nreactions=1, n_efield_comps=2, shape=(npts,))
+    bus.setField(bus.ElectricField, jnp.full((npts, 2), 2.0e4))
+    bus.setField(bus.SpeciesDensities, jnp.full((npts, 2), 1.0e24))
+    bus.setField(bus.HeavyTemperature, jnp.full((npts, 1), 400.0))
+    b2 = BoltzmannSolver0D3V(n_steps=300)
+    b2.fetch(bus)
+    b2.solve()
+    b2.push(bus)
+    D = np.asarray(bus.host(bus.ElectronDiffusion))
+    assert D.shape == (npts, 1) and np.isfinite(D).all() and (D > 0).all()

@@ -551,11 +551,21 @@ class BoltzmannSolver0D3V:
         muN = -(GAMMA / 3.0) * jnp.sum(
             (epsf / sig_m)[None, :] * dfde * self.de, axis=1
         )
+        # free diffusion D*N = gamma/3 int eps/sigma_m f0 deps (two-term
+        # standard).  Evaluated at FACES with the same eps/sigma weight as
+        # muN, so the Einstein relation D/mu = kT holds exactly at the
+        # discrete thermal fixed point (center-weighted sums differ by
+        # O(10%) across the Ramsauer dip).
+        fbar = 0.5 * (f0[:, 1:] + f0[:, :-1])
+        DN = (GAMMA / 3.0) * jnp.sum(
+            (epsf / sig_m)[None, :] * fbar * self.de, axis=1
+        )
 
         out = {
             "mean_energy": mean_e,
             "electron_temperature": mean_e * 2.0 / 3.0 / KB_EV,  # K
             "mobilityN": muN,
+            "diffusionN": DN,
         }
         for (name, _thr, sig_fn) in self._procs():
             out[f"k_{name}"] = GAMMA * jnp.sum(
@@ -691,6 +701,11 @@ class BoltzmannSolver0D3V:
             interface.ElectronMobility,
             (c["mobilityN"].reshape(self._shape) / N)[..., None],
         )
+        if hasattr(interface, "ElectronDiffusion"):
+            interface.setField(
+                interface.ElectronDiffusion,
+                (c["diffusionN"].reshape(self._shape) / N)[..., None],
+            )
         nr = interface.nComponents(interface.ReactionRates)
         if nr:
             zeros = jnp.zeros(self._shape)
