@@ -477,7 +477,42 @@ def bench_torch_coupled():
 
 
 def main():
-    primary = bench_fused()
+    import contextlib
+    import sys
+
+    global SMOKE
+    with contextlib.ExitStack() as stack:
+        # solver screen output (coupled-torch diagnostics etc.) goes to
+        # stderr: the gate contract is ONE JSON line on stdout
+        stack.enter_context(contextlib.redirect_stdout(sys.stderr))
+        _run_benches()
+
+
+def _run_benches():
+    import json as _json
+    import sys
+
+    global SMOKE
+    try:
+        primary = bench_fused()
+    except Exception as e:
+        # backend unavailable (e.g. the hosted-TPU tunnel is down): fall
+        # back to a CPU smoke pass so the gate still emits its JSON line,
+        # flagged so the numbers are not mistaken for TPU timings
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+        SMOKE = True
+        primary = bench_fused()
+        primary["detail"]["backend_fallback"] = (
+            f"TPU backend unavailable ({type(e).__name__}); CPU smoke "
+            "numbers, timings not meaningful"
+        )
+        primary["vs_baseline"] = 0.0
     extras = []
     for fn in (bench_general, bench_argon, bench_cyl, bench_argon_big,
                bench_lomach_reacting, bench_torch_coupled):
@@ -486,7 +521,7 @@ def main():
         except Exception as e:  # record the failure, keep the gate green
             extras.append({"metric": fn.__name__, "error": repr(e)})
     primary["extra_metrics"] = extras
-    print(json.dumps(primary))
+    print(json.dumps(primary), file=sys.__stdout__)
 
 
 if __name__ == "__main__":
