@@ -584,3 +584,39 @@ def test_electron_diffusion_einstein_relation():
     b2.push(bus)
     D = np.asarray(bus.host(bus.ElectronDiffusion))
     assert D.shape == (npts, 1) and np.isfinite(D).all() and (D > 0).all()
+
+
+def test_multiterm_three_term_closure():
+    """l_max = 2 three-term closure (reference: boltzmannSolver/l_max,
+    src/tps-bte_0d3v.py:250): negligible correction where the two-term
+    closure is accurate (low/moderate E/N), a bounded NEGATIVE correction
+    to mean energy and ionization at high E/N (two-term overestimates
+    when the anisotropy is strong), monotone E/N trends preserved, and
+    the unsupported l_max >= 3 sweep refused."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tps_tpu.interop.bte_0d3v import (
+        BoltzmannSolver0D3V,
+        argon_cross_sections,
+    )
+
+    cs = argon_cross_sections()
+    EoN = np.array([30.0, 100.0, 300.0, 500.0])
+    out = {}
+    for L in (1, 2):
+        b = BoltzmannSolver0D3V(n_energy=160, eps_max=80.0, n_steps=2500,
+                                dtau=1.0, cross_sections=cs, l_max=L)
+        f = b.solve_eedf(jnp.asarray(EoN), jnp.full(len(EoN), 300.0))
+        c = b.coefficients(f)
+        out[L] = (np.asarray(c["mean_energy"]),
+                  np.asarray(c["k_ionization"]))
+    dm = (out[2][0] - out[1][0]) / out[1][0]
+    dk = (out[2][1] - out[1][1]) / out[1][1]
+    assert abs(dm[0]) < 0.05 and abs(dk[0]) < 0.10   # 30 Td: tiny
+    assert -0.30 < dm[3] < -0.005                     # 500 Td: negative,
+    assert -0.45 < dk[3] < -0.01                      # bounded
+    assert (np.diff(out[2][0]) > 0).all()             # heating monotone
+    assert (np.diff(out[2][1]) > 0).all()
+    with pytest.raises(ValueError):
+        BoltzmannSolver0D3V(l_max=3)

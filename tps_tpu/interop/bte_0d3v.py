@@ -206,6 +206,16 @@ class BoltzmannSolver0D3V:
     ion_deg: float = 0.0  # n_e / N when densities are not bus-provided
     ln_lambda: float = 10.0  # Coulomb logarithm
     electron_index: int = None  # bus SpeciesDensities slot of n_e
+    # spherical-harmonic truncation order (reference: boltzmannSolver/
+    # l_max, src/tps-bte_0d3v.py:250).  l_max = 1 is the classical
+    # two-term closure; l_max >= 2 adds the higher anisotropy components
+    # F_l through the steady hierarchy
+    #   F_l = (E~/sigma~)[ (l/(2l-1)) (d/de - (l-1)/2e) F_{l-1}
+    #                    + ((l+1)/(2l+3)) (d/de + (l+2)/2e) F_{l+1} ]
+    # (energy-space form of the standard Legendre recursion, isotropic
+    # scattering, nu_l = nu_m), whose F_2 term corrects the l=0 field
+    # flux (E~ eps/3) F_1 beyond the two-term diffusion D_E.
+    l_max: int = 1
     # coupled-loop cadence (reference: boltzmannSolver/bte_solve_freq,
     # src/tps-bte_0d3v.py:274): consumed by driver loops, not the solver
     bte_solve_freq: int = 1
@@ -239,6 +249,7 @@ class BoltzmannSolver0D3V:
             electron_index=None if ei is None else int(ei),
             reaction_map=tuple(rmap) if rmap is not None else None,
             bte_solve_freq=int(inp.get(f"{sec}/bte_solve_freq", 1)),
+            l_max=int(inp.get(f"{sec}/l_max", 1)),
         )
 
     def __post_init__(self):
@@ -250,6 +261,13 @@ class BoltzmannSolver0D3V:
         # would cache a tracer and leak it into the next trace
         ef = self.eps[1:-1]
         self._ee_kmat = np.minimum(ef[:, None], ef[None, :]) ** 1.5
+        if self.l_max > 2:
+            raise ValueError(
+                "l_max > 2 requires a coupled block solve of the "
+                "anisotropy hierarchy; the Picard sweep closure used "
+                "here diverges for l >= 3 once E~/sigma~ is O(1) "
+                "(supported: l_max = 1 two-term, l_max = 2 three-term)"
+            )
 
     def _sigma_m(self, eps):
         if self.cross_sections is not None:
@@ -277,6 +295,54 @@ class BoltzmannSolver0D3V:
                 self.cross_sections.mass_ratio > 0:
             return self.cross_sections.mass_ratio
         return 1.36e-5  # electron/argon
+
+    def _multiterm_corr(self, f, EoN, sig_c, eps_c, epsf, de):
+        """Per-cell l=0 rhs correction from the l >= 2 anisotropy
+        components (explicit, Picard-lagged): the steady hierarchy is
+        swept downward for F_l estimates, then upward to fold each
+        F_{l+1} back into F_l; the resulting F_1 beyond the two-term
+        (E~/sigma~) F_0' yields the extra field flux (E~ eps/3) dF_1."""
+        import jax.numpy as jnp
+
+        def ddx(g):  # cell-centered d/de (central, one-sided ends)
+            interior = (g[:, 2:] - g[:, :-2]) / (2.0 * de)
+            lo = (g[:, 1:2] - g[:, 0:1]) / de
+            hi = (g[:, -1:] - g[:, -2:-1]) / de
+            return jnp.concatenate([lo, interior, hi], axis=1)
+
+        # physical small-energy asymptotics: f_l ~ v^l, so the anisotropy
+        # components vanish toward eps -> 0; the discrete recursion cannot
+        # resolve that (1/eps factors + one-sided stencils at the first
+        # cells amplify grid noise, worst in the Ramsauer dip where
+        # E~/sigma~ per cell exceeds 1).  Taper width pinned in PHYSICAL
+        # energy (2.5% of the domain) with a 4-cell resolution floor so
+        # grid refinement at fixed domain converges
+        w0 = max(4.0 * de, 0.025 * self.eps_max)
+        wlo = (eps_c * eps_c / (eps_c * eps_c + w0 * w0))[None, :]
+
+        def limit(g):
+            # anisotropy limiter |F_l| <= F_0 (physical distributions have
+            # bounded Legendre coefficients) + the bottom taper
+            return jnp.clip(g * wlo, -f, f)
+
+        Es = EoN[:, None] / sig_c[None, :]
+        L = self.l_max
+        Fl = {0: f, 1: limit(Es * ddx(f))}
+        for l in range(2, L + 1):
+            Fl[l] = limit(Es * (l / (2.0 * l - 1.0)) * (
+                ddx(Fl[l - 1]) - ((l - 1) / (2.0 * eps_c))[None, :]
+                * Fl[l - 1]))
+        for l in range(L - 1, 0, -1):
+            Fl[l] = limit(Fl[l] + Es * ((l + 1) / (2.0 * l + 3.0)) * (
+                ddx(Fl[l + 1]) + ((l + 2) / (2.0 * eps_c))[None, :]
+                * Fl[l + 1]))
+        dF1 = Fl[1] - limit(Es * ddx(f))  # the beyond-two-term part
+        # field-flux correction at interior faces, divergence at cells
+        dF1_f = 0.5 * (dF1[:, :-1] + dF1[:, 1:])
+        phi = (EoN[:, None] * epsf[None, :] / 3.0) * dF1_f
+        zero = jnp.zeros((f.shape[0], 1))
+        return (jnp.concatenate([phi, zero], axis=1)
+                - jnp.concatenate([zero, phi], axis=1)) / de
 
     def _ee_coeff(self, ion_deg):
         """Normalized e-e Fokker-Planck coefficient a [eV^2] per point."""
@@ -369,6 +435,10 @@ class BoltzmannSolver0D3V:
         du = -dtau * upper
         dd = 1.0 - dtau * (diag - nu_loss)
 
+        mt = self.l_max > 1
+        if mt:
+            sig_c = self._sigma_m(eps_c) / SIG0
+
         ee = self.ee_collisions
         if ee:
             aee = self._ee_coeff(
@@ -395,6 +465,10 @@ class BoltzmannSolver0D3V:
                     gain = gain.at[:, : m - shift].add(
                         nu[None, shift:] * f[:, shift:]
                     )
+            if mt:  # lagged l >= 2 anisotropy correction (full at the
+                # fixed point: pseudo-time prefactors don't bias it)
+                gain = gain + self._multiterm_corr(
+                    f, EoN, sig_c, eps_c, epsf, de)
             if ee:
                 Wee, Dee = self._ee_face_coeffs(f, aee, eps_c, epsf, sqer,
                                                 de)
@@ -485,6 +559,9 @@ class BoltzmannSolver0D3V:
         if ee:
             aee = self._ee_coeff(
                 self.ion_deg if ion_deg is None else ion_deg)
+        mt = self.l_max > 1
+        if mt:
+            sig_c = self._sigma_m(eps_c) / SIG0
 
         def substep(f, k):
             t = (k + 1.0) * dt_phys
@@ -508,6 +585,9 @@ class BoltzmannSolver0D3V:
                     gain = gain.at[:, : m - shift].add(
                         nu[None, shift:] * f[:, shift:]
                     )
+            if mt:  # lagged l >= 2 anisotropy correction
+                gain = gain + self._multiterm_corr(
+                    f, EoN_t, sig_c, eps_c, epsf, de)
             rhs = f + r * gain
             f_new = jax.lax.linalg.tridiagonal_solve(
                 -r * lower, 1.0 - r * (diag - nu_loss), -r * upper,
