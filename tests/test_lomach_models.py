@@ -113,3 +113,90 @@ def test_supg_damps_advective_oscillations():
     osc_supg = run(True)
     assert np.isfinite(osc_supg)
     assert osc_supg < 0.6 * osc_plain, (osc_plain, osc_supg)
+
+
+def test_gravity_buoyancy_cavity():
+    """loMach/gravity (reference: src/tomboulides.cpp:419-434, the
+    lomach-lequere differentially-heated-cavity class of cases):
+
+    1. uniform density + gravity: the hydrostatic head is a pure
+       gradient the pressure projection absorbs — no flow develops;
+    2. hot left / cold right walls + downward gravity: buoyancy drives
+       a circulation with the hot-side gas rising."""
+    from tps_tpu.harness import Tps
+
+    def run(tmpdir, hot, cold, iters):
+        import os
+        import tempfile
+
+        ini = os.path.join(tmpdir, f"cav{hot}.ini")
+        with open(ini, "w") as f:
+            f.write(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 10
+ny = 10
+x1 = 0.01
+y1 = 0.01
+[loMach]
+order = 2
+flow-solver = tomboulides
+thermo-solver = calorically-perfect
+gravity = '0.0 -9.81'
+maxIters = {iters}
+outputFreq = 1000
+[initialConditions]
+temperature = 300.0
+[time]
+dt_fixed = 1e-3
+bdfOrder = 2
+[boundaryConditions/wall1]
+patch = 4
+type = viscous
+temperature = {hot}
+[boundaryConditions/wall2]
+patch = 2
+type = viscous
+temperature = {cold}
+[boundaryConditions/wall3]
+patch = 1
+type = viscous
+temperature = 300.0
+[boundaryConditions/wall4]
+patch = 3
+type = viscous
+temperature = 300.0
+[io]
+outdirBase = {tmpdir}/out{hot}
+""")
+        tps = Tps()
+        tps.input_file = ini
+        tps.parse_input()
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        tps.solve()
+        return tps.solver
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # (1) no temperature difference: hydrostatics only, no flow
+        s0 = run(td, 300.0, 300.0, 20)
+        u0 = np.asarray(s0.flow.velocity())
+        assert np.abs(u0).max() < 1e-6, np.abs(u0).max()
+
+        # (2) differentially heated (Ra ~ 1e4 on the 1 cm cavity): hot
+        # gas rises along the left wall, sinks along the cold right wall
+        s1 = run(td, 400.0, 200.0, 80)
+        u1 = np.asarray(s1.flow.velocity())
+        xy = np.asarray(s1.tab.xyz) / 0.01  # relative coords
+        assert np.isfinite(u1).all()
+        assert np.abs(u1).max() > 1e-4  # flow actually developed
+        mid = (xy[:, 1] > 0.3) & (xy[:, 1] < 0.7)
+        left = mid & (xy[:, 0] > 0.02) & (xy[:, 0] < 0.35)
+        right = mid & (xy[:, 0] > 0.65) & (xy[:, 0] < 0.98)
+        assert u1[left, 1].mean() > 0.0, "hot side must rise"
+        assert u1[right, 1].mean() < 0.0, "cold side must sink"

@@ -30,10 +30,12 @@ from .tomboulides import Tomboulides
 class TomboulidesAxisym(Tomboulides):
     def __init__(self, tab, thermo, turb=None, vel_bcs=(), swirl=False,
                  swirl_bcs=(), body_force=None, sponge=None,
-                 cg_tol=1e-10, cg_maxiter=1000, axis_tol=1e-12):
+                 cg_tol=1e-10, cg_maxiter=1000, axis_tol=1e-12,
+                 gravity=None):
         super().__init__(tab, thermo, turb=turb, vel_bcs=vel_bcs,
                          body_force=body_force, sponge=sponge,
-                         cg_tol=cg_tol, cg_maxiter=cg_maxiter)
+                         cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                         gravity=gravity)
         nd = tab.ndofs
         self.swirl = swirl
         self.rad_q = jnp.asarray(tab.xyz_q[..., 0])  # radius at quads (> 0)

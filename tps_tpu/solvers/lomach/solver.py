@@ -496,6 +496,11 @@ class LoMachSolver(Solver):
 
         # flow model factory
         flow_model = inp.get("loMach/flow-solver", "tomboulides")
+        # constant gravity vector (reference: loMach/gravity,
+        # src/tomboulides.cpp:424; buoyancy-driven cases like the
+        # Le Quere differentially heated cavity)
+        gvec = inp.get_vec("loMach/gravity", self.tab.dim) \
+            if inp.has("loMach/gravity") else None
         if flow_model == "tomboulides" and inp.get("loMach/axisymmetric", 0):
             from .axisym import TomboulidesAxisym
 
@@ -504,6 +509,7 @@ class LoMachSolver(Solver):
                 swirl=bool(inp.get("loMach/swirl", 0)),
                 sponge=self.sponge,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                gravity=gvec,
             )
         elif flow_model == "tomboulides":
             self.flow = Tomboulides(
@@ -512,6 +518,7 @@ class LoMachSolver(Solver):
                 sponge=self.sponge,
                 cg_tol=cg_tol, cg_maxiter=cg_maxiter,
                 mesh=self.mesh,  # enables p-multigrid pressure precond
+                gravity=gvec,
             )
         elif flow_model == "zero-flow":
             self.flow = ZeroFlow(self.tab)

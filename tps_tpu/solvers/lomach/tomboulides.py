@@ -49,13 +49,19 @@ class PressureDirichlet:
 class Tomboulides(FlowBase):
     def __init__(self, tab, thermo, turb=None, vel_bcs=(), pres_refdof=True,
                  body_force=None, sponge=None, cg_tol=1e-10, cg_maxiter=1000,
-                 mesh=None, pres_bcs=()):
+                 mesh=None, pres_bcs=(), gravity=None):
         self.tab = tab
         self.thermo = thermo
         self.turb = turb
         self.sponge = sponge
         self.vel_bcs = tuple(vel_bcs)
         self.body_force = body_force
+        # constant gravitational acceleration [dim] added to the velocity
+        # equation (reference: loMach/gravity, src/tomboulides.cpp:419-434;
+        # with variable density this drives buoyancy — a constant-rho g is
+        # a pure gradient the pressure projection absorbs)
+        self.gravity = None if gravity is None else jnp.asarray(
+            np.asarray(gravity, dtype=np.float64))
         self.cg_tol = cg_tol
         self.cg_maxiter = cg_maxiter
         self.solve_info = {}
@@ -308,6 +314,8 @@ class Tomboulides(FlowBase):
         N_ext = ab[0] * N_now + ab[1] * N_hist[0] + ab[2] * N_hist[1]
         if self.body_force is not None:
             N_ext = N_ext + self.body_force(tab.xyz) / rho[:, None]
+        if self.gravity is not None:
+            N_ext = N_ext + self.gravity[None, :]
         hist = -(bd[1] * u + bd[2] * u_hist[0] + bd[3] * u_hist[1]) / dt
         ustar_dt = N_ext + hist  # acceleration: vstar/dt
 
