@@ -115,3 +115,78 @@ outdirBase = %s
     assert rho.shape[0] == 12 * 12 * 9  # ne * ndof at p=2
     import numpy as np
     assert np.isfinite(rho).all() and rho.min() > 0.3 and rho.max() < 1.1
+
+
+def test_lomach_averaging_dissipation_and_restart(tmp_path):
+    """loMach statistics parity (reference: Averaging registration in
+    Tomboulides::initializeStats, src/tomboulides.cpp:1412-1450): the
+    time-averaged DISSIPATION of the fluctuating velocity rides the
+    sample vector, means/RMS appear in the VTK dump, and the running
+    statistics are restartable fields."""
+    from tps_tpu.harness import Tps
+
+    ini = tmp_path / "run.ini"
+    ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 6
+ny = 6
+x1 = 6.283185307179586
+y1 = 6.283185307179586
+periodic_x = 1
+periodic_y = 1
+[loMach]
+flow-solver = tomboulides
+thermo-solver = constant-property
+order = 2
+maxIters = 6
+outputFreq = 6
+[loMach/constprop]
+rho = 1.0
+mu = 0.01
+[loMach/tomboulides]
+ic = tgv2d
+[averaging]
+startIter = 1
+sampleFreq = 1
+[time]
+dt_fixed = 1e-3
+[io]
+outdirBase = {tmp_path}/out
+""")
+    tps = Tps()
+    tps.input_file = str(ini)
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    tps.solve()
+    s = tps.solver
+    assert s.averaging.n_samples >= 5
+    dim = s.tab.dim
+    mu = np.asarray(s.averaging.mean_up)
+    assert mu.shape[-1] == dim + 3  # rho, u, T, dissipation
+    eps_mean = mu[:, 2 + dim]
+    assert np.isfinite(eps_mean).all() and (eps_mean >= -1e-14).all()
+    assert eps_mean.max() > 0  # TGV shear dissipates
+
+    path = s.visualization()
+    txt = open(path).read()
+    assert "mean_dissipation" in txt and "reynolds_stress" in txt
+
+    # statistics survive a restart
+    tps2 = Tps()
+    tps2.input_file = str(ini)
+    tps2.parse_input()
+    tps2.config.raw.values["io/enableRestart"] = "1"
+    tps2.config.raw.values["loMach/maxIters"] = "8"
+    tps2.choose_devices()
+    tps2.choose_solver()
+    tps2.initialize()
+    s2 = tps2.solver
+    assert s2.averaging.n_samples == s.averaging.n_samples
+    assert np.allclose(np.asarray(s2.averaging.mean_up), mu)
+    tps2.solve()
+    assert s2.averaging.n_samples > s.averaging.n_samples

@@ -828,9 +828,17 @@ class LoMachSolver(Solver):
             u = self.flow.velocity()
             T = (self.thermo.T if hasattr(self.thermo, "T")
                  else jnp.zeros(self.tab.ndofs))
-            pseudo_up = jnp.concatenate(
-                [self.thermo.density()[:, None], u, T[:, None]], axis=-1
-            )
+            cols = [self.thermo.density()[:, None], u, T[:, None]]
+            if hasattr(self.flow, "dissipation_field"):
+                # time-averaged dissipation of the fluctuating velocity
+                # (reference: Tomboulides::computeDissipation feeding the
+                # 'dissipation' Averaging field, src/tomboulides.cpp:1416)
+                dim = self.tab.dim
+                um = (self.averaging.mean_up[:, 1:1 + dim]
+                      if self.averaging.mean_up is not None
+                      else jnp.zeros_like(u))
+                cols.append(self.flow.dissipation_field(um)[:, None])
+            pseudo_up = jnp.concatenate(cols, axis=-1)
             self.averaging.add_sample(self.iter, pseudo_up, self.tab.dim)
         if self.iter % self.output_freq == 0:
             wall = _time.perf_counter() - self._wall0
@@ -892,6 +900,12 @@ class LoMachSolver(Solver):
             g = f.create_group("solution")
             for name, arr in self._restart_fields().items():
                 g[name] = np.asarray(arr)
+            # running statistics are restartable fields too (reference:
+            # loMach mean/RMS IO families, src/loMach.cpp:482-484)
+            if self.averaging.enabled and self.averaging.n_samples:
+                ga = f.create_group("averaging")
+                for k, v in self.averaging.state_dict().items():
+                    ga[k] = v
 
     def read_restart(self):
         import os as _os
@@ -919,6 +933,12 @@ class LoMachSolver(Solver):
                 self.thermo.T_hist = [self.thermo.T, self.thermo.T]
             if "species" in g and hasattr(self.thermo, "Y"):
                 self.thermo.Y = jnp.asarray(np.asarray(g["species"]))
+            if "averaging" in f:
+                ga = f["averaging"]
+                self.averaging.load_state_dict(
+                    {k: np.asarray(v) for k, v in ga.items()},
+                    self.tab.dim,
+                )
 
     def visualization(self):
         """ParaView VTK dump of the model fields (reference: loMach pvdc)."""
@@ -935,6 +955,17 @@ class LoMachSolver(Solver):
         nut = self.turb.eddy_viscosity()
         if nut is not None:
             fields["eddy_viscosity"] = np.asarray(nut)
+        # time-averaged statistics (reference: meanVel/meanPres/meanEpsi +
+        # rmsData IO families, src/tomboulides.cpp:1412-1450)
+        if self.averaging.enabled and self.averaging.n_samples:
+            dim = self.tab.dim
+            mu = np.asarray(self.averaging.mean_up)
+            fields["mean_velocity"] = mu[:, 1:1 + dim]
+            fields["mean_temperature"] = mu[:, 1 + dim]
+            if mu.shape[-1] > 2 + dim:
+                fields["mean_dissipation"] = mu[:, 2 + dim]
+            fields["reynolds_stress"] = np.asarray(
+                self.averaging.reynolds_stresses(dim))
         path = _os.path.join(self.outdir, f"lomach_{self.iter:08d}.vtk")
         write_vtk_h1(path, self.tab, self.mesh, fields)
         return path

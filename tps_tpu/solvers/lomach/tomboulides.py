@@ -446,3 +446,23 @@ class Tomboulides(FlowBase):
         mu = self.thermo.viscosity()
         Ku = h1.diffusion_apply(tab, self.u, mu)
         return jnp.sum(self.u * Ku)
+
+    def dissipation_field(self, u_mean):
+        """Per-dof turbulent dissipation of the FLUCTUATING velocity,
+        eps = 2 (mu_total/rho) sum_ij (d u'_i/dx_j)^2 with u' = u - <u>
+        (reference: Tomboulides::computeDissipation,
+        src/tomboulides.cpp:1454-1529; registered as a time-averaged
+        statistics field).  Planar components only (axisym swirl
+        gradients are not included, matching the reference's nvel=dim
+        gradient set)."""
+        tab = self.tab
+        up = self.u - u_mean
+        g = jnp.stack(
+            [h1.grad_at_dofs(tab, up[:, d]) for d in range(up.shape[-1])],
+            axis=1,
+        )
+        rho = self.thermo.density()
+        mu = self.thermo.viscosity()
+        if self.turb is not None:
+            mu = mu + rho * self.turb.eddy_viscosity()
+        return 2.0 * (mu / rho) * jnp.einsum("nij,nij->n", g, g)
