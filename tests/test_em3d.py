@@ -418,3 +418,64 @@ def test_em3d_tet_order2_solve_and_sharding():
         q3 = setup(3)
         a1, a3 = np.asarray(q1.A_re), np.asarray(q3.A_re)
         assert np.abs(a1 - a3).max() < 1e-7 * max(np.abs(a1).max(), 1e-30)
+
+
+def test_refine_uniform_tet():
+    """Red refinement of tet meshes (reference: em/ref_levels on the
+    Gmsh tet rings meshes via mfem UniformRefinement): 8x elements,
+    volume preserved, positive Jacobians, boundary 4x with attributes,
+    and the EM solve runs on the refined mesh."""
+    import jax.numpy as jnp
+
+    from tps_tpu.fem import h1
+    from tps_tpu.mesh.generators import box_3d_tet
+    from tps_tpu.mesh.refine import refine_uniform
+
+    m = box_3d_tet(2, 2, 2, bounds=((-0.5, 0.5),) * 3)
+    m.elem_attrs = np.arange(m.num_elements, dtype=np.int64) % 2 + 1
+    r = refine_uniform(m, 1)
+    assert r.num_elements == 8 * m.num_elements
+    assert np.all(r.elem_attrs.reshape(-1, 8) == m.elem_attrs[:, None])
+    t0 = h1.build_h1(m, order=1)
+    t1 = h1.build_h1(r, order=1)
+    v0 = float(np.einsum("q,nq->", t0.wq, t0.detJ))
+    v1 = float(np.einsum("q,nq->", t1.wq, t1.detJ))
+    assert abs(v0 - v1) < 1e-12 * abs(v0)
+    assert (t1.detJ > 0).all()  # positive orientation everywhere
+    assert r.bdr_faces.shape[0] == 4 * m.bdr_faces.shape[0]
+    assert set(np.unique(r.bdr_attrs)) == set(np.unique(m.bdr_attrs))
+
+    # magnetic energy converges: refined coarse-tet solve approaches the
+    # fine-mesh value far better than the unrefined one
+    def energy(mesh, iters=200):
+        q = QuasiMagnetostatic3D(
+            mesh, coils=((0.0, 0.2, 0.35, 0.1),), current_frequency=60.0,
+            current_amplitude=1000.0, rtol=1e-10, max_iter=iters,
+            preconditioner="ams")
+        q.solve()
+        return q.magnetic_energy()
+
+    e_coarse = energy(m)
+    e_ref = energy(r)
+    e_fine = energy(box_3d_tet(4, 4, 4, bounds=((-0.5, 0.5),) * 3))
+    assert abs(e_ref - e_fine) < 0.6 * abs(e_coarse - e_fine), \
+        (e_coarse, e_ref, e_fine)
+
+
+def test_refine_uniform_tri():
+    """Red refinement of tri meshes: 4x elements, area preserved,
+    boundary edges split 2x."""
+    from tps_tpu.fem import h1
+    from tps_tpu.mesh.generators import box_2d_tri
+    from tps_tpu.mesh.refine import refine_uniform
+
+    m = box_2d_tri(3, 2)
+    r = refine_uniform(m, 1)
+    assert r.num_elements == 4 * m.num_elements
+    t0 = h1.build_h1(m, order=1)
+    t1 = h1.build_h1(r, order=1)
+    a0 = float(np.einsum("q,nq->", t0.wq, t0.detJ))
+    a1 = float(np.einsum("q,nq->", t1.wq, t1.detJ))
+    assert abs(a0 - a1) < 1e-12 * abs(a0)
+    assert (t1.detJ > 0).all()
+    assert r.bdr_faces.shape[0] == 2 * m.bdr_faces.shape[0]

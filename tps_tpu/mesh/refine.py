@@ -1,10 +1,11 @@
 """Uniform mesh refinement (the reference's `em/ref_levels` /
 `mfem::Mesh::UniformRefinement` role, src/quasimagnetostatic.cpp:167-170).
 
-Straight-sided quad/hex meshes only: each quad splits into 4 children and
-each hex into 8, introducing edge midpoints, face centers, and (3-D) body
-centers.  Element attributes propagate to children; boundary faces split
-with their attribute preserved.
+Straight-sided meshes: quads/tris split into 4 children, hexes into 8
+(edge midpoints, face centers, body centers), tets into 8 (red
+refinement: corner tets + Bey octasection).  Element attributes
+propagate to children; boundary faces split with their attribute
+preserved.
 """
 
 from __future__ import annotations
@@ -65,7 +66,7 @@ def _lattice_vids(pool, ev, lattice_map, dim):
 
 
 def refine_uniform(mesh: Mesh, levels: int = 1) -> Mesh:
-    """Uniformly refine `levels` times. quad/hex, straight-sided,
+    """Uniformly refine `levels` times. quad/hex/tri/tet, straight-sided,
     non-periodic meshes."""
     out = mesh
     for _ in range(max(0, int(levels))):
@@ -74,12 +75,14 @@ def refine_uniform(mesh: Mesh, levels: int = 1) -> Mesh:
 
 
 def _refine_once(mesh: Mesh) -> Mesh:
-    if mesh.geom not in ("quad", "hex"):
+    if mesh.geom not in ("quad", "hex", "tri", "tet"):
         raise NotImplementedError(f"uniform refinement of {mesh.geom} meshes")
     if mesh.periodic_pairs:
         raise NotImplementedError("uniform refinement of periodic meshes")
     if mesh.curved_nodes is not None:
         raise NotImplementedError("uniform refinement of curved meshes")
+    if mesh.geom in ("tri", "tet"):
+        return _refine_once_simplex(mesh)
 
     dim = mesh.dim
     lattice_map = _QUAD_LATTICE if mesh.geom == "quad" else _HEX_LATTICE
@@ -128,6 +131,86 @@ def _refine_once(mesh: Mesh) -> Mesh:
         geom=mesh.geom,
         vertices=np.asarray(pool.coords, dtype=np.float64),
         elements=np.asarray(children, dtype=np.int64),
+        bdr_faces=(np.asarray(new_bfaces, dtype=np.int64)
+                   if new_bfaces else np.zeros((0, 0), dtype=int)),
+        bdr_attrs=np.asarray(new_battrs, dtype=np.int64),
+        elem_attrs=np.asarray(child_attrs, dtype=np.int64),
+    )
+
+
+def _refine_once_simplex(mesh: Mesh) -> Mesh:
+    """Red refinement of simplices: a triangle splits into 4 children
+    (corners + the medial triangle); a tet splits into 8 — 4 corner tets
+    plus Bey's octasection of the central octahedron along the
+    (m02, m13) diagonal (the reference's tet UniformRefinement role for
+    the rings/coupled-3d Gmsh meshes, src/quasimagnetostatic.cpp:167)."""
+    pool = _PointPool(mesh.vertices)
+    attrs = mesh.attributes()
+    children, child_attrs = [], []
+
+    def m(a, b):
+        return pool.midpoint((a, b))
+
+    for e in range(mesh.num_elements):
+        ev = [int(v) for v in mesh.elements[e]]
+        if mesh.geom == "tri":
+            v0, v1, v2 = ev
+            m01, m12, m02 = m(v0, v1), m(v1, v2), m(v0, v2)
+            kids = [(v0, m01, m02), (m01, v1, m12),
+                    (m02, m12, v2), (m01, m12, m02)]
+        else:
+            v0, v1, v2, v3 = ev
+            m01, m02, m03 = m(v0, v1), m(v0, v2), m(v0, v3)
+            m12, m13, m23 = m(v1, v2), m(v1, v3), m(v2, v3)
+            kids = [
+                (v0, m01, m02, m03), (m01, v1, m12, m13),
+                (m02, m12, v2, m23), (m03, m13, m23, v3),
+                # octahedron split along (m02, m13)
+                (m01, m02, m03, m13), (m01, m02, m12, m13),
+                (m02, m03, m13, m23), (m02, m12, m13, m23),
+            ]
+        children += [list(k) for k in kids]
+        child_attrs += [int(attrs[e])] * len(kids)
+
+    children = np.asarray(children, dtype=np.int64)
+    verts = np.asarray(pool.coords, dtype=np.float64)
+
+    # enforce positive orientation (affine simplices: one sign per child)
+    if mesh.geom == "tet":
+        ev = verts[children]
+        det = np.linalg.det(ev[:, 1:4] - ev[:, 0:1])
+        flip = det < 0
+        children[flip, 2], children[flip, 3] = \
+            children[flip, 3].copy(), children[flip, 2].copy()
+    else:
+        ev = verts[children]
+        det = np.cross(ev[:, 1, :2] - ev[:, 0, :2], ev[:, 2, :2] - ev[:, 0, :2])
+        flip = det < 0
+        children[flip, 1], children[flip, 2] = \
+            children[flip, 2].copy(), children[flip, 1].copy()
+
+    new_bfaces, new_battrs = [], []
+    for i in range(mesh.bdr_faces.shape[0]):
+        fv = [int(v) for v in mesh.bdr_faces[i]]
+        attr = int(mesh.bdr_attrs[i]) if len(mesh.bdr_attrs) else 1
+        if len(fv) == 2:  # edge (2-D tri boundary)
+            mm = m(fv[0], fv[1])
+            new_bfaces += [[fv[0], mm], [mm, fv[1]]]
+            new_battrs += [attr, attr]
+        elif len(fv) == 3:  # triangle face (3-D tet boundary)
+            a, b, c = fv
+            mab, mbc, mac = m(a, b), m(b, c), m(a, c)
+            new_bfaces += [[a, mab, mac], [mab, b, mbc],
+                           [mac, mbc, c], [mab, mbc, mac]]
+            new_battrs += [attr] * 4
+        else:
+            raise NotImplementedError(f"boundary face with {len(fv)} vertices")
+
+    return Mesh(
+        dim=mesh.dim,
+        geom=mesh.geom,
+        vertices=verts,
+        elements=children,
         bdr_faces=(np.asarray(new_bfaces, dtype=np.int64)
                    if new_bfaces else np.zeros((0, 0), dtype=int)),
         bdr_attrs=np.asarray(new_battrs, dtype=np.int64),
