@@ -479,3 +479,31 @@ def test_refine_uniform_tri():
     assert abs(a0 - a1) < 1e-12 * abs(a0)
     assert (t1.detJ > 0).all()
     assert r.bdr_faces.shape[0] == 2 * m.bdr_faces.shape[0]
+
+
+def test_preconditioner_background_sigma_invariance():
+    """em/preconditioner_background_sigma (reference:
+    src/quasimagnetostatic.cpp:439-443) regularizes only the
+    PRECONDITIONER: the converged solution must match the
+    no-background solve."""
+    import jax.numpy as jnp
+
+    from tps_tpu.mesh.generators import box_3d_tet
+
+    def run(bg):
+        q = QuasiMagnetostatic3D(
+            box_3d_tet(3, 3, 3, bounds=((-0.5, 0.5),) * 3),
+            coils=((0.0, 0.2, 0.35, 0.1),), current_frequency=60.0,
+            current_amplitude=1000.0, rtol=1e-11, max_iter=300,
+            preconditioner="ams",
+            preconditioner_background_sigma=bg)
+        sig = np.where(np.linalg.norm(
+            np.asarray(q.h1tab.xyz), axis=1) < 0.2, 1e4, 0.0)
+        import jax.numpy as jnp2
+        q.set_plasma_conductivity(jnp2.asarray(sig))
+        q.solve()
+        return np.asarray(q.A_re)
+
+    a0, a1 = run(-1.0), run(50.0)
+    scale = max(np.abs(a0).max(), 1e-30)
+    assert np.abs(a0 - a1).max() < 1e-6 * scale

@@ -361,3 +361,118 @@ outdirBase = {tmp_path}/out
     assert np.abs(Y[wall_dofs, :n_active]).max() < 1e-12
     assert np.abs(Y.sum(axis=1) - 1.0).max() < 1e-10
     assert np.isfinite(np.asarray(th.T)).all()
+
+
+def test_ramp_chem_blend(tmp_path):
+    """Chemistry-model ramping after a restart (reference:
+    loMach/reactingFlow/ramp-chem + [reactions_base],
+    src/reactingFlow.cpp:652-682, 2697-2710): inside the window the
+    reaction source blends linearly from the baseline chemistry to the
+    active one; outside the window the active chemistry applies."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tps_tpu.config.ini import IniInput
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.harness import Tps
+
+    here = os.path.dirname(__file__)
+    argon = open(os.path.join(here, "inputs", "argon_minimal.ini")).read()
+    argon = "[plasma_models]" + argon.split("[plasma_models]", 1)[1]
+    argon = argon.rsplit("[io]", 1)[0]
+    ini = tmp_path / "run.ini"
+    ini.write_text(f"""
+[solver]
+type = loMach
+[mesh]
+generator = box2d
+nx = 3
+ny = 3
+x1 = 0.01
+y1 = 0.01
+[loMach]
+order = 1
+flow-solver = zero-flow
+thermo-solver = reacting-flow
+maxIters = 2
+outputFreq = 1000
+[loMach/reactingFlow]
+ramp-chem = 1
+[loMach/reactingFlow/ramp-chem]
+ramp_start = 1.0
+ramp_time = 2.0
+[initialConditions]
+temperature = 9000.0
+[time]
+dt_fixed = 1e-8
+[boundaryConditions/wall1]
+patch = 1
+type = viscous
+temperature = 9000.0
+[boundaryConditions/wall2]
+patch = 2
+type = viscous
+temperature = 9000.0
+[boundaryConditions/wall3]
+patch = 3
+type = viscous
+temperature = 9000.0
+[boundaryConditions/wall4]
+patch = 4
+type = viscous
+temperature = 9000.0
+[io]
+outdirBase = {tmp_path}/out
+{argon}
+[reactions_base/reaction1]
+model = arrhenius
+reaction_energy = 1.7e6
+[reactions_base/reaction1/arrhenius]
+A = 1.0
+b = 0.0
+E = 0.0
+""")
+    tps = Tps()
+    tps.input_file = str(ini)
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    th = tps.solver.thermo
+    assert th.chemistry_base is not None
+    assert th.ramp_start == 1.0 and th.ramp_time == 2.0
+
+    # seed a real ionization fraction so the electron-impact rates bite
+    T = th.T
+    Y = np.array(th.Y)
+    names = list(th.species_names)
+    iE = names.index("E")
+    iI = next(i for i, n in enumerate(names) if "+" in n or "Ar.+1" in n)
+    iBg = next(i for i in range(len(names)) if i not in (iE, iI))
+    Y[:, iE] = 1e-8
+    Y[:, iI] = 1e-3
+    Y[:, iBg] = 1.0 - Y[:, iE] - Y[:, iI]
+    Y = jnp.asarray(Y)
+    dA, _ = th._reaction_source(T, Y, t=jnp.asarray(0.5))   # before: active
+    dB, _ = th._reaction_source(T, Y, t=jnp.asarray(5.0))   # after: active
+    dM, _ = th._reaction_source(T, Y, t=jnp.asarray(2.0))   # middle: blend
+    # compute the pure-base source by temporarily disabling the ramp
+    base = th.chemistry_base
+    active = th.chemistry
+    th.chemistry = base
+    th.chemistry_base = None
+    d_base, _ = th._reaction_source(T, Y)
+    th.chemistry = active
+    th.chemistry_base = base
+    dA, dB, dM, d_base = (np.asarray(x) for x in (dA, dB, dM, d_base))
+    assert np.allclose(dA, dB)
+    # middle of the window: exactly halfway between base and active
+    mid = 0.5 * (d_base + dA)
+    assert np.allclose(dM, mid, rtol=1e-10, atol=1e-30)
+    # the two chemistries genuinely differ (the blend is meaningful)
+    assert not np.allclose(d_base, dA, rtol=1e-3, atol=1e-30)
+
+    # the stepping paths run with the ramp active
+    tps.solve()
+    assert np.isfinite(np.asarray(th.T)).all()

@@ -31,6 +31,10 @@ class PlasmaSetup:
     species_names: list  # mixture-ordered
     input_to_mixture: np.ndarray  # input species index -> mixture index
     initial_mass_fractions: np.ndarray = None  # mixture-ordered
+    # baseline chemistry for post-restart model ramping (reference:
+    # loMach/reactingFlow/ramp-chem + [reactions_base],
+    # src/reactingFlow.cpp:652-682)
+    chemistry_base: object | None = None
 
 
 def _parse_composition(s: str) -> dict:
@@ -166,11 +170,45 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
 
     # ---- reactions ----
     chemistry = None
+    chemistry_base = None
     n_react = inp.get("reactions/numberOfReactions",
                       inp.get("reactions/number_of_reactions", 0))
     if n_react > 0:
         r_stoich = np.zeros((n_react, nsp))
         p_stoich = np.zeros((n_react, nsp))
+
+        def parse_model(base, r):
+            model = inp.get(f"{base}/model", "arrhenius")
+            if model == "arrhenius":
+                return Arrhenius(
+                    A=inp.get_required(f"{base}/arrhenius/A", float),
+                    b=inp.get_required(f"{base}/arrhenius/b", float),
+                    E=inp.get_required(f"{base}/arrhenius/E", float),
+                )
+            if model == "hoffert_lien":
+                return HoffertLien(
+                    A=inp.get_required(f"{base}/hoffert_lien/A", float),
+                    b=inp.get_required(f"{base}/hoffert_lien/b", float),
+                    E=inp.get_required(f"{base}/hoffert_lien/E", float),
+                )
+            if model == "tabulated":
+                return TabulatedRate(read_table_input(inp, f"{base}/tabulated"))
+            if model == "radiative_decay":
+                # (reference: src/reactingFlow.cpp:562-566)
+                from .radiative_decay import RadiativeDecay
+
+                iu = int(np.argmax(r_stoich[r - 1]))
+                il = int(np.argmax(p_stoich[r - 1]))
+                names_mix = [names[i] for i in order]
+                return RadiativeDecay(
+                    upper=names_mix[iu], lower=names_mix[il],
+                    i_upper=iu, i_lower=il,
+                    radius=inp.get_required(f"{base}/radius", float),
+                )
+            if model == "bte":  # external rates via the Boltzmann bus
+                return ExternalRate(comp=r - 1)
+            raise NotImplementedError(f"reaction model '{model}'")
+
         models, energies, balances, eq_params = [], [], [], []
         for r in range(1, n_react + 1):
             base = f"reactions/reaction{r}"
@@ -180,41 +218,7 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
                 r_stoich[r - 1, input_to_mixture[i]] = rs[i]
                 p_stoich[r - 1, input_to_mixture[i]] = ps[i]
             energies.append(inp.get(f"{base}/reaction_energy", 0.0))
-            model = inp.get(f"{base}/model", "arrhenius")
-            if model == "arrhenius":
-                models.append(
-                    Arrhenius(
-                        A=inp.get_required(f"{base}/arrhenius/A", float),
-                        b=inp.get_required(f"{base}/arrhenius/b", float),
-                        E=inp.get_required(f"{base}/arrhenius/E", float),
-                    )
-                )
-            elif model == "hoffert_lien":
-                models.append(
-                    HoffertLien(
-                        A=inp.get_required(f"{base}/hoffert_lien/A", float),
-                        b=inp.get_required(f"{base}/hoffert_lien/b", float),
-                        E=inp.get_required(f"{base}/hoffert_lien/E", float),
-                    )
-                )
-            elif model == "tabulated":
-                models.append(TabulatedRate(read_table_input(inp, f"{base}/tabulated")))
-            elif model == "radiative_decay":
-                # (reference: src/reactingFlow.cpp:562-566)
-                from .radiative_decay import RadiativeDecay
-
-                iu = int(np.argmax(r_stoich[r - 1]))
-                il = int(np.argmax(p_stoich[r - 1]))
-                names_mix = [names[i] for i in order]
-                models.append(RadiativeDecay(
-                    upper=names_mix[iu], lower=names_mix[il],
-                    i_upper=iu, i_lower=il,
-                    radius=inp.get_required(f"{base}/radius", float),
-                ))
-            elif model == "bte":  # external rates via the Boltzmann bus
-                models.append(ExternalRate(comp=r - 1))
-            else:
-                raise NotImplementedError(f"reaction model '{model}'")
+            models.append(parse_model(base, r))
             db = bool(inp.get(f"{base}/detailed_balance", 0))
             balances.append(db)
             if db:
@@ -238,6 +242,28 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
             min_temperature=inp.get("reactions/minimumTemperature", 0.0),
         )
 
+        # baseline chemistry for ramp-chem: SAME reactions/stoichiometry,
+        # models (and optionally energies) from [reactions_base/reactionN]
+        # (reference: src/reactingFlow.cpp:658-682; the reference supports
+        # tabulated baselines only — any model is accepted here)
+        if inp.get("loMach/reactingFlow/ramp-chem", 0):
+            models_b, energies_b = [], []
+            for r in range(1, n_react + 1):
+                base_b = f"reactions_base/reaction{r}"
+                models_b.append(parse_model(base_b, r))
+                energies_b.append(
+                    inp.get(f"{base_b}/reaction_energy", energies[r - 1]))
+            chemistry_base = Chemistry(
+                mixture=mixture,
+                reactant_stoich=r_stoich,
+                product_stoich=p_stoich,
+                models=tuple(models_b),
+                reaction_energies=tuple(energies_b),
+                detailed_balance=tuple(balances),
+                equilibrium_params=tuple(eq_params),
+                min_temperature=inp.get("reactions/minimumTemperature", 0.0),
+            )
+
     # ---- radiation ----
     radiation = None
     rmodel = inp.get("plasma_models/radiation_model", "none")
@@ -258,4 +284,5 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
         species_names=[names[i] for i in order],
         input_to_mixture=input_to_mixture,
         initial_mass_fractions=np.array([imf[i] for i in order]),
+        chemistry_base=chemistry_base,
     )

@@ -110,7 +110,13 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         self.current_amplitude = inp.get("em/current_amplitude", 1.0)
         self.current_frequency = inp.get("em/current_frequency", 1.0)
         self.rtol = inp.get("em/rtol", 1e-10)
+        self.atol = inp.get("em/atol", 1e-10)
         self.max_iter = inp.get("em/max_iter", 200)
+        # background conductivity used ONLY in the preconditioner
+        # (reference: em/preconditioner_background_sigma,
+        # src/quasimagnetostatic.cpp:439-443)
+        self.pre_bg_sigma = inp.get(
+            "em/preconditioner_background_sigma", -1.0)
         top_only = bool(inp.get("em/top_only", 0))
         bot_only = bool(inp.get("em/bot_only", 0))
 
@@ -209,15 +215,21 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
                                wrap(J0_q * self.r_q))
         b = jnp.concatenate([rhs_re * mask, jnp.zeros(nd, self.dtype)])
 
-        # diagonal preconditioner from K's diagonal
+        # diagonal preconditioner from K's diagonal (+ optional
+        # background-sigma mass term, reference
+        # src/quasimagnetostatic.cpp:439-443)
         kdiag = h1.stiffness_diag(stab, r_qs) + h1.mass_lumped_diag(
             stab, inv_r_qs
         )
+        if self.pre_bg_sigma > 0:
+            kdiag = kdiag + h1.mass_lumped_diag(
+                stab, wrap(mu0_omega * self.pre_bg_sigma * self.r_q))
         kdiag = kdiag * mask + (1 - mask)
         dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
 
         w, _ = jax.scipy.sparse.linalg.gmres(
-            block_apply, b, tol=self.rtol, maxiter=self.max_iter,
+            block_apply, b, tol=self.rtol, atol=self.atol,
+            maxiter=self.max_iter,
             M=lambda x: x * dinv, solve_method="batched", restart=30,
         )
         A_re = w[:nd] * mask

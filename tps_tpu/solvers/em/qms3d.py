@@ -25,7 +25,7 @@ class QuasiMagnetostatic3D(Solver):
                  current_amplitude=2.0e6, rtol=1e-8, max_iter=600,
                  quad_order=3, attr_currents=None, current_axis=(0.0, 1.0, 0.0),
                  mu0=MU0, preconditioner="ams", partitions=1, devices=None,
-                 order=1):
+                 order=1, atol=1e-10, preconditioner_background_sigma=-1.0):
         """coils: tuple of rings (z0, r1, r2, half_height) carrying the
         azimuthal (about the z axis) source current density.
 
@@ -51,7 +51,12 @@ class QuasiMagnetostatic3D(Solver):
         self.current_frequency = current_frequency
         self.current_amplitude = current_amplitude
         self.rtol = rtol
+        self.atol = atol
         self.max_iter = max_iter
+        # background conductivity used ONLY in the preconditioner
+        # (reference: em/preconditioner_background_sigma,
+        # src/quasimagnetostatic.cpp:439-443)
+        self.pre_bg_sigma = float(preconditioner_background_sigma)
         self.preconditioner = preconditioner
         self.dtype = jnp.float64
 
@@ -440,14 +445,15 @@ class QuasiMagnetostatic3D(Solver):
             y_im = y_im * mask + w[nd:] * (1 - mask)
             return jnp.concatenate([y_re, y_im])
 
-        kdiag = kd + eps_reg * md + hcurl.mass_diag(tab, msw_q)
+        msw_bg = self.mu0 * omega * max(self.pre_bg_sigma, 0.0)
+        kdiag = kd + (eps_reg + msw_bg) * md + hcurl.mass_diag(tab, msw_q)
         kdiag = kdiag * mask + (1 - mask)
 
         b_re = self.mu0 * hcurl.rhs_vector(tab, Jq)
         b = jnp.concatenate([b_re * mask, jnp.zeros(nd, self.dtype)])
 
         if self.preconditioner == "ams":
-            msw_h1q = self.mu0 * omega * sigma_h1q
+            msw_h1q = self.mu0 * omega * sigma_h1q + msw_bg
             Mb = self._ams_precond(msw_h1q, eps_reg, kdiag)
 
             def M(x):
@@ -457,7 +463,8 @@ class QuasiMagnetostatic3D(Solver):
             M = lambda x: x * dinv  # noqa: E731
 
         w, _ = jax.scipy.sparse.linalg.gmres(
-            block_apply, b, tol=self.rtol, maxiter=self.max_iter,
+            block_apply, b, tol=self.rtol, atol=self.atol,
+            maxiter=self.max_iter,
             M=M, solve_method="batched", restart=40,
         )
         return w[:nd] * mask, w[nd:] * mask
@@ -620,11 +627,14 @@ class _Em3dFromConfig(QuasiMagnetostatic3D):
                                       6.0e6 if mesh_file is None else 1.0),
             current_amplitude=amplitude,
             rtol=inp.get("em/rtol", 1e-8),
+            atol=inp.get("em/atol", 1e-10),
             max_iter=inp.get("em/max_iter", 600),
             preconditioner=inp.get("em/preconditioner", "ams"),
             partitions=inp.get("em/partitions", 1),
             devices=getattr(config, "devices", None),
             order=inp.get("em/order", 1),
+            preconditioner_background_sigma=inp.get(
+                "em/preconditioner_background_sigma", -1.0),
         )
         self.config = config
         self.nBy = inp.get("em/nBy", 0)

@@ -54,7 +54,8 @@ class ReactingFlow(ThermoChemBase):
                  T_init=300.0, Y_init=None,
                  cg_tol=1e-10, cg_maxiter=500,
                  mixture=None, transport=None, radiation=None,
-                 operator_split=True, const_plasma_conductivity=0.0):
+                 operator_split=True, const_plasma_conductivity=0.0,
+                 chemistry_base=None, ramp_start=-1.0, ramp_time=-1.0):
         self.tab = tab
         self.flow = flow
         self.mixture = mixture
@@ -81,6 +82,16 @@ class ReactingFlow(ThermoChemBase):
         self.nsp = len(self.mw)
         self.molar_cp = self.molar_cv + _R
         self.chemistry = chemistry
+        # chemistry-model ramping after a restart (reference:
+        # loMach/reactingFlow/ramp-chem, src/reactingFlow.cpp:652-682,
+        # 2697-2710): inside (ramp_start, ramp_start + ramp_time) the
+        # reaction source blends linearly from the [reactions_base]
+        # chemistry to the active one; outside the window the active
+        # chemistry applies (ramp_start is normally the restart time)
+        self.chemistry_base = chemistry_base
+        self.ramp_start = float(ramp_start)
+        self.ramp_time = float(ramp_time)
+        self.time = 0.0
         self.p_thermo = p_thermo
         self.closed_system = closed_system
         self.mu0 = mu0
@@ -295,8 +306,9 @@ class ReactingFlow(ThermoChemBase):
             self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
             vel, self.joule_heating, jnp.asarray(self.p_thermo),
             self.T_bc, self.T_mask, self.Qt_mask, self.Y_bc, self.Y_mask,
-            jnp.asarray(dt), order=coeff.order,
+            jnp.asarray(dt), jnp.asarray(self.time), order=coeff.order,
         )
+        self.time += float(dt)
         self.T_hist = list(T_hist)
         self.Y_hist = list(Y_hist)
         if self.closed_system:
@@ -309,29 +321,31 @@ class ReactingFlow(ThermoChemBase):
     # -- chunked-scan adapters (LoMachSolver.solve_chunk) ------------------
     def chunk_pack(self):
         return (self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
-                self.Qt, jnp.asarray(self.p_thermo))
+                self.Qt, jnp.asarray(self.p_thermo),
+                jnp.asarray(self.time))
 
     def chunk_unpack(self, s):
-        T, Y, th, yh, Qt, p = s
+        T, Y, th, yh, Qt, p, t = s
         self.T, self.Y, self.Qt = T, Y, Qt
         self.T_hist, self.Y_hist = list(th), list(yh)
+        self.time = float(t)
         if self.closed_system:
             self.p_thermo = p
 
     def chunk_step(self, s, vel, dt, order):
-        T, Y, th, yh, _Qt, p = s
+        T, Y, th, yh, _Qt, p, t = s
         T2, Y2, Qt2, th2, yh2 = self._step_impl(
             T, Y, th, yh, vel, self.joule_heating, p,
             self.T_bc, self.T_mask, self.Qt_mask, self.Y_bc, self.Y_mask,
-            dt, order,
+            dt, t, order,
         )
         if self.closed_system:
             W = self._mixture_mw(Y2)
             p = self._mass0 * _R / h1.integrate(self.tab, W / T2)
-        return (T2, Y2, tuple(th2), tuple(yh2), Qt2, p)
+        return (T2, Y2, tuple(th2), tuple(yh2), Qt2, p, t + dt)
 
     def chunk_props(self, s):
-        T, Y, _th, _yh, _qt, p = s
+        T, Y, _th, _yh, _qt, p, _t = s
         rho = p * self._mixture_mw(Y) / (_R * T)
         _diff, mu, _kappa = self._transport_props(T, Y, p=p)
         return rho, mu
@@ -371,7 +385,7 @@ class ReactingFlow(ThermoChemBase):
         Y = Y.at[:, -1].set(jnp.clip(1.0 - others, 0.0, 1.0))
         return Y / jnp.sum(Y, axis=-1, keepdims=True)
 
-    def _reaction_source(self, T, Y, p=None):
+    def _reaction_source(self, T, Y, p=None, t=None):
         """(dY/dt [1/s], heat release dT/dt [K/s]) at nodes."""
         p = self.p_thermo if p is None else p
         W = self._mixture_mw(Y)
@@ -379,6 +393,14 @@ class ReactingFlow(ThermoChemBase):
         mw = jnp.asarray(self.mw)
         n_sp = rho[:, None] * jnp.maximum(Y, 0.0) / mw
         _, creation = self.chemistry.source(n_sp, T, T)  # kg/m^3/s
+        if self.chemistry_base is not None and t is not None:
+            # progress rates are linear in the forward coefficients, so
+            # blending creation rates == the reference's kfwd blend
+            _, cb = self.chemistry_base.source(n_sp, T, T)
+            w = jnp.clip((t - self.ramp_start) / self.ramp_time, 0.0, 1.0)
+            inside = (t > self.ramp_start) \
+                & (t < self.ramp_start + self.ramp_time)
+            creation = jnp.where(inside, cb + w * (creation - cb), creation)
         dY = creation / rho[:, None]
         # heat of formation: -sum_s hf_s w_s (reference: heatOfFormation)
         hf_mass = jnp.asarray(self.hf / self.mw)  # J/kg
@@ -387,7 +409,8 @@ class ReactingFlow(ThermoChemBase):
         return dY, dT
 
     def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, p_thermo,
-                   tbc_vals, tmask, qt_mask, ybc_vals, ymask, dt, order):
+                   tbc_vals, tmask, qt_mask, ybc_vals, ymask, dt, t_now,
+                   order):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -415,7 +438,7 @@ class ReactingFlow(ThermoChemBase):
             rhs = h1.mass_apply(tab, rho * (hist - adv))
             if not self.operator_split and self.chemistry is not None \
                     and self.chemistry.num_reactions > 0:
-                dY_all, _ = self._reaction_source(T, Y, p=p_thermo)
+                dY_all, _ = self._reaction_source(T, Y, p=p_thermo, t=t_now)
                 rhs = rhs + h1.mass_apply(tab, rho * dY_all[:, s])
             Y_new = Y_new.at[:, s].set(self._helmholtz_solve(
                 rho, diff[:, s], Y[:, s], rhs, bd[0], dt, ymask,
@@ -443,7 +466,7 @@ class ReactingFlow(ThermoChemBase):
             src_T = src_T + self.radiation.energy_sink(T)  # negative sink
         if not self.operator_split and self.chemistry is not None \
                 and self.chemistry.num_reactions > 0:
-            _, dT_chem = self._reaction_source(T, Y, p=p_thermo)
+            _, dT_chem = self._reaction_source(T, Y, p=p_thermo, t=t_now)
             src_T = src_T + rc * dT_chem
         rhsT = rhsT + h1.mass_apply(tab, src_T)
         T_new = self._helmholtz_solve(rc, kappa, T, rhsT, bd[0], dt,
@@ -461,7 +484,7 @@ class ReactingFlow(ThermoChemBase):
 
             def substep(_, carry):
                 Ts, Ys = carry
-                dY, dT = self._reaction_source(Ts, Ys, p=p_thermo)
+                dY, dT = self._reaction_source(Ts, Ys, p=p_thermo, t=t_now)
                 Ys2 = self._close_species(Ys + dY_star + sub_dt * dY)
                 Ts2 = Ts + dT_star + sub_dt * dT
                 return (Ts2, Ys2)
@@ -490,7 +513,7 @@ class ReactingFlow(ThermoChemBase):
         if self.radiation is not None:
             src_q = src_q + self.radiation.energy_sink(T_new)
         if self.chemistry is not None and self.chemistry.num_reactions > 0:
-            _, dT_chem = self._reaction_source(T_new, Y_new, p=p_thermo)
+            _, dT_chem = self._reaction_source(T_new, Y_new, p=p_thermo, t=t_now)
             src_q = src_q + rho_new * cp_new * dT_chem
         Qt = (lap + src_q) / (rho_new * cp_new * T_new) * qt_mask
 

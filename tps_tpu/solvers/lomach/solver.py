@@ -148,6 +148,11 @@ def _build_reacting_flow(inp, tab, temp_bcs, cg_tol, cg_maxiter, qt_bcs=(),
             ),
             cg_tol=cg_tol,
             cg_maxiter=cg_maxiter,
+            chemistry_base=pl.chemistry_base,
+            ramp_start=inp.get("loMach/reactingFlow/ramp-chem/ramp_start",
+                               -1.0),
+            ramp_time=inp.get("loMach/reactingFlow/ramp-chem/ramp_time",
+                              -1.0),
         )
 
     atoms = {}
@@ -939,6 +944,9 @@ class LoMachSolver(Solver):
                     {k: np.asarray(v) for k, v in ga.items()},
                     self.tab.dim,
                 )
+        if hasattr(self.thermo, "time"):
+            # seed the thermo clock (ramp-chem windows are absolute time)
+            self.thermo.time = self.time
 
     def visualization(self):
         """ParaView VTK dump of the model fields (reference: loMach pvdc)."""
