@@ -110,7 +110,9 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         self.current_amplitude = inp.get("em/current_amplitude", 1.0)
         self.current_frequency = inp.get("em/current_frequency", 1.0)
         self.rtol = inp.get("em/rtol", 1e-10)
-        self.atol = inp.get("em/atol", 1e-10)
+        self.atol = inp.get("em/atol", 0.0)  # 0: pure relative (the rhs
+        # scale here is mu0*J ~ 1e-7, so an absolute 1e-10 default
+        # would stop solves at ~1e-3 relative)
         self.max_iter = inp.get("em/max_iter", 200)
         # background conductivity used ONLY in the preconditioner
         # (reference: em/preconditioner_background_sigma,

@@ -25,7 +25,7 @@ class QuasiMagnetostatic3D(Solver):
                  current_amplitude=2.0e6, rtol=1e-8, max_iter=600,
                  quad_order=3, attr_currents=None, current_axis=(0.0, 1.0, 0.0),
                  mu0=MU0, preconditioner="ams", partitions=1, devices=None,
-                 order=1, atol=1e-10, preconditioner_background_sigma=-1.0):
+                 order=1, atol=0.0, preconditioner_background_sigma=-1.0):
         """coils: tuple of rings (z0, r1, r2, half_height) carrying the
         azimuthal (about the z axis) source current density.
 
@@ -627,7 +627,7 @@ class _Em3dFromConfig(QuasiMagnetostatic3D):
                                       6.0e6 if mesh_file is None else 1.0),
             current_amplitude=amplitude,
             rtol=inp.get("em/rtol", 1e-8),
-            atol=inp.get("em/atol", 1e-10),
+            atol=inp.get("em/atol", 0.0),
             max_iter=inp.get("em/max_iter", 600),
             preconditioner=inp.get("em/preconditioner", "ams"),
             partitions=inp.get("em/partitions", 1),
