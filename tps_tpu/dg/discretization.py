@@ -79,6 +79,11 @@ class DGTables:
 
     # distance function (wall distance) at dofs; zeros if unused
     distance: np.ndarray | None = None
+    # wall distance at face quadrature points (set with `distance` when
+    # [flow]/computeDistance is on; the reference threads distance into the
+    # face flux kernels too, src/dgNonlinearForm.cpp evalFaceFlux)
+    f_dist: np.ndarray | None = None  # [nft, nqf] (legacy/sharded path)
+    dist_slot: np.ndarray | None = None  # [ne, nlf, nqf] (per-face path)
 
     # ---- oriented-trace fast path (gather-friendly face sweep) ----
     # Orientation permutations are baked into extra trace-matrix row blocks

@@ -104,7 +104,9 @@ class Fluxes:
             return jnp.zeros(U.shape[:-1] + (neq, dim), dtype=U.dtype)
 
         props = self.transport.flux_properties(
-            mix, U, Up, grad_up, distance=distance
+            mix, U, Up, grad_up, distance=distance,
+            radius=(xyz[..., 0] if (self.axisymmetric and xyz is not None)
+                    else None),
         )
         visc = props["visc"]
         bulk = props["bulk_visc"] - (2.0 / 3.0) * visc

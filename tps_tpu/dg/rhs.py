@@ -115,12 +115,16 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None,
     deltaL = tab.delta[tab.f_elem_l][:, None]
     deltaR = tab.delta[tab.f_elem_r][:, None]
 
-    def _face_flux(U1, U2, g1, g2, nor, xyz, d1, d2):
-        """Riemann + mean one-sided viscous normal flux at face points."""
+    def _face_flux(U1, U2, g1, g2, nor, xyz, d1, d2, dist=None):
+        """Riemann + mean one-sided viscous normal flux at face points.
+        `dist` is the wall distance at the face points (same for both
+        sides — it is a continuous geometric field)."""
         flux = ctx.riemann(U1, U2, nor)
         if viscous:
-            Fv1 = ctx.fluxes.viscous(U1, mix.primitives(U1), g1, xyz=xyz, delta=d1)
-            Fv2 = ctx.fluxes.viscous(U2, mix.primitives(U2), g2, xyz=xyz, delta=d2)
+            Fv1 = ctx.fluxes.viscous(U1, mix.primitives(U1), g1, xyz=xyz,
+                                     delta=d1, distance=dist)
+            Fv2 = ctx.fluxes.viscous(U2, mix.primitives(U2), g2, xyz=xyz,
+                                     delta=d2, distance=dist)
             flux = flux - jnp.einsum("...ed,...d->...e", 0.5 * (Fv1 + Fv2), nor)
         return flux
 
@@ -163,7 +167,9 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None,
             flux = _face_flux(U_own, U_nbr, g_own, g_nbr, norw,
                               tab.xyz_slot[:, lf],
                               tab.delta[:, None, None],
-                              tab.delta_nbr[:, lf, None, None])
+                              tab.delta_nbr[:, lf, None, None],
+                              dist=(None if tab.dist_slot is None
+                                    else tab.dist_slot[:, lf]))
             flux = flux * tab.interior_mask[:, lf, None, None]
             B = tab.Btr[lf * tab.nqf : (lf + 1) * tab.nqf]  # [nqf, ndof]
             K_out = jnp.einsum("sj,ef->sejf", B, eye_e).reshape(
@@ -259,7 +265,9 @@ def compute_rhs(ctx: RHSContext, tab, U, t=0.0, fields=None, bc_states=None,
             gL = gR_l = None
         flux_L_int = _face_flux(UL[:nfi], UR_l, gL[:nfi] if viscous else None,
                                 gR_l, tab.f_nor[:nfi], tab.f_xyz[:nfi],
-                                deltaL[:nfi], deltaR)
+                                deltaL[:nfi], deltaR,
+                                dist=(None if tab.f_dist is None
+                                      else tab.f_dist[:nfi]))
 
         # boundary faces, one static slice per BC
         bdr_fluxes = []

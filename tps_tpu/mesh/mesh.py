@@ -222,3 +222,93 @@ class Mesh:
             curved_nodes=None if self.curved_nodes is None else self.curved_nodes * factor,
         )
         return out
+
+
+def make_periodic(mesh: Mesh, translations, tol: float = 1e-8) -> Mesh:
+    """Glue boundary faces identified by the given translation vectors.
+
+    The role of MFEM's Mesh::MakePeriodic + CreatePeriodicVertexMapping as
+    used by the reference for the [periodicity] input section (reference:
+    src/M2ulPhyS.cpp:296-312, src/mesh_base.cpp:132-150): for every
+    translation t, a boundary face whose centroid equals another boundary
+    face's centroid + t is glued to it as an interior (periodic) face.
+
+    Translations with |t| >= 1e11 are ignored (the reference's "disabled"
+    default of 1e12 for xTrans/yTrans/zTrans).
+    """
+    lf_defs = mesh.local_faces
+    ne = mesh.num_elements
+    nlf = len(lf_defs)
+    lf_arr = np.asarray(lf_defs, dtype=np.int64)
+    verts = mesh.elements[:, lf_arr]  # [ne, nlf, nvpf]
+    keys = np.sort(verts, axis=-1).reshape(ne * nlf, -1)
+    _, inv, counts = np.unique(keys, axis=0, return_inverse=True,
+                               return_counts=True)
+    single = counts[inv] == 1  # true boundary (unpaired) faces
+    bfaces = verts.reshape(ne * nlf, -1)[single]  # [nb, nvpf] vertex ids
+    centroids = mesh.vertices[bfaces].mean(axis=1)  # [nb, dim]
+
+    # absolute matching tolerance from the mesh extent
+    diag = float(np.linalg.norm(mesh.vertices.max(0) - mesh.vertices.min(0)))
+    eps = tol * max(diag, 1.0)
+
+    # index of each boundary face tuple in mesh.bdr_faces (appending the
+    # ones the file did not list so periodic_pairs can reference them)
+    bdr_list = [tuple(sorted(int(v) for v in mesh.bdr_faces[i]))
+                for i in range(mesh.bdr_faces.shape[0])]
+    key_to_idx = {k: i for i, k in enumerate(bdr_list)}
+    new_faces = [list(mesh.bdr_faces[i]) for i in range(mesh.bdr_faces.shape[0])]
+    new_attrs = list(mesh.bdr_attrs)
+
+    def face_idx(row):
+        k = tuple(sorted(int(v) for v in bfaces[row]))
+        if k not in key_to_idx:
+            key_to_idx[k] = len(new_faces)
+            new_faces.append([int(v) for v in bfaces[row]])
+            new_attrs.append(1)
+        return key_to_idx[k]
+
+    pairs = list(mesh.periodic_pairs)
+    glued = set()
+    for t in translations:
+        t = np.asarray(t, dtype=np.float64)[: mesh.dim]
+        if np.linalg.norm(t) >= 1e11 or np.linalg.norm(t) == 0.0:
+            continue
+        # quantized centroid lookup: face a at c matches face b at c - t
+        quant = {tuple(np.round(c / eps).astype(np.int64)): i
+                 for i, c in enumerate(centroids)}
+        matched = 0
+        for ia, ca in enumerate(centroids):
+            if ia in glued:
+                continue
+            target = ca - t
+            ib = quant.get(tuple(np.round(target / eps).astype(np.int64)))
+            if ib is None:
+                # retry the 3^dim neighbor cells (rounding boundary)
+                base = np.round(target / eps).astype(np.int64)
+                for off in np.ndindex(*([3] * mesh.dim)):
+                    cand = quant.get(tuple(base + np.asarray(off) - 1))
+                    if cand is not None and np.linalg.norm(
+                            centroids[cand] - target) < 4 * eps:
+                        ib = cand
+                        break
+            if ib is None or ib == ia or ib in glued:
+                continue
+            pairs.append((face_idx(ia), face_idx(ib), -t.copy()))
+            glued.add(ia)
+            glued.add(ib)
+            matched += 1
+        if matched == 0:
+            raise ValueError(
+                f"periodicity translation {t} matched no boundary faces"
+            )
+    nvpf = len(lf_defs[0])
+    return Mesh(
+        dim=mesh.dim, geom=mesh.geom, vertices=mesh.vertices,
+        elements=mesh.elements,
+        bdr_faces=np.asarray(new_faces, dtype=int).reshape(-1, nvpf),
+        bdr_attrs=np.asarray(new_attrs, dtype=int),
+        periodic_pairs=pairs, curved_nodes=mesh.curved_nodes,
+        curved_order=mesh.curved_order, elem_attrs=mesh.elem_attrs,
+        grid_shape=None,
+    )

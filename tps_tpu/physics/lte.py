@@ -144,6 +144,81 @@ class LteMixture:
         return U.at[..., self.i_th].set(rho * e + ke)
 
 
+def load_lte_setup(inp, dim, nvel, prefix="flow/lte"):
+    """Build (LteMixture, LteTransport) from the [flow]/lte input keys
+    (reference: src/M2ulPhyS.cpp:164-260 + parseFluidPreset :2398-2403).
+
+    table_dim = 1: HDF5 files with 4-column datasets "T_energy_R_c"
+    (thermo) and "T_mu_kappa_sigma" (transport); the T(e) inversion table
+    is the thermo e(T) column pair swapped (reference :193-201).
+    table_dim = 2: whitespace tables over a structured (T, rho) grid —
+    thermo columns (T, rho, .., e[3], .., R[6], .., c[8]), transport
+    columns (T, rho, mu, kappa, sigma), e_rev columns (e, rho, T)
+    (reference: src/lte_mixture.cpp:49-64,
+    src/lte_transport_properties.cpp:38-51)."""
+    import numpy as np
+
+    from .tables import LinearTable, Table2D
+
+    table_dim = int(inp.get(f"{prefix}/table_dim", 2))
+    thermo_file = inp.get_required(f"{prefix}/thermo_table")
+    trans_file = inp.get_required(f"{prefix}/transport_table")
+
+    if table_dim == 1:
+        import h5py
+
+        with h5py.File(thermo_file, "r") as f:
+            td = np.asarray(f["T_energy_R_c"])
+        T, e, R, c = td[:, 0], td[:, 1], td[:, 2], td[:, 3]
+        mixture = LteMixture(
+            dim=dim, nvel=nvel,
+            energy_table=LinearTable(x=T, f=e),
+            R_table=LinearTable(x=T, f=R),
+            c_table=LinearTable(x=T, f=c),
+            T_table=LinearTable(x=e, f=T),
+        )
+        with h5py.File(trans_file, "r") as f:
+            tr = np.asarray(f["T_mu_kappa_sigma"])
+        Tt = tr[:, 0]
+        transport = LteTransport(
+            mu_table=LinearTable(x=Tt, f=tr[:, 1]),
+            kappa_table=LinearTable(x=Tt, f=tr[:, 2]),
+            sigma_table=LinearTable(x=Tt, f=tr[:, 3]),
+        )
+        return mixture, transport
+
+    if table_dim != 2:
+        raise ValueError("flow/lte/table_dim must be 1 or 2")
+
+    e_rev_file = inp.get_required(f"{prefix}/e_rev_table")
+
+    def grid2d(path, xcol, ycol, fcol):
+        data = np.loadtxt(path)
+        xs = np.unique(data[:, xcol])
+        ys = np.unique(data[:, ycol])
+        if len(xs) * len(ys) != data.shape[0]:
+            raise ValueError(f"{path}: not a structured (x, y) grid")
+        F = np.full((len(xs), len(ys)), np.nan)
+        ix = np.searchsorted(xs, data[:, xcol])
+        iy = np.searchsorted(ys, data[:, ycol])
+        F[ix, iy] = data[:, fcol]
+        return Table2D(x=xs, y=ys, f=F)
+
+    mixture = LteMixture(
+        dim=dim, nvel=nvel,
+        energy_table=grid2d(thermo_file, 0, 1, 3),
+        R_table=grid2d(thermo_file, 0, 1, 6),
+        c_table=grid2d(thermo_file, 0, 1, 8),
+        T_table=grid2d(e_rev_file, 0, 1, 2),
+    )
+    transport = LteTransport(
+        mu_table=grid2d(trans_file, 0, 1, 2),
+        kappa_table=grid2d(trans_file, 0, 1, 3),
+        sigma_table=grid2d(trans_file, 0, 1, 4),
+    )
+    return mixture, transport
+
+
 @dataclass(frozen=True, eq=False)
 class LteTransport:
     """Table transport mu(T,rho), kappa(T,rho), sigma(T,rho)

@@ -84,7 +84,8 @@ class MixingLengthTransport:
     Prt: float = 0.91
     bulk_mult: float = 0.0
 
-    def flux_properties(self, mixture, U, Up, grad_up, distance=None, **kw):
+    def flux_properties(self, mixture, U, Up, grad_up, distance=None,
+                        radius=None, **kw):
         props = dict(self.molecular.flux_properties(mixture, U, Up, grad_up))
         if distance is None or grad_up is None:
             return props
@@ -92,6 +93,18 @@ class MixingLengthTransport:
         rho = U[..., 0]
         gv = grad_up[..., 1 : 1 + dim, :dim]
         S2 = 2.0 * jnp.sum((0.5 * (gv + jnp.swapaxes(gv, -1, -2))) ** 2, (-2, -1))
+        if mixture.nvel != dim and radius is not None:
+            # axisymmetric swirl strain (reference:
+            # src/mixing_length_transport.cpp:103-117)
+            inv_r = jnp.where(radius > 0, 1.0 / jnp.where(radius > 0, radius, 1.0), 0.0)
+            ur = Up[..., 1]
+            ut = Up[..., 3]
+            ut_r = grad_up[..., 3, 0]
+            ut_z = grad_up[..., 3, 1]
+            Szx = 0.5 * (ut_r - ut * inv_r)
+            Szy = 0.5 * ut_z
+            Szz = ur * inv_r
+            S2 = S2 + 2.0 * (2.0 * Szx**2 + 2.0 * Szy**2 + Szz**2)
         S = jnp.sqrt(S2)
         lmix = jnp.minimum(0.41 * distance, self.max_mixing_length)
         mut = rho * lmix * lmix * S
@@ -100,3 +113,9 @@ class MixingLengthTransport:
         props["bulk_visc"] = props["bulk_visc"] + self.bulk_mult * mut
         props["kappa"] = props["kappa"] + mut * cp_over_pr * self.Prt
         return props
+
+    def source_properties(self, U, Up, grad_up, efield=None):
+        """Source-term transport is purely molecular (reference:
+        MixingLengthTransport::ComputeSourceTransportProperties delegates,
+        src/mixing_length_transport.cpp:159-164)."""
+        return self.molecular.source_properties(U, Up, grad_up, efield=efield)

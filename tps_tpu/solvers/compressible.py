@@ -80,10 +80,41 @@ def _build_mesh(rc: RunConfiguration):
         from ..mesh.mfem_reader import read_mfem_mesh
 
         mesh = read_mfem_mesh(rc.mesh)
+        mesh = _apply_mesh_options(mesh, rc.raw)
         if rc.ref_length != 1.0:
             mesh = mesh.scaled(1.0 / rc.ref_length)
         return mesh
     raise ValueError("no mesh specified ([flow]/mesh or [mesh] generator)")
+
+
+def _apply_mesh_options(mesh, raw):
+    """Uniform refinement + ini-driven periodicity for file meshes
+    (reference: [flow]/refinement_levels src/M2ulPhyS.cpp:350-357,2685 and
+    [periodicity] src/M2ulPhyS.cpp:296-312,3806-3811).  Refinement is
+    applied before gluing (equivalent for translation-periodic conforming
+    meshes; the reference glues first because MFEM refines periodic meshes
+    natively)."""
+    if raw is None:
+        return mesh
+    ref_levels = int(raw.get("flow/refinement_levels", 0) or 0)
+    if ref_levels > 0:
+        from ..mesh.refine import refine_uniform
+
+        mesh = refine_uniform(mesh, levels=ref_levels)
+    if raw.get("periodicity/enablePeriodic", 0):
+        import numpy as _np
+
+        from ..mesh.mesh import make_periodic
+
+        d = mesh.dim
+        trans = []
+        for ax, key in enumerate(("xTrans", "yTrans", "zTrans")[:d]):
+            t = float(raw.get(f"periodicity/{key}", 1.0e12))
+            vec = _np.zeros(d)
+            vec[ax] = t
+            trans.append(vec)
+        mesh = make_periodic(mesh, trans)
+    return mesh
 
 
 class CompressibleSolver(PlasmaSolver):
@@ -132,6 +163,26 @@ class CompressibleSolver(PlasmaSolver):
                 axisymmetric=rc.axisymmetric,
             )
             self.viz_tables = self.tables_np
+
+        # wall-distance tables ([flow]/computeDistance, reference:
+        # src/M2ulPhyS.cpp:371-437 + 2686): distance to every wall patch
+        # that is not inviscid, at solution dofs and face quadrature points
+        if rc.raw is not None and rc.raw.get("flow/computeDistance", 0):
+            from ..utils.wall_distance import (
+                distance_to_points,
+                wall_face_points,
+            )
+
+            wall_kinds = ("slip", "viscous_adiabatic", "viscous_isothermal",
+                          "viscous_general")
+            attrs = [b.patch for b in rc.bcs if b.kind in wall_kinds]
+            wall_pts = wall_face_points(self.viz_tables, attrs)
+            t = self.tables_np
+            t.distance = distance_to_points(t.xyz_dof, wall_pts)
+            t.f_dist = distance_to_points(t.f_xyz, wall_pts)
+            if t.xyz_slot is not None:
+                t.dist_slot = distance_to_points(t.xyz_slot, wall_pts)
+
         self.tables = self.tables_np.to_jax(self.dtype)
 
         dim = self.mesh.dim
@@ -197,8 +248,60 @@ class CompressibleSolver(PlasmaSolver):
             from ..dg.forcing import JouleHeating as _JouleHeatingForcing
 
             forcings.append(_JouleHeatingForcing(mixture=self.mixture))
+        elif rc.fluid == "lte_table":
+            # equilibrium table fluid ([flow]/lte/* tables, reference:
+            # src/M2ulPhyS.cpp:164-260): single-species mixture with
+            # table thermodynamics; source term = radiation sink, and the
+            # sigma table supplies the EM-coupling plasma conductivity
+            from ..dg.source_term import SourceTerm
+            from ..physics.lte import load_lte_setup
+
+            self.mixture, transport = load_lte_setup(rc.raw, dim, nvel)
+            rmodel = rc.raw.get("plasma_models/radiation_model", "none")
+            radiation = None
+            if rmodel == "net_emission":
+                from ..physics.plasma_config import read_table_input
+                from ..physics.radiation import NetEmission
+
+                radiation = NetEmission(
+                    read_table_input(
+                        rc.raw,
+                        "plasma_models/radiation_model/net_emission/tabulated",
+                    )
+                )
+            self._source_term = SourceTerm(
+                mixture=self.mixture, transport=transport,
+                chemistry=None, radiation=radiation,
+            )
+            forcings.append(self._source_term)
+            from ..dg.forcing import JouleHeating as _JouleHeatingForcing
+
+            forcings.append(_JouleHeatingForcing(mixture=self.mixture))
         else:
             raise NotImplementedError(f"fluid '{rc.fluid}' not yet available")
+
+        # algebraic mixing-length RANS closure wrapping the molecular
+        # transport ([flow]/useMixingLength, reference:
+        # src/M2ulPhyS.cpp:2701-2707, src/mixing_length_transport.cpp)
+        if transport is not None and rc.raw is not None and rc.raw.get(
+            "flow/useMixingLength", 0
+        ):
+            from ..physics.transport import MixingLengthTransport
+
+            transport = MixingLengthTransport(
+                molecular=transport,
+                max_mixing_length=rc.raw.get(
+                    "flow/mixing-length/max-mixing-length", 0.0
+                ),
+                Prt=rc.raw.get("flow/mixing-length/Pr_ratio", 1.0),
+                bulk_mult=rc.raw.get("flow/mixing-length/bulk-multiplier", 0.0),
+            )
+            if hasattr(self, "_source_term") and self._source_term is not None:
+                from dataclasses import replace as _dc_replace
+
+                self._source_term = _dc_replace(
+                    self._source_term, transport=transport
+                )
         self.transport = transport
 
         sgs = None
@@ -1229,7 +1332,10 @@ class CompressibleSolver(PlasmaSolver):
         coupling driver's cross-mesh interpolation is layout-agnostic."""
         import jax.numpy as jnp
 
-        if self.plasma is None or not hasattr(self, "_source_term"):
+        # the source term owns the conductivity evaluation for both the
+        # multi-species (user_defined) and equilibrium-table (lte_table)
+        # fluids; dry air has no conductivity
+        if getattr(self, "_source_term", None) is None:
             return jnp.zeros((self.ne_global,) + self.U.shape[-2:-1],
                              dtype=self.dtype)
         Up = self.mixture.primitives(self.U)
