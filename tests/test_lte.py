@@ -100,3 +100,85 @@ def test_table2d_lte_variant():
     U = mix.conservatives(Up)
     assert abs(float(mix.temperature(U)[0]) - 600.0) < 1e-8
     assert abs(float(mix.pressure(U)[0]) - 1.2 * R * 600.0) < 1e-6
+
+
+def _write_lte_h5(tmp_path):
+    import h5py
+
+    T = np.linspace(200.0, 20000.0, 400)
+    R = 287.0
+    e = (R / 0.4) * T
+    c = np.sqrt(1.4 * R * T)
+    thermo = tmp_path / "lte_thermo.h5"
+    trans = tmp_path / "lte_trans.h5"
+    with h5py.File(thermo, "w") as f:
+        f["T_energy_R_c"] = np.stack(
+            [T, e, np.full_like(T, R), c], axis=1)
+    with h5py.File(trans, "w") as f:
+        mu = 1.8e-5 * (T / 300.0) ** 0.7
+        kap = 0.025 * (T / 300.0) ** 0.8
+        sig = np.where(T > 6000.0, 50.0 * (T - 6000.0) / 14000.0, 0.0)
+        f["T_mu_kappa_sigma"] = np.stack([T, mu, kap, sig], axis=1)
+    return thermo, trans
+
+
+def test_cli_lte_table_fluid(tmp_path):
+    """[flow]/fluid = lte_table through the CLI: table_dim=1 HDF5 tables
+    drive a compressible NS solve, and the transport sigma table feeds
+    evaluate_plasma_conductivity (reference: parseFluidPreset LTE_FLUID,
+    src/M2ulPhyS.cpp:164-260 + 2398-2403)."""
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.harness import Tps, main
+
+    thermo, trans = _write_lte_h5(tmp_path)
+    ini = tmp_path / "lte.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+order = 1
+maxIters = 3
+outputFreq = 100
+fluid = lte_table
+equation_system = navier-stokes
+[flow/lte]
+table_dim = 1
+thermo_table = {thermo}
+transport_table = {trans}
+[mesh]
+generator = box2d
+nx = 6
+ny = 6
+x1 = 1.0
+y1 = 1.0
+periodic_x = 1
+periodic_y = 1
+[time]
+cfl = 0.1
+integrator = rk2
+[initialConditions]
+rho = 1.2
+rhoU = 12.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[io]
+outdirBase = {tmp_path}/out_lte
+""")
+    assert main(["tps", "--runFile", str(ini)]) == 0
+
+    tps = Tps()
+    tps.parse_command_line_args(["tps", "--runFile", str(ini)])
+    tps.parse_input()
+    tps.config = parse_run_configuration(tps.iniput)
+    tps.config.max_iters = 1
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    sol = tps.solver
+    Up = sol.mixture.primitives(sol.U)
+    Up = Up.at[..., sol.mixture.i_th].set(12000.0)
+    sol.U = sol.mixture.conservatives(Up)
+    sig = np.asarray(sol.evaluate_plasma_conductivity())
+    # sigma table: 50*(T-6000)/14000 at 12000 K ~ 21.4 S/m
+    assert abs(sig.max() - 50.0 * 6000.0 / 14000.0) < 0.5

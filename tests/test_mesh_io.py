@@ -279,3 +279,121 @@ solution2/Q4 = 253312.5
     assert 0.99 < rho.min() < 1.01 and 1.19 < rho.max() < 1.21
     s.solve()
     assert s.check_nan() == 0
+
+
+def _write_mfem_box(path, nx, ny, Lx, Ly):
+    """Axis-aligned quad MFEM v1.0 mesh on [0,Lx]x[0,Ly] with the box_2d
+    attribute convention (1=bottom, 2=right, 3=top, 4=left)."""
+    nvx, nvy = nx + 1, ny + 1
+
+    def vid(i, j):
+        return i + nvx * j
+
+    elems = []
+    for j in range(ny):
+        for i in range(nx):
+            elems.append((vid(i, j), vid(i + 1, j), vid(i + 1, j + 1),
+                          vid(i, j + 1)))
+    bdr = []
+    for i in range(nx):
+        bdr.append((1, vid(i, 0), vid(i + 1, 0)))
+        bdr.append((3, vid(i, nvy - 1), vid(i + 1, nvy - 1)))
+    for j in range(ny):
+        bdr.append((2, vid(nvx - 1, j), vid(nvx - 1, j + 1)))
+        bdr.append((4, vid(0, j), vid(0, j + 1)))
+    with open(path, "w") as f:
+        f.write("MFEM mesh v1.0\n\ndimension\n2\n\n")
+        f.write(f"elements\n{len(elems)}\n")
+        for e in elems:
+            f.write("1 3 " + " ".join(map(str, e)) + "\n")
+        f.write(f"\nboundary\n{len(bdr)}\n")
+        for a, v0, v1 in bdr:
+            f.write(f"{a} 1 {v0} {v1}\n")
+        f.write(f"\nvertices\n{nvx * nvy}\n2\n")
+        for j in range(nvy):
+            for i in range(nvx):
+                f.write(f"{i * Lx / nx} {j * Ly / ny}\n")
+
+
+def test_make_periodic_matches_generator():
+    """[periodicity]-style gluing of a file mesh reproduces the generator's
+    periodic topology: the Euler RHS of a smooth field is identical (after
+    element/dof coordinate matching) to the natively periodic box_2d mesh
+    (reference: MFEM MakePeriodic as driven by src/M2ulPhyS.cpp:296-312)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.rhs import RHSContext, compute_rhs
+    from tps_tpu.dg.riemann import Rusanov
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.mesh.mesh import make_periodic
+    from tps_tpu.mesh.refine import refine_uniform
+    from tps_tpu.physics.gas import DryAir
+    from tps_tpu.utils.cases import isentropic_vortex
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "box.mesh")
+        _write_mfem_box(path, 4, 4, 10.0, 10.0)
+        mesh = read_mfem_mesh(path)
+    mesh = refine_uniform(mesh, levels=1)  # 8x8
+    mesh = make_periodic(mesh, [np.array([10.0, 0.0]), np.array([0.0, 10.0])])
+    ref = box_2d(8, 8, x1=10.0, y1=10.0, periodic_x=True, periodic_y=True)
+
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    fl = Fluxes(mixture=mix, eq_system="euler")
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fluxes=fl))
+
+    def rhs_sorted(m):
+        tab = build_tables(m, order=2).to_jax(jnp.float64)
+        U = mix.conservatives(isentropic_vortex(tab.xyz_dof, 0.0, mix))
+        r, _ = compute_rhs(ctx, tab, U)
+        xyz = np.asarray(tab.xyz_dof)  # [ne, ndof, 2]
+        cen = xyz.mean(axis=1, keepdims=True) + 0 * xyz
+        key = np.concatenate([cen, xyz], axis=-1).reshape(-1, 4)
+        order = np.lexsort(key.T[::-1])
+        return np.asarray(r).reshape(-1, r.shape[-1])[order], key[order]
+
+    r1, k1 = rhs_sorted(mesh)
+    r2, k2 = rhs_sorted(ref)
+    assert np.abs(k1 - k2).max() < 1e-12  # same element/dof geometry
+    assert np.abs(r1 - r2).max() < 1e-11  # identical RHS incl. glued faces
+
+    # every boundary face was consumed by the gluing
+    tab = build_tables(mesh, order=2)
+    assert tab.f_bdr_attr.size == 0
+
+
+def test_cli_periodicity_and_refinement(tmp_path):
+    """[periodicity]/enablePeriodic + [flow]/refinement_levels through the
+    CLI on a file mesh (reference: src/M2ulPhyS.cpp:296-312, 350-357)."""
+    from tps_tpu.harness import main
+
+    path = tmp_path / "box.mesh"
+    _write_mfem_box(str(path), 3, 3, 10.0, 10.0)
+    ini = tmp_path / "per.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+mesh = {path}
+order = 1
+maxIters = 3
+outputFreq = 100
+fluid = dry_air
+equation_system = euler
+refinement_levels = 1
+[periodicity]
+enablePeriodic = 1
+xTrans = 10.0
+yTrans = 10.0
+[time]
+cfl = 0.1
+integrator = rk2
+[initialConditions]
+case = isentropic_vortex
+[io]
+outdirBase = {tmp_path}/out_per
+""")
+    assert main(["tps", "--runFile", str(ini)]) == 0

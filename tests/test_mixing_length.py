@@ -83,3 +83,117 @@ def test_sgs_models():
     g2 = jnp.zeros_like(g).at[..., 1, 1].set(1.0)
     sig2 = Sigma(mixture=mix)(U, g2, delta)
     assert np.abs(np.asarray(sig2)).max() < 1e-10
+
+
+def test_cli_compute_distance_and_mixing_length(tmp_path):
+    """[flow]/computeDistance + useMixingLength through the CLI front
+    door (reference: src/M2ulPhyS.cpp:371-437 distance field,
+    :2701-2707 mixing-length options)."""
+    from tps_tpu.harness import main
+
+    ini = tmp_path / "ml.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+order = 1
+maxIters = 3
+outputFreq = 100
+fluid = dry_air
+equation_system = navier-stokes
+viscosityMultiplier = 100.
+computeDistance = 1
+useMixingLength = 1
+[flow/mixing-length]
+max-mixing-length = 0.1
+Pr_ratio = 0.91
+[mesh]
+generator = box2d
+nx = 8
+ny = 4
+x1 = 2.0
+y1 = 1.0
+periodic_x = 1
+[time]
+cfl = 0.1
+integrator = rk2
+[initialConditions]
+rho = 1.2
+rhoU = 12.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[boundaryConditions/wall1]
+patch = 1
+type = viscous_adiabatic
+[boundaryConditions/wall2]
+patch = 3
+type = viscous_isothermal
+temperature = 300
+[boundaryConditions]
+numWalls = 2
+[io]
+outdirBase = {tmp_path}/out_ml
+""")
+    assert main(["tps", "--runFile", str(ini)]) == 0
+
+
+def test_solver_distance_tables(tmp_path):
+    """computeDistance fills dof + face-quadrature distance tables used by
+    the viscous flux kernels (reference threads distance into
+    evalFaceFlux, src/dgNonlinearForm.cpp)."""
+    import numpy as np
+
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.config.ini import IniInput
+    from tps_tpu.solvers.compressible import CompressibleSolver
+
+    ini = tmp_path / "d.ini"
+    ini.write_text(f"""
+[solver]
+type = flow
+[flow]
+order = 1
+maxIters = 1
+fluid = dry_air
+equation_system = navier-stokes
+computeDistance = 1
+[mesh]
+generator = box2d
+nx = 6
+ny = 3
+x1 = 2.0
+y1 = 1.0
+periodic_x = 1
+[time]
+cfl = 0.1
+[initialConditions]
+rho = 1.2
+rhoU = 0.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[boundaryConditions/wall1]
+patch = 1
+type = viscous_adiabatic
+[boundaryConditions/wall2]
+patch = 3
+type = inviscid
+[boundaryConditions]
+numWalls = 2
+[io]
+outdirBase = {tmp_path}/out_d
+""")
+    rc = parse_run_configuration(IniInput.read(str(ini)))
+    sol = CompressibleSolver(rc)
+    sol.initialize()
+    t = sol.tables_np
+    # only the bottom wall (patch 1) is a distance wall: inviscid walls are
+    # excluded (reference M2ulPhyS.cpp:393-398), so distance == y
+    y = np.asarray(t.xyz_dof[..., 1])
+    assert np.abs(np.asarray(t.distance) - y).max() < 0.05
+    assert t.f_dist is not None and (np.asarray(t.f_dist) >= 0).all()
+    if t.xyz_slot is not None:
+        assert t.dist_slot is not None
+        ys = np.asarray(t.xyz_slot[..., 1])
+        assert np.abs(np.asarray(t.dist_slot) - ys).max() < 0.05
