@@ -216,6 +216,21 @@ class BoltzmannSolver0D3V:
     # scattering, nu_l = nu_m), whose F_2 term corrects the l=0 field
     # flux (E~ eps/3) F_1 beyond the two-term diffusion D_E.
     l_max: int = 1
+    # closure scheme for the l >= 1 anisotropy hierarchy:
+    #   "picard"  — lagged downward/upward sweep feeding an explicit l=0
+    #               rhs correction (cheap; diverges for l_max >= 3 once
+    #               E~/sigma~ is O(1))
+    #   "coupled" — the full (L+1)-component hierarchy assembled as one
+    #               block-tridiagonal system in energy and solved
+    #               implicitly each pseudo-step (any l_max; the moral
+    #               equivalent of the reference's multi-term B-spline
+    #               block solve, src/tps-bte_0d3v.py l_max handling)
+    #   "auto"    — picard for l_max <= 2, coupled for l_max >= 3
+    multiterm_closure: str = "auto"
+    # low-energy regularization width [eV] of the hierarchy's 1/eps
+    # factors (and the Picard sweep's taper); 0 = auto
+    # (max(4 de, 0.025 eps_max))
+    reg_width: float = 0.0
     # coupled-loop cadence (reference: boltzmannSolver/bte_solve_freq,
     # src/tps-bte_0d3v.py:274): consumed by driver loops, not the solver
     bte_solve_freq: int = 1
@@ -250,6 +265,8 @@ class BoltzmannSolver0D3V:
             reaction_map=tuple(rmap) if rmap is not None else None,
             bte_solve_freq=int(inp.get(f"{sec}/bte_solve_freq", 1)),
             l_max=int(inp.get(f"{sec}/l_max", 1)),
+            multiterm_closure=str(
+                inp.get(f"{sec}/multiterm_closure", "auto")),
         )
 
     def __post_init__(self):
@@ -261,13 +278,20 @@ class BoltzmannSolver0D3V:
         # would cache a tracer and leak it into the next trace
         ef = self.eps[1:-1]
         self._ee_kmat = np.minimum(ef[:, None], ef[None, :]) ** 1.5
-        if self.l_max > 2:
+        mode = self.multiterm_closure
+        if mode not in ("auto", "picard", "coupled"):
+            raise ValueError(f"multiterm_closure '{mode}' "
+                             "(auto | picard | coupled)")
+        if mode == "auto":
+            mode = "coupled" if self.l_max > 2 else "picard"
+        if mode == "picard" and self.l_max > 2:
             raise ValueError(
-                "l_max > 2 requires a coupled block solve of the "
-                "anisotropy hierarchy; the Picard sweep closure used "
-                "here diverges for l >= 3 once E~/sigma~ is O(1) "
-                "(supported: l_max = 1 two-term, l_max = 2 three-term)"
+                "l_max > 2 requires the coupled block solve of the "
+                "anisotropy hierarchy (multiterm_closure = coupled); "
+                "the Picard sweep diverges for l >= 3 once E~/sigma~ "
+                "is O(1)"
             )
+        self._closure = mode
 
     def _sigma_m(self, eps):
         if self.cross_sections is not None:
@@ -317,7 +341,7 @@ class BoltzmannSolver0D3V:
         # E~/sigma~ per cell exceeds 1).  Taper width pinned in PHYSICAL
         # energy (2.5% of the domain) with a 4-cell resolution floor so
         # grid refinement at fixed domain converges
-        w0 = max(4.0 * de, 0.025 * self.eps_max)
+        w0 = self.reg_width or max(4.0 * de, 0.025 * self.eps_max)
         wlo = (eps_c * eps_c / (eps_c * eps_c + w0 * w0))[None, :]
 
         def limit(g):
@@ -343,6 +367,133 @@ class BoltzmannSolver0D3V:
         zero = jnp.zeros((f.shape[0], 1))
         return (jnp.concatenate([phi, zero], axis=1)
                 - jnp.concatenate([zero, phi], axis=1)) / de
+
+    # -- coupled multi-term closure ------------------------------------
+    @staticmethod
+    def _block_tridiag_solve(lo, dg, up, rhs):
+        """Batched block-Thomas solve: blocks [n, m, K, K] (lo[:,0] and
+        up[:,m-1] must be zero), rhs [n, m, K] -> x [n, m, K].  The energy
+        recursion is a lax.scan; each step is an [n, K, K] dense solve,
+        so the point batch rides the TPU vector units while the (short)
+        energy sweep is sequential — the block analog of
+        lax.linalg.tridiagonal_solve."""
+        import jax
+        import jax.numpy as jnp
+
+        def mv(A, v):  # [n,K,K] @ [n,K]
+            return jnp.einsum("nij,nj->ni", A, v)
+
+        def fwd(carry, inputs):
+            Cp, dp = carry
+            lo_i, dg_i, up_i, r_i = inputs
+            denom = dg_i - lo_i @ Cp
+            C = jnp.linalg.solve(denom, up_i)
+            d = jnp.linalg.solve(
+                denom, (r_i - mv(lo_i, dp))[..., None])[..., 0]
+            return (C, d), (C, d)
+
+        n, m, K, _ = dg.shape
+        seq = (jnp.moveaxis(lo, 1, 0), jnp.moveaxis(dg, 1, 0),
+               jnp.moveaxis(up, 1, 0), jnp.moveaxis(rhs, 1, 0))
+        zero_C = jnp.zeros((n, K, K), dg.dtype)
+        zero_d = jnp.zeros((n, K), dg.dtype)
+        _, (Cs, ds) = jax.lax.scan(fwd, (zero_C, zero_d), seq)
+
+        def bwd(x_next, inputs):
+            C_i, d_i = inputs
+            x = d_i - mv(C_i, x_next)
+            return x, x
+
+        _, xs = jax.lax.scan(bwd, zero_d, (Cs, ds), reverse=True)
+        return jnp.moveaxis(xs, 0, 1)
+
+    def _hierarchy_blocks(self, EoN, sig_c, eps_c, de):
+        """Field-coupling + l>=1 collision blocks of the steady
+        spherical-harmonic hierarchy (isotropic scattering, nu_l = nu_m):
+
+            sigma~ F_l = E~ [ (l/(2l-1)) (d/de - (l-1)/2e) F_{l-1}
+                            + ((l+1)/(2l+3)) (d/de + (l+2)/2e) F_{l+1} ]
+
+        assembled implicitly: returns (lo, dg, up) [n, m, K, K] holding
+        the l >= 1 rows AND the l=0 row's field-flux coupling to F_1
+        (+d/de[(E~ e/3) F1_face]); the l=0 transport/collision diagonal
+        is added by the caller.  1/e factors are Pade-regularized
+        (1/e -> e/(e^2+w0^2), the implicit counterpart of the Picard
+        sweep's low-energy taper) so the hierarchy keeps the physical
+        F_l ~ v^l vanishing at the grid bottom."""
+        import jax.numpy as jnp
+
+        n = EoN.shape[0]
+        m = self.n_energy
+        K = self.l_max + 1
+        w0 = self.reg_width or max(4.0 * de, 0.025 * self.eps_max)
+        reg = eps_c / (eps_c * eps_c + w0 * w0)  # regularized 1/eps [m]
+        lo = jnp.zeros((n, m, K, K))
+        dg = jnp.zeros((n, m, K, K))
+        up = jnp.zeros((n, m, K, K))
+        E = EoN[:, None]  # [n,1]
+
+        # l=0 row: + d/de[(E~ e/3) F1_face] moved to the LHS (negated)
+        epsf = jnp.asarray(self.eps[1:-1])
+        c = E * epsf[None, :] / 3.0  # [n, m-1] face coefficients
+        czero = jnp.zeros((n, 1))
+        c_top = jnp.concatenate([c, czero], axis=1)   # face above cell i
+        c_bot = jnp.concatenate([czero, c], axis=1)   # face below cell i
+        up = up.at[:, :-1, 0, 1].add(-c[:, :] / (2.0 * de))
+        dg = dg.at[:, :, 0, 1].add(-(c_top - c_bot) / (2.0 * de))
+        lo = lo.at[:, 1:, 0, 1].add(c[:, :] / (2.0 * de))
+
+        # l >= 1 rows: sigma~ F_l - E~ [couplings] = 0
+        sig = jnp.broadcast_to(sig_c[None, :], (n, m))
+        for l in range(1, K):
+            dg = dg.at[:, :, l, l].add(sig)
+
+            def add_ddx(lo, dg, up, col, coef):  # coef [n]
+                # -coef * ddx(F_col): central interior, one-sided ends
+                lo = lo.at[:, 1:-1, l, col].add(coef[:, None] / (2.0 * de))
+                up = up.at[:, 1:-1, l, col].add(-coef[:, None] / (2.0 * de))
+                dg = dg.at[:, 0, l, col].add(coef / de)
+                up = up.at[:, 0, l, col].add(-coef / de)
+                dg = dg.at[:, -1, l, col].add(-coef / de)
+                lo = lo.at[:, -1, l, col].add(coef / de)
+                return lo, dg, up
+
+            cl = (E * (l / (2.0 * l - 1.0)))[:, 0]  # [n]
+            lo, dg, up = add_ddx(lo, dg, up, l - 1, cl)
+            # -cl * (-(l-1)/2e) F_{l-1}
+            dg = dg.at[:, :, l, l - 1].add(
+                cl[:, None] * ((l - 1) / 2.0) * reg[None, :])
+            if l + 1 < K:
+                cu = (E * ((l + 1) / (2.0 * l + 3.0)))[:, 0]
+                lo, dg, up = add_ddx(lo, dg, up, l + 1, cu)
+                dg = dg.at[:, :, l, l + 1].add(
+                    -cu[:, None] * ((l + 2) / 2.0) * reg[None, :])
+        return lo, dg, up
+
+    def _coupled_step(self, f, s, lower, diag, upper, nu_loss, gain,
+                      blocks):
+        """One implicit pseudo-step of the coupled hierarchy: the l=0
+        transport row (per-point row scale s — dtau or the sqrt(eps)
+        metric) plus the preassembled field/anisotropy blocks; gain is
+        the lagged inelastic in-scattering.  Returns the new F_0."""
+        import jax.numpy as jnp
+
+        blo, bdg, bup = blocks
+        n, m, K, _ = bdg.shape
+        s2 = jnp.broadcast_to(jnp.asarray(s, f.dtype), f.shape)  # [n, m]
+        # l=0 row (backward Euler, row scale s); l >= 1 rows are the
+        # algebraic hierarchy constraints, solved exactly each step —
+        # only row 0 of the blocks gets the pseudo-time scale
+        lo = blo.at[:, :, 0, :].multiply(s2[..., None])
+        dg = bdg.at[:, :, 0, :].multiply(s2[..., None])
+        up = bup.at[:, :, 0, :].multiply(s2[..., None])
+        dg = dg.at[:, :, 0, 0].add(1.0 - s2 * (diag - nu_loss))
+        lo = lo.at[:, 1:, 0, 0].add(-(s2 * lower)[:, 1:])
+        up = up.at[:, :-1, 0, 0].add(-(s2 * upper)[:, :-1])
+        rhs = jnp.zeros((n, m, K), f.dtype)
+        rhs = rhs.at[:, :, 0].set(f + s2 * gain)
+        x = self._block_tridiag_solve(lo, dg, up, rhs)
+        return jnp.maximum(x[:, :, 0], 0.0)
 
     def _ee_coeff(self, ion_deg):
         """Normalized e-e Fokker-Planck coefficient a [eV^2] per point."""
@@ -435,9 +586,22 @@ class BoltzmannSolver0D3V:
         du = -dtau * upper
         dd = 1.0 - dtau * (diag - nu_loss)
 
-        mt = self.l_max > 1
-        if mt:
+        coupled = self._closure == "coupled"
+        mt = self.l_max > 1 and not coupled
+        if mt or coupled:
             sig_c = self._sigma_m(eps_c) / SIG0
+        if coupled:
+            # static hierarchy blocks (EoN is fixed in the steady solve);
+            # the l=0 transport row must EXCLUDE the two-term D_E — the
+            # field flux is carried implicitly by the F_1 coupling
+            blocks = self._hierarchy_blocks(EoN, sig_c, eps_c, de)
+            Dc = W_el * kTg
+            ac = -0.5 * W + Dc / de
+            bc = -0.5 * W - Dc / de
+            lower_c = jnp.concatenate([zero, ac], axis=1) / de
+            upper_c = jnp.concatenate([-bc, zero], axis=1) / de
+            diag_c = (jnp.concatenate([zero, bc], axis=1)
+                      - jnp.concatenate([ac, zero], axis=1)) / de
 
         ee = self.ee_collisions
         if ee:
@@ -465,10 +629,29 @@ class BoltzmannSolver0D3V:
                     gain = gain.at[:, : m - shift].add(
                         nu[None, shift:] * f[:, shift:]
                     )
-            if mt:  # lagged l >= 2 anisotropy correction (full at the
-                # fixed point: pseudo-time prefactors don't bias it)
+            if mt and not coupled:  # lagged l >= 2 anisotropy correction
+                # (full at the fixed point: pseudo-time prefactors
+                # don't bias it)
                 gain = gain + self._multiterm_corr(
                     f, EoN, sig_c, eps_c, epsf, de)
+            if coupled:
+                if ee:
+                    Wee, Dee = self._ee_face_coeffs(f, aee, eps_c, epsf,
+                                                    sqer, de)
+                    Wt, Dt = W + Wee, Dc + Dee
+                    a2 = -0.5 * Wt + Dt / de
+                    b2 = -0.5 * Wt - Dt / de
+                    lo2 = jnp.concatenate([zero, a2], axis=1) / de
+                    up2 = jnp.concatenate([-b2, zero], axis=1) / de
+                    dg2 = (jnp.concatenate([zero, b2], axis=1)
+                           - jnp.concatenate([a2, zero], axis=1)) / de
+                    f_new = self._coupled_step(
+                        f, rs, lo2, dg2, up2, nu_loss, gain, blocks)
+                else:
+                    f_new = self._coupled_step(
+                        f, dtau, lower_c, diag_c, upper_c, nu_loss, gain,
+                        blocks)
+                return normalize(f_new), None
             if ee:
                 Wee, Dee = self._ee_face_coeffs(f, aee, eps_c, epsf, sqer,
                                                 de)
@@ -559,15 +742,19 @@ class BoltzmannSolver0D3V:
         if ee:
             aee = self._ee_coeff(
                 self.ion_deg if ion_deg is None else ion_deg)
-        mt = self.l_max > 1
-        if mt:
+        coupled = self._closure == "coupled"
+        mt = self.l_max > 1 and not coupled
+        if mt or coupled:
             sig_c = self._sigma_m(eps_c) / SIG0
 
         def substep(f, k):
             t = (k + 1.0) * dt_phys
             EoN_t = jnp.abs(Er * jnp.cos(omega * t) + Ei * jnp.sin(omega * t))
-            D = (EoN_t[:, None] ** 2) * epsf[None, :] / (3.0 * sig_m[None, :]) \
-                + D_th
+            # coupled closure carries the field flux through the implicit
+            # F_1 coupling; the two-term paths carry it as D_E
+            D = D_th if coupled else (
+                (EoN_t[:, None] ** 2) * epsf[None, :]
+                / (3.0 * sig_m[None, :]) + D_th)
             W = W_el
             if ee:
                 Wee, Dee = self._ee_face_coeffs(f, aee, eps_c, epsf, sqer,
@@ -585,9 +772,14 @@ class BoltzmannSolver0D3V:
                     gain = gain.at[:, : m - shift].add(
                         nu[None, shift:] * f[:, shift:]
                     )
-            if mt:  # lagged l >= 2 anisotropy correction
+            if mt and not coupled:  # lagged l >= 2 anisotropy correction
                 gain = gain + self._multiterm_corr(
                     f, EoN_t, sig_c, eps_c, epsf, de)
+            if coupled:
+                blocks = self._hierarchy_blocks(EoN_t, sig_c, eps_c, de)
+                f_new = self._coupled_step(
+                    f, r, lower, diag, upper, nu_loss, gain, blocks)
+                return normalize(f_new), None
             rhs = f + r * gain
             f_new = jax.lax.linalg.tridiagonal_solve(
                 -r * lower, 1.0 - r * (diag - nu_loss), -r * upper,
