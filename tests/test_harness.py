@@ -48,6 +48,21 @@ numInlets = 1
     assert inp.get("flow/missing", 7) == 7
 
 
+def test_sgs_model_parsed_by_name():
+    # the reference parses flow/sgsModel by NAME with legacy numeric
+    # indices unsupported in-tree but accepted here (src/M2ulPhyS.cpp:2666-2692)
+    from tps_tpu.config.run_config import parse_run_configuration
+
+    base = "[solver]\ntype = flow\n[flow]\nmesh = none\n"
+    for key, want in [("smagorinsky", "smagorinsky"), ("sigma", "sigma"),
+                      ("none", "none"), ("1", "smagorinsky"), ("2", "sigma"),
+                      ("0", "none")]:
+        rc = parse_run_configuration(IniInput.parse(base + f"sgsModel = {key}\n"))
+        assert rc.sgs_model == want, key
+    with pytest.raises(ValueError):
+        parse_run_configuration(IniInput.parse(base + "sgsModel = bogus\n"))
+
+
 def _total_mass(solver):
     tab = solver.tables_np
     U = np.asarray(solver.U)

@@ -130,9 +130,12 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
     rc.visc_mult = inp.get("flow/viscosityMultiplier", 1.0)
     rc.bulk_visc_mult = inp.get("flow/bulkViscosityMultiplier", 0.0)
     rc.axisymmetric = bool(inp.get("flow/axisymmetric", 0))
-    rc.sgs_model = {0: "none", 1: "smagorinsky", 2: "sigma"}.get(
-        inp.get("flow/sgsModel", 0), "none"
-    )
+    # the reference parses sgsModel by NAME (src/M2ulPhyS.cpp:2666-2690);
+    # legacy numeric indices are also accepted
+    _sgs = str(inp.get("flow/sgsModel", "none", typ=str)).strip().lower()
+    rc.sgs_model = {"0": "none", "1": "smagorinsky", "2": "sigma"}.get(_sgs, _sgs)
+    if rc.sgs_model not in ("none", "smagorinsky", "sigma"):
+        raise ValueError(f"flow/sgsModel: unknown model '{_sgs}'")
     rc.sgs_const = inp.get("flow/sgsModelConstant", 0.0)
 
     # framework extension: generated meshes ([mesh] generator = box2d ...)

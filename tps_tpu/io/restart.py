@@ -67,6 +67,74 @@ def _read_field(group, name, aliases, optional, shape):
     raise KeyError(f"restart file is missing /solution/{name}")
 
 
+def _mean_field_names(solver):
+    """Reference-compatible time-averaged dataset names (reference:
+    registerIOVar '/meanSolution' meanDens/mean-u/mean-v/mean-w/...,
+    src/M2ulPhyS.cpp:642-661).  Our primitives carry temperature (and
+    species number densities) where the reference's pressure-primitive
+    set carries p, so the post-velocity channels are named mean-T /
+    mean-n_<sp> / mean-Te."""
+    mix = solver.mixture
+    plasma = getattr(solver, "plasma", None)
+    sp = None if plasma is None else plasma.species_names
+    names = ["meanDens"] + ["mean-u", "mean-v", "mean-w"][: mix.nvel]
+    names.append("mean-T")
+    for s in range(mix.num_active_species):
+        names.append(f"mean-n_{sp[s] if sp is not None else s}")
+    if mix.two_temperature:
+        names.append("mean-Te")
+    return names
+
+
+def _rms_names(nvel):
+    """Reynolds-stress dataset names in the Averaging engine's packed
+    upper-triangular order (reference: '/rmsData' uu/vv/ww/uv/uw/vw,
+    src/M2ulPhyS.cpp:663-676 — keyed by name, so ordering differences
+    are immaterial)."""
+    comp = "uvw"
+    return [comp[i] + comp[j] for i in range(nvel) for j in range(i, nvel)]
+
+
+def _averaging_payload(solver):
+    """(mean_global, reynolds_global, n_samples) or None.  Stored as the
+    reference does: mean primitives + Reynolds stresses (the restartable
+    statistics of src/M2ulPhyS.cpp:640-680, attr samplesMean
+    src/io.cpp:66)."""
+    av = getattr(solver, "averaging", None)
+    if av is None or not av.enabled or not av.n_samples or av.mean_up is None:
+        return None
+    gather = getattr(solver, "field_global", np.asarray)
+    mean = gather(np.asarray(av.mean_up))
+    rey = gather(np.asarray(av.reynolds_stresses(solver.mixture.nvel)))
+    return mean, rey, int(av.n_samples)
+
+
+def _restore_averaging(solver, mean_g, rey_g, n_samples):
+    """Install global mean/Reynolds-stress fields into the running
+    Averaging engine (raw second moments reconstructed from the stresses
+    so accumulation continues exactly)."""
+    av = getattr(solver, "averaging", None)
+    if av is None or not av.enabled or n_samples <= 0:
+        return
+    # continuation is opt-in ([averaging]/enableContinuation — reference:
+    # restore only when config.GetRestartMean(), src/io.cpp:120-125)
+    if not getattr(solver.config, "avg_enable_mean_continuation", True):
+        return
+    import jax.numpy as jnp
+
+    nvel = solver.mixture.nvel
+    scatter = getattr(solver, "field_to_shards", np.asarray)
+    mean = jnp.asarray(scatter(mean_g))
+    rey = jnp.asarray(scatter(rey_g))
+    vel = mean[..., 1 : 1 + nvel]
+    pairs = [(i, j) for i in range(nvel) for j in range(i, nvel)]
+    prods = jnp.stack([vel[..., i] * vel[..., j] for i, j in pairs], -1)
+    av.load_state_dict(
+        {"n_samples": n_samples, "mean_up": mean, "vel_m2": rey + prods},
+        nvel,
+    )
+
+
 class RestartIO:
     """Write/read restart files for a solver with .U/.iter/.time/.dt."""
 
@@ -92,6 +160,20 @@ class RestartIO:
         # (gather over owned rows, reference: serializeForWrite)
         U = (np.asarray(solver.state_global())
              if hasattr(solver, "state_global") else np.asarray(solver.U))
+        pay = _averaging_payload(solver)
+        extra = None
+        extra_attrs = {}
+        if pay is not None:
+            mean_g, rey_g, nsamp = pay
+            extra = {
+                "meanSolution": (_mean_field_names(solver), mean_g),
+                "rmsData": (_rms_names(solver.mixture.nvel), rey_g),
+            }
+            extra_attrs["samplesMean"] = nsamp
+            extra_attrs["samplesRMS"] = nsamp
+            extra_attrs["samplesInterval"] = int(
+                getattr(solver.averaging, "sample_interval", 1)
+            )
         part = getattr(solver, "partition", None)
         if part is not None and self._mode() in ("standard", "singleFileRead"):
             # per-shard layout (reference standard mode writes one
@@ -100,6 +182,7 @@ class RestartIO:
             write_partitioned(
                 self.outdir, U, part, names, iteration=solver.iter,
                 time=solver.time, dt=solver.dt, order=solver.config.order,
+                extra=extra, extra_attrs=extra_attrs,
             )
             return
         with h5py.File(self.path(), "w") as f:
@@ -114,6 +197,13 @@ class RestartIO:
             for k, name in enumerate(names):
                 # dof-major flat layout like the reference GridFunctions
                 g.create_dataset(name, data=U[:, :, k].reshape(-1))
+            if extra is not None:
+                for key, val in extra_attrs.items():
+                    f.attrs[key] = val
+                for gname, (enames, arr) in extra.items():
+                    ge = f.create_group(gname)
+                    for k, name in enumerate(enames):
+                        ge.create_dataset(name, data=arr[:, :, k].reshape(-1))
 
     def read(self, solver):
         import h5py
@@ -154,14 +244,21 @@ class RestartIO:
             else:
                 solver.U = jnp.asarray(U, dtype=solver.dtype)
 
+        avg_names = None
+        if getattr(solver, "averaging", None) is not None:
+            avg_names = {
+                "meanSolution": _mean_field_names(solver),
+                "rmsData": _rms_names(solver.mixture.nvel),
+            }
         if use_shards:
             # per-shard layout on disk: reassemble through the element maps
             # (also covers restarting a single-shard run from a partitioned
             # checkpoint — the reference's serialized<->partitioned restart)
             try:
-                Upart, attrs = read_partitioned(
+                Upart, attrs, extra = read_partitioned(
                     self.outdir, ne, ndof, names,
                     aliases=aliases, optional=optional,
+                    extra_names=avg_names or {},
                 )
             except FileNotFoundError:
                 raise FileNotFoundError(f"restart file not found: {path}")
@@ -176,6 +273,12 @@ class RestartIO:
                     else "gauss-lobatto",
                 )
             _install(solver, Upart)
+            if (avg_names and extra and
+                    stored_order == solver.config.order):
+                _restore_averaging(
+                    solver, extra["meanSolution"], extra["rmsData"],
+                    int(attrs.get("samplesMean", 0)),
+                )
             return solver
         with h5py.File(path, "r") as f:
             # refuse a checkpoint from a different mesh (the reference
@@ -198,6 +301,17 @@ class RestartIO:
                     _read_field(g, name, aliases, optional, (ne, ndof_stored))
                 )
             U = np.stack(cols, axis=-1)
+            avg_data = None
+            if (avg_names and "meanSolution" in f and "rmsData" in f
+                    and all(n in f["meanSolution"]
+                            for n in avg_names["meanSolution"])):
+                mean_g = np.stack(
+                    [np.asarray(f["meanSolution"][n]).reshape(ne, ndof_stored)
+                     for n in avg_names["meanSolution"]], axis=-1)
+                rey_g = np.stack(
+                    [np.asarray(f["rmsData"][n]).reshape(ne, ndof_stored)
+                     for n in avg_names["rmsData"]], axis=-1)
+                avg_data = (mean_g, rey_g, int(f.attrs.get("samplesMean", 0)))
         if stored_order != solver.config.order:
             # variable-order restart (reference [io]/restartMode variableP,
             # IOFamily::readChangeOrder src/io.hpp:219): resample each
@@ -208,11 +322,13 @@ class RestartIO:
                 else "gauss-lobatto",
             )
         _install(solver, U)
+        if avg_data is not None and stored_order == solver.config.order:
+            _restore_averaging(solver, *avg_data)
         return solver
 
 
 def write_partitioned(outdir, U, partition, names, *, iteration=0, time=0.0,
-                      dt=0.0, order=1):
+                      dt=0.0, order=1, extra=None, extra_attrs=None):
     """Per-shard restart files (reference [io]/restartMode = standard:
     restart_output.sol.<rank>.h5 per rank + partition.Np.h5,
     src/io.cpp write_restart_files_hdf5 / partitioning_file_hdf5).
@@ -246,9 +362,16 @@ def write_partitioned(outdir, U, partition, names, *, iteration=0, time=0.0,
             g = f.create_group("solution")
             for k, name in enumerate(names):
                 g.create_dataset(name, data=U[gids, :, k].reshape(-1))
+            for key, val in (extra_attrs or {}).items():
+                f.attrs[key] = val
+            for gname, (enames, arr) in (extra or {}).items():
+                ge = f.create_group(gname)
+                for k, name in enumerate(enames):
+                    ge.create_dataset(name, data=arr[gids, :, k].reshape(-1))
 
 
-def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=()):
+def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=(),
+                     extra_names=None):
     """Reassemble the global state from per-shard restart files.
 
     Works for any current decomposition (incl. a different shard count —
@@ -270,6 +393,11 @@ def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=()):
     U = np.zeros((ne, ndof, len(names)))
     filled = np.zeros(ne, dtype=bool)
     attrs = {}
+    extra = {}
+    if extra_names:
+        extra = {g: np.zeros((ne, ndof, len(ens)))
+                 for g, ens in extra_names.items()}
+    have_extra = bool(extra_names)
     for path in files:
         with h5py.File(path, "r") as f:
             attrs = {k: f.attrs[k] for k in f.attrs}
@@ -279,11 +407,22 @@ def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=()):
                     f["solution"], name, aliases or {}, optional,
                     (len(gids), ndof),
                 )
+            if have_extra:
+                for gname, ens in extra_names.items():
+                    if gname not in f:
+                        have_extra = False
+                        break
+                    for k, name in enumerate(ens):
+                        extra[gname][gids, :, k] = np.asarray(
+                            f[gname][name]
+                        ).reshape(len(gids), ndof)
             filled[gids] = True
     if not filled.all():
         raise ValueError(
             f"per-shard restart covers {filled.sum()}/{ne} elements"
         )
+    if extra_names is not None:
+        return U, attrs, (extra if have_extra else None)
     return U, attrs
 
 

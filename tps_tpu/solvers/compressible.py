@@ -706,6 +706,17 @@ class CompressibleSolver(PlasmaSolver):
         # restartCycle only gate *reading* at startup (:1930-1946)
         self._io = None
         self._init_io()
+        # the statistics engine must exist BEFORE read_restart so a
+        # checkpoint's /meanSolution + /rmsData restore into it
+        # (reference: restart read installs the averaged fields,
+        # src/io.cpp:122-132)
+        from ..io.averaging import Averaging
+
+        self.averaging = Averaging(
+            start_iter=rc.avg_start_iter,
+            sample_interval=max(rc.avg_sample_interval, 1),
+            enabled=rc.avg_enabled,
+        )
         restart_from_lte = (
             rc.raw is not None and rc.raw.get("io/restartFromLTE", 0)
         )
@@ -727,14 +738,9 @@ class CompressibleSolver(PlasmaSolver):
             # non-equilibrium restart files!")
             self.write_restart()
 
-        # statistics + history (reference: Averaging engine, history.hist)
-        from ..io.averaging import Averaging, HistoryFile
+        # history file (reference: history.hist)
+        from ..io.averaging import HistoryFile
 
-        self.averaging = Averaging(
-            start_iter=rc.avg_start_iter,
-            sample_interval=max(rc.avg_sample_interval, 1),
-            enabled=rc.avg_enabled,
-        )
         self._history = None
         if rc.raw is not None and rc.raw.get("io/enableHistory", 0):
             import os as _os
@@ -1307,6 +1313,23 @@ class CompressibleSolver(PlasmaSolver):
             self.U = jnp.asarray(
                 scatter_state(self._build, np.asarray(Ug)), self.dtype
             )
+
+    def field_global(self, arr):
+        """Any per-element field [ne(, shards), ndof, k] -> global ordering
+        (same reassembly as state_global; used for restartable statistics)."""
+        if self._build is None:
+            return np.asarray(arr)
+        from ..parallel.partition import gather_state
+
+        return gather_state(self._build, arr)
+
+    def field_to_shards(self, arr_g):
+        """Global per-element field -> this run's shard layout."""
+        if self._build is None:
+            return np.asarray(arr_g)
+        from ..parallel.partition import scatter_state
+
+        return scatter_state(self._build, np.asarray(arr_g))
 
     # -- Boltzmann interface bus (reference: src/M2ulPhyS2Boltzmann.cpp) ----
     def init_interface(self, interface):
