@@ -96,6 +96,64 @@ def test_channel_bcs_run():
     assert 200 < Up[..., solver.mixture.i_th].mean() < 400
 
 
+def test_bc_patch_report(capsys):
+    # inlet/outlet surface-area + face-count log lines at BC init, the
+    # reference's wedge.test contract (src/inletBC.cpp:311-312,
+    # src/outletBC.cpp:339-340)
+    _run("channel2d.ini")
+    out = capsys.readouterr().out
+    # channel2d: inlet patch 4 = x-min edge (length 0.2, ny=4 faces),
+    # outlet patch 2 = x-max edge
+    assert "[INLET]: Total Surface Area                = 2.00000e-01" in out
+    assert "[INLET]: # of boundary faces               = 4" in out
+    assert "[OUTLET]: Total Surface Area                = 0.20000" in out
+    assert "[OUTLET]: # of boundary faces               = 4" in out
+
+
+def test_roe_axisym_refused():
+    # reference behavior (annulus.test): Roe + axisymmetric is an error
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.solvers.base import create_solver
+
+    inp = IniInput.parse("""
+[solver]
+type = flow
+[flow]
+order = 1
+axisymmetric = 1
+useRoe = 1
+fluid = dry_air
+[mesh]
+generator = box2d
+nx = 2
+ny = 2
+[initialConditions]
+rho = 1.2
+rhoU = 0.
+rhoV = 0.
+rhoW = 0.
+pressure = 101300
+[boundaryConditions/wall1]
+patch = 1
+type = inviscid
+[boundaryConditions/wall2]
+patch = 2
+type = inviscid
+[boundaryConditions/wall3]
+patch = 3
+type = inviscid
+[boundaryConditions/wall4]
+patch = 4
+type = inviscid
+[boundaryConditions]
+numWalls = 4
+""")
+    rc = parse_run_configuration(inp)
+    solver = create_solver(rc.solver_type, rc)
+    with pytest.raises(ValueError, match="Roe flux not supported"):
+        solver.initialize()
+
+
 def test_restart_roundtrip(tmp_path):
     tps = _run("channel2d.ini", max_iters=2, outdir=tmp_path)
     tps.solve()

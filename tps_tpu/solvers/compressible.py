@@ -192,6 +192,7 @@ class CompressibleSolver(PlasmaSolver):
 
         # boundary conditions: per-attr static slices over sorted bdr faces
         self.bc_slices = self._build_bcs()
+        self._report_bc_patches()
 
         self.ctx = RHSContext(
             fluxes=self.fluxes,
@@ -341,6 +342,13 @@ class CompressibleSolver(PlasmaSolver):
             sgs_model=sgs,
             visc_sponge=visc_sponge,
         )
+        if rc.use_roe and rc.axisymmetric:
+            # the reference refuses this combination too (annulus.test:
+            # "[ERROR]: Roe flux not supported for axisymmetric simulations")
+            raise ValueError(
+                "Roe flux not supported for axisymmetric simulations. "
+                "Please use flow/useRoe = 0."
+            )
         self.riemann = Roe(self.fluxes) if rc.use_roe else Rusanov(self.fluxes)
 
         if rc.axisymmetric:
@@ -926,6 +934,34 @@ class CompressibleSolver(PlasmaSolver):
                 area=fget("area", self._patch_area(spec)),
                 ref_length=self.config.ref_length)
         raise NotImplementedError(f"boundary condition type '{kind}'")
+
+    _INLET_KINDS = ("subsonic", "subsonicFaceBasedX", "subsonicFaceBasedY",
+                    "subsonicFaceBasedZ", "interpolate", "nonreflecting",
+                    "nonreflectingConstEntropy")
+    _OUTLET_KINDS = ("subsonicPressure", "nonReflectingPressure",
+                     "nonreflectingPressure", "nonReflectingMassFlow",
+                     "nonReflectingPointBasedMassFlow", "farfield")
+
+    def _report_bc_patches(self):
+        """Per-patch surface area / face-count report at BC init, matching
+        the reference's inlet/outlet constructor logs (src/inletBC.cpp:311-312,
+        src/outletBC.cpp:339-340 — checked verbatim by test/wedge.test)."""
+        tab = self.viz_tables
+        attrs = np.asarray(tab.f_bdr_attr)
+        for spec in self.config.bcs:
+            nfaces = int(np.count_nonzero(attrs == spec.patch))
+            if spec.kind in self._INLET_KINDS:
+                area = self._patch_area(spec)
+                print(f"[INLET]: Total Surface Area                = "
+                      f"{area:.5e}", flush=True)
+                print(f"[INLET]: # of boundary faces               = "
+                      f"{nfaces}", flush=True)
+            elif spec.kind in self._OUTLET_KINDS:
+                area = self._patch_area(spec)
+                print(f"[OUTLET]: Total Surface Area                = "
+                      f"{area:.5f}", flush=True)
+                print(f"[OUTLET]: # of boundary faces               = "
+                      f"{nfaces}", flush=True)
 
     def _patch_area(self, spec):
         """Quadrature area of a boundary patch (for mass-flow outlets)."""
