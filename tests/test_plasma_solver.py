@@ -99,3 +99,37 @@ def test_argon_full_multilevel_plasma():
     assert n_r1 < n_r0  # radiative decay depletes Ar_r
     Up = np.asarray(s.primitives())
     assert (Up[..., mix.i_th] > 0).all() and np.isfinite(Up).all()
+
+
+def test_argon_inflow_outflow():
+    """Subsonic inlet with species mass fractions + pressure outlet on the
+    argon ternary mixture (role of the reference's inflow_outflow.test,
+    argonMinimal.inflow_outflow.ini; species parse at
+    src/M2ulPhyS.cpp:3629-3641)."""
+    tps = Tps()
+    tps.input_file = os.path.join(HERE, "inputs", "argon_inflow_outflow.ini")
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    solver = tps.solver
+    mix = solver.mixture
+
+    # the inlet BC carries the active-species (Ar.+1) mass fraction
+    from tps_tpu.dg.bc import InletBC
+
+    inlets = [s.bc for s in solver.bc_slices if isinstance(s.bc, InletBC)]
+    assert len(inlets) == 1
+    assert inlets[0].input_state == (1.6, 10.0, 0.0, 1.0e-7)
+
+    tps.solve()
+    assert solver.iter == 4
+    assert solver.check_nan() == 0
+    Up = np.asarray(solver.primitives())
+    assert Up[..., 0].min() > 0
+    assert 200 < Up[..., mix.i_th].mean() < 5000
+    # ion molar density stays near the seeded level (uniform state,
+    # matched inlet): n_Ar+ = Y rho / M_Ar+ [mol/m^3]
+    n_ion = Up[..., mix.nvel + 2]
+    n_ref = 1.0e-7 * 1.6 / (39.948e-3 - 5.4858e-07)
+    assert 0.5 * n_ref < n_ion.mean() < 2.0 * n_ref

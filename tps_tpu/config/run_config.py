@@ -176,7 +176,9 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
         kind = inp.get_required(f"{base}/type", str)
         params = {}
         for k in inp.keys_under(base):
-            name = k.split("/")[-1]
+            # keep nested key paths (e.g. mass_fraction/species1,
+            # reference src/M2ulPhyS.cpp:3637) relative to the section
+            name = k[len(base) + 1:]
             if name in ("patch", "type"):
                 continue
             params[name] = inp.values[k]

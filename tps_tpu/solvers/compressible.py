@@ -826,7 +826,7 @@ class CompressibleSolver(PlasmaSolver):
             rho = fget("density")
             uvw = [float(x) for x in str(p.get("uvw", "0 0 0")).strip().strip("'\"").split()]
             nvel = self.mixture.nvel
-            state = (rho, *uvw[:nvel])
+            state = (rho, *uvw[:nvel], *self._bc_mass_fractions(p))
             return InletBC(input_state=state)
         if kind in ("subsonicFaceBasedX", "subsonicFaceBasedY",
                     "subsonicFaceBasedZ"):
@@ -934,6 +934,28 @@ class CompressibleSolver(PlasmaSolver):
                 area=fget("area", self._patch_area(spec)),
                 ref_length=self.config.ref_length)
         raise NotImplementedError(f"boundary condition type '{kind}'")
+
+    def _bc_mass_fractions(self, params):
+        """Inlet species mass fractions (active species, mixture order)
+        from boundaryConditions/<sec>/mass_fraction/speciesN keys — the
+        reference requires these for multi-species inlets and uses only
+        the active ones (src/M2ulPhyS.cpp:3629-3641)."""
+        mix = self.mixture
+        nact = getattr(mix, "num_active_species", 0)
+        if nact == 0:
+            return ()
+        i2m = self.plasma.input_to_mixture
+        ys = []
+        for sp in range(nact):
+            inp_idx = int(np.where(i2m == sp)[0][0])
+            key = f"mass_fraction/species{inp_idx + 1}"
+            if key not in params:
+                raise ValueError(
+                    f"multi-species inlet needs {key} (mass fraction of "
+                    f"'{self.plasma.species_names[sp]}')"
+                )
+            ys.append(float(str(params[key]).strip("'\"")))
+        return tuple(ys)
 
     _INLET_KINDS = ("subsonic", "subsonicFaceBasedX", "subsonicFaceBasedY",
                     "subsonicFaceBasedZ", "interpolate", "nonreflecting",
