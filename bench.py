@@ -425,12 +425,25 @@ outdirBase = /tmp/tps_bench_lomach_react
 """)
     for _ in range(4):  # warmup/compile (BDF startup runs per-step)
         s.solve_step()
-    s.solve_chunk(8)  # compile the chunked production path
-    jax.block_until_ready(s.thermo.T)
+    # chunked production path; the hosted-TPU XLA occasionally SIGILLs
+    # compiling the scanned reacting step (fusion cost model crash) — the
+    # production solve() falls back to per-step the same way
+    chunked = True
+    try:
+        s.solve_chunk(8)  # compile the chunked production path
+        jax.block_until_ready(s.thermo.T)
+    except Exception:
+        chunked = False
+        s.solve_step()  # already compiled; steady-state per-step timing
+        jax.block_until_ready(s.thermo.T)
     nrep = 8 if SMOKE else 24
     t0 = time.perf_counter()
-    for _ in range(nrep // 8):
-        s.solve_chunk(8)
+    if chunked:
+        for _ in range(nrep // 8):
+            s.solve_chunk(8)
+    else:
+        for _ in range(nrep):
+            s.solve_step()
     jax.block_until_ready(s.thermo.T)
     elapsed = time.perf_counter() - t0
     ms_per_step = 1e3 * elapsed / nrep
@@ -439,7 +452,8 @@ outdirBase = /tmp/tps_bench_lomach_react
         "value": ms_per_step,
         "unit": "ms",
         "vs_baseline": 0.0,  # first recording of this metric (round 3)
-        "detail": {"elements": 24 * 48, "steps_timed": nrep},
+        "detail": {"elements": 24 * 48, "steps_timed": nrep,
+                   "chunked": chunked},
     }
 
 

@@ -651,3 +651,20 @@ def test_chunked_solve_with_stateful_bcs(tmp_path):
     for sa, sb in zip(a.bc_states, b.bc_states):
         if sa is not None:
             np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_flow_chunk_compile_failure_falls_back(monkeypatch):
+    """Planted chunk-compile failure: the solve loop must disable chunking
+    and finish per-step (hosted-TPU XLA has been observed to SIGILL on
+    scanned programs; production runs must survive it)."""
+    tps = _run("vortex2d.ini")
+    s = tps.solver
+
+    def boom(n):
+        raise RuntimeError("planted chunk-compile failure")
+
+    monkeypatch.setattr(s, "solve_chunk", boom)
+    tps.solve()
+    assert s.iter == s.config.max_iters
+    assert getattr(s, "_chunk_disabled", False) is True
+    assert s.check_nan() == 0

@@ -176,3 +176,30 @@ def test_channel_pressure_outlet_and_ramped_inlet():
     # pressure drives the flow: higher at the inlet side
     in_dofs = h1.boundary_dofs(h1.build_h1(mesh, order=2), (4,))
     assert p[in_dofs].mean() > p[out_dofs].mean()
+
+
+def test_chunk_compile_failure_falls_back_per_step(monkeypatch):
+    """If the chunked scan fails to compile (observed on the hosted-TPU
+    XLA: SIGILL in the fusion pass on the reacting chunk), solve() must
+    fall back to per-step stepping and still complete."""
+    tps = Tps()
+    tps.input_file = os.path.join(HERE, "inputs", "lomach_tgv2d.ini")
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    s = tps.solver
+    s.max_iters_cfg = 12
+
+    def boom(n):
+        raise RuntimeError("planted chunk-compile failure")
+
+    monkeypatch.setattr(s, "solve_chunk", boom)
+    # TGV uses the constant-property thermo (no chunk_step), so force the
+    # chunk decision on to exercise the solve-loop fallback
+    monkeypatch.setattr(
+        s, "_chunk_size",
+        lambda: 1 if getattr(s, "_chunk_disabled", False) else 4)
+    tps.solve()
+    assert s.iter == s.max_iters == 12
+    assert getattr(s, "_chunk_disabled", False) is True

@@ -1090,6 +1090,8 @@ class CompressibleSolver(PlasmaSolver):
         rc = self.config
         if getattr(self, "_step_n", None) is None:
             return 1  # subclass without a chunked step (mixed-mesh solver)
+        if getattr(self, "_chunk_disabled", False):
+            return 1  # a chunk compile failed earlier; per-step fallback
         if self._history is not None:
             return 1  # per-step dU/dt diagnostics
         rem = self.max_iters - self.iter
@@ -1161,7 +1163,18 @@ class CompressibleSolver(PlasmaSolver):
         while self.iter < self.max_iters and self.status == 0:
             n = self._chunk_size()
             if n > 1:
-                self.solve_chunk(n)
+                try:
+                    self.solve_chunk(n)
+                except Exception as e:  # XLA compile failure on the scanned
+                    # program: fall back permanently to per-step stepping
+                    # (the chunk raises at the jitted call, before any state
+                    # update)
+                    self._chunk_disabled = True
+                    print(
+                        "flow: chunked stepping unavailable "
+                        f"({type(e).__name__}); falling back to per-step",
+                        flush=True,
+                    )
             else:
                 self.solve_step()
         self.solve_end()

@@ -689,7 +689,8 @@ class LoMachSolver(Solver):
     # on the hosted-TPU tunnel) --------------------------------------------
     def _chunkable(self):
         return (
-            not self.ext_data
+            not getattr(self, "_chunk_disabled", False)
+            and not self.ext_data
             and not self.averaging.enabled
             # zero/LES/algebraic/static carry a bare nut (chunk_nut);
             # transported models (zeta-f) carry full state (chunk_step)
@@ -784,7 +785,19 @@ class LoMachSolver(Solver):
         while self.iter < self.max_iters and self.status == 0:
             n = self._chunk_size()
             if n > 1:
-                self.solve_chunk(n)
+                try:
+                    self.solve_chunk(n)
+                except Exception as e:  # XLA compile failure on the scanned
+                    # program (observed: hosted-TPU compiler SIGILL on the
+                    # reacting chunk's fusion pass): fall back permanently
+                    # to per-step stepping — state is untouched, the chunk
+                    # raises before any unpack
+                    self._chunk_disabled = True
+                    print(
+                        "loMach: chunked stepping unavailable "
+                        f"({type(e).__name__}); falling back to per-step",
+                        flush=True,
+                    )
             else:
                 self.solve_step()
         self.solve_end()
