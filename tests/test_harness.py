@@ -668,3 +668,38 @@ def test_flow_chunk_compile_failure_falls_back(monkeypatch):
     assert s.iter == s.config.max_iters
     assert getattr(s, "_chunk_disabled", False) is True
     assert s.check_nan() == 0
+
+
+def test_die_file_early_exit(tmp_path):
+    """DIE file triggers a clean early exit with STATUS_EARLY_EXIT and a
+    checkpoint (reference die.test, src/utils.cpp:144-157)."""
+    from tps_tpu.utils.job_management import STATUS_EARLY_EXIT
+
+    tps = _run("channel2d.ini", max_iters=50, outdir=tmp_path,
+               enable_restart=None)
+    tps.config.exit_check_freq = 1
+    (tmp_path / "DIE").write_text("")
+    tps.solve()
+    s = tps.solver
+    assert s.status == STATUS_EARLY_EXIT
+    assert tps.get_status() == STATUS_EARLY_EXIT
+    assert s.iter < 50  # stopped well before maxIters
+
+
+def test_walltime_checkpoint_resubmit(tmp_path, monkeypatch):
+    """Near-walltime: checkpoint + STATUS_JOB_RESTART exit (reference
+    Check_JobResubmit, src/utils.cpp:133 + M2ulPhyS.cpp:2160-2170)."""
+    import time as _t
+
+    from tps_tpu.utils.job_management import STATUS_JOB_RESTART
+
+    tps = _run("channel2d.ini", max_iters=50, outdir=tmp_path)
+    tps.config.exit_check_freq = 1
+    tps.config.enable_auto_restart = True
+    tps.config.rm_threshold = 3600  # everything is "almost done"
+    monkeypatch.setenv("TPS_JOB_END_TIME", str(_t.time() + 60))
+    tps.solve()
+    s = tps.solver
+    assert s.status == STATUS_JOB_RESTART
+    assert s.iter < 50
+    assert (tmp_path / "restart_output.sol.h5").exists()
