@@ -28,7 +28,20 @@ def _build(order, n):
     with open(os.path.join(HERE, "inputs", "argon_minimal.ini")) as f:
         txt = f.read()
     txt = txt.replace("nx = 6", f"nx = {n}").replace("ny = 6", f"ny = {n}")
-    txt = txt.replace("order = 1", f"order = {order}")
+    # Pin the Gauss-Legendre nodal basis for this convergence study.  The
+    # GL and GLL nodal bases span the same Q_p space (the DG operator is
+    # identical); what differs is the interpolation operator used to set
+    # the manufactured state.  The GLL interpolant of a smooth field has
+    # IDENTICALLY ZERO inter-element jumps (face nodes are shared), which
+    # changes the observed residual rate of the viscous-dominated electron
+    # energy equation from ~2 to ~1 at these resolutions (measured:
+    # GLL p2 n16->32 Te rate 1.0 / err 0.046; GL rate 2.0 / err 0.0066) —
+    # the same behavior the reference exhibits, whose ternary MMS test pins
+    # large relative errors (0.156, 0.045) instead of asserting rates
+    # (test/mms.ternary_2d.test:44-57).  GL interpolation keeps the strong
+    # design-order assertion meaningful.
+    txt = txt.replace("order = 1",
+                      f"order = {order}\nbasisType = 0\nintegrationRule = 0")
     ini = f"/tmp/mms_ternary_{order}_{n}.ini"
     with open(ini, "w") as f:
         f.write(txt)
@@ -112,8 +125,11 @@ def test_ternary_plasma_rhs_convergence(order, meshes, min_rate):
         y_disc, _ = compute_rhs(ctx, tab, U_dof, 0.0)
 
         w = np.einsum("q,nq->nq", np.asarray(tab.wq), np.asarray(tab.detJ))
-        diff = np.asarray(y_disc - y_exact)
-        ref = np.asarray(y_exact)
+        # evaluate dof fields at the volume quadrature points (the dof
+        # nodes are not collocated with quadrature in general)
+        B = np.asarray(tab.Bvol)  # [nq, ndof]
+        diff = np.einsum("qd,ndk->nqk", B, np.asarray(y_disc - y_exact))
+        ref = np.einsum("qd,ndk->nqk", B, np.asarray(y_exact))
         # per-equation relative L2 errors
         num = np.sqrt(np.sum(w[..., None] * diff**2, axis=(0, 1)))
         den = np.sqrt(np.sum(w[..., None] * ref**2, axis=(0, 1)))

@@ -92,6 +92,12 @@ class RunConfiguration:
     avg_save_mean_history: bool = False
     avg_enable_mean_continuation: bool = False
 
+    # [mms] (reference: src/M2ulPhyS.cpp:2836-2842)
+    use_mms: bool = False
+    mms_name: str = ""
+    mms_compare_rhs: bool = False
+    mms_save_details: bool = False
+
     # [jobManagement]
     enable_auto_restart: bool = False
     rm_threshold: int = 15 * 60
@@ -117,8 +123,10 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
 
     rc.mesh = inp.get("flow/mesh", "")
     rc.order = inp.get("flow/order", 1)
-    rc.integration_rule = inp.get("flow/integrationRule", 0)
-    rc.basis_type = inp.get("flow/basisType", 0)
+    # reference defaults are Gauss-Lobatto for BOTH the quadrature family
+    # and the nodal basis (src/M2ulPhyS.cpp:2671-2672)
+    rc.integration_rule = inp.get("flow/integrationRule", 1)
+    rc.basis_type = inp.get("flow/basisType", 1)
     rc.max_iters = inp.get("flow/maxIters", 10)
     rc.output_freq = inp.get("flow/outputFreq", 100)
     rc.timing_freq = inp.get("flow/timingFreq", 100)
@@ -136,7 +144,9 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
     rc.sgs_model = {"0": "none", "1": "smagorinsky", "2": "sigma"}.get(_sgs, _sgs)
     if rc.sgs_model not in ("none", "smagorinsky", "sigma"):
         raise ValueError(f"flow/sgsModel: unknown model '{_sgs}'")
-    rc.sgs_const = inp.get("flow/sgsModelConstant", 0.0)
+    # per-model default constants (reference: src/M2ulPhyS.cpp:2693-2699)
+    _sgs_default = {"smagorinsky": 0.12, "sigma": 0.135}.get(rc.sgs_model, 0.0)
+    rc.sgs_const = inp.get("flow/sgsModelConstant", _sgs_default)
 
     # framework extension: generated meshes ([mesh] generator = box2d ...)
     if inp.has("mesh/generator"):
@@ -191,6 +201,15 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
     rc.avg_sample_interval = inp.get("averaging/sampleFreq", 0)
     rc.avg_save_mean_history = bool(inp.get("averaging/saveMeanHist", 0))
     rc.avg_enable_mean_continuation = bool(inp.get("averaging/enableContinuation", 0))
+
+    # [mms] (reference: src/M2ulPhyS.cpp:2836-2842)
+    rc.use_mms = inp.get("mms/isEnabled", False)
+    if rc.use_mms:
+        rc.mms_name = inp.get("mms/name", "")
+        if not rc.mms_name:
+            raise ValueError("mms/name is required when mms/isEnabled")
+        rc.mms_compare_rhs = inp.get("mms/compare_rhs", False)
+        rc.mms_save_details = inp.get("mms/save_details", False)
 
     rc.enable_auto_restart = bool(inp.get("jobManagement/enableAutoRestart", 0))
     rc.rm_threshold = inp.get("jobManagement/timeThreshold", 15 * 60)

@@ -493,16 +493,38 @@ def extract_diag(Minv, rtol=1e-10):
     return None
 
 
+def mesh_orderw(mesh: Mesh) -> int:
+    """Polynomial order of det(J) of the element mapping, matching MFEM's
+    IsoparametricTransformation::OrderW (Qk: k*dim-1; Pk: (k-1)*dim).  The
+    reference sizes its face quadrature as OrderW + 2p (+1 for simplices),
+    mirroring DGTraceIntegrator — see src/face_integrator.cpp:233-243,
+    src/M2ulPhyS.cpp:965-975."""
+    k = mesh.curved_order if mesh.curved_nodes is not None else 1
+    if mesh.geom in ("tri", "tet"):
+        return (k - 1) * mesh.dim
+    return k * mesh.dim - 1
+
+
 def build_tables(
     mesh: Mesh,
     order: int,
     basis: str = "gauss-legendre",
+    quad_rule: str = "gauss-legendre",
     vol_quad_order: int | None = None,
     face_quad_order: int | None = None,
+    mass_quad_order: int | None = None,
     faces: FaceInfo | None = None,
     axisymmetric: bool = False,
 ) -> DGTables:
-    """Build all DG tables for a mesh (single element type)."""
+    """Build all DG tables for a mesh (single element type).
+
+    `quad_rule` selects the 1-D quadrature family for tensor geometries
+    (the reference's flow/integrationRule: 0 = gauss-legendre,
+    1 = gauss-lobatto, src/M2ulPhyS.cpp:557-561).  Default integration
+    orders follow the reference exactly: volume 2p
+    (src/domain_integrator.cpp:69), mass 2p (src/rhs_operator.cpp:181),
+    faces OrderW + 2p (+1 for simplices, src/face_integrator.cpp:233-243).
+    """
     ref = ReferenceElement(geom=mesh.geom, order=order, basis=basis)
     dim = ref.dim
     ne = mesh.num_elements
@@ -512,10 +534,14 @@ def build_tables(
     if vol_quad_order is None:
         vol_quad_order = 2 * order  # reference: src/domain_integrator.cpp:69
     if face_quad_order is None:
-        face_quad_order = 2 * order + 1
+        face_quad_order = mesh_orderw(mesh) + 2 * order
+        if mesh.geom in ("tri", "tet"):
+            face_quad_order += 1  # FunctionSpace::Pk bump
+    if mass_quad_order is None:
+        mass_quad_order = 2 * order  # reference: src/rhs_operator.cpp:181
 
     # ---- volume quadrature on the reference element ----
-    vol_pts, wq = ref.volume_quadrature(vol_quad_order)
+    vol_pts, wq = ref.volume_quadrature(vol_quad_order, quad_rule)
     nq = vol_pts.shape[0]
 
     Bvol = ref.eval_basis(vol_pts)  # [nq, ndof]
@@ -543,8 +569,10 @@ def build_tables(
     Jinv = np.linalg.inv(J)
     adjJ = detJ[..., None, None] * Jinv
 
-    # ---- mass matrices (higher quadrature to cover geometry weight) ----
-    m_pts, wm = ref.volume_quadrature(2 * order + dim)
+    # ---- mass matrices (reference: MassIntegrator at 2p from the intRules
+    # family, src/rhs_operator.cpp:179-185; exact for affine elements,
+    # deliberately underintegrated for curved ones as the reference is) ----
+    m_pts, wm = ref.volume_quadrature(mass_quad_order, quad_rule)
     Bm = ref.eval_basis(m_pts)
     dNm = geo_grad(m_pts)
     Jm = np.einsum("nvi,qvj->nqij", elem_verts, dNm)
@@ -572,7 +600,7 @@ def build_tables(
     delta = svals[:, -1] / max(order, 1)
 
     # ---- trace operator ----
-    fq_pts, fq_w = ref.face_quadrature(face_quad_order)
+    fq_pts, fq_w = ref.face_quadrature(face_quad_order, quad_rule)
     nqf = fq_pts.shape[0]
     Btr = np.zeros((nlf * nqf, ndof))
     face_ref = np.zeros((nlf, nqf, dim))

@@ -51,6 +51,11 @@ def fusable(tab_np, ctx) -> bool:
         return False
     if ctx.axis_name is not None:
         return False
+    # collocation: the nodal basis must coincide with the volume rule
+    # (true for the GL basis + GL 2p rule; NOT for the reference-default
+    # GLL/GLL combination, whose 2p rule has p+2 points per dim)
+    if t.Bvol.shape[0] != t.Bvol.shape[1]:
+        return False
     if not np.allclose(t.Bvol, np.eye(t.nq)):
         return False
     M0 = np.asarray(t.Minv[0])

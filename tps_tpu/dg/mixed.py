@@ -164,6 +164,7 @@ def _iface_qperm(tabs, crosses, n_iface, nif_block=None):
 
 
 def build_mixed_tables(mm, order, basis="gauss-legendre",
+                       quad_rule="gauss-legendre",
                        vol_quad_order=None, face_quad_order=None,
                        axisymmetric=False) -> MixedDGTables:
     """Build per-bucket DGTables for a MixedMesh plus interface pairing."""
@@ -179,7 +180,8 @@ def build_mixed_tables(mm, order, basis="gauss-legendre",
     tabs = []
     for b, mesh in enumerate(mm.parts):
         tabs.append(build_tables(
-            mesh, order, basis=basis, vol_quad_order=vol_quad_order,
+            mesh, order, basis=basis, quad_rule=quad_rule,
+            vol_quad_order=vol_quad_order,
             face_quad_order=face_quad_order, faces=fis[b],
             axisymmetric=axisymmetric,
         ))
@@ -737,6 +739,7 @@ class ShardedMixedBuild:
 
 
 def build_sharded_mixed(mm, order, nparts, basis="gauss-legendre",
+                        quad_rule="gauss-legendre",
                         vol_quad_order=None, face_quad_order=None,
                         axisymmetric=False, partition_axis=0,
                         axis_name="dd") -> ShardedMixedBuild:
@@ -746,7 +749,8 @@ def build_sharded_mixed(mm, order, nparts, basis="gauss-legendre",
         face_quad_order = 2 * order + 1
     # global tables (IO / BC setup / qperm pairing)
     global_mt = build_mixed_tables(
-        mm, order, basis=basis, vol_quad_order=vol_quad_order,
+        mm, order, basis=basis, quad_rule=quad_rule,
+        vol_quad_order=vol_quad_order,
         face_quad_order=face_quad_order, axisymmetric=axisymmetric)
     n_iface = global_mt.n_iface
     fis, crosses = _mixed_face_info(mm)
@@ -767,7 +771,8 @@ def build_sharded_mixed(mm, order, nparts, basis="gauss-legendre",
             ((cent - lo) / width * nparts).astype(np.int32), nparts - 1)
         sb = build_sharded_tables(
             part, order=order, nparts=nparts, partition=partition,
-            faces=fis[b], basis=basis, vol_quad_order=vol_quad_order,
+            faces=fis[b], basis=basis, quad_rule=quad_rule,
+            vol_quad_order=vol_quad_order,
             face_quad_order=face_quad_order, axisymmetric=axisymmetric,
         )
         builds.append(sb)

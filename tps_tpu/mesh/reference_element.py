@@ -49,12 +49,17 @@ def gauss_lobatto_1d(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def quadrature_1d(order: int, rule: str = "gauss-legendre") -> tuple[np.ndarray, np.ndarray]:
-    """Minimal 1-D rule integrating polynomials of degree `order` exactly."""
+    """1-D rule for the requested polynomial degree with MFEM-compatible
+    point counts (mirrors IntegrationRules::Get for SEGMENT with the
+    Quadrature1D::GaussLegendre / GaussLobatto families, which the
+    reference selects via flow/integrationRule, src/M2ulPhyS.cpp:557-561):
+    GL uses order//2+1 points (exact to 2n-1 >= order), GLL uses
+    order//2+2 points (exact to 2n-3 >= order)."""
     if rule == "gauss-legendre":
         n = order // 2 + 1
         return gauss_legendre_1d(n)
     elif rule == "gauss-lobatto":
-        n = max(2, int(np.ceil((order + 3) / 2.0)))  # 2n-3 >= order
+        n = max(2, order // 2 + 2)  # 2n-3 >= order, MFEM point count
         return gauss_lobatto_1d(n)
     raise ValueError(f"unknown quadrature rule: {rule}")
 
@@ -251,12 +256,17 @@ class ReferenceElement:
 
     # -- quadrature ----------------------------------------------------------
 
-    def volume_quadrature(self, quad_order: int):
-        """(pts [nq, dim], wts [nq]) exact to the given polynomial degree."""
-        n1d = quad_order // 2 + 1
+    def volume_quadrature(self, quad_order: int, rule: str = "gauss-legendre"):
+        """(pts [nq, dim], wts [nq]) exact to the given polynomial degree.
+
+        `rule` selects the tensor-product 1-D family (the reference's
+        flow/integrationRule); simplex volume rules are family-independent
+        (as in MFEM, where only SEGMENT/tensor geometries honor the
+        Quadrature1D type)."""
         if self.is_simplex:
+            n1d = quad_order // 2 + 1
             return duffy_quadrature(n1d, self.dim)
-        x, w = gauss_legendre_1d(n1d)
+        x, w = quadrature_1d(quad_order, rule)
         grids = np.meshgrid(*([x] * self.dim), indexing="ij")
         pts = np.stack([g.ravel(order="F") for g in grids], axis=-1)
         wts = np.ones(pts.shape[0])
@@ -264,14 +274,13 @@ class ReferenceElement:
             wts = wts * g.ravel(order="F")
         return pts, wts
 
-    def face_quadrature(self, quad_order: int):
+    def face_quadrature(self, quad_order: int, rule: str = "gauss-legendre"):
         """(tpoints [nqf, dim-1], wts [nqf]) on the face parameter domain."""
-        n1d = quad_order // 2 + 1
         if self.geom == "tet":
             # symmetric rule: both sides of a shared triangular face must
             # produce the same physical point set for qperm matching
             return symmetric_tri_quadrature(quad_order)
-        x, w = gauss_legendre_1d(n1d)
+        x, w = quadrature_1d(quad_order, rule)
         if self.dim == 2:
             return x[:, None], w
         X, Y = np.meshgrid(x, x, indexing="ij")

@@ -48,6 +48,19 @@ def _build_mesh(rc: RunConfiguration):
                 periodic_x=gen.get("periodic_x", "0") in ("1", "true", "True"),
                 periodic_y=gen.get("periodic_y", "0") in ("1", "true", "True"),
             )
+        if kind == "box2d_tri":
+            # each quad split along its SW-NE diagonal, matching MFEM
+            # Mesh::Make2D TRIANGLE (the beam_mesh -e 6 cell pattern)
+            return generators.box_2d_tri(
+                nx=int(gen.get("nx", 8)),
+                ny=int(gen.get("ny", 8)),
+                x0=float(gen.get("x0", 0.0)),
+                x1=float(gen.get("x1", 1.0)),
+                y0=float(gen.get("y0", 0.0)),
+                y1=float(gen.get("y1", 1.0)),
+                periodic_x=gen.get("periodic_x", "0") in ("1", "true", "True"),
+                periodic_y=gen.get("periodic_y", "0") in ("1", "true", "True"),
+            )
         if kind == "box3d":
             per = (
                 gen.get("periodic_x", "0") in ("1", "true", "True"),
@@ -120,6 +133,8 @@ def _apply_mesh_options(mesh, raw):
 class CompressibleSolver(PlasmaSolver):
     """Explicit DG compressible flow solver."""
 
+    masa = None  # MasaHandler when [mms]/isEnabled
+
     def initialize(self):
         import jax
         import jax.numpy as jnp
@@ -131,6 +146,20 @@ class CompressibleSolver(PlasmaSolver):
         if self.mesh is None:
             self.mesh = _build_mesh(rc)
         basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
+        # flow/integrationRule selects the quadrature family (reference:
+        # src/M2ulPhyS.cpp:557-561); framework extension keys
+        # flow/faceQuadOrder / flow/volQuadOrder override the
+        # reference-parity order formulas (documented TPU fast path)
+        quad_rule = ("gauss-legendre" if rc.integration_rule == 0
+                     else "gauss-lobatto")
+        quad_kw = {"quad_rule": quad_rule}
+        if rc.raw is not None:
+            fqo = int(rc.raw.get("flow/faceQuadOrder", 0) or 0)
+            vqo = int(rc.raw.get("flow/volQuadOrder", 0) or 0)
+            if fqo > 0:
+                quad_kw["face_quad_order"] = fqo
+            if vqo > 0:
+                quad_kw["vol_quad_order"] = vqo
 
         # domain decomposition: [mesh]/partitions N shards the element axis
         # over a jax device mesh (the reference's MPI mesh partitioning,
@@ -151,7 +180,7 @@ class CompressibleSolver(PlasmaSolver):
             self._build = build_sharded_tables(
                 self.mesh, order=rc.order, nparts=self.nparts,
                 partition=part, basis=basis,
-                axisymmetric=rc.axisymmetric,
+                axisymmetric=rc.axisymmetric, **quad_kw,
             )
             self.partition = self._build.partition
             self.tables_np = self._build.tables
@@ -160,7 +189,7 @@ class CompressibleSolver(PlasmaSolver):
         else:
             self.tables_np = build_tables(
                 self.mesh, order=rc.order, basis=basis,
-                axisymmetric=rc.axisymmetric,
+                axisymmetric=rc.axisymmetric, **quad_kw,
             )
             self.viz_tables = self.tables_np
 
@@ -414,6 +443,27 @@ class CompressibleSolver(PlasmaSolver):
                         value=rc.raw.get(f"passiveScalar{k}/value", 1.0),
                     )
                 )
+        # manufactured-solution forcing ([mms], reference MASA handler:
+        # src/masa_handler.cpp + MASA_forcings, src/forcing_terms.cpp:956-1012)
+        self.masa = None
+        if rc.use_mms:
+            from ..utils.masa import MasaHandler
+
+            overrides = {}
+            if raw is not None:
+                known = ("isEnabled", "name", "compare_rhs", "save_details")
+                for k in raw.keys_under("mms"):
+                    p = k.split("/", 1)[1]
+                    if p not in known:
+                        overrides[p] = raw.get(k, 0.0)
+            self.masa = MasaHandler(
+                rc.mms_name, self.mixture, self.fluxes, rc=rc,
+                overrides=overrides,
+            )
+            if not rc.mms_compare_rhs:
+                # with compare_rhs the forcing is excluded from the RHS
+                # (reference: rhs_operator.cpp:454)
+                forcings.append(self.masa.make_forcing())
         return forcings
 
     # ------------------------------------------------------------------
@@ -999,6 +1049,11 @@ class CompressibleSolver(PlasmaSolver):
         rc = self.config
         mix = self.mixture
         xyz = self.tables.xyz_dof
+        if self.masa is not None:
+            # project the exact manufactured state (reference:
+            # M2ulPhyS::projectExactSolution, src/M2ulPhyS.cpp:1925-1943;
+            # nodal interpolation = MFEM ProjectCoefficient on L2 nodal)
+            return self.masa.exact_U(xyz, 0.0)
         if rc.ic.case == "isentropic_vortex":
             return mix.conservatives(isentropic_vortex(xyz, 0.0, mix))
         if rc.ic.case == "taylor_green_2d":
@@ -1163,12 +1218,26 @@ class CompressibleSolver(PlasmaSolver):
         while self.iter < self.max_iters and self.status == 0:
             n = self._chunk_size()
             if n > 1:
+                it0 = self.iter
                 try:
                     self.solve_chunk(n)
-                except Exception as e:  # XLA compile failure on the scanned
-                    # program: fall back permanently to per-step stepping
-                    # (the chunk raises at the jitted call, before any state
-                    # update)
+                except FloatingPointError:
+                    # NaN/divergence guard (or any numerical guard raised by
+                    # the post-chunk services): a genuine runtime failure of
+                    # the run, never a compile problem — propagate with its
+                    # original diagnostic intact
+                    raise
+                except Exception as e:
+                    if self.iter != it0:
+                        # State was already advanced, so the jitted chunk
+                        # compiled and ran: this is a runtime error from the
+                        # service tail (restart write, job management, ...),
+                        # not a compile failure.  Falling back to per-step
+                        # would silently continue from a half-serviced state.
+                        raise
+                    # XLA compile failure on the scanned program (raises at
+                    # the jitted call, before any state update): fall back
+                    # permanently to per-step stepping
                     self._chunk_disabled = True
                     print(
                         "flow: chunked stepping unavailable "

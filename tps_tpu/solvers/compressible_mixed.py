@@ -83,6 +83,8 @@ class MixedCompressibleSolver(CompressibleSolver):
             self.nparts = max(int(rc.raw.get("mesh/partitions", 1) or 1), 1)
 
         basis = "gauss-legendre" if rc.basis_type == 0 else "gauss-lobatto"
+        quad_rule = ("gauss-legendre" if rc.integration_rule == 0
+                     else "gauss-lobatto")
         if self.nparts > 1:
             from ..dg.mixed import (
                 build_sharded_mixed,
@@ -94,13 +96,14 @@ class MixedCompressibleSolver(CompressibleSolver):
             paxis = int(rc.raw.get("mesh/partition_axis", 0) or 0)
             self._smx = build_sharded_mixed(
                 self.mesh, order=rc.order, nparts=self.nparts, basis=basis,
+                quad_rule=quad_rule,
                 axisymmetric=rc.axisymmetric, partition_axis=paxis,
             )
             self.mt_np = self._smx.global_mt  # unsharded (IO/viz/BC setup)
             self.mt = self._smx.stacked.to_jax(self.dtype)
         else:
             self.mt_np = build_mixed_tables(
-                self.mesh, order=rc.order, basis=basis,
+                self.mesh, order=rc.order, basis=basis, quad_rule=quad_rule,
                 axisymmetric=rc.axisymmetric,
             )
             self.mt = self.mt_np.to_jax(self.dtype)

@@ -785,13 +785,24 @@ class LoMachSolver(Solver):
         while self.iter < self.max_iters and self.status == 0:
             n = self._chunk_size()
             if n > 1:
+                it0 = self.iter
                 try:
                     self.solve_chunk(n)
-                except Exception as e:  # XLA compile failure on the scanned
-                    # program (observed: hosted-TPU compiler SIGILL on the
-                    # reacting chunk's fusion pass): fall back permanently
-                    # to per-step stepping — state is untouched, the chunk
-                    # raises before any unpack
+                except FloatingPointError:
+                    # divergence guard (chunk_check): a numerical failure of
+                    # the run, not a compile problem — keep its diagnostic
+                    raise
+                except Exception as e:
+                    if self.iter != it0:
+                        # chunk compiled and ran (state advanced): a service
+                        # failure (restart write, ...) must propagate, not
+                        # masquerade as a compile fallback
+                        raise
+                    # XLA compile failure on the scanned program (observed:
+                    # hosted-TPU compiler SIGILL on the reacting chunk's
+                    # fusion pass): fall back permanently to per-step
+                    # stepping — state is untouched, the chunk raises
+                    # before any unpack
                     self._chunk_disabled = True
                     print(
                         "loMach: chunked stepping unavailable "

@@ -1,0 +1,211 @@
+"""MASA-compatible manufactured solutions (euler_2d / ad_cns_2d_sutherlands).
+
+The reference links the MASA library and drives it through
+src/masa_handler.cpp: `initEuler2D` (masa_handler.cpp:240-263) sets
+L = 3.02, Gamma = 1.4 and all eight trig frequencies a_* = 2 on MASA's
+"euler_2d" solution; `initCNS2DSutherlands` (masa_handler.cpp:265-301)
+additionally pins rho_0/rho_x/rho_y, R, Pr and the Sutherland constants
+for "ad_cns_2d_sutherlands".  The exact fields are the classic Roy et al.
+(2004) sin/cos primitives
+
+    rho = rho_0 + rho_x sin(a_rhox pi x / L) + rho_y cos(a_rhoy pi y / L)
+    u   = u_0   + u_x   sin(a_ux   pi x / L) + u_y   cos(a_uy   pi y / L)
+    v   = v_0   + v_x   cos(a_vx   pi x / L) + v_y   sin(a_vy   pi y / L)
+    p   = p_0   + p_x   cos(a_px   pi x / L) + p_y   sin(a_py   pi y / L)
+
+and the manufactured source is the analytic divergence of the governing
+flux evaluated at a point — here obtained with jax forward-mode autodiff
+through the same flux functions the DG operator discretizes (equal to
+MASA's closed-form sources to machine precision).
+
+Parameters the reference does NOT set come from MASA's library defaults
+(`euler_2d::init_var`).  MASA's source is not available in this
+environment; the amplitude set below is a best-effort reconstruction of
+those "currently randomly generated" defaults, constrained by physical
+realizability (p > 0, rho > 0 everywhere requires p_0 > p_x + p_y etc.)
+and consistent with the reference's near-identical per-equation relative
+RHS errors (u_0 >> field amplitudes makes the residual quasi-linear
+advection of mode-a_* trig fields, so e_rho ~ e_mom ~ e_E as observed in
+test/mms.euler_2d.test).  Every value can be overridden from the ini:
+any `[mms] <param> = <value>` key wins.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# MASA euler_2d::init_var defaults (src/euler.cpp; best-effort
+# reconstruction — see module docstring).  The a_* frequencies, L and
+# Gamma are overridden by the reference for both MMS cases, so only the
+# twelve amplitude values below carry reconstruction uncertainty.
+MASA_EULER2D_DEFAULTS = {
+    "u_0": 200.23, "u_x": 1.1, "u_y": 1.08,
+    "v_0": 1.2, "v_x": 1.6, "v_y": 0.47,
+    "rho_0": 100.02, "rho_x": 2.22, "rho_y": 0.8,
+    "p_0": 150.2, "p_x": 0.91, "p_y": 0.623,
+    "a_px": 6.151, "a_py": 1.831,
+    "a_rhox": 1.75, "a_rhoy": 1.03,
+    "a_ux": 1.2, "a_uy": 0.03,
+    "a_vx": 0.54, "a_vy": 0.3,
+    "Gamma": 1.01, "L": 3.02, "R": 287.0,
+}
+
+#: reference overrides (src/masa_handler.cpp:244-262)
+_EULER2D_TPS_OVERRIDES = {
+    "L": 3.02, "Gamma": 1.4,
+    "a_rhox": 2.0, "a_rhoy": 2.0,
+    "a_ux": 2.0, "a_uy": 2.0,
+    "a_vx": 2.0, "a_vy": 2.0,
+    "a_px": 2.0, "a_py": 2.0,
+}
+
+#: reference overrides (src/masa_handler.cpp:265-301); visc_mult scales Amu
+_CNS2D_TPS_OVERRIDES = {
+    "L": 3.02, "Gamma": 1.4, "R": 287.058, "Pr": 0.71,
+    "Amu": 1.458e-6, "Bmu": 1.5, "Cmu": 110.4, "bulkViscMult": 0.0,
+    "rho_0": 1.02, "rho_x": 0.11, "rho_y": 0.13,
+    "a_rhox": 2.0, "a_rhoy": 2.0,
+    "a_ux": 2.0, "a_uy": 2.0,
+    "a_vx": 2.0, "a_vy": 2.0,
+    "a_px": 2.0, "a_py": 2.0,
+}
+
+SUPPORTED = ("euler_2d", "ad_cns_2d_sutherlands")
+
+
+def masa_params(name: str, visc_mult: float = 1.0,
+                bulk_visc: float = 0.0, overrides: dict | None = None):
+    """Parameter dict for a named MMS, mirroring the masa_handler init
+    sequence: MASA defaults -> reference masa_set_param calls -> ini
+    overrides."""
+    if name == "euler_2d":
+        p = dict(MASA_EULER2D_DEFAULTS)
+        p.update(_EULER2D_TPS_OVERRIDES)
+    elif name == "ad_cns_2d_sutherlands":
+        p = dict(MASA_EULER2D_DEFAULTS)
+        # MASA's ad_cns class defaults differ from euler_2d's; u_0 = 70
+        # and p_0 = 1e5 (the Roy et al. 2004 subsonic scales) are
+        # empirically confirmed against the reference's bracketed cns_2d
+        # quad errors (e2/e0 = 1.0260 vs the reference's 1.0267 with
+        # these, vs 1.0013 with the euler_2d set); the remaining
+        # amplitude defaults are unconfirmed (see tests/test_masa_parity)
+        p.update({"u_0": 70.0, "p_0": 1e5})
+        p.update(_CNS2D_TPS_OVERRIDES)
+        p["Amu"] = visc_mult * 1.458e-6
+        p["bulkViscMult"] = bulk_visc
+    else:
+        raise ValueError(
+            f"mms/name '{name}' not supported (have: {SUPPORTED})")
+    for k, v in (overrides or {}).items():
+        if k not in p:
+            raise ValueError(f"unknown MASA parameter override '{k}'")
+        p[k] = float(v)
+    return p
+
+
+def exact_primitives(name: str, params: dict, mix):
+    """Pointwise exact primitive state in the framework layout
+    [rho, u, v, T] (T = p / (rho R), matching DryAir primitives).
+
+    Returns up(xyz, t) broadcasting over leading axes of xyz[..., dim].
+    The fields are steady (masa_eval_exact_* take no time argument for
+    these cases, masa_handler.cpp:220-238)."""
+    L = params["L"]
+    pi = np.pi
+
+    def up(xyz, t=0.0):
+        x = xyz[..., 0]
+        y = xyz[..., 1]
+        rho = (params["rho_0"]
+               + params["rho_x"] * jnp.sin(params["a_rhox"] * pi * x / L)
+               + params["rho_y"] * jnp.cos(params["a_rhoy"] * pi * y / L))
+        u = (params["u_0"]
+             + params["u_x"] * jnp.sin(params["a_ux"] * pi * x / L)
+             + params["u_y"] * jnp.cos(params["a_uy"] * pi * y / L))
+        v = (params["v_0"]
+             + params["v_x"] * jnp.cos(params["a_vx"] * pi * x / L)
+             + params["v_y"] * jnp.sin(params["a_vy"] * pi * y / L))
+        p = (params["p_0"]
+             + params["p_x"] * jnp.cos(params["a_px"] * pi * x / L)
+             + params["p_y"] * jnp.sin(params["a_py"] * pi * y / L))
+        T = p / (rho * mix.gas_constant)
+        return jnp.stack([rho, u, v, T], axis=-1)
+
+    return up
+
+
+def pointwise_source(up_point, fluxes):
+    """Analytic manufactured source S(x) = div F(U*(x)) at a point
+    (the MASA masa_eval_source_* role) via nested forward-mode autodiff
+    through the convective (+ viscous) flux functions.
+
+    Returns s(x[dim]) -> [neq]."""
+    mix = fluxes.mixture
+
+    def u_point(x):
+        return mix.conservatives(up_point(x[None])[0])
+
+    def flux_point(x):
+        U = u_point(x)[None, None]
+        Up = up_point(x[None])[None]
+        g = jax.jacfwd(lambda xx: up_point(xx[None])[0])(x)[None, None]
+        F = fluxes.total_at_dofs(
+            U, Up, g, x[None, None], jnp.ones((1, 1)) * 1e30, distance=None)
+        return F[0, 0]  # [neq, dim]
+
+    def s(x):
+        dF = jax.jacfwd(flux_point)(x)  # [neq, dim(flux), dim(deriv)]
+        return jnp.einsum("edd->e", dF)
+
+    return s
+
+
+class MasaHandler:
+    """Per-solver MMS services: exact state projection, pointwise nodal
+    forcing (reference MASA_forcings::updateTerms adds S at solution
+    nodes AFTER the mass inverse, src/forcing_terms.cpp:979-1012), and
+    the compute_rhs error report."""
+
+    def __init__(self, name, mix, fluxes, rc=None, overrides=None):
+        visc_mult = getattr(rc, "visc_mult", 1.0) if rc is not None else 1.0
+        bulk_visc = (getattr(rc, "bulk_visc_mult", 0.0)
+                     if rc is not None else 0.0)
+        self.name = name
+        self.params = masa_params(name, visc_mult=visc_mult,
+                                  bulk_visc=bulk_visc, overrides=overrides)
+        self.mix = mix
+        self.fluxes = fluxes
+        self.up_fn = exact_primitives(name, self.params, mix)
+        self._s_fn = pointwise_source(self.up_fn, fluxes)
+        self._s_dof = None
+
+    def exact_U(self, xyz, t=0.0):
+        """Exact conserved state interpolated at the given nodes (MFEM
+        ProjectCoefficient on a nodal L2 space = nodal interpolation)."""
+        return self.mix.conservatives(self.up_fn(xyz, t))
+
+    def source_at(self, xyz):
+        """S = div F(U*) at nodes; cached (the fields are steady)."""
+        if self._s_dof is None or self._s_dof.shape[:-1] != xyz.shape[:-1]:
+            pts = xyz.reshape(-1, xyz.shape[-1])
+            s = jax.vmap(self._s_fn)(pts)
+            self._s_dof = s.reshape(xyz.shape[:-1] + (s.shape[-1],))
+        return self._s_dof
+
+    def make_forcing(self):
+        """RHS forcing closure: adds +S(x_dof) pointwise to dU/dt
+        (matching the reference's post-M^{-1} nodal addition,
+        src/forcing_terms.cpp:979-1012 + rhs_operator.cpp:452-461).
+        The source is evaluated from the runtime table's node coordinates
+        so the same closure works inside sharded (shard_map) programs."""
+        s_fn = self._s_fn
+
+        def forcing(t, tab_in, U, Up, grad_up, fields=None):
+            xyz = tab_in.xyz_dof
+            pts = xyz.reshape(-1, xyz.shape[-1])
+            s = jax.vmap(s_fn)(pts)
+            return s.reshape(xyz.shape[:-1] + (s.shape[-1],))
+
+        return forcing
