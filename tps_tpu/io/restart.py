@@ -302,9 +302,27 @@ class RestartIO:
                 )
             U = np.stack(cols, axis=-1)
             avg_data = None
+            if avg_names and "meanSolution" in f and not (
+                    "rmsData" in f
+                    and all(n in f["meanSolution"]
+                            for n in avg_names["meanSolution"])
+                    and all(n in f["rmsData"]
+                            for n in avg_names["rmsData"])):
+                # a statistics group exists but its member names don't
+                # match this run's primitive set (e.g. a checkpoint written
+                # by the reference stores mean-p/mean-Y<sp> where we store
+                # mean-T/mean-n_<sp>, M2ulPhyS.cpp:644-659, or a different
+                # nvel/species count): skip the restore loudly instead of
+                # silently dropping the accumulated samples
+                print(
+                    "[restart] meanSolution present but dataset names do "
+                    "not match the current primitive set - accumulated "
+                    "statistics NOT restored", flush=True)
             if (avg_names and "meanSolution" in f and "rmsData" in f
                     and all(n in f["meanSolution"]
-                            for n in avg_names["meanSolution"])):
+                            for n in avg_names["meanSolution"])
+                    and all(n in f["rmsData"]
+                            for n in avg_names["rmsData"])):
                 mean_g = np.stack(
                     [np.asarray(f["meanSolution"][n]).reshape(ne, ndof_stored)
                      for n in avg_names["meanSolution"]], axis=-1)
@@ -409,7 +427,10 @@ def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=(),
                 )
             if have_extra:
                 for gname, ens in extra_names.items():
-                    if gname not in f:
+                    # member-name check, not just group presence: a shard
+                    # written with a different nvel/species set must skip
+                    # statistics restore rather than KeyError the restart
+                    if gname not in f or any(n not in f[gname] for n in ens):
                         have_extra = False
                         break
                     for k, name in enumerate(ens):

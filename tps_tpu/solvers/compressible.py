@@ -809,6 +809,33 @@ class CompressibleSolver(PlasmaSolver):
             rc.raw.get("io/enableParaview", 0) if rc.raw is not None else 0
         )
 
+        # [planeDump] plane-sampled field dumps every outputFreq
+        # (reference: parsePlaneDump src/M2ulPhyS.cpp:2811-2832, dump at
+        # :2052-2096 — gslib plane interpolation of the selected field to
+        # ASCII; here the native Newton point-location interpolator)
+        self._plane = None
+        self._plane_spec = None
+        if rc.raw is not None and rc.raw.get("planeDump/isEnabled", False):
+            raw = rc.raw
+            kinds = [k for k in ("conserved", "primitive", "mean", "reynolds")
+                     if raw.get(f"planeDump/{k}", False)]
+            if len(kinds) != 1:
+                raise ValueError(
+                    "planeDump: select exactly one of "
+                    "conserved/primitive/mean/reynolds")
+            self._plane_spec = {
+                "normal": raw.get_vec("planeDump/norm", 3),
+                "point": raw.get_vec("planeDump/point", 3),
+                "samples": raw.get_required("planeDump/samples", int),
+                "kind": kinds[0],
+            }
+
+        # hierarchical wall-clock timers (the reference's GRVY timers,
+        # summarized at teardown: grvy_timer_summarize, M2ulPhyS dtor)
+        from ..utils.timers import Timers
+
+        self.timers = Timers()
+
     # ------------------------------------------------------------------
     def _build_bcs(self):
         rc = self.config
@@ -1207,7 +1234,11 @@ class CompressibleSolver(PlasmaSolver):
             self._wall0 = _time.perf_counter()
         if self._restart_io_ready() and self.iter % rc.output_freq == 0:
             self._drain_mcs_queue(0)
-            self.write_restart()
+            with self.timers.section("io/restart"):
+                self.write_restart()
+        if self.iter % rc.output_freq == 0:
+            with self.timers.section("io/planeDump"):
+                self._plane_dump()
         if self.iter % max(rc.exit_check_freq, 1) == 0:
             self._job_management()
 
@@ -1220,7 +1251,8 @@ class CompressibleSolver(PlasmaSolver):
             if n > 1:
                 it0 = self.iter
                 try:
-                    self.solve_chunk(n)
+                    with self.timers.section("solve/chunk"):
+                        self.solve_chunk(n)
                 except FloatingPointError:
                     # NaN/divergence guard (or any numerical guard raised by
                     # the post-chunk services): a genuine runtime failure of
@@ -1245,7 +1277,8 @@ class CompressibleSolver(PlasmaSolver):
                         flush=True,
                     )
             else:
-                self.solve_step()
+                with self.timers.section("solve/step"):
+                    self.solve_step()
         self.solve_end()
 
     def _post_step_services(self, mcs):
@@ -1294,7 +1327,11 @@ class CompressibleSolver(PlasmaSolver):
             # flush pending NaN guards first so a checkpoint can never
             # overwrite the last good state with NaN fields
             self._drain_mcs_queue(0)
-            self.write_restart()
+            with self.timers.section("io/restart"):
+                self.write_restart()
+        if self.iter % rc.output_freq == 0:
+            with self.timers.section("io/planeDump"):
+                self._plane_dump()
 
         # job management (reference: Check_JobResubmit / DIE-file hooks,
         # src/M2ulPhyS.cpp:2160-2177)
@@ -1333,6 +1370,57 @@ class CompressibleSolver(PlasmaSolver):
             self.visualization()
         if self._history is not None:
             self._history.close()
+        # per-function timing summary (reference: grvy_timer_summarize at
+        # M2ulPhyS teardown, src/M2ulPhyS.cpp:1623,2146-2178)
+        if getattr(self, "timers", None) is not None and self.timers._acc:
+            self.timers.summarize()
+
+    def _plane_dump(self):
+        """Interpolate the configured field onto the sampling plane and
+        write <outdir>/planeData/plane<iter>.txt (reference:
+        src/M2ulPhyS.cpp:2052-2096)."""
+        spec = self._plane_spec
+        if spec is None:
+            return
+        import os as _os
+
+        import jax.numpy as jnp
+
+        rc = self.config
+        if self._plane is None:
+            from ..io.probes import PlaneDump
+
+            lo = self.mesh.vertices.min(axis=0)
+            hi = self.mesh.vertices.max(axis=0)
+            basis = ("gauss-legendre" if rc.basis_type == 0
+                     else "gauss-lobatto")
+            self._plane = PlaneDump(
+                self.mesh, rc.order, basis,
+                spec["normal"], spec["point"], spec["samples"],
+                extent=float(np.linalg.norm(np.asarray(hi) - np.asarray(lo))),
+            )
+        kind = spec["kind"]
+        mix = self.mixture
+        if kind == "conserved":
+            field = np.asarray(self.state_global())
+        elif kind == "primitive":
+            field = np.asarray(
+                mix.primitives(jnp.asarray(self.state_global())))
+        elif kind == "mean":
+            m = self.averaging.mean()
+            if m is None:
+                return
+            field = self.field_global(np.asarray(m))
+        else:  # reynolds
+            r = self.averaging.reynolds_stresses(mix.nvel)
+            if r is None:
+                return
+            field = self.field_global(np.asarray(r))
+        path = _os.path.join(rc.outdir, "planeData",
+                             f"plane{self.iter}.txt")
+        self._plane.write(
+            path, {kind: field},
+            header_extra=f"iter {self.iter} t {float(self.time):.8e}")
 
     def visualization(self):
         """ParaView VTK dump of primitive fields (+ statistics if sampled);

@@ -278,6 +278,14 @@ class LoMachSolver(Solver):
         self.output_freq = inp.get("loMach/outputFreq", 1000)
         cg_tol = inp.get("time/solverRelTolerance", 1e-12)
         cg_maxiter = inp.get("time/maxSolverIteration", 500)
+        # flow (Tomboulides) solves have their own tolerance ladder with a
+        # looser default (reference: tomboulides.hpp:149 default_rtol_
+        # 1e-10, overridable via loMach/tomboulides/psolve-rtol; the
+        # [time]/solverRelTolerance key governs the thermo-side solves)
+        flow_tol = inp.get(
+            "loMach/tomboulides/psolve-rtol",
+            inp.get("loMach/rtol", 1e-10),
+        )
 
         # boundary conditions
         vel_bcs, temp_bcs, ext_specs, pres_bcs = [], [], [], []
@@ -513,7 +521,7 @@ class LoMachSolver(Solver):
                 self.tab, self.thermo, vel_bcs=tuple(vel_bcs),
                 swirl=bool(inp.get("loMach/swirl", 0)),
                 sponge=self.sponge,
-                cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                cg_tol=flow_tol, cg_maxiter=cg_maxiter,
                 gravity=gvec,
             )
         elif flow_model == "tomboulides":
@@ -521,7 +529,7 @@ class LoMachSolver(Solver):
                 self.tab, self.thermo, vel_bcs=tuple(vel_bcs),
                 pres_bcs=tuple(pres_bcs),
                 sponge=self.sponge,
-                cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                cg_tol=flow_tol, cg_maxiter=cg_maxiter,
                 mesh=self.mesh,  # enables p-multigrid pressure precond
                 gravity=gvec,
             )

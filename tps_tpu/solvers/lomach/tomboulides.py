@@ -363,7 +363,32 @@ class Tomboulides(FlowBase):
             def lap_m(v):
                 return lap(v * pmask) * pmask + v * (1.0 - pmask)
 
-            M_p = h1.chebyshev_precond(lap_m, pdiag_c, degree=3)
+            if self._pmg is not None:
+                # mask-aware two-level V(1,1): the coarse operator is the
+                # same 1/rho Laplacian on the order-1 space with the
+                # pressure-Dirichlet mask injected at the vertices (the
+                # reference preconditions this solve with LOR BoomerAMG,
+                # src/tomboulides.cpp:1582-1610; measured here on the
+                # reacting 1152-elem p2 case: 129 -> ~25 CG iters)
+                tab_c = self._pmg["tab_c"]
+                c2f = self._pmg["c2f"]
+                inv_rho_c = inv_rho[c2f]
+                pmask_c = pmask[c2f]
+
+                def lap_c_m(v):
+                    return h1.diffusion_apply(
+                        tab_c, v * pmask_c, inv_rho_c
+                    ) * pmask_c + v * (1.0 - pmask_c)
+
+                diag_cc = h1.stiffness_diag(tab_c, inv_rho_c) * pmask_c \
+                    + (1.0 - pmask_c)
+                M_p = h1.pmg_precond(
+                    lap_m, pdiag_c, lap_c_m, diag_cc,
+                    self._pmg["P_ids"], self._pmg["P_wts"],
+                    self._pmg["nc"],
+                )
+            else:
+                M_p = h1.chebyshev_precond(lap_m, pdiag_c, degree=3)
             p_new, p_iters, p_res = h1.cg_solve(
                 lap, b, x0=p * pmask, diag=pdiag_c, dirichlet_mask=pmask,
                 M=M_p, tol=self.cg_tol, maxiter=self.cg_maxiter,
