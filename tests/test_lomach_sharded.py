@@ -66,7 +66,13 @@ def _run(tmp_path, nparts, iters=5):
     return tps.solver
 
 
-def test_sharded_lomach_matches_single(tmp_path):
+def test_sharded_lomach_matches_single(tmp_path, monkeypatch):
+    # pin both runs to the SAME solver path: sharded spaces cannot use the
+    # dense-direct lagged preconditioner, so disable it on the single-
+    # device side too — the 1e-11 bar then measures sharding alone, not
+    # (converged) CG-iterate path differences
+    from tps_tpu.fem import h1
+    monkeypatch.setattr(h1, "DENSE_DIRECT_MAX", 0)
     s1 = _run(tmp_path, 1)
     s4 = _run(tmp_path, 4)
     u1 = np.asarray(s1.flow.u)

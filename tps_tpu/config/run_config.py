@@ -103,6 +103,12 @@ class RunConfiguration:
     rm_threshold: int = 15 * 60
     exit_check_freq: int = 500
 
+    # [post-process/visualization]: snapshot-series postprocessing under
+    # --visual (reference: parsePostProcessVisualizationInputs,
+    # src/M2ulPhyS.cpp:3759-3766; loop :4083-4154).  dict with
+    # prefix/start_iter/end_iter/freq or None.
+    postprocess: dict | None = None
+
     # [spongezone] / passive scalars / plasma sections parsed on demand by
     # the physics factories; keep the raw input around.
     raw: IniInput | None = None
@@ -214,4 +220,18 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
     rc.enable_auto_restart = bool(inp.get("jobManagement/enableAutoRestart", 0))
     rc.rm_threshold = inp.get("jobManagement/timeThreshold", 15 * 60)
     rc.exit_check_freq = inp.get("jobManagement/checkFreq", 500)
+
+    # [post-process/visualization] — the snapshot-series postprocess mode
+    # behind `tps --visual` (reference: M2ulPhyS.cpp:3759-3766)
+    if inp.has("post-process/visualization/prefix"):
+        rc.postprocess = {
+            "prefix": inp.get_required(
+                "post-process/visualization/prefix", str),
+            "start_iter": inp.get_required(
+                "post-process/visualization/start-iter", int),
+            "end_iter": inp.get_required(
+                "post-process/visualization/end-iter", int),
+            "freq": inp.get_required(
+                "post-process/visualization/frequency", int),
+        }
     return rc

@@ -15,6 +15,7 @@ coordinate matching).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, fields
 
 import jax
@@ -225,14 +226,17 @@ def gather(tab, u):
             "direct element gather is not available on an element-sharded "
             "H1 space; use the assembly operators (mass/diffusion/...)"
         )
-    if u.ndim != 1:
-        return jnp.stack(
-            [gather(tab, u[:, c]) for c in range(u.shape[1])], axis=-1
-        )
     nd = u.shape[0]
     ndpad = -(-nd // 8) * 8
     rowi = tab.elem_dofs // 8  # hoisted (table-derived)
     lane = jax.nn.one_hot(tab.elem_dofs % 8, 8, dtype=u.dtype)
+    if u.ndim != 1:
+        # multi-column: ONE row gather (rows carry all k columns) — the
+        # per-gather cost on TPU is proportional to the row count, not the
+        # row width, so this is ~k x cheaper than per-column gathers
+        k = u.shape[1]
+        xp = jnp.pad(u, ((0, ndpad - nd), (0, 0))).reshape(-1, 8, k)
+        return jnp.sum(xp[rowi] * lane[..., None], axis=-2)  # [ne, nde, k]
     xp = jnp.pad(u, (0, ndpad - nd)).reshape(-1, 8)
     return jnp.sum(xp[rowi] * lane, axis=-1)
 
@@ -249,17 +253,21 @@ def scatter_add(tab, r_el):
             (-1,) + (1,) * (r_el.ndim - 1)
         )
     if getattr(tab, "dof_gather", None) is not None:
-        if r_el.ndim > 2:
-            return jnp.stack(
-                [scatter_add(tab, r_el[..., c])
-                 for c in range(r_el.shape[-1])], axis=-1)
         # mod-row gather-sum over the assembly transpose (see gather)
-        flat = r_el.reshape(-1)
         nfl = tab.ne * tab.ndof_el + 1
         flpad = -(-nfl // 8) * 8
-        flat = jnp.pad(flat, (0, flpad - tab.ne * tab.ndof_el)).reshape(-1, 8)
         rowi = tab.dof_gather // 8
         lane = jax.nn.one_hot(tab.dof_gather % 8, 8, dtype=r_el.dtype)
+        if r_el.ndim > 2:
+            # multi-column: one row gather carrying all k columns
+            k = r_el.shape[-1]
+            flat = r_el.reshape(-1, k)
+            flat = jnp.pad(
+                flat, ((0, flpad - tab.ne * tab.ndof_el), (0, 0))
+            ).reshape(-1, 8, k)
+            return jnp.sum(flat[rowi] * lane[..., None], axis=(-3, -2))
+        flat = r_el.reshape(-1)
+        flat = jnp.pad(flat, (0, flpad - tab.ne * tab.ndof_el)).reshape(-1, 8)
         return jnp.sum(flat[rowi] * lane, axis=(-1, -2))
     flat = r_el.reshape((tab.ne * tab.ndof_el,) + r_el.shape[2:])
     seg = tab.elem_dofs.reshape(-1)
@@ -332,12 +340,17 @@ def mass_apply(tab, u, coef=None):
     cq = _coef_q(tab, coef)
     if cq is not None:
         w = w * cq
-    outs = []
-    for c in range(uu.shape[1]):
-        u_el = gather(tab, uu[:, c])  # [ne, ndof_el]
-        uq = u_el @ tab.Bvol.T  # [ne, nq]
-        outs.append(scatter_add(tab, (w * uq) @ tab.Bvol))
-    out = jnp.stack(outs, axis=-1)
+    k = uu.shape[1]
+    ne, nde = tab.ne, tab.ndof_el
+    # fold columns into the row (element) axis: one gather, one scatter,
+    # and k-independent matmul count (TPU latency floors; see the
+    # dense-direct section note)
+    ue = gather(tab, uu)  # [ne, nde, k]
+    uek = jnp.moveaxis(ue, -1, 0).reshape(k * ne, nde)
+    uq = uek @ tab.Bvol.T  # [k*ne, nq]
+    wk = jnp.tile(w, (k, 1))
+    re = (wk * uq) @ tab.Bvol
+    out = scatter_add(tab, jnp.moveaxis(re.reshape(k, ne, nde), 0, -1))
     return out[:, 0] if squeeze else out
 
 
@@ -362,16 +375,21 @@ def diffusion_apply(tab, u, coef=None):
         ]
         for m in range(dim)
     ]
-    outs = []
-    for c in range(uu.shape[1]):
-        u_el = gather(tab, uu[:, c])
-        g = [u_el @ tab.Gvol[:, :, l].T for l in range(dim)]  # [ne, nq]
-        re = 0.0
-        for m in range(dim):
-            h = sum(A[m][l] * g[l] for l in range(dim)) * w
-            re = re + h @ tab.Gvol[:, :, m]  # [ne, ndof_el]
-        outs.append(scatter_add(tab, re))
-    out = jnp.stack(outs, axis=-1)
+    k = uu.shape[1]
+    ne, nde = tab.ne, tab.ndof_el
+    # fold columns into the row axis (see mass_apply)
+    ue = gather(tab, uu)  # [ne, nde, k]
+    uek = jnp.moveaxis(ue, -1, 0).reshape(k * ne, nde)
+    # w is [1, nq] (no/scalar coef: broadcasts as-is) or [ne, nq] (tile)
+    wk = jnp.tile(w, (k, 1)) if w.shape[0] == tab.ne else w
+    g = [uek @ tab.Gvol[:, :, l].T for l in range(dim)]  # [k*ne, nq]
+    Ak = [[jnp.tile(A[m][l], (k, 1)) for l in range(dim)]
+          for m in range(dim)]
+    re = 0.0
+    for m in range(dim):
+        h = sum(Ak[m][l] * g[l] for l in range(dim)) * wk
+        re = re + h @ tab.Gvol[:, :, m]  # [k*ne, nde]
+    out = scatter_add(tab, jnp.moveaxis(re.reshape(k, ne, nde), 0, -1))
     return out[:, 0] if squeeze else out
 
 
@@ -744,6 +762,257 @@ def pmg_precond(apply_f, diag_f, apply_c, diag_c, P_ids, P_wts, nc,
         return z
 
     return M
+
+
+# --------------------------------------------------------------------------
+# Dense direct factorization (small-case implicit solves)
+#
+# On the hosted TPU every gather costs ~130 us and every small matmul ~30 us
+# REGARDLESS of size (latency floors, measured; PERF.md round 4), so a
+# matrix-free CG iteration costs ~0.25 ms no matter how small the mesh is —
+# a 25-iteration pmg-CG pressure solve on a 4.8k-dof case burns ~50 ms of
+# pure latency.  For small dof counts the TPU-native answer is dense direct
+# algebra on the MXU: assembling the operator densely and Cholesky-factoring
+# it costs ~7 ms ONCE, after which each solve is one triangular pair
+# (~0.03 ms).  Used as a LAGGED preconditioner: the factor is refreshed
+# every chunk while CG (still exact) converges in 1-3 iterations.
+# The reference leans on BoomerAMG/LOR for the same solves
+# (src/tomboulides.cpp:1582-1610); dense-on-MXU is the TPU analog at small n.
+# --------------------------------------------------------------------------
+
+DENSE_DIRECT_MAX = int(os.environ.get("TPS_DENSE_DIRECT_MAX", "12000"))
+
+
+def dense_capable(tab):
+    """True when the dense direct path applies (unsharded, small space)."""
+    return (not _sharded(tab)) and tab.ndofs <= DENSE_DIRECT_MAX
+
+
+def element_mass(tab, coef=None):
+    """Element mass matrices (v_i, c v_j) [ne, nde, nde].
+
+    precision=HIGHEST: on TPU the default f32 einsum multiplies in bf16,
+    which perturbs the assembled operator by ~1e-3 relative — enough to
+    make the (to-be-Cholesky-factored) matrix indefinite (measured:
+    min scaled eigenvalue -3e-3 on the reacting bench pressure
+    Laplacian).  Full f32 products keep it SPD."""
+    w = tab.wq[None, :] * tab.detJ
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    if tab.elem_valid is not None:
+        w = w * tab.elem_valid[:, None]
+    return jnp.einsum("nq,qi,qj->nij", w, tab.Bvol, tab.Bvol,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def element_stiffness(tab, coef=None):
+    """Element stiffness matrices (grad v_i, c grad v_j) [ne, nde, nde]."""
+    dim = tab.dim
+    w = tab.wq[None, :]
+    cq = _coef_q(tab, coef)
+    if cq is not None:
+        w = w * cq
+    if tab.elem_valid is not None:
+        w = w * tab.elem_valid[:, None]
+    Ke = 0.0
+    for m in range(dim):
+        for l in range(dim):
+            A_ml = jnp.einsum(
+                "nqd,nqd->nq", tab.adjJ[:, :, m, :], tab.adjJ[:, :, l, :],
+                precision=jax.lax.Precision.HIGHEST,
+            ) / tab.detJ
+            # HIGHEST precision: see element_mass (bf16 products make the
+            # assembled operator indefinite)
+            Ke = Ke + jnp.einsum(
+                "nq,qim,qjl->nij", w * A_ml,
+                tab.Gvol[:, :, m:m + 1], tab.Gvol[:, :, l:l + 1],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+    return Ke
+
+
+def assemble_dense(tab, Ke):
+    """[(k,) ne, nde, nde] element matrices -> dense [(k,) nd, nd]."""
+    ed = np.asarray(tab.elem_dofs)
+    ne, nde = ed.shape
+    ii = jnp.asarray(np.broadcast_to(
+        ed[:, :, None], (ne, nde, nde)).reshape(-1))
+    jj = jnp.asarray(np.broadcast_to(
+        ed[:, None, :], (ne, nde, nde)).reshape(-1))
+    nd = tab.ndofs
+    if Ke.ndim == 4:  # stacked operators: one scatter for all of them
+        k = Ke.shape[0]
+        vals = Ke.reshape(k, -1)
+        return jnp.zeros((k, nd, nd), Ke.dtype).at[:, ii, jj].add(vals)
+    return jnp.zeros((nd, nd), Ke.dtype).at[ii, jj].add(Ke.reshape(-1))
+
+
+def dense_constrain(K, mask=None, ortho=False):
+    """Apply Dirichlet elimination (mask: 1=free) and/or the rank-one
+    shift that makes a pure-Neumann (singular, nullspace=constants)
+    operator SPD while acting exactly on the mean-free complement."""
+    if mask is not None:
+        K = K * (mask[..., :, None] * mask[..., None, :])
+        n = K.shape[-1]
+        didx = jnp.arange(n)
+        K = K.at[..., didx, didx].add(1.0 - mask)
+    if ortho:
+        n = K.shape[-1]
+        didx = jnp.arange(n)
+        sigma = jnp.mean(K[..., didx, didx], axis=-1)
+        K = K + (sigma[..., None, None] / n) * jnp.ones_like(K)
+    return K
+
+
+def dense_cholesky(K):
+    """Robust Cholesky factor of an SPD FEM operator in working precision.
+
+    The raw stiffness spans many orders of magnitude (coefficient
+    contrast x metric terms) and the TPU f32 Cholesky NaNs on it
+    (measured: the 1/rho pressure Laplacian of the reacting bench fails
+    even with a 1e-6 diagonal shift).  Symmetric Jacobi scaling to unit
+    diagonal removes the scaling part of the condition number before
+    factoring, and progressively larger diagonal shifts cover the rest —
+    a shifted factor is still an excellent lagged preconditioner.  The
+    scaling is absorbed back into the returned (lower-triangular)
+    factor, so L @ L.T ~= K and cho_solve works unchanged."""
+    n = K.shape[-1]
+    didx = jnp.arange(n)
+    d = K[..., didx, didx]
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-300))
+    Ks = K * (s[..., :, None] * s[..., None, :])
+    L = jnp.linalg.cholesky(Ks)
+    for shift in (1e-5, 1e-3):
+        Ls = jnp.linalg.cholesky(Ks.at[..., didx, didx].add(shift))
+        bad = jnp.any(jnp.isnan(L), axis=(-2, -1), keepdims=True)
+        L = jnp.where(bad, Ls, L)
+    return L / s[..., :, None]
+
+
+def direct_precond(L):
+    """Preconditioner callable from a dense Cholesky factor [nd, nd]:
+    M(r) solves L L^T z = r for r of shape [nd] or [nd, k]."""
+    def M(r):
+        rr = r[:, None] if r.ndim == 1 else r
+        z = jax.scipy.linalg.solve_triangular(L, rr, lower=True)
+        z = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        return z[:, 0] if r.ndim == 1 else z
+    return M
+
+
+def direct_precond_stack(Ls):
+    """Per-column preconditioner from stacked factors [k, nd, nd] for a
+    multi-RHS solve with a different operator per column: M(r [nd, k])."""
+    def solve_one(L, r):
+        z = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    def M(r):
+        return jnp.moveaxis(
+            jax.vmap(solve_one)(Ls, jnp.moveaxis(r, -1, 0)), 0, -1
+        )
+    return M
+
+
+def cg_solve_multi(apply_fn, B, x0=None, diag=None, dirichlet_mask=None,
+                   tol=1e-10, maxiter=500, M=None, return_info=False):
+    """Multi-RHS preconditioned CG: one operator sweep per iteration for
+    ALL columns (per-column alpha/beta), iterating until every column
+    meets its tolerance.  apply_fn, dirichlet_mask, diag, and M must
+    accept/broadcast over [nd, k]."""
+    mask = None if dirichlet_mask is None else (
+        dirichlet_mask if dirichlet_mask.ndim == 2 else
+        dirichlet_mask[:, None]
+    )
+
+    def A(x):
+        if mask is None:
+            return apply_fn(x)
+        return apply_fn(x * mask) * mask + x * (1.0 - mask)
+
+    if M is None:
+        if diag is not None:
+            dd = diag if diag.ndim == 2 else diag[:, None]
+            dinv = jnp.where(jnp.abs(dd) > 1e-300, 1.0 / dd, 1.0)
+            M = lambda x: x * dinv
+        else:
+            M = lambda x: x
+
+    x0 = jnp.zeros_like(B) if x0 is None else x0
+    eps = float(jnp.finfo(B.dtype).eps)
+    tol = max(float(tol), 50.0 * eps)
+    bnorm2 = jnp.sum(B * B, axis=0)
+    atol2 = (tol * tol) * bnorm2 + 1e-300
+
+    r0 = B - A(x0)
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0, axis=0)
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        return jnp.logical_and(
+            jnp.any(jnp.sum(r * r, axis=0) > atol2), it < maxiter
+        )
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = A(p)
+        denom = jnp.sum(p * Ap, axis=0)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-300, denom, 1.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = M(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-300, rz, 1.0)
+        p = z + beta[None, :] * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, _, _, _, it = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0))
+    )
+    if return_info:
+        relres = jnp.sqrt(
+            jnp.max(jnp.sum(r * r, axis=0) / jnp.maximum(bnorm2, 1e-300))
+        )
+        return x, it, relres
+    return x
+
+
+def helmholtz_apply_multi(tab, U, alpha, mass_coefs, diff_coefs):
+    """Batched-coefficient Helmholtz apply: column c of the result is
+    (alpha M(mass_coefs[c]) + K(diff_coefs[c])) U[:, c], computed with ONE
+    gather and ONE scatter for all columns (latency-floor dodging; see the
+    dense-direct section note).
+
+    mass_coefs / diff_coefs: [k, ne, nq] quad-point coefficients (use
+    to_quad per column) or None."""
+    k = U.shape[1]
+    ne, nde = tab.ne, tab.ndof_el
+    ue = gather(tab, U)  # [ne, nde, k]
+    uek = jnp.moveaxis(ue, -1, 0).reshape(k * ne, nde)
+    wdet = tab.wq[None, :] * tab.detJ  # [ne, nq]
+    re = 0.0
+    if mass_coefs is not None:
+        uq = uek @ tab.Bvol.T  # [k*ne, nq]
+        wm = (alpha * wdet)[None] * mass_coefs  # [k, ne, nq]
+        re = re + (wm.reshape(k * ne, -1) * uq) @ tab.Bvol
+    if diff_coefs is not None:
+        dim = tab.dim
+        wk = tab.wq[None, None, :] * diff_coefs  # [k, ne, nq]
+        wkf = wk.reshape(k * ne, -1)
+        g = [uek @ tab.Gvol[:, :, l].T for l in range(dim)]  # [k*ne, nq]
+        for m in range(dim):
+            h = 0.0
+            for l in range(dim):
+                A_ml = (jnp.einsum(
+                    "nqd,nqd->nq", tab.adjJ[:, :, m, :], tab.adjJ[:, :, l, :]
+                ) / tab.detJ)
+                h = h + jnp.tile(A_ml, (k, 1)) * g[l]
+            re = re + (h * wkf) @ tab.Gvol[:, :, m]
+    re = jnp.moveaxis(re.reshape(k, ne, nde), 0, -1)  # [ne, nde, k]
+    return scatter_add(tab, re)
 
 
 def diffusion_apply_tensor(tab, u, Kq):

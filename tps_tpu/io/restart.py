@@ -152,7 +152,10 @@ class RestartIO:
     def _mode(self):
         return getattr(self.config, "restart_mode", "standard")
 
-    def write(self, solver):
+    def write(self, solver, path=None):
+        """Write a checkpoint.  With `path`, write a single-file snapshot
+        under that exact name (snapshot archiving for the --visual
+        series)."""
         import h5py
 
         names = _solver_field_names(solver)
@@ -175,7 +178,8 @@ class RestartIO:
                 getattr(solver.averaging, "sample_interval", 1)
             )
         part = getattr(solver, "partition", None)
-        if part is not None and self._mode() in ("standard", "singleFileRead"):
+        if path is None and part is not None \
+                and self._mode() in ("standard", "singleFileRead"):
             # per-shard layout (reference standard mode writes one
             # restart_output.sol.<rank>.h5 per rank)
             os.makedirs(self.outdir, exist_ok=True)
@@ -185,7 +189,9 @@ class RestartIO:
                 extra=extra, extra_attrs=extra_attrs,
             )
             return
-        with h5py.File(self.path(), "w") as f:
+        if path is not None and os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+        with h5py.File(self.path() if path is None else path, "w") as f:
             f.attrs["iteration"] = solver.iter
             f.attrs["time"] = solver.time
             f.attrs["dt"] = solver.dt
@@ -205,15 +211,24 @@ class RestartIO:
                     for k, name in enumerate(enames):
                         ge.create_dataset(name, data=arr[:, :, k].reshape(-1))
 
-    def read(self, solver):
+    def read(self, solver, path=None):
+        """Read a checkpoint into `solver`.  With `path`, read that exact
+        single-file checkpoint (the --visual snapshot-series mode reads
+        archived `{prefix}-{iter:08d}.h5` files by name; reference:
+        restart_files_hdf5("read", filename), src/M2ulPhyS.cpp:4100)."""
         import h5py
 
         names = _solver_field_names(solver)
         aliases = _field_aliases(solver)
         optional = frozenset(getattr(solver, "_restart_optional_fields", ()))
-        path = self.path()
+        explicit = path is not None
+        if explicit:
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"restart file not found: {path}")
+        else:
+            path = self.path()
         mode = self._mode()
-        shards_on_disk = os.path.exists(
+        shards_on_disk = not explicit and os.path.exists(
             os.path.join(self.outdir, "restart_output.sol.0.h5")
         )
         single_on_disk = os.path.exists(path)

@@ -1424,7 +1424,86 @@ class CompressibleSolver(PlasmaSolver):
 
     def visualization(self):
         """ParaView VTK dump of primitive fields (+ statistics if sampled);
-        the reference's paraviewColl->Save() and `tps --visual` analog."""
+        the reference's paraviewColl->Save() and `tps --visual` analog.
+
+        With a [post-process/visualization] section configured, --visual
+        instead postprocesses the archived snapshot SERIES (reference:
+        M2ulPhyS::visualization, src/M2ulPhyS.cpp:4073-4154)."""
+        pp = getattr(self.config, "postprocess", None)
+        if pp is not None:
+            return self.visualization_series(pp)
+        return self._visualization_snapshot()
+
+    def visualization_series(self, pp):
+        """Re-read restart snapshots {prefix}-{iter:08d}.h5 for
+        start_iter..end_iter step freq; per snapshot recompute the derived
+        fields (primitives, pressure, velocity-gradient vorticity), NaN-
+        check, report the MMS solution error when [mms] is enabled, emit a
+        VTK file, and feed the running statistics (reference loop:
+        src/M2ulPhyS.cpp:4083-4154 — restart_files_hdf5("read", fname),
+        updateGradients, UpdatePressureGridFunction, Check_NAN,
+        checkSolutionError, paraview save, average->addSample)."""
+        import jax.numpy as jnp
+
+        from ..io.restart import RestartIO
+
+        io = self._io if self._restart_io_ready() else RestartIO(
+            self.config, self)
+        paths = []
+        it = pp["start_iter"]
+        while it <= pp["end_iter"]:
+            fname = f"{pp['prefix']}-{it:08d}.h5"
+            io.read(self, path=fname)
+            if self.check_nan(verbose=True):
+                raise FloatingPointError(
+                    f"non-finite state in snapshot {fname}")
+            if self.masa is not None:
+                from ..utils.mms import l2_norm
+
+                tabg = self.viz_tables
+                Uex = self.masa.exact_U(
+                    jnp.asarray(tabg.xyz_dof), self.time)
+                err = float(l2_norm(
+                    tabg, jnp.asarray(self.state_global()) - Uex))
+                print(f"[visual] snapshot {it}: t={self.time:.6e} "
+                      f"L2 solution error = {err:.8e}", flush=True)
+            else:
+                print(f"[visual] snapshot {it}: time step {self.iter}, "
+                      f"physical time {self.time:.6e}s", flush=True)
+            paths.append(self._visualization_snapshot(derived=True))
+            if self.averaging.enabled:
+                self.averaging.add_sample(
+                    self.iter, self.mixture.primitives(self.U),
+                    self.mixture.nvel)
+            it += pp["freq"]
+        return paths
+
+    def _vorticity_global(self):
+        """Velocity-gradient-derived vorticity magnitude at dofs (the
+        gradient recompute of the reference's postprocess loop,
+        src/M2ulPhyS.cpp:4107)."""
+        import jax.numpy as jnp
+
+        from ..dg.operators import dg_gradient
+
+        mix = self.mixture
+        tab = self.viz_tables
+        Ug = jnp.asarray(self.state_global())
+        Up = mix.primitives(Ug)
+        gUp = dg_gradient(tab, Up)  # [ne, ndof, neq, dim]
+        gu = gUp[..., 1:1 + mix.nvel, :]
+        dim = tab.dim
+        if dim == 2:
+            w = gu[..., 1, 0] - gu[..., 0, 1]
+            return np.asarray(jnp.abs(w))
+        wx = gu[..., 2, 1] - gu[..., 1, 2]
+        wy = gu[..., 0, 2] - gu[..., 2, 0]
+        wz = gu[..., 1, 0] - gu[..., 0, 1]
+        return np.asarray(jnp.sqrt(wx**2 + wy**2 + wz**2))
+
+    def _visualization_snapshot(self, derived=False):
+        """Single-state VTK conversion (shared by the plain --visual mode
+        and each series snapshot)."""
         import os as _os
 
         from ..io.visualization import write_vtk_dg
@@ -1444,6 +1523,8 @@ class CompressibleSolver(PlasmaSolver):
             fields[f"species_{s}"] = np.asarray(Up[..., mix.nvel + 2 + s])
         if mix.two_temperature:
             fields["electron_temperature"] = np.asarray(Up[..., mix.i_te])
+        if derived:
+            fields["vorticity"] = self._vorticity_global()
         if self.averaging.n_samples:
             mean = self.averaging.mean()
             rey = self.averaging.reynolds_stresses(mix.nvel)

@@ -124,7 +124,13 @@ class TomboulidesAxisym(Tomboulides):
     def chunk_velocity(self, s):
         return s[0]
 
-    def chunk_step(self, s, rho, mu, qt, dt, order):
+    def precond_refresh(self, dt, order, force=False):
+        """Dense-direct factors are not wired for the radius-weighted
+        axisymmetric operators yet; the base-class planar factors would be
+        the WRONG operator, so refuse to build them."""
+        return
+
+    def chunk_step(self, s, rho, mu, qt, dt, order, precond=None):
         u, p, ut, uh, Nh, uth, Nth, t = s
         t2 = t + dt
         u2, p2, ut2, uh2, Nh2, uth2, Nth2 = self._step_impl_axi(

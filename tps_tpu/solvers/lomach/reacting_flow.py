@@ -178,6 +178,50 @@ class ReactingFlow(ThermoChemBase):
             lambda T, Y, p: p * self._mixture_mw(Y) / (_R * T)
         )
 
+        # lagged dense-direct factors for the T + species Helmholtz solves
+        # (fem/h1.py dense-direct section; refreshed every chunk)
+        self._direct = None
+        self._direct_age = None
+        self._refresh_jit = jax.jit(self._precond_build)
+
+    _PRECOND_REFRESH = 16
+
+    @property
+    def _n_solved(self):
+        return self.n_active if self.mixture is not None else self.nsp - 1
+
+    def _precond_build(self, T, Y, p, dt, bd0):
+        tab = self.tab
+        rho = p * self._mixture_mw(Y) / (_R * T)
+        cp = self._cp_mass(Y)
+        diff, _mu, kappa = self._transport_props(T, Y, p=p)
+        ops = [(bd0 / dt) * h1.element_mass(tab, rho * cp)
+               + h1.element_stiffness(tab, kappa)]
+        for s in range(self._n_solved):
+            ops.append((bd0 / dt) * h1.element_mass(tab, rho)
+                       + h1.element_stiffness(tab, diff[:, s]))
+        K = h1.assemble_dense(tab, jnp.stack(ops))
+        masks = jnp.stack(
+            [self.T_mask] + [self.Y_mask] * self._n_solved)
+        K = h1.dense_constrain(K, mask=masks)
+        L = h1.dense_cholesky(K)
+        return L[0], L[1:]
+
+    def precond_refresh(self, dt, order, force=False):
+        if not h1.dense_capable(self.tab):
+            return
+        age = self._direct_age
+        if not force and age is not None and age < self._PRECOND_REFRESH:
+            return
+        bd0 = TemporalCoefficients.bdf(order).bd0
+        self._direct = self._refresh_jit(
+            self.T, self.Y, jnp.asarray(self.p_thermo),
+            jnp.asarray(dt), jnp.asarray(bd0))
+        self._direct_age = 0
+
+    def chunk_precond(self):
+        return self._direct
+
     def set_temperature(self, T0):
         self.T = jnp.asarray(T0)
         self.T = self.T * self.T_mask + self.T_bc * (1.0 - self.T_mask)
@@ -302,11 +346,15 @@ class ReactingFlow(ThermoChemBase):
             if self.flow is not None
             else jnp.zeros((self.tab.ndofs, self.tab.dim))
         )
+        self.precond_refresh(dt, coeff.order)
+        if self._direct_age is not None:
+            self._direct_age += 1
         (self.T, self.Y, self.Qt, T_hist, Y_hist) = self._step_jit(
             self.T, self.Y, tuple(self.T_hist), tuple(self.Y_hist),
             vel, self.joule_heating, jnp.asarray(self.p_thermo),
             self.T_bc, self.T_mask, self.Qt_mask, self.Y_bc, self.Y_mask,
             jnp.asarray(dt), jnp.asarray(self.time), order=coeff.order,
+            precond=self._direct,
         )
         self.time += float(dt)
         self.T_hist = list(T_hist)
@@ -332,12 +380,12 @@ class ReactingFlow(ThermoChemBase):
         if self.closed_system:
             self.p_thermo = p
 
-    def chunk_step(self, s, vel, dt, order):
+    def chunk_step(self, s, vel, dt, order, precond=None):
         T, Y, th, yh, _Qt, p, t = s
         T2, Y2, Qt2, th2, yh2 = self._step_impl(
             T, Y, th, yh, vel, self.joule_heating, p,
             self.T_bc, self.T_mask, self.Qt_mask, self.Y_bc, self.Y_mask,
-            dt, t, order,
+            dt, t, order, precond=precond,
         )
         if self.closed_system:
             W = self._mixture_mw(Y2)
@@ -353,7 +401,8 @@ class ReactingFlow(ThermoChemBase):
     def chunk_qt(self, s):
         return s[4]
 
-    def _helmholtz_solve(self, rho_c, kappa, x0, rhs, bd0, dt, mask, bc_vals):
+    def _helmholtz_solve(self, rho_c, kappa, x0, rhs, bd0, dt, mask, bc_vals,
+                         L=None):
         tab = self.tab
 
         def op(v):
@@ -364,8 +413,9 @@ class ReactingFlow(ThermoChemBase):
             h1.stiffness_diag(tab, kappa)
         rhs = (rhs - op(bc_vals * (1.0 - mask))) * mask
         diag = diag * mask + (1.0 - mask)
+        M = None if L is None else h1.direct_precond(L)
         out = h1.cg_solve(op, rhs, x0=x0 * mask, diag=diag, dirichlet_mask=mask,
-                          tol=self.cg_tol, maxiter=self.cg_maxiter)
+                          M=M, tol=self.cg_tol, maxiter=self.cg_maxiter)
         return out * mask + bc_vals * (1.0 - mask)
 
     def _close_species(self, Y):
@@ -410,7 +460,7 @@ class ReactingFlow(ThermoChemBase):
 
     def _step_impl(self, T, Y, T_hist, Y_hist, vel, joule, p_thermo,
                    tbc_vals, tmask, qt_mask, ybc_vals, ymask, dt, t_now,
-                   order):
+                   order, precond=None):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -442,7 +492,8 @@ class ReactingFlow(ThermoChemBase):
                 rhs = rhs + h1.mass_apply(tab, rho * dY_all[:, s])
             Y_new = Y_new.at[:, s].set(self._helmholtz_solve(
                 rho, diff[:, s], Y[:, s], rhs, bd[0], dt, ymask,
-                ybc_vals[:, s]))
+                ybc_vals[:, s],
+                L=None if precond is None else precond[1][s]))
         Y_new = self._close_species(Y_new)
 
         # temperature: rho cp DT/Dt = div(k grad T) + crossDiff + jh - rad
@@ -469,8 +520,9 @@ class ReactingFlow(ThermoChemBase):
             _, dT_chem = self._reaction_source(T, Y, p=p_thermo, t=t_now)
             src_T = src_T + rc * dT_chem
         rhsT = rhsT + h1.mass_apply(tab, src_T)
-        T_new = self._helmholtz_solve(rc, kappa, T, rhsT, bd[0], dt,
-                                      tmask, tbc_vals)
+        T_new = self._helmholtz_solve(
+            rc, kappa, T, rhsT, bd[0], dt, tmask, tbc_vals,
+            L=None if precond is None else precond[0])
 
         # ---- PART II: operator-split chemistry substeps ----
         # star increments distribute the transport delta over the substeps

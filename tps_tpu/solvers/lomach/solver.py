@@ -719,7 +719,7 @@ class LoMachSolver(Solver):
             chunk *= 2
         return chunk
 
-    def _make_chunk(self, nsub, order):
+    def _make_chunk(self, nsub, order, unroll=False):
         import jax
         import jax.numpy as jnp
 
@@ -728,12 +728,15 @@ class LoMachSolver(Solver):
         # transported turbulence (zeta-f): the carry is the model's full
         # state pytree and the step needs (u, rho, mu, dt, order)
         rich_turb = hasattr(turb, "chunk_step")
+        th_pc = hasattr(thermo, "chunk_precond")
+        fl_pc = hasattr(flow, "chunk_precond")
 
-        def run(ts, fs, tst, dt):
+        def run(ts, fs, tst, dt, pth, pfl):
             def body(carry, _):
                 ts, fs, tst = carry
                 vel = flow.chunk_velocity(fs)
-                ts2 = thermo.chunk_step(ts, vel, dt, order)
+                ts2 = (thermo.chunk_step(ts, vel, dt, order, precond=pth)
+                       if th_pc else thermo.chunk_step(ts, vel, dt, order))
                 rho, mu = thermo.chunk_props(ts2)
                 mu_eff = mu
                 if tst is not None:
@@ -744,30 +747,51 @@ class LoMachSolver(Solver):
                 if sponge is not None:
                     mu_eff = mu_eff * sponge.multiplier()
                 qt = thermo.chunk_qt(ts2)
-                fs2, info = flow.chunk_step(fs, rho, mu_eff, qt, dt, order)
+                fs2, info = (
+                    flow.chunk_step(fs, rho, mu_eff, qt, dt, order,
+                                    precond=pfl)
+                    if fl_pc else
+                    flow.chunk_step(fs, rho, mu_eff, qt, dt, order)
+                )
                 vel2 = flow.chunk_velocity(fs2)
                 tst2 = (turb.chunk_step(tst, vel2, rho, mu, dt, order)
                         if rich_turb else turb.chunk_nut(vel2))
                 return (ts2, fs2, tst2), info
 
             (ts, fs, tst), infos = jax.lax.scan(body, (ts, fs, tst), None,
-                                                length=nsub)
+                                                length=nsub, unroll=unroll)
             return ts, fs, tst, infos
 
         return jax.jit(run)
+
+    def _refresh_preconds(self, order):
+        """Refresh the models' lagged dense-direct factors (host-driven;
+        see fem/h1.py dense-direct section)."""
+        for model in (self.thermo, self.flow):
+            if hasattr(model, "precond_refresh"):
+                model.precond_refresh(self.dt, order)
 
     def solve_chunk(self, n):
         import jax.numpy as jnp
 
         order = min(self.iter + 1, self.max_bdf_order)
+        self._refresh_preconds(order)
+        for model in (self.thermo, self.flow):
+            if getattr(model, "_direct_age", None) is not None:
+                model._direct_age += n
         if not hasattr(self, "_chunk_cache"):
             self._chunk_cache = {}
         key = (n, order)
         if key not in self._chunk_cache:
-            self._chunk_cache[key] = self._make_chunk(n, order)
+            self._chunk_cache[key] = self._make_chunk(
+                n, order, unroll=getattr(self, "_chunk_unroll", False))
+        pth = (self.thermo.chunk_precond()
+               if hasattr(self.thermo, "chunk_precond") else None)
+        pfl = (self.flow.chunk_precond()
+               if hasattr(self.flow, "chunk_precond") else None)
         ts, fs, nut, infos = self._chunk_cache[key](
             self.thermo.chunk_pack(), self.flow.chunk_pack(),
-            self.turb.chunk_pack(), jnp.asarray(self.dt),
+            self.turb.chunk_pack(), jnp.asarray(self.dt), pth, pfl,
         )
         self.thermo.chunk_unpack(ts)
         self.flow.chunk_unpack(fs)
@@ -808,15 +832,26 @@ class LoMachSolver(Solver):
                         raise
                     # XLA compile failure on the scanned program (observed:
                     # hosted-TPU compiler SIGILL on the reacting chunk's
-                    # fusion pass): fall back permanently to per-step
-                    # stepping — state is untouched, the chunk raises
-                    # before any unpack
-                    self._chunk_disabled = True
-                    print(
-                        "loMach: chunked stepping unavailable "
-                        f"({type(e).__name__}); falling back to per-step",
-                        flush=True,
-                    )
+                    # fusion-pass cost model): retry once with a FULLY
+                    # UNROLLED chunk (straight-line code, no while op —
+                    # the same per-step program the compiler handles fine,
+                    # repeated nsub times), then fall back to per-step.
+                    # State is untouched: the chunk raises before unpack.
+                    if not getattr(self, "_chunk_unroll", False):
+                        self._chunk_unroll = True
+                        self._chunk_cache = {}
+                        print(
+                            "loMach: scanned chunk failed to compile "
+                            f"({type(e).__name__}); retrying unrolled",
+                            flush=True,
+                        )
+                    else:
+                        self._chunk_disabled = True
+                        print(
+                            "loMach: chunked stepping unavailable "
+                            f"({type(e).__name__}); falling back to per-step",
+                            flush=True,
+                        )
             else:
                 self.solve_step()
         self.solve_end()

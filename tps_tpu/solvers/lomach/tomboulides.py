@@ -144,6 +144,53 @@ class Tomboulides(FlowBase):
 
         self._step_jit = jax.jit(self._step_impl, static_argnames=("order",))
 
+        # lagged dense-direct preconditioner (small unsharded spaces only;
+        # see fem/h1.py dense-direct section): refreshed every chunk /
+        # every _PRECOND_REFRESH steps, exactness is never required — CG
+        # still iterates to tolerance
+        self._direct = None
+        self._direct_age = None
+        self._refresh_jit = jax.jit(self._precond_build)
+
+    _PRECOND_REFRESH = 16
+
+    def _precond_build(self, rho, mu, dt, bd0):
+        tab = self.tab
+        inv_rho = 1.0 / rho
+        Kp_e = h1.element_stiffness(tab, inv_rho)
+        He_e = (bd0 / dt) * h1.element_mass(tab, rho) \
+            + h1.element_stiffness(tab, mu)
+        Kp, He = h1.assemble_dense(tab, jnp.stack([Kp_e, He_e]))
+        if self.pres_mask is not None:
+            Kp = h1.dense_constrain(Kp, mask=self.pres_mask)
+        else:
+            Kp = h1.dense_constrain(Kp, ortho=True)
+        He = h1.dense_constrain(He, mask=self.vel_mask)
+        L = h1.dense_cholesky(jnp.stack([Kp, He]))
+        return L[0], L[1]
+
+    def precond_refresh(self, dt, order, force=False):
+        """Refresh the lagged dense pressure/Helmholtz factors (host-
+        driven, outside the jitted step/chunk)."""
+        if not h1.dense_capable(self.tab):
+            return
+        age = self._direct_age
+        if not force and age is not None and age < self._PRECOND_REFRESH:
+            return
+        rho = self.thermo.density()
+        mu = self.thermo.viscosity()
+        if self.turb is not None:
+            mu = mu + rho * self.turb.eddy_viscosity()
+        if self.sponge is not None:
+            mu = mu * self.sponge.multiplier()
+        bd0 = TemporalCoefficients.bdf(order).bd0
+        self._direct = self._refresh_jit(
+            rho, mu, jnp.asarray(dt), jnp.asarray(bd0))
+        self._direct_age = 0
+
+    def chunk_precond(self):
+        return self._direct
+
     # -- public API --------------------------------------------------------
     def set_velocity(self, u0):
         self.u = jnp.asarray(u0)
@@ -165,10 +212,13 @@ class Tomboulides(FlowBase):
             mu = mu * self.sponge.multiplier()
         qt = self.thermo.thermal_divergence()
         ubc = self._ramped_ubc(dt)
+        self.precond_refresh(dt, coeff.order)
+        if self._direct_age is not None:
+            self._direct_age += 1
         (self.u, self.p, u_hist, N_hist, info) = self._step_jit(
             self.u, self.p, tuple(self.u_hist), tuple(self.N_hist),
             rho, mu, qt, ubc, jnp.asarray(dt),
-            order=coeff.order,
+            order=coeff.order, precond=self._direct,
         )
         self.u_hist = list(u_hist)
         self.N_hist = list(N_hist)
@@ -244,12 +294,12 @@ class Tomboulides(FlowBase):
     def chunk_velocity(self, s):
         return s[0]
 
-    def chunk_step(self, s, rho, mu, qt, dt, order):
+    def chunk_step(self, s, rho, mu, qt, dt, order, precond=None):
         u, p, uh, Nh, t = s
         t2 = t + dt
         u2, p2, uh2, Nh2, info = self._step_impl(
             u, p, uh, Nh, rho, mu, qt, self._ramped_ubc_traced(t2),
-            dt, order,
+            dt, order, precond=precond,
         )
         return (u2, p2, tuple(uh2), tuple(Nh2), t2), info
 
@@ -300,7 +350,8 @@ class Tomboulides(FlowBase):
             return jnp.stack([gw[:, 1], -gw[:, 0]], axis=-1)
         return self._curl(w)
 
-    def _step_impl(self, u, p, u_hist, N_hist, rho, mu, qt, ubc_vals, dt, order):
+    def _step_impl(self, u, p, u_hist, N_hist, rho, mu, qt, ubc_vals, dt,
+                   order, precond=None):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -363,7 +414,12 @@ class Tomboulides(FlowBase):
             def lap_m(v):
                 return lap(v * pmask) * pmask + v * (1.0 - pmask)
 
-            if self._pmg is not None:
+            if precond is not None:
+                # lagged dense-direct factor (h1 dense-direct section):
+                # exact for the factor-time rho, a near-exact
+                # preconditioner for the current one
+                M_p = h1.direct_precond(precond[0])
+            elif self._pmg is not None:
                 # mask-aware two-level V(1,1): the coarse operator is the
                 # same 1/rho Laplacian on the order-1 space with the
                 # pressure-Dirichlet mask injected at the vertices (the
@@ -399,7 +455,9 @@ class Tomboulides(FlowBase):
             if self._ortho:
                 b = b - jnp.mean(b)
             M_p = None
-            if self._pmg is not None:
+            if precond is not None:
+                M_p = h1.direct_precond(precond[0])
+            elif self._pmg is not None:
                 # p-multigrid V(1,1): coarse operator = same 1/rho
                 # Laplacian on the order-1 space, coefficient injected at
                 # the vertices
@@ -438,25 +496,37 @@ class Tomboulides(FlowBase):
         rhs = (rhs - helm(ubc * (1.0 - mask)[:, None])) * mask[:, None]
         diag_c = diag * mask + (1.0 - mask)
 
-        def helm_s(v):
-            return helm(v[:, None])[:, 0]
-
-        def helm_m(v):
-            return helm_s(v * mask) * mask + v * (1.0 - mask)
-
-        M_helm = h1.chebyshev_precond(helm_m, diag_c, degree=2)
-        sols = [
-            h1.cg_solve(
-                helm_s, rhs[:, d], x0=u[:, d] * mask,
-                diag=diag_c, dirichlet_mask=mask, M=M_helm,
+        if precond is not None:
+            # all velocity components in ONE multi-RHS CG with the lagged
+            # dense factor: one operator sweep per iteration for every
+            # component, 1-3 iterations typical
+            u_new, v_iters, v_res = h1.cg_solve_multi(
+                helm, rhs, x0=u * mask[:, None],
+                diag=diag_c[:, None], dirichlet_mask=mask[:, None],
+                M=h1.direct_precond(precond[1]),
                 tol=self.cg_tol, maxiter=self.cg_maxiter,
                 return_info=True,
             )
-            for d in range(tab.dim)
-        ]
-        u_new = jnp.stack([s[0] for s in sols], axis=-1)
-        v_iters = sum(s[1] for s in sols)
-        v_res = jnp.max(jnp.stack([s[2] for s in sols]))
+        else:
+            def helm_s(v):
+                return helm(v[:, None])[:, 0]
+
+            def helm_m(v):
+                return helm_s(v * mask) * mask + v * (1.0 - mask)
+
+            M_helm = h1.chebyshev_precond(helm_m, diag_c, degree=2)
+            sols = [
+                h1.cg_solve(
+                    helm_s, rhs[:, d], x0=u[:, d] * mask,
+                    diag=diag_c, dirichlet_mask=mask, M=M_helm,
+                    tol=self.cg_tol, maxiter=self.cg_maxiter,
+                    return_info=True,
+                )
+                for d in range(tab.dim)
+            ]
+            u_new = jnp.stack([s[0] for s in sols], axis=-1)
+            v_iters = sum(s[1] for s in sols)
+            v_res = jnp.max(jnp.stack([s[2] for s in sols]))
         u_new = u_new * mask[:, None] + ubc * (1.0 - mask)[:, None]
 
         u_hist_new = (u, u_hist[0], u_hist[1])
