@@ -282,5 +282,10 @@ def test_mixed_out_sponge_ini(tmp_path):
 
 def test_mixed_out_empty_plane_rejected(tmp_path):
     deck = MIXEDOUT_DECK.replace("tolerance = 0.2", "tolerance = 1e-12")
+    # pin the GL nodal basis: with the (reference-default) GLL basis, dof
+    # nodes sit exactly ON mesh planes and the plane is never empty
+    deck = deck.replace("[flow]\norder = 1",
+                        "[flow]\norder = 1\nbasisType = 0\n"
+                        "integrationRule = 0")
     with pytest.raises(ValueError, match="no dof nodes within tolerance"):
         _run_deck(tmp_path, deck.format(out=tmp_path / "o"), iters=0)

@@ -272,6 +272,106 @@ class ArgonMinimalTransport:
         )
 
 
+@dataclass(frozen=True, eq=False)
+class ConstantPlasmaTransport:
+    """Constant-coefficient multi-species transport (reference:
+    ConstantTransport with per-species diffusivities and momentum-transfer
+    frequencies, src/transport_properties.cpp:303-452).
+
+    Diffusion velocities are concentration-driven with the CONSTANT
+    per-species diffusivities, V_s = -D_s grad(X_s)/(X_s+eps), plus the
+    ambipolar zero-current field (mobility mu_s = qe/kB * Z_s / T_s * D_s),
+    external-field drift, and the mass-conservation correction — the exact
+    pipeline of the reference's ComputeFluxMolecularTransport.  The
+    source-side properties supply the mixture electric conductivity and
+    the constant e-heavy momentum-transfer frequencies
+    (ComputeSourceMolecularTransport, :389-452)."""
+
+    mixture: object
+    visc: float = 0.0
+    bulk_visc: float = 0.0
+    kappa: float = 0.0
+    kappa_e: float = 0.0
+    diffusivity: tuple = ()  # per species, MIXTURE order [.., E, bg]
+    mt_freq: tuple = ()      # per species, MIXTURE order
+
+    def _diffusion(self, mix, U, Up, grad_up, efield):
+        X_sp, Y_sp, n_sp = mix.species_primitives(U)
+        Th = Up[..., mix.i_th]
+        Te = Up[..., mix.i_te] if mix.two_temperature else Th
+        nsp = mix.num_species
+        charges = jnp.asarray(np.asarray(mix.charges))
+        diff = jnp.asarray(np.asarray(self.diffusivity, dtype=np.float64),
+                           U.dtype)
+        diff = jnp.broadcast_to(diff, X_sp.shape)
+        ie = mix.i_electron
+        Tsp = jnp.stack(
+            [Te if sp == ie else Th for sp in range(nsp)], axis=-1)
+        mobility = _QE_OVER_KB * charges / Tsp * diff
+        gradX = mix.mole_fraction_gradient(n_sp, grad_up)
+        dv = -diff[..., None] * gradX / (X_sp[..., None] + _XEPS)
+        if mix.ambipolar:
+            dv = _add_ambipolar_efield(mobility, n_sp, charges, dv)
+        if efield is not None:
+            dv = dv + jnp.where(charges[..., None] != 0.0,
+                                mobility[..., None] * efield[..., None, :],
+                                0.0)
+        dv = _correct_mass_diffusion_flux(Y_sp, dv)
+        return dv, mobility, n_sp, diff
+
+    def flux_properties(self, mixture, U, Up, grad_up, efield=None, **kw):
+        mix = self.mixture
+        shape = U.shape[:-1]
+        dt = U.dtype
+        dv, mobility, n_sp, diff = self._diffusion(mix, U, Up, grad_up,
+                                                   efield)
+        return {
+            "visc": jnp.full(shape, self.visc, dtype=dt),
+            "bulk_visc": jnp.full(shape, self.bulk_visc, dtype=dt),
+            "kappa": jnp.full(shape, self.kappa, dtype=dt),
+            "kappa_e": jnp.full(shape, self.kappa_e, dtype=dt),
+            "diff_vel": dv,
+            "diffusivity": diff,
+            "mobility": mobility,
+            "n_sp": n_sp,
+        }
+
+    def source_properties(self, U, Up, grad_up, efield=None):
+        mix = self.mixture
+        dv, mobility, n_sp, diff = self._diffusion(mix, U, Up, grad_up,
+                                                   efield)
+        charges = jnp.asarray(np.asarray(mix.charges))
+        from ..constants import MOLAR_ELECTRON_CHARGE
+
+        sigma = MOLAR_ELECTRON_CHARGE * jnp.einsum(
+            "...s,...s,s->...", mobility, n_sp, charges
+        )
+        mf = jnp.broadcast_to(
+            jnp.asarray(np.asarray(self.mt_freq, dtype=np.float64), U.dtype),
+            n_sp.shape,
+        )
+        return {
+            "sigma": sigma,
+            "mf_freq": mf,
+            "diff_vel": dv,
+            "n_sp": n_sp,
+            "mobility": mobility,
+            "diffusivity": diff,
+        }
+
+    def electric_conductivity(self, U, Up):
+        mix = self.mixture
+        zero_grad = jnp.zeros(
+            U.shape[:-1] + (mix.num_equations, mix.dim), U.dtype)
+        _, mobility, n_sp, _ = self._diffusion(mix, U, Up, zero_grad, None)
+        charges = jnp.asarray(np.asarray(mix.charges))
+        from ..constants import MOLAR_ELECTRON_CHARGE
+
+        return MOLAR_ELECTRON_CHARGE * jnp.einsum(
+            "...s,...s,s->...", mobility, n_sp, charges
+        )
+
+
 def _add_ambipolar_efield(mobility, n_sp, charges, dv):
     """Zero-current ambipolar electric field correction
     (reference: transport_properties.cpp:115-135)."""

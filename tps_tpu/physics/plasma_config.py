@@ -156,15 +156,39 @@ def build_plasma(inp: IniInput, dim: int, nvel: int) -> PlasmaSetup:
             third_order_electron_thermal_conductivity=third_order,
         )
     elif tmodel == "constant":
-        from .transport import ConstantTransport
-
         pre = "plasma_models/transport_model/constant"
-        transport = ConstantTransport(
-            visc=inp.get(f"{pre}/viscosity", 0.0),
-            bulk_visc=inp.get(f"{pre}/bulk_viscosity", 0.0),
-            kappa=inp.get(f"{pre}/thermal_conductivity", 0.0),
-            kappa_e=inp.get(f"{pre}/electron_thermal_conductivity", 0.0),
-        )
+        if inp.has(f"{pre}/diffusivity/species1"):
+            # constant transport WITH species diffusion: per-species
+            # diffusivities + momentum-transfer frequencies in INPUT
+            # order, reordered to the mixture convention (reference:
+            # ConstantTransport ctor, transport_properties.cpp:303-332)
+            from .gas_transport import ConstantPlasmaTransport
+
+            diff_in = [inp.get(f"{pre}/diffusivity/species{s + 1}", 0.0)
+                       for s in range(nsp)]
+            mtf_in = [
+                inp.get(
+                    f"{pre}/momentum_transfer_frequency/species{s + 1}", 0.0)
+                for s in range(nsp)
+            ]
+            transport = ConstantPlasmaTransport(
+                mixture=mixture,
+                visc=inp.get(f"{pre}/viscosity", 0.0),
+                bulk_visc=inp.get(f"{pre}/bulk_viscosity", 0.0),
+                kappa=inp.get(f"{pre}/thermal_conductivity", 0.0),
+                kappa_e=inp.get(f"{pre}/electron_thermal_conductivity", 0.0),
+                diffusivity=tuple(diff_in[i] for i in order),
+                mt_freq=tuple(mtf_in[i] for i in order),
+            )
+        else:
+            from .transport import ConstantTransport
+
+            transport = ConstantTransport(
+                visc=inp.get(f"{pre}/viscosity", 0.0),
+                bulk_visc=inp.get(f"{pre}/bulk_viscosity", 0.0),
+                kappa=inp.get(f"{pre}/thermal_conductivity", 0.0),
+                kappa_e=inp.get(f"{pre}/electron_thermal_conductivity", 0.0),
+            )
     else:
         raise NotImplementedError(f"transport model '{tmodel}'")
 

@@ -887,6 +887,26 @@ class CompressibleSolver(PlasmaSolver):
             return default
 
         if kind in ("inviscid", "slip", "viscous_adiabatic", "viscous_isothermal"):
+            multi = (self.mixture.num_active_species > 0
+                     or getattr(self.mixture, "two_temperature", False))
+            if multi and kind == "viscous_isothermal":
+                # multi-species VISC_ISOTH == VISC_GNRL with both thermal
+                # conditions isothermal at Tw (Th == Te) and zero species
+                # diffusion flux (reference: src/wallBC.cpp:96-112 — the
+                # bcState/bcFlux it builds are exactly the general wall's)
+                from ..dg.bc import GeneralWallBC
+
+                Tw = fget("temperature", 300.0)
+                return GeneralWallBC(heavy="isothermal",
+                                     electron="isothermal",
+                                     wall_temp=Tw, wall_temp_e=Tw)
+            if multi and kind == "viscous_adiabatic":
+                # VISC_ADIAB == general wall with zero heat fluxes (heavy
+                # AND electron) + zero species flux (src/wallBC.cpp:86-95)
+                from ..dg.bc import GeneralWallBC
+
+                return GeneralWallBC(heavy="adiabatic",
+                                     electron="adiabatic")
             return WallBC(kind=kind, wall_temp=fget("temperature", 300.0))
         if kind == "viscous_general":
             # reference: src/M2ulPhyS.cpp:3516-3585

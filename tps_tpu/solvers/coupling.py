@@ -177,6 +177,22 @@ class CycleAvgJouleCoupling(Solver):
             # 2) EM solve
             self.em.solve_step()
             tot_jh_raw = self.em.total_joule_heating()
+            # per-EM-solve cost (reference prints hypre iterations per
+            # solve; the gate's coupled metric carries these so the EM
+            # cost has a regression guard, VERDICT r3 #9)
+            ms = getattr(self.em, "last_solve_ms", None)
+            its = getattr(self.em, "last_solve_iters", None)
+            if ms is not None:
+                self.em_solve_count = getattr(self, "em_solve_count", 0) + 1
+                self.em_solve_ms_total = getattr(
+                    self, "em_solve_ms_total", 0.0) + ms
+                self.em_solve_iters_last = its
+                print(
+                    f"(cycle-avg-joule-coupled) EM solve: {its} Krylov"
+                    f" iters, relres"
+                    f" {getattr(self.em, 'last_solve_relres', 0.0):.3e},"
+                    f" {ms:.1f} ms", flush=True,
+                )
             print(
                 f"(cycle-avg-joule-coupled) total input Joule heating ="
                 f" {tot_jh_raw:.6e}", flush=True,

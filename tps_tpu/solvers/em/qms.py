@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...constants import PI
-from ...fem import h1
+from ...fem import h1, krylov
 from ..base import Solver, register_solver
 
 
@@ -229,26 +229,34 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         kdiag = kdiag * mask + (1 - mask)
         dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
 
-        w, _ = jax.scipy.sparse.linalg.gmres(
+        w, kiters, krelres = krylov.gmres_solve(
             block_apply, b, tol=self.rtol, atol=self.atol,
             maxiter=self.max_iter,
-            M=lambda x: x * dinv, solve_method="batched", restart=30,
+            M=lambda x: x * dinv, restart=30, return_info=True,
         )
         A_re = w[:nd] * mask
         A_im = w[nd:] * mask
 
         # Joule heating q_J = 2 w^2 sigma |A|^2 (reference :1073-1086)
         joule = 2.0 * omega**2 * sigma * (A_re**2 + A_im**2)
-        return A_re, A_im, joule
+        return A_re, A_im, joule, kiters, krelres
 
     def solve_step(self):
+        import time as _time
+
         import jax
 
         if getattr(self, "_solve_jit", None) is None:
             self._solve_jit = jax.jit(self._solve_core)
-        self.A_re, self.A_im, self.joule_heating = self._solve_jit(
-            self.plasma_conductivity, self.J0_q
-        )
+        t0 = _time.perf_counter()
+        self.A_re, self.A_im, self.joule_heating, kiters, krelres = \
+            self._solve_jit(self.plasma_conductivity, self.J0_q)
+        jax.block_until_ready(self.A_re)
+        # per-solve cost diagnostics (reference prints hypre iteration
+        # counts/residuals per EM solve, src/quasimagnetostatic.cpp:464-476)
+        self.last_solve_ms = 1e3 * (_time.perf_counter() - t0)
+        self.last_solve_iters = int(kiters)
+        self.last_solve_relres = float(krelres)
         self.iter += 1
 
     def solve(self):

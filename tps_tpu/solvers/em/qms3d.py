@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...constants import PI
-from ...fem import h1, hcurl
+from ...fem import h1, hcurl, krylov
 from ..base import Solver, register_solver
 
 MU0 = 4.0e-7 * PI
@@ -401,14 +401,23 @@ class QuasiMagnetostatic3D(Solver):
         return self._Nvd
 
     def solve_step(self):
+        import time as _time
+
         import jax
 
         if getattr(self, "_solve_jit", None) is None:
             self._solve_jit = jax.jit(self._solve_core)
-        self.A_re, self.A_im = self._solve_jit(
+        t0 = _time.perf_counter()
+        self.A_re, self.A_im, kiters, krelres = self._solve_jit(
             self._Jq, self.plasma_conductivity_q,
             self.plasma_conductivity_h1q,
         )
+        jax.block_until_ready(self.A_re)
+        # per-solve cost diagnostics (reference prints hypre iteration
+        # counts/residuals per EM solve, src/quasimagnetostatic.cpp:464-476)
+        self.last_solve_ms = 1e3 * (_time.perf_counter() - t0)
+        self.last_solve_iters = int(kiters)
+        self.last_solve_relres = float(krelres)
         self.iter += 1
 
     def _solve_core(self, Jq, sigma_q, sigma_h1q):
@@ -462,12 +471,12 @@ class QuasiMagnetostatic3D(Solver):
             dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
             M = lambda x: x * dinv  # noqa: E731
 
-        w, _ = jax.scipy.sparse.linalg.gmres(
+        w, kiters, krelres = krylov.gmres_solve(
             block_apply, b, tol=self.rtol, atol=self.atol,
             maxiter=self.max_iter,
-            M=M, solve_method="batched", restart=40,
+            M=M, restart=40, return_info=True,
         )
-        return w[:nd] * mask, w[nd:] * mask
+        return w[:nd] * mask, w[nd:] * mask, kiters, krelres
 
     def solve(self):
         self.solve_step()
