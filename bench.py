@@ -119,8 +119,16 @@ def bench_fused():
     )
     ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
     # fused-minor-dim fast path (dg/fused.py): the production RHS on
-    # structured periodic meshes; falls back to the slot path otherwise
-    fused = maybe_build_fused(tab_np, ctx, dtype=dtype)
+    # structured periodic meshes; falls back to the slot path otherwise.
+    # TPS_PALLAS=1 swaps in the two-kernel Pallas megakernel
+    # (dg/pallas_fused.py) — all intermediates in VMEM
+    fused = None
+    if int(os.environ.get("TPS_PALLAS", "0")):
+        from tps_tpu.dg.pallas_fused import maybe_build_pallas_fused
+
+        fused = maybe_build_pallas_fused(tab_np, ctx, dtype=dtype)
+    if fused is None:
+        fused = maybe_build_fused(tab_np, ctx, dtype=dtype)
 
     xyz = tab.xyz_dof
     two_pi = 2 * np.pi

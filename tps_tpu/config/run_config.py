@@ -144,6 +144,23 @@ def parse_run_configuration(inp: IniInput) -> RunConfiguration:
     rc.visc_mult = inp.get("flow/viscosityMultiplier", 1.0)
     rc.bulk_visc_mult = inp.get("flow/bulkViscosityMultiplier", 0.0)
     rc.axisymmetric = bool(inp.get("flow/axisymmetric", 0))
+    if rc.axisymmetric:
+        # Gauss-Lobatto rules place quadrature/dof nodes ON the axis
+        # (r = 0), where the radius-weighted DG mass matrix is singular.
+        # Every reference axisymmetric deck pins GL
+        # (e.g. test/inputs/annulus.axisym.viscous.ini:7-8); default to GL
+        # here and refuse an explicit GLL request instead of NaN-ing.
+        if inp.has("flow/integrationRule") and rc.integration_rule != 0:
+            raise ValueError(
+                "axisymmetric runs require integrationRule = 0 "
+                "(Gauss-Legendre): Gauss-Lobatto puts quadrature points "
+                "at r = 0 where the radius-weighted mass is singular")
+        if inp.has("flow/basisType") and rc.basis_type != 0:
+            raise ValueError(
+                "axisymmetric runs require basisType = 0 (Gauss-Legendre "
+                "nodal basis): Gauss-Lobatto puts dof nodes at r = 0")
+        rc.integration_rule = 0
+        rc.basis_type = 0
     # the reference parses sgsModel by NAME (src/M2ulPhyS.cpp:2666-2690);
     # legacy numeric indices are also accepted
     _sgs = str(inp.get("flow/sgsModel", "none", typ=str)).strip().lower()

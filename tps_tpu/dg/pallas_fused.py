@@ -1,0 +1,471 @@
+"""Pallas TPU megakernel for the fused periodic-box RHS (DryAir NS/Euler).
+
+The XLA fused path (dg/fused.py) is HBM-bound: PERF.md's round-3 analysis
+measured ~5 GB moved per RK substep on the 16^3 p=2 box where ~0.7 GB is
+live, because every stage (gradient concat, per-face traces, face fluxes,
+scatter) materializes to HBM between fusions.  This module computes the
+whole RHS in two Pallas kernels that keep all intermediates in VMEM:
+
+  K1 (gradient): reads the state once (plus z+-1 halo slices), computes
+      primitives and the full DG gradient, writes G.
+  K2 (faces+volume): reads state + G (plus z+-1 halos), computes volume
+      fluxes, all six face traces, Rusanov + viscous face fluxes, and the
+      mass-inverse-folded scatter, writes dU/dt.
+
+HBM per substep drops to ~6 slice-reads + 2 writes of [C, ny*nx] blocks
+(~70 MB at 16^3) — everything else lives in VMEM.
+
+Layout: channel-major [nz, C, ny*nx] with C = neq*ndof (eq-major,
+dof-minor) and lanes = a full z-slice of elements (y-major, x-minor).
+Then (Mosaic-constraint-driven, see PERF.md round-3 Pallas notes):
+  - per-equation dof fields are [ndof, ny*nx] slabs — full 128-lane tiles,
+    ~1.2x sublane padding, no lane slicing anywhere;
+  - y-neighbors are FULL-AXIS lane rolls by +-nx (pltpu.roll wraps
+    correctly because y is periodic);
+  - x-neighbors are masked double-rolls: roll(+-1) everywhere except the
+    x-boundary lanes, which take roll(-+(nx-1)) (periodic wrap inside
+    each nx-lane group);
+  - z-neighbors are shifted BlockSpec index maps over the z grid;
+  - all linear DG operators are [small, ndof] @ [ndof, ny*nx] matmuls
+    with the element axis riding the MXU's N dimension;
+  - reshapes only regroup LEADING dims ([C, E] -> [neq, ndof, E]);
+    the z axis leads the global array so ref[0] indexing never slices
+    a sublane tile.
+
+Preconditions: the fused-path preconditions (fusable) plus 3-D, DryAir
+mixture, Rusanov, ny*nx >= 128.  Used by the bench/solver when
+TPS_PALLAS=1 (opt-in until profiled >= parity on the target chip).
+
+Hot-loop parity: reference RHSoperator::Mult, src/rhs_operator.cpp:343-464.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .fused import fusable
+
+
+def pallas_fusable(tab_np, ctx) -> bool:
+    t = tab_np
+    if not fusable(t, ctx):
+        return False
+    if t.dim != 3:
+        return False
+    grid, per_lf = t.roll_info
+    if len(grid) != 3:
+        return False
+    if grid[1] * grid[2] % 128 != 0:
+        return False
+    mix = ctx.mixture
+    if type(mix).__name__ != "DryAir" or mix.nvel != 3:
+        return False
+    if type(ctx.riemann).__name__ != "Rusanov":
+        return False
+    tr = ctx.fluxes.transport
+    if tr is not None and type(tr).__name__ != "DryAirTransport":
+        return False
+    return ctx.fluxes.eq_system in ("euler", "navier-stokes")
+
+
+def _scalar_folds(t):
+    """Per-equation scalar linear maps folded from the tables (the
+    pre-kron pieces of dg/fused.py build_fused)."""
+    ndof, nqf, dim = t.ndof, t.nqf, t.dim
+    B = np.asarray(t.Btr)  # [nlf*nqf, ndof]
+    m = np.diag(np.asarray(t.Minv[0]))  # [ndof]
+    adj = np.asarray(t.adjJ[0, 0])  # [dim, dim]
+    wq = np.asarray(t.wq)  # [nq] == [ndof]
+    Gv = np.asarray(t.Gvol)  # [nq, ndof, dim]
+    w_s = np.asarray(t.wts_slot[0])  # [nlf, nqf]
+    n_s = np.asarray(t.nor_slot[0])  # [nlf, nqf, dim]
+    grid, per_lf = t.roll_info
+
+    # gradient: G[(dd,j)] <- sum_d S[d, j, dd] Up[d]  (self + per-face nbr)
+    S_vol = np.einsum("j,jdk,kD->djD", wq, Gv, adj)
+    S_own = np.einsum("sj,s,sD,sd->djD", B, -0.5 * w_s.reshape(-1),
+                      n_s.reshape(-1, dim), B)
+    S_self = (S_vol + S_own) * m[None, :, None]
+    # matmul form [dim*ndof, ndof]: row (dd, j), col d
+    M_self = S_self.transpose(2, 1, 0).reshape(dim * ndof, ndof)
+    M_lf = []
+    for lf, (_ax, _sh, opp) in enumerate(per_lf):
+        sl = slice(lf * nqf, (lf + 1) * nqf)
+        so = slice(opp * nqf, (opp + 1) * nqf)
+        N = np.einsum("sj,s,sD,sd->djD", B[sl], 0.5 * w_s[lf], n_s[lf],
+                      B[so]) * m[None, :, None]
+        M_lf.append(N.transpose(2, 1, 0).reshape(dim * ndof, ndof))
+
+    # volume scatter: y[j] += sum_dd V[dd][j, q] F[dd][q]
+    V_dd = [np.einsum("q,qj,j->jq", wq,
+                      np.einsum("qjk,k->qj", Gv, adj[:, dd]), m)
+            for dd in range(dim)]
+    # face trace + scatter
+    Btr_lf = [B[lf * nqf:(lf + 1) * nqf] for lf in range(t.nlf)]
+    W_lf = [-np.einsum("s,sj,j->js", w_s[lf], Btr_lf[lf], m)
+            for lf in range(t.nlf)]
+    return M_self, M_lf, V_dd, Btr_lf, W_lf, n_s, grid, per_lf
+
+
+@dataclass(frozen=True)
+class PallasFusedRHS:
+    """Drop-in FusedRHS replacement running the two-kernel Pallas path.
+
+    State layout [nz, neq*ndof, ny*nx] (see module docstring); to_fused /
+    from_fused convert from/to the solver's [ne, ndof, neq]."""
+
+    ctx: object
+    ne: int
+    ndof: int
+    neq: int
+    dim: int
+    grid: tuple  # (nz, ny, nx)
+    _k1: object
+    _k2: object
+
+    def to_fused(self, U):
+        import jax.numpy as jnp  # noqa: F401
+
+        nz, ny, nx = self.grid
+        # [ne, ndof, neq] -> [nz, ny*nx, neq, ndof] -> [nz, neq*ndof, E]
+        U4 = U.reshape(nz, ny * nx, self.ndof, self.neq)
+        return U4.transpose(0, 3, 2, 1).reshape(
+            nz, self.neq * self.ndof, ny * nx)
+
+    def from_fused(self, UT):
+        nz, ny, nx = self.grid
+        U4 = UT.reshape(nz, self.neq, self.ndof, ny * nx)
+        return U4.transpose(0, 3, 2, 1).reshape(self.ne, self.ndof, self.neq)
+
+    def __call__(self, UT, t=0.0):
+        import jax.numpy as jnp
+
+        G = self._k1(UT)
+        y = self._k2(UT, G)
+        # max characteristic speed: cheap XLA reduction on the fused state
+        mix = self.ctx.mixture
+        nz = self.grid[0]
+        U3 = UT.reshape(nz, self.neq, self.ndof, -1)
+        rho = U3[:, 0]
+        mom2 = U3[:, 1] ** 2 + U3[:, 2] ** 2 + U3[:, 3] ** 2
+        p = (mix.specific_heat_ratio - 1.0) * (U3[:, 4] - 0.5 * mom2 / rho)
+        c = jnp.sqrt(mix.specific_heat_ratio * p / rho)
+        mcs = jnp.max(jnp.sqrt(mom2) / rho + c)
+        return y, {"max_char_speed": mcs}
+
+
+def build_pallas_fused(tab_np, ctx, dtype=None, interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if dtype is None:
+        dtype = jnp.float32
+
+    t = tab_np
+    mix = ctx.mixture
+    ndof, nqf, dim = t.ndof, t.nqf, t.dim
+    neq = mix.num_equations
+    viscous = ctx.fluxes.eq_system != "euler"
+    M_self, M_lf, V_dd, Btr_lf, W_lf, n_s, grid, per_lf = _scalar_folds(t)
+    nz, ny, nx = (int(g) for g in grid)
+    E = ny * nx
+    C = neq * ndof
+    gamma = float(mix.specific_heat_ratio)
+    Rgas = float(mix.gas_constant)
+
+    tr = ctx.fluxes.transport
+    if viscous:
+        C1 = float(tr.C1 * tr.visc_mult)
+        S0 = float(tr.S0)
+        cp_pr = float(gamma * Rgas / (gamma - 1.0) / tr.Pr)
+        bulk_mult = float(tr.bulk_visc_mult)
+
+    # weight stacks passed as (grid-replicated) kernel inputs — Pallas
+    # rejects closed-over array constants
+    Wgrad = jnp.asarray(np.stack([M_self] + M_lf), dtype)  # [7, 81, 27]
+    Vvol = jnp.asarray(np.stack(V_dd), dtype)  # [3, 27, 27]
+    Btrs = jnp.asarray(np.stack(Btr_lf), dtype)  # [6, 9, 27]
+    Wscat = jnp.asarray(np.stack(W_lf), dtype)  # [6, 27, 9]
+    # per-face unit normals are CONSTANT across the face's quad points on
+    # the box mesh; keep them as python floats baked into the kernel
+    nor_const = [tuple(float(n_s[lf, 0, d]) for d in range(dim))
+                 for lf in range(t.nlf)]
+    # the slot normals carry the face area scale (|n| != 1); the Rusanov
+    # dissipation term needs it explicitly (riemann.py multiplies by
+    # normag)
+    normag_const = [float(np.linalg.norm(n_s[lf, 0])) for lf in range(t.nlf)]
+    assert all(np.allclose(n_s[lf], n_s[lf, 0]) for lf in range(t.nlf))
+
+    # neighbor fetch per local face, in the [*, E] lane layout.
+    # roll_info semantics (dg/fused.py _rolls): the neighbor buffer is
+    # jnp.roll(A, shift, axis), i.e. the neighbor of element i sits at
+    # index i - shift -> neighbor OFFSET along the axis is  off = -shift.
+    # (axis 1 = y -> full-axis lane roll by nx*off; axis 2 = x -> masked
+    #  double-roll inside each nx-lane group; axis 0 = z -> halo block)
+    def make_fetch(axis, off):
+        if axis == 1:
+            # fetch[l] = A[l + off*nx]  ->  roll by -off*nx (mod lanes:
+            # pltpu.roll requires a non-negative shift)
+            def fetch(A):
+                return pltpu.roll(A, (-off * nx) % E, axis=A.ndim - 1)
+            return fetch
+        if axis == 2:
+            def fetch(A, _off=off):
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, A.shape, A.ndim - 1)
+                xpos = lane % nx
+                main = pltpu.roll(A, (-_off) % E, axis=A.ndim - 1)
+                wrap = pltpu.roll(A, ((nx - 1) * _off) % E, axis=A.ndim - 1)
+                bad = (xpos == (nx - 1)) if _off > 0 else (xpos == 0)
+                return jnp.where(bad, wrap, main)
+            return fetch
+        return None  # z handled via the halo block inputs
+
+    off_lf = [-sh for (_ax, sh, _o) in per_lf]
+    fetch_lf = [make_fetch(ax, off)
+                for (ax, _sh, _o), off in zip(per_lf, off_lf)]
+
+    def primitives(U3):
+        """[neq, ndof, E] conserved -> (rho, u(3), T, p) dof slabs."""
+        rho = U3[0]
+        inv = 1.0 / rho
+        u = [U3[1 + d] * inv for d in range(3)]
+        ke = 0.5 * rho * (u[0] * u[0] + u[1] * u[1] + u[2] * u[2])
+        p = (gamma - 1.0) * (U3[4] - ke)
+        T = p * inv / Rgas
+        return rho, u, T, p
+
+    # ---------------- K1: gradient ----------------
+    def k1_kernel(u_ref, uzm_ref, uzp_ref, wg_ref, g_ref):
+        U3 = u_ref[0].reshape(neq, ndof, E)
+        rho, u, T, _ = primitives(U3)
+        Up = [rho, u[0], u[1], u[2], T]
+
+        def nbr_prims(ref):
+            U3n = ref[0].reshape(neq, ndof, E)
+            r, un, Tn, _ = primitives(U3n)
+            return [r, un[0], un[1], un[2], Tn]
+
+        Up_zm = nbr_prims(uzm_ref)
+        Up_zp = nbr_prims(uzp_ref)
+
+        out = []
+        for e in range(neq):
+            g = jnp.dot(wg_ref[0], Up[e], preferred_element_type=dtype)
+            for lf in range(len(per_lf)):
+                ax = per_lf[lf][0]
+                if ax == 0:
+                    nb = Up_zp[e] if off_lf[lf] > 0 else Up_zm[e]
+                else:
+                    nb = fetch_lf[lf](Up[e])
+                g = g + jnp.dot(wg_ref[1 + lf], nb,
+                                preferred_element_type=dtype)
+            out.append(g)  # [dim*ndof, E]
+        g_ref[0] = jnp.concatenate(out, axis=0)
+
+    # ---------------- K2: volume + faces + scatter ----------------
+    def visc_mu_kappa(T):
+        mu = C1 * T * jnp.sqrt(T) / (T + S0)
+        return mu, cp_pr * mu
+
+    def viscous_flux(rho, u, T, G):
+        """G: [neq][dim][*, E] primitive gradients.  Returns
+        F_visc[eq][dd] slabs (energy includes tau.u + k gradT)."""
+        mu, kap = visc_mu_kappa(T)
+        bulk = (bulk_mult - 2.0 / 3.0) * mu
+        div = G[1][0] + G[2][1] + G[3][2]
+        F = [[None] * 3 for _ in range(neq)]
+        tau = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j_ in range(i, 3):
+                s = mu * (G[1 + i][j_] + G[1 + j_][i])
+                if i == j_:
+                    s = s + bulk * div
+                tau[i][j_] = s
+                tau[j_][i] = s
+        for i in range(3):
+            for dd in range(3):
+                F[1 + i][dd] = tau[i][dd]
+        for dd in range(3):
+            F[0][dd] = jnp.zeros_like(rho)
+            F[4][dd] = (tau[0][dd] * u[0] + tau[1][dd] * u[1]
+                        + tau[2][dd] * u[2] + kap * G[4][dd])
+        return F
+
+    def conv_flux_dot_n(rho, u, p, En, nor):
+        """Convective normal flux of a state (En = rhoE slab)."""
+        un = nor[0] * u[0] + nor[1] * u[1] + nor[2] * u[2]
+        f0 = rho * un
+        fm = [f0 * u[d] + nor[d] * p for d in range(3)]
+        fe = un * (En + p)
+        return [f0, fm[0], fm[1], fm[2], fe]
+
+    def k2_kernel(u_ref, uzm_ref, uzp_ref, g_ref, gzm_ref, gzp_ref,
+                  v_ref, btr_ref, w_ref, y_ref):
+        U3 = u_ref[0].reshape(neq, ndof, E)
+        rho, u, T, p = primitives(U3)
+        G4 = g_ref[0].reshape(neq, dim, ndof, E)
+        G = [[G4[e, dd] for dd in range(dim)] for e in range(neq)]
+
+        # ---- volume: y[j] = sum_dd V_dd @ F[dd] ----
+        Fv = None
+        if viscous:
+            Fv = viscous_flux(rho, u, T, G)
+        ys = []
+        for e in range(neq):
+            acc = None
+            for dd in range(dim):
+                nor1 = [1.0 if d == dd else 0.0 for d in range(3)]
+                Fc = conv_flux_dot_n(rho, u, p, U3[4], nor1)[e]
+                if viscous:
+                    Fc = Fc - Fv[e][dd]
+                term = jnp.dot(v_ref[dd], Fc, preferred_element_type=dtype)
+                acc = term if acc is None else acc + term
+            ys.append(acc)
+
+        # ---- faces ----
+        U3_zm = uzm_ref[0].reshape(neq, ndof, E)
+        U3_zp = uzp_ref[0].reshape(neq, ndof, E)
+        G4_zm = gzm_ref[0].reshape(neq, dim, ndof, E)
+        G4_zp = gzp_ref[0].reshape(neq, dim, ndof, E)
+
+        for lf, (ax, _sh, opp) in enumerate(per_lf):
+            Bo = btr_ref[lf]
+            Bn = btr_ref[opp]
+            nor = nor_const[lf]
+            # own traces
+            To = [jnp.dot(Bo, U3[e], preferred_element_type=dtype)
+                  for e in range(neq)]
+            # neighbor traces (opposite local face of the neighbor elem)
+            if ax == 0:
+                U3n = U3_zp if off_lf[lf] > 0 else U3_zm
+                Tn = [jnp.dot(Bn, U3n[e], preferred_element_type=dtype)
+                      for e in range(neq)]
+            else:
+                Tn = [fetch_lf[lf](
+                    jnp.dot(Bn, U3[e], preferred_element_type=dtype))
+                    for e in range(neq)]
+
+            def trace_prims(Tr):
+                r = Tr[0]
+                inv = 1.0 / r
+                uu = [Tr[1 + d] * inv for d in range(3)]
+                ke = 0.5 * r * (uu[0] ** 2 + uu[1] ** 2 + uu[2] ** 2)
+                pp = (gamma - 1.0) * (Tr[4] - ke)
+                return r, uu, pp
+
+            r1, u1, p1 = trace_prims(To)
+            r2, u2, p2 = trace_prims(Tn)
+            f1 = conv_flux_dot_n(r1, u1, p1, To[4], nor)
+            f2 = conv_flux_dot_n(r2, u2, p2, Tn[4], nor)
+            c1 = jnp.sqrt(gamma * p1 / r1) + jnp.sqrt(
+                u1[0] ** 2 + u1[1] ** 2 + u1[2] ** 2)
+            c2 = jnp.sqrt(gamma * p2 / r2) + jnp.sqrt(
+                u2[0] ** 2 + u2[1] ** 2 + u2[2] ** 2)
+            lam = (0.5 * normag_const[lf]) * jnp.maximum(c1, c2)
+            flux = [0.5 * (f1[e] + f2[e]) - lam * (Tn[e] - To[e])
+                    for e in range(neq)]
+
+            if viscous:
+                # one-sided viscous fluxes from BOTH traces, averaged
+                def visc_dot_n(Tr, Gt, r, uu):
+                    TT = ((gamma - 1.0) / Rgas) * (
+                        Tr[4] / r - 0.5 * (uu[0] ** 2 + uu[1] ** 2
+                                           + uu[2] ** 2))
+                    mu, kap = visc_mu_kappa(TT)
+                    bulk = (bulk_mult - 2.0 / 3.0) * mu
+                    div = Gt[1][0] + Gt[2][1] + Gt[3][2]
+                    out = [jnp.zeros_like(r)]
+                    taun = []
+                    for i in range(3):
+                        s = None
+                        for d in range(3):
+                            tij = mu * (Gt[1 + i][d] + Gt[1 + d][i])
+                            if i == d:
+                                tij = tij + bulk * div
+                            s = (tij * nor[d] if s is None
+                                 else s + tij * nor[d])
+                        taun.append(s)
+                        out.append(s)
+                    qn = sum(Gt[4][d] * nor[d] for d in range(3)) * kap
+                    out.append(taun[0] * uu[0] + taun[1] * uu[1]
+                               + taun[2] * uu[2] + qn)
+                    return out
+
+                Gt_o = [[jnp.dot(Bo, G[e][dd],
+                                 preferred_element_type=dtype)
+                         for dd in range(dim)] for e in range(neq)]
+                if ax == 0:
+                    G4n = G4_zp if off_lf[lf] > 0 else G4_zm
+                    Gt_n = [[jnp.dot(Bn, G4n[e, dd],
+                                     preferred_element_type=dtype)
+                             for dd in range(dim)] for e in range(neq)]
+                else:
+                    Gt_n = [[fetch_lf[lf](
+                        jnp.dot(Bn, G[e][dd],
+                                preferred_element_type=dtype))
+                        for dd in range(dim)] for e in range(neq)]
+                fvo = visc_dot_n(To, Gt_o, r1, u1)
+                fvn = visc_dot_n(Tn, Gt_n, r2, u2)
+                for e in range(1, neq):
+                    flux[e] = flux[e] - 0.5 * (fvo[e] + fvn[e])
+
+            for e in range(neq):
+                ys[e] = ys[e] + jnp.dot(w_ref[lf], flux[e],
+                                        preferred_element_type=dtype)
+
+        y_ref[0] = jnp.concatenate(ys, axis=0)
+
+    # ---------------- pallas_call wrappers ----------------
+    def slice_spec(ch, shift=0):
+        return pl.BlockSpec(
+            (1, ch, E), lambda i, _s=shift: ((i + _s) % nz, 0, 0))
+
+    def full_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n)
+
+    k1 = pl.pallas_call(
+        k1_kernel,
+        grid=(nz,),
+        in_specs=[slice_spec(C), slice_spec(C, -1), slice_spec(C, +1),
+                  full_spec(Wgrad.shape)],
+        out_specs=slice_spec(neq * dim * ndof),
+        out_shape=jax.ShapeDtypeStruct((nz, neq * dim * ndof, E), dtype),
+        interpret=interpret,
+    )
+
+    k2 = pl.pallas_call(
+        k2_kernel,
+        grid=(nz,),
+        in_specs=[slice_spec(C), slice_spec(C, -1), slice_spec(C, +1),
+                  slice_spec(neq * dim * ndof),
+                  slice_spec(neq * dim * ndof, -1),
+                  slice_spec(neq * dim * ndof, +1),
+                  full_spec(Vvol.shape), full_spec(Btrs.shape),
+                  full_spec(Wscat.shape)],
+        out_specs=slice_spec(C),
+        out_shape=jax.ShapeDtypeStruct((nz, C, E), dtype),
+        interpret=interpret,
+    )
+
+    def run_k1(UT):
+        return k1(UT, UT, UT, Wgrad)
+
+    def run_k2(UT, G):
+        return k2(UT, UT, UT, G, G, G, Vvol, Btrs, Wscat)
+
+    return PallasFusedRHS(
+        ctx=ctx, ne=t.ne, ndof=ndof, neq=neq, dim=dim,
+        grid=(nz, ny, nx), _k1=run_k1, _k2=run_k2,
+    )
+
+
+def maybe_build_pallas_fused(tab_np, ctx, dtype=None, interpret=False):
+    if not pallas_fusable(tab_np, ctx):
+        return None
+    return build_pallas_fused(tab_np, ctx, dtype, interpret=interpret)

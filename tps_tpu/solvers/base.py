@@ -13,11 +13,18 @@ class Solver:
     """Abstract solver lifecycle."""
 
     def __init__(self, config, tps=None):
+        from ..utils.timers import Timers
+
         self.config = config
         self.tps = tps
         self.iter = 0
         self.time = 0.0
         self.status = 0  # 0 NORMAL
+        # hierarchical wall-clock timers (the reference's GRVY timers,
+        # summarized at teardown: grvy_timer_summarize, M2ulPhyS dtor);
+        # created here so EVERY solver subclass (incl. the mixed-mesh
+        # path, which overrides initialize) carries one
+        self.timers = Timers()
 
     # -- lifecycle ---------------------------------------------------------
     def parse_solver_options(self):

@@ -134,6 +134,14 @@ class CompressibleSolver(PlasmaSolver):
     """Explicit DG compressible flow solver."""
 
     masa = None  # MasaHandler when [mms]/isEnabled
+    # class-level defaults for services configured in
+    # _initialize_state_and_loop, so subclasses that override initialize
+    # (the mixed-mesh solver) degrade to "feature off" instead of
+    # AttributeError in the shared solve loop
+    _history = None
+    _enable_paraview = False
+    _plane = None
+    _plane_spec = None
 
     def initialize(self):
         import jax
@@ -829,12 +837,6 @@ class CompressibleSolver(PlasmaSolver):
                 "samples": raw.get_required("planeDump/samples", int),
                 "kind": kinds[0],
             }
-
-        # hierarchical wall-clock timers (the reference's GRVY timers,
-        # summarized at teardown: grvy_timer_summarize, M2ulPhyS dtor)
-        from ..utils.timers import Timers
-
-        self.timers = Timers()
 
     # ------------------------------------------------------------------
     def _build_bcs(self):
