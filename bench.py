@@ -120,10 +120,12 @@ def bench_fused():
     ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
     # fused-minor-dim fast path (dg/fused.py): the production RHS on
     # structured periodic meshes; falls back to the slot path otherwise.
-    # TPS_PALLAS=1 swaps in the two-kernel Pallas megakernel
-    # (dg/pallas_fused.py) — all intermediates in VMEM
+    # On TPU the two-kernel Pallas megakernel (dg/pallas_fused.py, all
+    # intermediates in VMEM) is the default: 0.30 vs 1.44 ms/RHS measured
+    # on v5e (PERF.md round 4). TPS_PALLAS=0 opts out.
     fused = None
-    if int(os.environ.get("TPS_PALLAS", "0")):
+    if (int(os.environ.get("TPS_PALLAS", "1"))
+            and jax.default_backend() == "tpu"):
         from tps_tpu.dg.pallas_fused import maybe_build_pallas_fused
 
         fused = maybe_build_pallas_fused(tab_np, ctx, dtype=dtype)
@@ -226,7 +228,8 @@ type = flow
 [flow]
 order = 2
 maxIters = 4
-outputFreq = 1000
+outputFreq = 100000
+timingFreq = 100000
 fluid = dry_air
 equation_system = navier-stokes
 [mesh]
@@ -253,7 +256,7 @@ outdirBase = /tmp/tps_bench_general
 
     # warmup/compile the chunked production path (solve() runs this when
     # no per-step diagnostics are enabled)
-    ck = _n(2, 16)
+    ck = _n(2, 32)
     s.solve_chunk(ck)
     s.solve_chunk(ck)
     jax.block_until_ready(s.U)
@@ -282,11 +285,15 @@ def bench_argon():
     deck = os.path.join(HERE, "examples", "cases", "argon_plasma_2d.ini")
     with open(deck) as f:
         txt = f.read()
+    # keep timing prints / restart writes (each one a ~24 ms relay round
+    # trip, PERF.md round 4) out of the timed window
+    txt = txt.replace("outputFreq = 100",
+                      "outputFreq = 100000\ntimingFreq = 100000")
     s = _make_solver(txt)
     import jax
 
     # warmup/compile the chunked production path
-    ck = _n(2, 16)
+    ck = _n(2, 32)
     s.solve_chunk(ck)
     s.solve_chunk(ck)
     jax.block_until_ready(s.U)
@@ -320,7 +327,8 @@ type = flow
 [flow]
 order = 2
 maxIters = 4
-outputFreq = 1000
+outputFreq = 100000
+timingFreq = 100000
 fluid = dry_air
 equation_system = navier-stokes
 viscosityMultiplier = 1000.
@@ -355,7 +363,7 @@ numOutlets = 1
 [io]
 outdirBase = /tmp/tps_bench_cyl
 """)
-    ck = _n(2, 16)
+    ck = _n(2, 32)
     s.solve_chunk(ck)
     s.solve_chunk(ck)
     jax.block_until_ready(s.U)
@@ -389,13 +397,15 @@ def bench_argon_big():
         txt = f.read()
     txt = txt.replace("nx = 6", "nx = 32").replace("ny = 6", "ny = 32")
     txt = txt.replace("order = 1", "order = 2")
+    txt = txt.replace("outputFreq = 100",
+                      "outputFreq = 100000\ntimingFreq = 100000")
     # at this resolution the ELECTRON-energy diffusion limit (dt ~ h^2 /
     # alpha_e) binds before the convective CFL (dt ~ h) that the CFL
     # controller tracks (the reference's dt formula is convective-only
     # too, src/M2ulPhyS.cpp:2013-2016); cfl=0.02 keeps dt under it
     txt = txt.replace("cfl = 0.1", "cfl = 0.02")
     s = _make_solver(txt)
-    ck = _n(2, 16)
+    ck = _n(2, 32)
     s.solve_chunk(ck)
     s.solve_chunk(ck)
     jax.block_until_ready(s.U)

@@ -237,18 +237,23 @@ def _block_residual(qms):
 
 
 def test_tet_coil_plasma_ams_beats_jacobi():
-    """Rings-style coil + conducting plasma core on a tet mesh: the
-    AMS-class auxiliary-space preconditioner at one-third the iterations
+    """Rings-style coil + conducting plasma core on a tet mesh: at an
+    EQUAL Krylov budget the AMS-class auxiliary-space preconditioner
     out-converges Jacobi by orders of magnitude (reference: HypreAMS,
-    src/quasimagnetostatic.cpp:449)."""
-    q_ams = _tet_coil_setup(5, "ams", 40)
+    src/quasimagnetostatic.cpp:449).
+
+    max_iter counts TRUE Arnoldi steps since the counting GMRES
+    (fem/krylov.py) replaced jax.scipy's (whose maxiter counted restart
+    CYCLES); measured f64 residuals on this case: AMS 3.5e-5 @ 120 vs
+    Jacobi 1.8e-2 @ 120, and AMS reaches 7e-8 by 400."""
+    q_ams = _tet_coil_setup(5, "ams", 120)
     q_ams.solve()
     r_ams = _block_residual(q_ams)
     q_jac = _tet_coil_setup(5, "jacobi", 120)
     q_jac.solve()
     r_jac = _block_residual(q_jac)
-    assert r_ams < r_jac / 10.0, (r_ams, r_jac)
-    assert r_ams < 1e-8
+    assert r_ams < r_jac / 100.0, (r_ams, r_jac)
+    assert r_ams < 1e-4
     # eddy currents in the core: nonzero A_im and positive Joule heating
     assert float(np.abs(np.asarray(q_ams.A_im)).max()) > 0
     assert q_ams.total_joule_heating() > 0

@@ -33,8 +33,11 @@ Then (Mosaic-constraint-driven, see PERF.md round-3 Pallas notes):
     a sublane tile.
 
 Preconditions: the fused-path preconditions (fusable) plus 3-D, DryAir
-mixture, Rusanov, ny*nx >= 128.  Used by the bench/solver when
-TPS_PALLAS=1 (opt-in until profiled >= parity on the target chip).
+mixture, Rusanov, ny*nx >= 128.  Default on TPU backends (solver +
+bench); TPS_PALLAS=0 opts out.  Measured on the hosted v5e (16^3 p=2
+NS box, f32): 0.302 ms/RHS vs 1.439 for the XLA fused path (4.8x);
+single-RHS agreement 9e-6 relative in f32 (1e-11 in f64 interpret
+mode, tests/test_pallas_fused.py).
 
 Hot-loop parity: reference RHSoperator::Mult, src/rhs_operator.cpp:343-464.
 """

@@ -585,16 +585,39 @@ class CompressibleSolver(PlasmaSolver):
         from ..dg.rhs import advance_bc_states, init_bc_states
 
         # fused-minor-dim fast path on structured periodic meshes
-        # (dg/fused.py); None when BCs/forcings/sharding/axisym are present
-        self._fused = (
-            maybe_build_fused(self.tables_np, self.ctx, self.dtype)
-            if self._build is None else None
-        )
+        # (dg/fused.py); None when BCs/forcings/sharding/axisym are present.
+        # On TPU the two-kernel Pallas megakernel (dg/pallas_fused.py,
+        # all intermediates in VMEM) replaces it when its stricter
+        # preconditions hold: measured 0.30 vs 1.44 ms/RHS on the 16^3
+        # p=2 NS box (4.8x, PERF.md round 4).  TPS_PALLAS=0 opts out.
+        self._fused = None
+        self._fused_pallas = False
+        if self._build is None:
+            import os
+
+            if (os.environ.get("TPS_PALLAS", "1") != "0"
+                    and jax.default_backend() == "tpu"):
+                from ..dg.pallas_fused import maybe_build_pallas_fused
+
+                self._fused = maybe_build_pallas_fused(
+                    self.tables_np, self.ctx, self.dtype
+                )
+                self._fused_pallas = self._fused is not None
+            if self._fused is None:
+                self._fused = maybe_build_fused(
+                    self.tables_np, self.ctx, self.dtype
+                )
 
         def _substep2(tab_loc, U2, t, dt, fields, bc_states, shape3):
-            """Fused-layout step body: U2 is [ne, ndof*neq] throughout.
+            """Fused-layout step body: U2 is [ne, ndof*neq] throughout
+            (or the Pallas channel-major [nz, neq*ndof, ny*nx] carry).
             The RK axpy chain, the RHS head/tail, the species clip and the
             scan carry all stay on fused-minor buffers (PERF.md round 3)."""
+            if self._fused_pallas:
+                # pallas_fusable() guarantees no BCs/forcings and DryAir
+                # (nact == 0): the step is purely integrator + kernels
+                U2b, aux = self._integrator(self._fused, U2, t, dt)
+                return U2b, bc_states, aux["max_char_speed"]
             if self._fused is not None:
                 U2b, aux = self._integrator(self._fused, U2, t, dt)
             else:
@@ -617,13 +640,23 @@ class CompressibleSolver(PlasmaSolver):
             )
             return U2b, bc2, aux["max_char_speed"]
 
+        # carry <-> [ne, ndof, neq] conversion: the Pallas carry is the
+        # megakernel's channel-major layout; everything else rides the
+        # fused-minor [ne, ndof*neq]
+        if self._fused_pallas:
+            _to_carry = self._fused.to_fused
+            _from_carry = lambda U2, shape3: self._fused.from_fused(U2)
+        else:
+            _to_carry = lambda U: U.reshape(U.shape[0], -1)
+            _from_carry = lambda U2, shape3: U2.reshape(shape3)
+
         def _substep(tab_loc, U, t, dt, fields, bc_states):
             """Shared single-device / per-shard step body."""
             U2b, bc2, mcs = _substep2(
-                tab_loc, U.reshape(U.shape[0], -1), t, dt, fields, bc_states,
+                tab_loc, _to_carry(U), t, dt, fields, bc_states,
                 U.shape,
             )
-            return U2b.reshape(U.shape), bc2, mcs
+            return _from_carry(U2b, U.shape), bc2, mcs
 
         # chunked stepping: scan nsub steps inside one jit so the per-step
         # python dispatch (~0.3-0.6 ms through the hosted-TPU tunnel) and
@@ -647,10 +680,10 @@ class CompressibleSolver(PlasmaSolver):
                 dt2 = (cfl_hmin_ / mcs / dim_) if cfl_mode_ else dtc
                 return (U2b, bc2, t2, dt2), mcs
             (U2f, bcf, tf, dtf), mcs_seq = jax.lax.scan(
-                body, (U.reshape(U.shape[0], -1), bc_states, t, dt), None,
+                body, (_to_carry(U), bc_states, t, dt), None,
                 length=nsub,
             )
-            return U2f.reshape(shape3), bcf, tf, dtf, mcs_seq
+            return _from_carry(U2f, shape3), bcf, tf, dtf, mcs_seq
 
         if self._build is None:
             self._init_bc_fn = jax.jit(
@@ -1166,15 +1199,28 @@ class CompressibleSolver(PlasmaSolver):
     def _restart_io_ready(self):
         return self._io is not None
 
-    def _drain_mcs_queue(self, lag):
+    def _drain_mcs_queue(self, lag, force=None):
         """Read max-char-speed values whose async host copies are at least
         `lag` steps old; NaN-guard each and keep the newest for CFL.
         Entries are (iter_of_last_covered_step, scalar_or_[n]-vector) —
-        chunked steps enqueue one vector per chunk."""
+        chunked steps enqueue one vector per chunk.
+
+        A blocking device->host read costs a full relay round trip
+        (~24 ms on the hosted-TPU tunnel, PERF.md round 4), so entries
+        past the lag are only materialized once their async copy has
+        completed (`is_ready`) — the NaN guard trails by the copy
+        latency instead of stalling the step pipeline.  `force=True`
+        (checkpoint/teardown boundaries; implied by lag == 0) drains
+        everything, blocking if needed."""
         q = getattr(self, "_mcs_queue", None)
         if not q:
             return
+        if force is None:
+            force = lag == 0
         while q and (self.iter - q[0][0] >= lag):
+            ready = getattr(q[0][1], "is_ready", lambda: True)()
+            if not (force or ready):
+                break
             it0, m = q.pop(0)
             arr = np.asarray(m).ravel()
             if not np.all(np.isfinite(arr)):

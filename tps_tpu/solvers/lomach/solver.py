@@ -799,8 +799,24 @@ class LoMachSolver(Solver):
         self.iter += n
         self.time += n * self.dt
         if hasattr(self.flow, "chunk_check"):
-            self.flow.chunk_check(infos)
+            # async convergence guard: a blocking device->host read costs
+            # a full relay round trip (~24 ms on the hosted-TPU tunnel,
+            # PERF.md round 4), so the chunk's info rides an async copy
+            # and is checked once its host buffer is ready (forced at
+            # service boundaries / teardown)
+            import jax
+
+            for leaf in jax.tree.leaves(infos):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:
+                    pass
+            if not hasattr(self, "_info_queue"):
+                self._info_queue = []
+            self._info_queue.append((self.iter, infos))
+            self._drain_info_queue()
         if self.iter % self.output_freq == 0:
+            self._drain_info_queue(force=True)
             wall = _time.perf_counter() - self._wall0
             print(
                 f"loMach step {self.iter} t={self.time:.6e} "
@@ -809,6 +825,25 @@ class LoMachSolver(Solver):
             )
             self._wall0 = _time.perf_counter()
             self.write_restart()
+
+    def _drain_info_queue(self, force=False):
+        """Run the deferred per-chunk convergence guards whose async host
+        copies have completed (all of them when force=True)."""
+        q = getattr(self, "_info_queue", None)
+        if not q:
+            return
+        import jax
+
+        while q:
+            it0, infos = q[0]
+            ready = all(
+                getattr(leaf, "is_ready", lambda: True)()
+                for leaf in jax.tree.leaves(infos)
+            )
+            if not (force or ready):
+                break
+            q.pop(0)
+            self.flow.chunk_check(infos)
 
     def solve(self):
         """Chunk-aware solve loop (reference: LoMachSolver::solve,
@@ -1046,6 +1081,7 @@ class LoMachSolver(Solver):
         return path
 
     def solve_end(self):
+        self._drain_info_queue(force=True)
         if hasattr(self.flow, "finalize"):
             self.flow.finalize()  # drain the deferred convergence check
         self.write_restart()
