@@ -232,6 +232,12 @@ outputFreq = 100000
 timingFreq = 100000
 fluid = dry_air
 equation_system = navier-stokes
+# GL basis/rule: the round-2/3 measurement series (and the fused box)
+# runs collocated Gauss-Legendre; the ini default is the reference's
+# GLL (basisType = 1), which is ~4x slower on this path (nq > ndof,
+# non-diagonal mass)
+basisType = 0
+integrationRule = 0
 [mesh]
 generator = box3d
 nx = 16
@@ -286,9 +292,11 @@ def bench_argon():
     with open(deck) as f:
         txt = f.read()
     # keep timing prints / restart writes (each one a ~24 ms relay round
-    # trip, PERF.md round 4) out of the timed window
+    # trip, PERF.md round 4) out of the timed window; pin the GL basis
+    # the round-2/3 series measured (ini default is the reference's GLL)
     txt = txt.replace("outputFreq = 100",
-                      "outputFreq = 100000\ntimingFreq = 100000")
+                      "outputFreq = 100000\ntimingFreq = 100000\n"
+                      "basisType = 0\nintegrationRule = 0")
     s = _make_solver(txt)
     import jax
 
@@ -398,7 +406,8 @@ def bench_argon_big():
     txt = txt.replace("nx = 6", "nx = 32").replace("ny = 6", "ny = 32")
     txt = txt.replace("order = 1", "order = 2")
     txt = txt.replace("outputFreq = 100",
-                      "outputFreq = 100000\ntimingFreq = 100000")
+                      "outputFreq = 100000\ntimingFreq = 100000\n"
+                      "basisType = 0\nintegrationRule = 0")
     # at this resolution the ELECTRON-energy diffusion limit (dt ~ h^2 /
     # alpha_e) binds before the convective CFL (dt ~ h) that the CFL
     # controller tracks (the reference's dt formula is convective-only

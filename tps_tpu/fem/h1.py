@@ -865,8 +865,22 @@ def dense_constrain(K, mask=None, ortho=False):
     return K
 
 
+def _direct_inv():
+    """True when the dense-direct data should be the factor's explicit
+    triangular INVERSE instead of the factor: on TPU a triangular solve
+    is a sequential blocked loop (~0.6 ms at 4.7k dofs inside a
+    program) while the equivalent matmul rides the MXU (~0.05 ms); the
+    inversion costs one batched multi-RHS triangular solve ONCE per
+    lagged refresh (PERF.md round 4)."""
+    return jax.default_backend() == "tpu"
+
+
 def dense_cholesky(K):
     """Robust Cholesky factor of an SPD FEM operator in working precision.
+
+    Returns the lower factor L with L L^T ~= K — except on TPU, where
+    it returns W = L^-1 (see _direct_inv; `direct_precond` switches on
+    the same flag, so builder/applier stay consistent).
 
     The raw stiffness spans many orders of magnitude (coefficient
     contrast x metric terms) and the TPU f32 Cholesky NaNs on it
@@ -887,16 +901,31 @@ def dense_cholesky(K):
         Ls = jnp.linalg.cholesky(Ks.at[..., didx, didx].add(shift))
         bad = jnp.any(jnp.isnan(L), axis=(-2, -1), keepdims=True)
         L = jnp.where(bad, Ls, L)
+    if _direct_inv():
+        # explicit W = L^-1 (scaled space), one batched triangular
+        # multi-RHS solve per (lagged) refresh; direct_precond then
+        # applies K^-1 = W^T W as two full-precision MXU matmuls
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), Ks.shape)
+        W = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        return W * s[..., None, :]
     return L / s[..., :, None]
 
 
 def direct_precond(L):
-    """Preconditioner callable from a dense Cholesky factor [nd, nd]:
-    M(r) solves L L^T z = r for r of shape [nd] or [nd, k]."""
+    """Preconditioner callable from dense_cholesky's output [nd, nd]:
+    M(r) solves L L^T z = r for r of shape [nd] or [nd, k].  On TPU the
+    input is W = L^-1 and the apply is W^T (W r) on the MXU (see
+    _direct_inv)."""
+    inv = _direct_inv()
+
     def M(r):
         rr = r[:, None] if r.ndim == 1 else r
-        z = jax.scipy.linalg.solve_triangular(L, rr, lower=True)
-        z = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        if inv:
+            with jax.default_matmul_precision("highest"):
+                z = L.T @ (L @ rr)
+        else:
+            z = jax.scipy.linalg.solve_triangular(L, rr, lower=True)
+            z = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
         return z[:, 0] if r.ndim == 1 else z
     return M
 
@@ -904,7 +933,12 @@ def direct_precond(L):
 def direct_precond_stack(Ls):
     """Per-column preconditioner from stacked factors [k, nd, nd] for a
     multi-RHS solve with a different operator per column: M(r [nd, k])."""
+    inv = _direct_inv()
+
     def solve_one(L, r):
+        if inv:
+            with jax.default_matmul_precision("highest"):
+                return L.T @ (L @ r)
         z = jax.scipy.linalg.solve_triangular(L, r, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 

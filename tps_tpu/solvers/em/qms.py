@@ -179,7 +179,19 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         """One frequency-domain solve from (sigma nodal, J0 at quad pts).
         Pure function of its arguments (jitted once and cached — an eager
         gmres call would re-trace and re-compile the whole Krylov loop on
-        EVERY coupled EM solve)."""
+        EVERY coupled EM solve).
+
+        Full f32 matmuls throughout: the TPU default (bf16 products)
+        floors the achievable TRUE residual of this mu0-scaled system
+        at ~1e-1, where full-f32 dense algebra reaches ~2e-6 (measured,
+        PERF.md round 4)."""
+        import jax
+        import jax.numpy as jnp
+
+        with jax.default_matmul_precision("highest"):
+            return self._solve_core_impl(sigma, J0_q)
+
+    def _solve_core_impl(self, sigma, J0_q):
         import jax
         import jax.numpy as jnp
 
@@ -217,6 +229,50 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
                                wrap(J0_q * self.r_q))
         b = jnp.concatenate([rhs_re * mask, jnp.zeros(nd, self.dtype)])
 
+        # -- dense Schur-complement direct solve (small unsharded
+        # spaces).  The f32 Krylov TRUE residual floors near 1e-1 on
+        # this mu0-scaled block system (kappa ~ 1/eps_f32; the old
+        # jax.scipy gmres reported its drifting |g| estimate of 3e-5
+        # while the true residual was 0.13 — PERF.md round 4), and on
+        # the hosted TPU dense MXU factorizations beat matrix-free
+        # iteration anyway (round-3 loMach lesson).  Eliminating
+        # a_im = -K^-1 M a_re gives the SPD Schur system
+        # (K + M K^-1 M) a_re = b_re: two robust Cholesky factors +
+        # matrix-free iterative-refinement steps for accuracy.
+        if not sharded and h1.dense_capable(tab):
+            Ke = h1.element_stiffness(tab, r_qs) + h1.element_mass(
+                tab, inv_r_qs)
+            Kd = h1.dense_constrain(h1.assemble_dense(tab, Ke), mask)
+            Mm = h1.assemble_dense(tab, h1.element_mass(tab, msw_qs))
+            Mm = Mm * (mask[:, None] * mask[None, :])
+            Kinv = h1.direct_precond(h1.dense_cholesky(Kd))
+            X = Kinv(Mm)  # K^-1 M  [nd, nd]
+            S = Kd + Mm @ X
+            Sinv = h1.direct_precond(h1.dense_cholesky(S))
+
+            def schur_solve(r_re, r_im):
+                t = Kinv(r_im)
+                a_re = Sinv(r_re + Mm @ t)
+                return a_re, t - X @ a_re
+
+            a_re, a_im = schur_solve(b[:nd], jnp.zeros(nd, self.dtype))
+            # iterative refinement with the matrix-free residual: each
+            # step multiplies the error by the factorization's backward
+            # error (~1e-5 in f32), so 2 steps reach the f32 floor
+            for _ in range(2):
+                w = jnp.concatenate([a_re, a_im])
+                r = b - block_apply(w)
+                d_re, d_im = schur_solve(r[:nd], r[nd:])
+                a_re = a_re + d_re
+                a_im = a_im + d_im
+            w = jnp.concatenate([a_re, a_im])
+            res = jnp.linalg.norm(b - block_apply(w))
+            relres = res / jnp.maximum(jnp.linalg.norm(b), 1e-300)
+            a_re = a_re * mask
+            a_im = a_im * mask
+            joule = 2.0 * omega**2 * sigma * (a_re**2 + a_im**2)
+            return a_re, a_im, joule, jnp.asarray(3), relres
+
         # diagonal preconditioner from K's diagonal (+ optional
         # background-sigma mass term, reference
         # src/quasimagnetostatic.cpp:439-443)
@@ -229,10 +285,41 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         kdiag = kdiag * mask + (1 - mask)
         dinv = 1.0 / jnp.concatenate([kdiag, kdiag])
 
+        # GMRES-IR: f64 outer (true-residual restarts) + f32 Arnoldi
+        # cycles — TPU runs f64 by software emulation, so the cycles
+        # (all the matvecs) go at native f32 speed while accuracy comes
+        # from the outer refresh (fem/krylov.py)
+        cyc = {}
+        if self.dtype == jnp.float64:
+            f32 = jnp.float32
+
+            def _cast(a):
+                return (a.astype(f32)
+                        if hasattr(a, "dtype")
+                        and jnp.issubdtype(a.dtype, jnp.floating) else a)
+
+            stab32 = jax.tree.map(_cast, stab)
+            r32, ir32, msw32 = _cast(r_qs), _cast(inv_r_qs), _cast(msw_qs)
+            mask32, dinv32 = _cast(mask), _cast(dinv)
+
+            def block_apply32(w32):
+                a_re = w32[:nd] * mask32
+                a_im = w32[nd:] * mask32
+                y_re = self._K_apply(stab32, a_re, r32, ir32) \
+                    - h1.mass_apply(stab32, a_im, msw32)
+                y_im = h1.mass_apply(stab32, a_re, msw32) \
+                    + self._K_apply(stab32, a_im, r32, ir32)
+                y_re = y_re * mask32 + w32[:nd] * (1 - mask32)
+                y_im = y_im * mask32 + w32[nd:] * (1 - mask32)
+                return jnp.concatenate([y_re, y_im])
+
+            cyc = dict(cycle_dtype=f32, cycle_apply=block_apply32,
+                       cycle_M=lambda v: v * dinv32)
+
         w, kiters, krelres = krylov.gmres_solve(
             block_apply, b, tol=self.rtol, atol=self.atol,
             maxiter=self.max_iter,
-            M=lambda x: x * dinv, restart=30, return_info=True,
+            M=lambda x: x * dinv, restart=30, return_info=True, **cyc,
         )
         A_re = w[:nd] * mask
         A_im = w[nd:] * mask

@@ -424,7 +424,17 @@ class QuasiMagnetostatic3D(Solver):
         """One frequency-domain block solve as a pure jitted function of
         (source current, conductivity at H(curl)/H1 quad points).  An
         eager gmres re-traces and re-compiles the Krylov loop on every
-        coupled EM solve."""
+        coupled EM solve.
+
+        Full f32 matmuls: the TPU bf16 default floors the achievable
+        residual (see QuasiMagnetostaticSolverAxiSym._solve_core)."""
+        import jax
+        import jax.numpy as jnp
+
+        with jax.default_matmul_precision("highest"):
+            return self._solve_core_impl(Jq, sigma_q, sigma_h1q)
+
+    def _solve_core_impl(self, Jq, sigma_q, sigma_h1q):
         import jax
         import jax.numpy as jnp
 
