@@ -517,6 +517,23 @@ outdirBase = /tmp/tps_bench_lomach_react
             chunked = False
             s.solve_step()  # already compiled; per-step timing
             jax.block_until_ready(s.thermo.T)
+    if chunked:
+        # guard against the pathological case where the scanned chunk
+        # COMPILES but the hosted compiler's miscompiled loop runs ~20x
+        # slower than straight-line code (observed once: 982 ms/step
+        # chunked vs 30 per-step): probe one chunk vs the per-step path
+        # and keep the faster mode
+        t0 = time.perf_counter()
+        s.solve_chunk(8)
+        jax.block_until_ready(s.thermo.T)
+        chunk_probe = (time.perf_counter() - t0) / 8
+        t0 = time.perf_counter()
+        for _ in range(2):
+            s.solve_step()
+        jax.block_until_ready(s.thermo.T)
+        step_probe = (time.perf_counter() - t0) / 2
+        if chunk_probe > step_probe:
+            chunked = False
     nrep = _n(8, 24)  # multiple of the chunk size (8)
     t0 = time.perf_counter()
     if chunked:

@@ -397,3 +397,37 @@ case = isentropic_vortex
 outdirBase = {tmp_path}/out_per
 """)
     assert main(["tps", "--runFile", str(ini)]) == 0
+
+
+def test_refine_uniform_periodic():
+    """Uniform refinement of a fully periodic quad mesh re-glues the
+    children with the original translations (reference: MFEM refines
+    periodic meshes natively; the MMS deck path is 'periodic beam mesh
+    + refinement', test/mms.euler.2d.quad.ini:5-6).  Free-stream
+    preservation on the refined mesh proves every face is matched."""
+    import jax.numpy as jnp
+
+    from tps_tpu.dg.discretization import build_tables
+    from tps_tpu.dg.fluxes import Fluxes
+    from tps_tpu.dg.rhs import RHSContext, compute_rhs
+    from tps_tpu.dg.riemann import Rusanov
+    from tps_tpu.mesh.generators import box_2d
+    from tps_tpu.mesh.refine import refine_uniform
+    from tps_tpu.physics.gas import DryAir
+
+    m = box_2d(4, 4, x1=10.0, y1=10.0, periodic_x=True, periodic_y=True)
+    m2 = refine_uniform(m, 2)
+    assert m2.num_elements == 256
+    # every refined boundary face glued: 4 sides x 16 faces / 2
+    assert len(m2.periodic_pairs) == 32
+
+    mix = DryAir(dim=2, nvel=2, gas_constant=1.0)
+    tab = build_tables(m2, order=2).to_jax(jnp.float64)
+    fl = Fluxes(mixture=mix, transport=None, eq_system="euler")
+    ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
+    U0 = jnp.broadcast_to(
+        mix.conservatives(jnp.asarray([1.0, 0.3, -0.2, 1.0])),
+        (m2.num_elements, tab.ndof, 4),
+    )
+    dU, _ = compute_rhs(ctx, tab, U0, 0.0)
+    assert float(jnp.abs(dU).max()) < 1e-12

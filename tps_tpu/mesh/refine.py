@@ -78,7 +78,31 @@ def _refine_once(mesh: Mesh) -> Mesh:
     if mesh.geom not in ("quad", "hex", "tri", "tet"):
         raise NotImplementedError(f"uniform refinement of {mesh.geom} meshes")
     if mesh.periodic_pairs:
-        raise NotImplementedError("uniform refinement of periodic meshes")
+        # refine the unglued mesh (the periodic planes are ordinary
+        # boundary faces there; children inherit their attributes),
+        # then re-glue the children with the original translations —
+        # the reference refines periodic meshes natively (MFEM), and
+        # the MMS deck path is exactly "periodic beam mesh +
+        # refinement" (test/mms.euler.2d.quad.ini:5-6)
+        import dataclasses as _dc
+
+        from .mesh import make_periodic
+
+        ts, seen = [], set()
+        for (_ia, _ib, s) in mesh.periodic_pairs:
+            t = -np.asarray(s, dtype=np.float64)
+            # canonical sign (t and -t glue the same plane pair)
+            nz = np.nonzero(np.abs(t) > 1e-14)[0]
+            if nz.size == 0:
+                continue
+            if t[nz[0]] < 0:
+                t = -t
+            key = tuple(np.round(t, 12))
+            if key not in seen:
+                seen.add(key)
+                ts.append(t)
+        fine = _refine_once(_dc.replace(mesh, periodic_pairs=[]))
+        return make_periodic(fine, ts)
     if mesh.curved_nodes is not None:
         raise NotImplementedError("uniform refinement of curved meshes")
     if mesh.geom in ("tri", "tet"):
