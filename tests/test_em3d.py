@@ -520,3 +520,26 @@ def test_preconditioner_background_sigma_invariance():
     a0, a1 = run(-1.0), run(50.0)
     scale = max(np.abs(a0).max(), 1e-30)
     assert np.abs(a0 - a1).max() < 1e-6 * scale
+
+
+def test_em3d_tet_order2_direct_exact():
+    """The default ('auto' -> dense Schur-complement direct) solve of
+    the order-2 tet coil+plasma system reaches machine-precision
+    residual where AMS-GMRES at an 80-iteration budget stalls at 0.059
+    (fem/h1.py dense-direct section; eliminates a_im = -K^-1 M a_re and
+    Cholesky-factors K and S = K + M K^-1 M)."""
+    import jax.numpy as jnp
+
+    from tps_tpu.mesh.generators import box_3d_tet
+
+    q = QuasiMagnetostatic3D(
+        box_3d_tet(3, 3, 3, bounds=((-0.5, 0.5),) * 3),
+        coils=((0.0, 0.2, 0.35, 0.1),), current_frequency=6.0e6,
+        current_amplitude=1000.0, rtol=1e-10, max_iter=80,
+        order=2, partitions=1)
+    sig = np.where(np.linalg.norm(
+        np.asarray(q.h1tab.xyz)[:, :2], axis=1) < 0.3, 1e3, 0.0)
+    q.set_plasma_conductivity(jnp.asarray(sig))
+    q.solve()
+    assert _block_residual(q) < 1e-12
+    assert q.total_joule_heating() > 0

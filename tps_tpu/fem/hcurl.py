@@ -844,6 +844,63 @@ def rhs_vector(tab, Jsrc_q):
     return scatter_add(tab, yl)
 
 
+def element_mass(tab, coef=None):
+    """Element mass matrices (W_i, c W_j) [ne, ndloc, ndloc] in the
+    LOCAL (unsigned) basis; combine with assemble_dense.  Full f32
+    products (see fem/h1.py element_mass for why bf16 defaults break
+    factorizations)."""
+    import jax
+    import jax.numpy as jnp
+
+    w = tab.wq[None, :] * tab.detJ
+    if coef is not None:
+        w = w * coef
+    Wphys = jnp.einsum("nqji,qej->nqei", tab.Jinv, tab.W)
+    return jnp.einsum("nq,nqei,nqfi->nef", w, Wphys, Wphys,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def element_curlcurl(tab, coef=None):
+    """Element curl-curl matrices (curl W_i, c curl W_j)."""
+    import jax
+    import jax.numpy as jnp
+
+    w = tab.wq[None, :] * tab.detJ
+    if coef is not None:
+        w = w * coef
+    Cphys = jnp.einsum("nqij,qej->nqei", tab.Jmat, tab.Cw) \
+        / tab.detJ[..., None, None]
+    return jnp.einsum("nq,nqei,nqfi->nef", w, Cphys, Cphys,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def assemble_dense(tab, Ke):
+    """Element matrices [ne, ndloc, ndloc] -> dense [nedge, nedge],
+    applying the edge-sign (or 2-slot mixed-weight) local->global map
+    on both indices — the dense analog of scatter_add(gather(.))."""
+    import jax.numpy as jnp
+    import numpy as np_
+
+    if tab.elem_valid is not None:
+        Ke = Ke * tab.elem_valid[:, None, None]
+    if getattr(tab, "mixI", None) is not None:
+        I2 = np_.asarray(tab.mixI)       # [ne, ndloc, S]
+        W2 = jnp.asarray(tab.mixW)
+    else:
+        I2 = np_.asarray(tab.elem_edges)[:, :, None]
+        W2 = jnp.asarray(tab.edge_sign)[:, :, None]
+    ne, ndloc, S = I2.shape
+    Ke_exp = jnp.einsum("nis,njt,nij->nisjt", W2, W2, Ke).reshape(
+        ne, ndloc * S, ndloc * S)
+    Ifl = I2.reshape(ne, ndloc * S)
+    ii = jnp.asarray(np_.broadcast_to(
+        Ifl[:, :, None], Ke_exp.shape).reshape(-1))
+    jj = jnp.asarray(np_.broadcast_to(
+        Ifl[:, None, :], Ke_exp.shape).reshape(-1))
+    return jnp.zeros((tab.nedge, tab.nedge), Ke.dtype).at[ii, jj].add(
+        Ke_exp.reshape(-1))
+
+
 def mass_diag(tab, coef=None):
     if _sharded(tab):
         return tab.run_coef(mass_diag, None, coef) if coef is not None \
