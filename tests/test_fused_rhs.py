@@ -88,3 +88,55 @@ def test_fused_preconditions():
     fl = Fluxes(mixture=mix, transport=None, eq_system="euler")
     ctx = RHSContext(fluxes=fl, riemann=Rusanov(fl))
     assert not fusable(tab_np, ctx)  # boundary faces present
+
+
+def test_fused_matches_slot_with_source_forcings():
+    """Periodic plasma config (SourceTerm + JouleHeating forcings): the
+    roll-based fused path now evaluates pointwise forcings after the DG
+    part and must match the slot path to roundoff (the argon bench
+    configs ride this path; dg/fused.py _POINTWISE_FORCINGS)."""
+    import tempfile
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tps_tpu.harness  # noqa: F401
+    from tps_tpu.config.ini import IniInput
+    from tps_tpu.config.run_config import parse_run_configuration
+    from tps_tpu.dg.fused import fusable, maybe_build_fused
+    from tps_tpu.dg.rhs import compute_rhs
+    from tps_tpu.solvers.base import create_solver
+
+    import os
+
+    deck = open(os.path.join(os.path.dirname(__file__), "..", "examples",
+                             "cases", "argon_plasma_2d.ini")).read()
+    deck = deck.replace("nx = 6", "nx = 8").replace("ny = 6", "ny = 8")
+    deck = deck.replace("order = 1", "order = 2")
+    deck = deck.replace("outputFreq = 100",
+                        "outputFreq = 100000\nbasisType = 0\n"
+                        "integrationRule = 0")
+    f = tempfile.NamedTemporaryFile("w", suffix=".ini", delete=False)
+    f.write(deck)
+    f.close()
+    rc = parse_run_configuration(IniInput.read(f.name))
+    s = create_solver(rc.solver_type, rc)
+    s.initialize()
+    assert fusable(s.tables_np, s.ctx)
+    assert type(s._fused).__name__ == "FusedRHS"
+
+    U = jnp.asarray(s.U)
+    xyz = s.tables.xyz_dof
+    U = U.at[..., s.mixture.i_th].mul(
+        1.0 + 0.05 * jnp.sin(2 * np.pi * xyz[..., 0] / 0.01)
+        * jnp.cos(2 * np.pi * xyz[..., 1] / 0.01))
+
+    y_slot, aux1 = compute_rhs(s.ctx, s.tables, U, 0.0)
+    fus = maybe_build_fused(s.tables_np, s.ctx, jnp.float64)
+    y_fus, aux2 = fus(fus.to_fused(U), 0.0)
+    y_fus = y_fus.reshape(U.shape)
+    y_slot = jnp.asarray(y_slot).reshape(U.shape)
+    scale = float(jnp.abs(y_slot).max())
+    assert float(jnp.abs(y_slot - y_fus).max()) / scale < 1e-11
+    assert np.isclose(float(aux1["max_char_speed"]),
+                      float(aux2["max_char_speed"]), rtol=1e-12)

@@ -40,10 +40,21 @@ from dataclasses import dataclass
 import numpy as np
 
 
+_POINTWISE_FORCINGS = ("SourceTerm", "JouleHeating")
+
+
 def fusable(tab_np, ctx) -> bool:
-    """Preconditions for the fused path (see module docstring)."""
+    """Preconditions for the fused path (see module docstring).
+
+    Pointwise per-dof forcings (chemistry SourceTerm, JouleHeating —
+    both ignore the tables and act on (U, Up, grad_up, fields)) are
+    evaluated after the DG part, so the periodic plasma configs ride
+    the roll-based fast path instead of the gather-heavy slot path."""
     t = tab_np
-    if t.roll_info is None or t.nfb or ctx.bcs or ctx.forcings:
+    if t.roll_info is None or t.nfb or ctx.bcs:
+        return False
+    if any(type(f).__name__ not in _POINTWISE_FORCINGS
+           for f in ctx.forcings):
         return False
     if ctx.fluxes.axisymmetric or getattr(t, "rad_vol", None) is not None:
         return False
@@ -121,7 +132,7 @@ class FusedRHS:
         Ag = A2.reshape(tuple(self.grid) + (A2.shape[-1],))
         return jnp.roll(Ag, shift, axis=axis).reshape(A2.shape)
 
-    def __call__(self, U2, t=0.0):
+    def __call__(self, U2, t=0.0, fields=None):
         import jax.numpy as jnp
 
         ctx = self.ctx
@@ -170,6 +181,15 @@ class FusedRHS:
                 flux = flux - jnp.einsum("...ed,...d->...e",
                                          0.5 * (Fv1 + Fv2), nor)
             y2 = y2 + flux.reshape(ne, nqf * neq) @ self.KO_lf[lf]
+
+        if ctx.forcings:
+            # pointwise forcings (fusable() restricts to tab-independent
+            # ones); grad_up from the fused gradient when viscous
+            gu = G2.reshape(ne, ndof, neq, dim) if viscous else None
+            yf = y2.reshape(ne, ndof, neq)
+            for f in ctx.forcings:
+                yf = yf + f(t, None, U, Up, gu, fields)
+            y2 = yf.reshape(ne, ndof * neq)
 
         mcs = jnp.max(mix.max_char_speed(U))
         return y2, {"max_char_speed": mcs}

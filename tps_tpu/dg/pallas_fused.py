@@ -55,6 +55,8 @@ def pallas_fusable(tab_np, ctx) -> bool:
     t = tab_np
     if not fusable(t, ctx):
         return False
+    if ctx.forcings:  # the megakernel computes the bare DG RHS only
+        return False
     if t.dim != 3:
         return False
     grid, per_lf = t.roll_info

@@ -619,7 +619,10 @@ class CompressibleSolver(PlasmaSolver):
                 U2b, aux = self._integrator(self._fused, U2, t, dt)
                 return U2b, bc_states, aux["max_char_speed"]
             if self._fused is not None:
-                U2b, aux = self._integrator(self._fused, U2, t, dt)
+                fr = self._fused
+                rhs_f = (lambda u2, tt: fr(u2, tt, fields=fields)) \
+                    if self.ctx.forcings else fr
+                U2b, aux = self._integrator(rhs_f, U2, t, dt)
             else:
                 rhs = lambda u2, tt: compute_rhs(self.ctx, tab_loc, u2, tt,
                                                  fields=fields,
