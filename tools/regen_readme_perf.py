@@ -68,9 +68,10 @@ def build_table(bench, round_no):
         vs = f"{vsb:.2f}x" if vsb else "—"
         extra = ""
         det = m.get("detail", {})
-        if "em_solve_ms" in det:
+        if det.get("em_solve_ms"):
             extra = (f" (EM {det['em_solve_ms']:.0f} ms/solve, "
-                     f"{det.get('em_iters', '?')} iters)")
+                     f"{det.get('em_solve_iters', det.get('em_iters', '?'))}"
+                     " iters)")
         if det.get("chunked") is False:
             extra += " (per-step)"
         lines.append(f"| {label} | {PREV.get(label, '—')} | "
