@@ -91,6 +91,9 @@ class TomboulidesAxisym(Tomboulides):
             mu = mu * self.sponge.multiplier()
         qt = self.thermo.thermal_divergence()
         ubc = self._ramped_ubc(dt)  # apply rampTime scaling (base class)
+        self.precond_refresh(dt, coeff.order)
+        if self._direct_age is not None:
+            self._direct_age += 1
         (self.u, self.p, self.ut, u_hist, N_hist, ut_hist, Nt_hist) = \
             self._step_jit(
                 self.u, self.p, self.ut,
@@ -98,7 +101,7 @@ class TomboulidesAxisym(Tomboulides):
                 tuple(self.ut_hist), tuple(self.Nt_hist),
                 rho, mu, qt, ubc, self.swirl_bc_values,
                 jnp.asarray(dt),
-                order=coeff.order,
+                order=coeff.order, precond=self._direct,
             )
         self.u_hist = list(u_hist)
         self.N_hist = list(N_hist)
@@ -124,11 +127,38 @@ class TomboulidesAxisym(Tomboulides):
     def chunk_velocity(self, s):
         return s[0]
 
-    def precond_refresh(self, dt, order, force=False):
-        """Dense-direct factors are not wired for the radius-weighted
-        axisymmetric operators yet; the base-class planar factors would be
-        the WRONG operator, so refuse to build them."""
-        return
+    def _precond_build(self, rho, mu, dt, bd0):
+        """Lagged dense-direct factors for the RADIUS-WEIGHTED operators
+        (overrides the planar build, whose matrices are the wrong
+        operator here).  Four factors: [0] r/rho pressure Laplacian,
+        [1] z-momentum Helmholtz, [2] r-momentum/swirl Helmholtz (the
+        extra (v, mu u / r) mass term included), [3] r-weighted
+        consistent mass (grad_r's projection solves; time-constant, but
+        refactoring it with the batch keeps the plumbing uniform).
+        Constrained-row mismatches (swirl_mask vs the r-velocity mask on
+        [2]) only perturb Dirichlet rows, which projected CG treats as
+        identity — exactness is never required of a preconditioner."""
+        import jax.numpy as jnp_
+
+        tab = self.tab
+        rq = self.rad_q
+        rho_q = h1.to_quad(tab, rho)
+        mu_q = h1.to_quad(tab, mu)
+        Kp_e = h1.element_stiffness(tab, rq / rho_q)
+        He_e = (bd0 / dt) * h1.element_mass(tab, rho_q * rq) \
+            + h1.element_stiffness(tab, mu_q * rq)
+        Hx_e = He_e + h1.element_mass(tab, mu_q / rq)
+        Mr_e = h1.element_mass(tab, rq)
+        Kp, He, Hx, Mr = h1.assemble_dense(
+            tab, jnp_.stack([Kp_e, He_e, Hx_e, Mr_e]))
+        if self.pres_mask is not None:
+            Kp = h1.dense_constrain(Kp, mask=self.pres_mask)
+        else:
+            Kp = h1.dense_constrain(Kp, ortho=True)
+        He = h1.dense_constrain(He, mask=self.vel_mask_c[:, 1])
+        Hx = h1.dense_constrain(Hx, mask=self.vel_mask_c[:, 0])
+        L = h1.dense_cholesky(jnp_.stack([Kp, He, Hx, Mr]))
+        return L[0], L[1], L[2], L[3]
 
     def chunk_step(self, s, rho, mu, qt, dt, order, precond=None):
         u, p, ut, uh, Nh, uth, Nth, t = s
@@ -136,13 +166,15 @@ class TomboulidesAxisym(Tomboulides):
         u2, p2, ut2, uh2, Nh2, uth2, Nth2 = self._step_impl_axi(
             u, p, ut, uh, Nh, uth, Nth, rho, mu, qt,
             self._ramped_ubc_traced(t2), self.swirl_bc_values, dt, order,
+            precond=precond,
         )
         return (u2, p2, ut2, tuple(uh2), tuple(Nh2), tuple(uth2),
                 tuple(Nth2), t2), {}
 
     # ------------------------------------------------------------------
     def _step_impl_axi(self, u, p, ut, u_hist, N_hist, ut_hist, Nt_hist,
-                       rho, mu, qt, ubc_vals, sbc_vals, dt, order):
+                       rho, mu, qt, ubc_vals, sbc_vals, dt, order,
+                       precond=None):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -162,6 +194,9 @@ class TomboulidesAxisym(Tomboulides):
         # An inconsistent (planar-lumped) projection leaves a divergence
         # residual each projection step that feeds back through p += phi
         # and destabilizes the splitting.
+        M_mass = (h1.direct_precond(precond[3])
+                  if precond is not None else None)
+
         def grad_r(s):
             num = h1.weak_grad(tab, s, coef=rq_c)
 
@@ -171,7 +206,7 @@ class TomboulidesAxisym(Tomboulides):
             return jnp.stack(
                 [
                     h1.cg_solve(Mr, num[:, d], x0=num[:, d] / Dr, diag=Dr,
-                                tol=1e-12, maxiter=200)
+                                M=M_mass, tol=1e-12, maxiter=200)
                     for d in range(2)
                 ],
                 axis=-1,
@@ -236,10 +271,12 @@ class TomboulidesAxisym(Tomboulides):
             rhs_d = (rhs[:, d] - lift) * mask
             diag = (diag_base + (diag_extra if extra else 0.0))
             diag = diag * mask + (1.0 - mask)
+            M_v = (h1.direct_precond(precond[2] if extra else precond[1])
+                   if precond is not None else None)
             sol = h1.cg_solve(
                 lambda v, e=extra: helm(v[:, None], e)[:, 0],
                 rhs_d, x0=u[:, d] * mask, diag=diag, dirichlet_mask=mask,
-                tol=self.cg_tol, maxiter=self.cg_maxiter,
+                M=M_v, tol=self.cg_tol, maxiter=self.cg_maxiter,
             )
             u_star_cols.append(sol * mask + ubc[:, d] * (1.0 - mask))
         u_star = jnp.stack(u_star_cols, axis=-1)
@@ -258,8 +295,9 @@ class TomboulidesAxisym(Tomboulides):
             return h1.diffusion_apply(tab, v, inv_rho_c)
 
         pdiag = h1.stiffness_diag(tab, inv_rho_c)
+        M_p = h1.direct_precond(precond[0]) if precond is not None else None
         phi = h1.cg_solve(lap, b, x0=jnp.zeros_like(p), diag=pdiag,
-                          tol=self.cg_tol, maxiter=self.cg_maxiter)
+                          M=M_p, tol=self.cg_tol, maxiter=self.cg_maxiter)
         if self._ortho:
             phi = phi - jnp.mean(phi)
 
@@ -286,10 +324,12 @@ class TomboulidesAxisym(Tomboulides):
             lift = helm((sbc * (1.0 - smask))[:, None], True)[:, 0]
             rhs_t = (rhs_t - lift) * smask
             diag_t = (diag_base + diag_extra) * smask + (1.0 - smask)
+            M_t = (h1.direct_precond(precond[2])
+                   if precond is not None else None)
             ut_new = h1.cg_solve(
                 lambda v: helm(v[:, None], True)[:, 0],
                 rhs_t, x0=ut * smask, diag=diag_t, dirichlet_mask=smask,
-                tol=self.cg_tol, maxiter=self.cg_maxiter,
+                M=M_t, tol=self.cg_tol, maxiter=self.cg_maxiter,
             )
             ut_new = ut_new * smask + sbc * (1.0 - smask)
         else:

@@ -72,6 +72,45 @@ class LteThermoChem(ThermoChemBase):
         self._tab_jit = jax.jit(
             lambda tbl, T: _eval2(tbl, T, T), static_argnums=0
         )
+        # lagged dense-direct factor for the T-Helmholtz (same lever as
+        # reacting_flow / Tomboulides: fem/h1.py dense-direct section)
+        self._direct = None
+        self._direct_age = None
+        self._refresh_jit = jax.jit(self._precond_build)
+
+    _PRECOND_REFRESH = 16
+
+    def _precond_build(self, T, dt, bd0):
+        tab = self.tab
+        rho_cp = (_eval2(self.rho_table, T, T)
+                  * _eval2(self.cp_table, T, T))
+        kappa = _eval2(self.kappa_table, T, T)
+        if self.weight_q is None:
+            m_coef = rho_cp
+            k_coef = kappa
+        else:
+            wq = self.weight_q
+            m_coef = h1.to_quad(tab, rho_cp) * wq
+            k_coef = h1.to_quad(tab, kappa) * wq
+        He_e = (bd0 / dt) * h1.element_mass(tab, m_coef) \
+            + h1.element_stiffness(tab, k_coef)
+        He = h1.dense_constrain(h1.assemble_dense(tab, He_e),
+                                mask=self.T_mask)
+        return h1.dense_cholesky(He[None])[0]
+
+    def precond_refresh(self, dt, order, force=False):
+        if not h1.dense_capable(self.tab):
+            return
+        age = self._direct_age
+        if not force and age is not None and age < self._PRECOND_REFRESH:
+            return
+        bd0 = TemporalCoefficients.bdf(order).bd0
+        self._direct = self._refresh_jit(
+            self.T, jnp.asarray(dt), jnp.asarray(bd0))
+        self._direct_age = 0
+
+    def chunk_precond(self):
+        return self._direct
 
     def set_temperature(self, T0):
         self.T = jnp.asarray(T0)
@@ -106,10 +145,13 @@ class LteThermoChem(ThermoChemBase):
             if self.flow is not None
             else jnp.zeros((self.tab.ndofs, self.tab.dim))
         )
+        self.precond_refresh(dt, coeff.order)
+        if self._direct_age is not None:
+            self._direct_age += 1
         self.T, self.Qt, hist = self._step_jit(
             self.T, tuple(self.T_hist), vel, self.joule_heating,
             self.T_bc, self.T_mask, self.Qt_mask, jnp.asarray(dt),
-            order=coeff.order,
+            order=coeff.order, precond=self._direct,
         )
         self.T_hist = list(hist)
 
@@ -121,11 +163,11 @@ class LteThermoChem(ThermoChemBase):
         T, hist, Qt = s
         self.T, self.T_hist, self.Qt = T, list(hist), Qt
 
-    def chunk_step(self, s, vel, dt, order):
+    def chunk_step(self, s, vel, dt, order, precond=None):
         T, hist, _Qt = s
         T2, Qt2, hist2 = self._step_impl(
             T, hist, vel, self.joule_heating, self.T_bc, self.T_mask,
-            self.Qt_mask, dt, order,
+            self.Qt_mask, dt, order, precond=precond,
         )
         return (T2, tuple(hist2), Qt2)
 
@@ -137,7 +179,7 @@ class LteThermoChem(ThermoChemBase):
         return s[2]
 
     def _step_impl(self, T, T_hist, vel, qj, tbc_vals, tmask, qt_mask, dt,
-                   order):
+                   order, precond=None):
         tab = self.tab
         coeff = TemporalCoefficients.bdf(order)
         bd = (coeff.bd0, coeff.bd1, coeff.bd2, coeff.bd3)
@@ -173,8 +215,9 @@ class LteThermoChem(ThermoChemBase):
         ) + h1.stiffness_diag(tab, kq)
         rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
         diag = diag * mask + (1.0 - mask)
+        M_T = h1.direct_precond(precond) if precond is not None else None
         T_new = h1.cg_solve(helm, rhs, x0=T * mask, diag=diag,
-                            dirichlet_mask=mask, tol=self.cg_tol,
+                            dirichlet_mask=mask, M=M_T, tol=self.cg_tol,
                             maxiter=self.cg_maxiter)
         T_new = T_new * mask + Tbc * (1.0 - mask)
 
