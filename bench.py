@@ -213,11 +213,18 @@ def _make_solver(ini_text):
     return s
 
 
-def bench_general():
-    """BC'd 16^3 NS box (inviscid walls): the general slot path that every
-    real-mesh case runs (PERF.md 'General (slot) path')."""
-    import jax.numpy as jnp
+def _bench_ns_box(gll):
+    """BC'd 16^3 NS box (inviscid walls) on the general slot path at
+    either the GL collocation the round-2/3 series measured (gll=False)
+    or the reference-DEFAULT discretization (gll=True: basisType=1 GLL
+    basis + integrationRule=1 GLL rule — the exact config whose RHS
+    lands in the reference's MASA bracket; defaults
+    /root/reference/src/M2ulPhyS.cpp:2671-2672, deck
+    test/inputs/mms.euler.2d.quad.ini:8-9)."""
+    import jax.numpy as jnp  # noqa: F401
 
+    basis_lines = ("basisType = 1\nintegrationRule = 1" if gll
+                   else "basisType = 0\nintegrationRule = 0")
     walls = "\n".join(
         f"[boundaryConditions/wall{i}]\npatch = {i}\ntype = inviscid\n"
         for i in range(1, 7)
@@ -232,12 +239,10 @@ outputFreq = 100000
 timingFreq = 100000
 fluid = dry_air
 equation_system = navier-stokes
-# GL basis/rule: the round-2/3 measurement series (and the fused box)
-# runs collocated Gauss-Legendre; the ini default is the reference's
-# GLL (basisType = 1), which is ~4x slower on this path (nq > ndof,
-# non-diagonal mass)
-basisType = 0
-integrationRule = 0
+# GL basis/rule is the round-2/3 measurement series; GLL is the
+# reference default (~4x more face/volume quadrature work +
+# non-collocated mass)
+{basis_lines}
 [mesh]
 generator = box3d
 nx = 16
@@ -256,7 +261,7 @@ pressure = 101300
 [boundaryConditions]
 numWalls = 6
 [io]
-outdirBase = /tmp/tps_bench_general
+outdirBase = /tmp/tps_bench_general{'_gll' if gll else ''}
 """)
     import jax
 
@@ -277,14 +282,47 @@ outdirBase = /tmp/tps_bench_general
     elapsed = time.perf_counter() - t0
     ms_per_rhs = 1e3 * elapsed / (nchunk * ck * 4)  # RK4: 4 RHS per step
     dofsteps = s.tables.ne * s.tables.ndof * nchunk * ck / elapsed
+    return s, ms_per_rhs, dofsteps, nchunk * ck
+
+
+def bench_general():
+    """BC'd 16^3 NS box (inviscid walls): the general slot path that every
+    real-mesh case runs (PERF.md 'General (slot) path')."""
+    s, ms_per_rhs, dofsteps, steps = _bench_ns_box(gll=False)
+    cal = _calibration().get("general_cpu_ms_per_rhs")
     return {
         "metric": "general-path ms/RHS (BC'd 16^3 NS box, p=2, chunked)",
         "value": ms_per_rhs,
         "unit": "ms",
         "vs_baseline": BASELINE_GENERAL_MS_PER_RHS / ms_per_rhs,
         "detail": {"elements": int(s.tables.ne),
-                   "steps_timed": nchunk * ck,
-                   "dof_steps_per_sec": dofsteps},
+                   "steps_timed": steps,
+                   "dof_steps_per_sec": dofsteps,
+                   "vs_cpu_10x": (cal / 10.0) / ms_per_rhs if cal
+                   else None},
+    }
+
+
+def bench_general_gll():
+    """The same NS box at the reference-default GLL discretization
+    (VERDICT r4 item 2): the config that reproduces the reference's MASA
+    RHS bracket, with its own CPU calibration — so 'matches the
+    reference's numbers' and '>=10x CPU' are demonstrated on the SAME
+    discretization."""
+    s, ms_per_rhs, dofsteps, steps = _bench_ns_box(gll=True)
+    cal = _calibration().get("general_gll_cpu_ms_per_rhs")
+    return {
+        "metric": ("general-path ms/RHS at reference-default GLL "
+                   "(basisType=1, integrationRule=1)"),
+        "value": ms_per_rhs,
+        "unit": "ms",
+        "vs_baseline": (cal / 10.0) / ms_per_rhs if cal else 0.0,
+        "detail": {"elements": int(s.tables.ne),
+                   "steps_timed": steps,
+                   "dof_steps_per_sec": dofsteps,
+                   "cpu_ms_per_rhs": cal,
+                   "target_ms_per_rhs_10x_cpu":
+                       cal / 10.0 if cal else None},
     }
 
 
@@ -633,23 +671,51 @@ def calibrate():
     import platform
     import sys
 
-    out = {
+    out = dict(_calibration())  # keep keys not re-measured this run
+    out.update({
         "host": platform.node(),
         "nproc": os.cpu_count(),
         "platform": "cpu (jax host backend, single core)",
         "note": "single-core CPU proxy for the reference's CPU-core "
-                "throughput; 10x targets = cpu_ms / 10",
-    }
-    g = bench_general()
-    out["general_cpu_ms_per_rhs"] = g["value"]
-    out["general_cpu_dof_steps_per_sec"] = g["detail"]["dof_steps_per_sec"]
-    a = bench_argon_big()
-    out["argon_big_cpu_ms_per_step"] = a["value"]
-    out["argon_big_cpu_dof_steps_per_sec"] = a["detail"]["dof_steps_per_sec"]
-    lr = bench_lomach_reacting()
-    out["lomach_reacting_cpu_ms_per_step"] = lr["value"]
-    tc = bench_torch_coupled()
-    out["torch_coupled_cpu_ms_per_step"] = tc["value"]
+                "throughput; 10x targets = cpu_ms / 10. Proxy bound: "
+                "the proxy is THIS framework's own jitted XLA:CPU "
+                "single core, which on like-for-like DG loops is the "
+                "same vectorized-compiled regime as the reference's "
+                "C++/MFEM CPU path; no independent reference build "
+                "exists in this environment to cross-check, so "
+                "vs_cpu_10x inherits the proxy's (unbounded but "
+                "same-order) uncertainty.",
+    })
+    # TPS_BENCH_CAL_ONLY=general_gll,... re-measures only those keys
+    # (merging with the committed file) so one new gate metric does not
+    # silently shift every other gate's denominator
+    only = set(filter(None, os.environ.get(
+        "TPS_BENCH_CAL_ONLY", "").split(",")))
+
+    def want(name):
+        return not only or name in only
+
+    if want("general"):
+        g = bench_general()
+        out["general_cpu_ms_per_rhs"] = g["value"]
+        out["general_cpu_dof_steps_per_sec"] = (
+            g["detail"]["dof_steps_per_sec"])
+    if want("general_gll"):
+        gg = bench_general_gll()
+        out["general_gll_cpu_ms_per_rhs"] = gg["value"]
+        out["general_gll_cpu_dof_steps_per_sec"] = (
+            gg["detail"]["dof_steps_per_sec"])
+    if want("argon_big"):
+        a = bench_argon_big()
+        out["argon_big_cpu_ms_per_step"] = a["value"]
+        out["argon_big_cpu_dof_steps_per_sec"] = (
+            a["detail"]["dof_steps_per_sec"])
+    if want("lomach_reacting"):
+        lr = bench_lomach_reacting()
+        out["lomach_reacting_cpu_ms_per_step"] = lr["value"]
+    if want("torch_coupled"):
+        tc = bench_torch_coupled()
+        out["torch_coupled_cpu_ms_per_step"] = tc["value"]
     with open(os.path.join(HERE, "CALIBRATION.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), file=sys.__stdout__)
@@ -696,8 +762,9 @@ def _run_benches():
         )
         primary["vs_baseline"] = 0.0
     extras = []
-    for fn in (bench_general, bench_argon, bench_cyl, bench_argon_big,
-               bench_lomach_reacting, bench_torch_coupled):
+    for fn in (bench_general, bench_general_gll, bench_argon, bench_cyl,
+               bench_argon_big, bench_lomach_reacting,
+               bench_torch_coupled):
         try:
             extras.append(fn())
         except Exception as e:  # record the failure, keep the gate green

@@ -87,7 +87,7 @@ def test_sharded_lomach_matches_single(tmp_path, monkeypatch):
     assert isinstance(s4.tab, ShardedH1) and s4.tab.nparts == 4
 
 
-def _run_axisym(tmp_path, nparts, iters=5):
+def _run_axisym(tmp_path, nparts, iters=5, maxit=None, tag=""):
     """Axisymmetric LTE torch column (the flagship config family) under
     [mesh]/partitions (reference: axisym loMach runs under MPI like
     everything else, src/loMach.cpp:447)."""
@@ -98,11 +98,12 @@ def _run_axisym(tmp_path, nparts, iters=5):
         [T, 1.8e-5 * (T / 300.0) ** 0.7, 0.025 * (T / 300.0) ** 0.8,
          np.where(T > 6000.0, 50.0 * (T - 6000.0) / 14000.0, 0.0),
          np.full_like(T, 287.0), np.full_like(T, 1004.0)], axis=1)
-    tf = tmp_path / f"lte{nparts}.h5"
+    tf = tmp_path / f"lte{nparts}{tag}.h5"
     with h5py.File(tf, "w") as f:
         f["T_mu_kap_sig_R_Cp"] = data
 
-    ini = tmp_path / f"axi{nparts}.ini"
+    maxit_line = f"maxSolverIteration = {maxit}" if maxit else ""
+    ini = tmp_path / f"axi{nparts}{tag}.ini"
     ini.write_text(f"""
 [solver]
 type = loMach
@@ -131,6 +132,7 @@ center = '0.0 0.04'
 width = '0.009 0.025'
 [time]
 dt_fixed = 2.5e-7
+{maxit_line}
 [boundaryConditions/inlet1]
 patch = 1
 type = inlet
@@ -146,7 +148,7 @@ patch = 3
 type = outlet
 pressure = 0.0
 [io]
-outdirBase = {tmp_path}/axi_out{nparts}
+outdirBase = {tmp_path}/axi_out{nparts}{tag}
 """)
     from tps_tpu.harness import Tps
 
@@ -159,6 +161,27 @@ outdirBase = {tmp_path}/axi_out{nparts}
     tps.initialize()
     tps.solve()
     return tps.solver
+
+
+def test_axisym_dense_precond_changes_cost_not_answers(tmp_path,
+                                                       monkeypatch):
+    """VERDICT r4 item 1 regression guard: the lagged dense-direct
+    preconditioner must change iteration counts, never the converged
+    solution.  dense-on (default) vs dense-off (Jacobi CG given enough
+    iterations to truly converge — at the default 500 cap the
+    unpreconditioned r-momentum Helmholtz stalls at ~6e-9 relres, which
+    was the round-4 sharded-parity failure's root cause)."""
+    from tps_tpu.fem import h1
+
+    s_on = _run_axisym(tmp_path, 1, tag="_on")
+    monkeypatch.setattr(h1, "DENSE_DIRECT_MAX", 0)
+    s_off = _run_axisym(tmp_path, 1, maxit=2000, tag="_off")
+    assert s_on.flow._direct is not None
+    assert s_off.flow._direct is None
+    u_on, u_off = np.asarray(s_on.flow.u), np.asarray(s_off.flow.u)
+    T_on, T_off = np.asarray(s_on.thermo.T), np.asarray(s_off.thermo.T)
+    assert np.abs(u_off - u_on).max() / np.abs(u_on).max() < 1e-6
+    assert np.abs(T_off - T_on).max() / np.abs(T_on).max() < 1e-8
 
 
 def test_sharded_axisym_lomach_matches_single(tmp_path):

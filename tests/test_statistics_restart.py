@@ -98,6 +98,31 @@ def test_averaging_restart_continuation(tmp_path):
     )
 
 
+def test_averaging_restores_reference_dataset_spellings(tmp_path):
+    """VERDICT r4 item 10: a reference-written checkpoint stores the mean
+    temperature primitive under its legacy name ('mean-p' in 2-D,
+    'mean-E' in 3-D) and species number densities under 'mean-Y<sp>'
+    (src/M2ulPhyS.cpp:642-661).  Rewriting our checkpoint with those
+    spellings must restore the accumulated statistics via the alias map
+    instead of dropping them."""
+    import h5py
+
+    s_a = _run_vortex(tmp_path / "a", 3)
+    mean_ref = np.asarray(s_a.averaging.mean()).copy()
+    ckpt = tmp_path / "a" / "restart_output.sol.h5"
+    with h5py.File(ckpt, "r+") as f:
+        g = f["meanSolution"]
+        data = np.asarray(g["mean-T"])
+        del g["mean-T"]
+        g["mean-p"] = data  # the reference's 2-D spelling of Up[iTh]
+
+    s_b = _run_vortex(tmp_path / "a", 3, restart=1)  # restart AT iter 3
+    assert s_b.averaging.n_samples == 3
+    np.testing.assert_allclose(
+        np.asarray(s_b.averaging.mean()), mean_ref, rtol=0, atol=1e-13,
+    )
+
+
 def test_averaging_survives_shard_count_change(tmp_path):
     """Statistics written from a 2-shard run restore into a single-shard
     run (per-shard /meanSolution + /rmsData ride the loc_to_glob_elem

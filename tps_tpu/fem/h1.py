@@ -784,8 +784,52 @@ DENSE_DIRECT_MAX = int(os.environ.get("TPS_DENSE_DIRECT_MAX", "12000"))
 
 
 def dense_capable(tab):
-    """True when the dense direct path applies (unsharded, small space)."""
-    return (not _sharded(tab)) and tab.ndofs <= DENSE_DIRECT_MAX
+    """True when the dense direct path applies (small space; element-sharded
+    spaces assemble the replicated global matrix via a psum — round-5 fix
+    for the sharded-vs-single parity regression: WITHOUT this, only the
+    unsharded run got the lagged dense factors, its CG solves converged to
+    1e-10 while the Jacobi-only sharded solves iteration-capped at ~6e-9,
+    and the split scheme amplified that seed ~6x/step)."""
+    return tab.ndofs <= DENSE_DIRECT_MAX
+
+
+def _shard_map():
+    try:
+        return jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        return shard_map
+
+
+def _run_elem(tab, op, coef):
+    """Run an element-matrix builder op(local_tab, coef_local) under
+    shard_map on an element-sharded space; returns element matrices
+    [ne_padded_global, ...] sharded over the mesh axis (padding rows are
+    zero via elem_valid).  `coef` may be None, a scalar, a replicated
+    nodal vector, a global quad-point [ne, nq] array (per-shard stacked
+    here), or an as_coef-wrapped StackedQuadCoef."""
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    if isinstance(coef, StackedQuadCoef):
+        arr, spec, local = coef.arr, P(tab.axis), lambda c: c[0]
+    elif coef is None:
+        arr, spec, local = jnp.zeros(0), P(), lambda c: None
+    else:
+        arr = jnp.asarray(coef)
+        if arr.ndim == 2 and arr.shape[0] == tab.ne:
+            arr = tab.stack_quad(arr).arr
+            spec, local = P(tab.axis), lambda c: c[0]
+        else:
+            spec, local = P(), lambda c: c
+
+    @_partial(_shard_map(), mesh=tab.jmesh,
+              in_specs=(tab._specs(), spec), out_specs=P(tab.axis))
+    def f(tab_s, cc):
+        return op(tab.localize(tab_s), local(cc))
+
+    return f(tab._stacked, arr)
 
 
 def element_mass(tab, coef=None):
@@ -796,6 +840,8 @@ def element_mass(tab, coef=None):
     make the (to-be-Cholesky-factored) matrix indefinite (measured:
     min scaled eigenvalue -3e-3 on the reacting bench pressure
     Laplacian).  Full f32 products keep it SPD."""
+    if _sharded(tab):
+        return _run_elem(tab, element_mass, coef)
     w = tab.wq[None, :] * tab.detJ
     cq = _coef_q(tab, coef)
     if cq is not None:
@@ -808,6 +854,8 @@ def element_mass(tab, coef=None):
 
 def element_stiffness(tab, coef=None):
     """Element stiffness matrices (grad v_i, c grad v_j) [ne, nde, nde]."""
+    if _sharded(tab):
+        return _run_elem(tab, element_stiffness, coef)
     dim = tab.dim
     w = tab.wq[None, :]
     cq = _coef_q(tab, coef)
@@ -832,8 +880,41 @@ def element_stiffness(tab, coef=None):
     return Ke
 
 
+def _scatter_dense(Ke, ii, jj, nd):
+    if Ke.ndim == 4:  # stacked operators: one scatter for all of them
+        k = Ke.shape[0]
+        return jnp.zeros((k, nd, nd), Ke.dtype).at[:, ii, jj].add(
+            Ke.reshape(k, -1))
+    return jnp.zeros((nd, nd), Ke.dtype).at[ii, jj].add(Ke.reshape(-1))
+
+
 def assemble_dense(tab, Ke):
-    """[(k,) ne, nde, nde] element matrices -> dense [(k,) nd, nd]."""
+    """[(k,) ne, nde, nde] element matrices -> dense [(k,) nd, nd].
+
+    On an element-sharded space Ke comes in sharded over the mesh axis
+    (from the sharded element_mass/element_stiffness); each shard scatters
+    its local elements and a psum replicates the global matrix."""
+    if _sharded(tab):
+        from functools import partial as _partial
+
+        from jax.sharding import PartitionSpec as P
+
+        el_ax = Ke.ndim - 3
+        spec_K = P(*((None,) * el_ax), tab.axis)
+
+        @_partial(_shard_map(), mesh=tab.jmesh,
+                  in_specs=(spec_K, P(tab.axis)), out_specs=P())
+        def f(Ke_l, ed_l):
+            ed = ed_l[0]
+            nep, nde = ed.shape
+            ii = jnp.broadcast_to(
+                ed[:, :, None], (nep, nde, nde)).reshape(-1)
+            jj = jnp.broadcast_to(
+                ed[:, None, :], (nep, nde, nde)).reshape(-1)
+            return jax.lax.psum(
+                _scatter_dense(Ke_l, ii, jj, tab.ndofs), tab.axis)
+
+        return f(Ke, tab._stacked.elem_dofs)
     ed = np.asarray(tab.elem_dofs)
     ne, nde = ed.shape
     ii = jnp.asarray(np.broadcast_to(

@@ -86,6 +86,41 @@ def _mean_field_names(solver):
     return names
 
 
+def _mean_aliases(solver):
+    """Reference-checkpoint statistics aliases (VERDICT r4 item 10): the
+    reference's '/meanSolution' dataset names are legacy misnomers for
+    the SAME primitive components we store — registerIOVar puts Up[iTh]
+    (temperature; iTh = nvel+1, src/equation_of_state.hpp:145) under
+    'mean-E' (nvel==3) or 'mean-p' (2-D), and the species primitive
+    (fixed to number density, src/equation_of_state.hpp:106) under
+    'mean-Y<species>' (src/M2ulPhyS.cpp:642-661).  So a reference-layout
+    checkpoint restores by pure name-aliasing, no unit conversion."""
+    mix = solver.mixture
+    al = {"mean-T": ["mean-E", "mean-p"]}
+    plasma = getattr(solver, "plasma", None)
+    sp = None if plasma is None else plasma.species_names
+    for s in range(mix.num_active_species):
+        name = sp[s] if sp is not None else s
+        al[f"mean-n_{name}"] = [f"mean-Y{name}"]
+    return al
+
+
+# the reference never checkpoints a mean electron temperature (its
+# meanSolution registration stops at the active species,
+# src/M2ulPhyS.cpp:652-661): restore it as zeros rather than dropping
+# every other accumulated mean
+_MEAN_OPTIONAL = ("mean-Te",)
+
+
+def _group_has(group, names, aliases, optional):
+    return all(
+        n in group
+        or any(a in group for a in aliases.get(n, ()))
+        or n in optional
+        for n in names
+    )
+
+
 def _rms_names(nvel):
     """Reynolds-stress dataset names in the Averaging engine's packed
     upper-triangular order (reference: '/rmsData' uu/vv/ww/uv/uw/vw,
@@ -274,6 +309,10 @@ class RestartIO:
                     self.outdir, ne, ndof, names,
                     aliases=aliases, optional=optional,
                     extra_names=avg_names or {},
+                    extra_aliases={"meanSolution": _mean_aliases(solver)}
+                    if avg_names else None,
+                    extra_optional={"meanSolution": _MEAN_OPTIONAL}
+                    if avg_names else None,
                 )
             except FileNotFoundError:
                 raise FileNotFoundError(f"restart file not found: {path}")
@@ -317,29 +356,30 @@ class RestartIO:
                 )
             U = np.stack(cols, axis=-1)
             avg_data = None
-            if avg_names and "meanSolution" in f and not (
-                    "rmsData" in f
-                    and all(n in f["meanSolution"]
-                            for n in avg_names["meanSolution"])
-                    and all(n in f["rmsData"]
-                            for n in avg_names["rmsData"])):
-                # a statistics group exists but its member names don't
-                # match this run's primitive set (e.g. a checkpoint written
-                # by the reference stores mean-p/mean-Y<sp> where we store
-                # mean-T/mean-n_<sp>, M2ulPhyS.cpp:644-659, or a different
-                # nvel/species count): skip the restore loudly instead of
-                # silently dropping the accumulated samples
+            m_alias = _mean_aliases(solver) if avg_names else {}
+            stats_ok = (
+                avg_names and "meanSolution" in f and "rmsData" in f
+                and _group_has(f["meanSolution"],
+                               avg_names["meanSolution"],
+                               m_alias, _MEAN_OPTIONAL)
+                and all(n in f["rmsData"] for n in avg_names["rmsData"])
+            )
+            if avg_names and "meanSolution" in f and not stats_ok:
+                # a statistics group exists but its member names match
+                # neither this run's primitive set nor the reference's
+                # aliased spellings (mean-p/mean-E/mean-Y<sp>,
+                # M2ulPhyS.cpp:644-659 — those ARE converted via
+                # _mean_aliases; this fires on a different nvel/species
+                # count): skip the restore loudly instead of silently
+                # dropping the accumulated samples
                 print(
                     "[restart] meanSolution present but dataset names do "
                     "not match the current primitive set - accumulated "
                     "statistics NOT restored", flush=True)
-            if (avg_names and "meanSolution" in f and "rmsData" in f
-                    and all(n in f["meanSolution"]
-                            for n in avg_names["meanSolution"])
-                    and all(n in f["rmsData"]
-                            for n in avg_names["rmsData"])):
+            if stats_ok:
                 mean_g = np.stack(
-                    [np.asarray(f["meanSolution"][n]).reshape(ne, ndof_stored)
+                    [_read_field(f["meanSolution"], n, m_alias,
+                                 _MEAN_OPTIONAL, (ne, ndof_stored))
                      for n in avg_names["meanSolution"]], axis=-1)
                 rey_g = np.stack(
                     [np.asarray(f["rmsData"][n]).reshape(ne, ndof_stored)
@@ -404,7 +444,8 @@ def write_partitioned(outdir, U, partition, names, *, iteration=0, time=0.0,
 
 
 def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=(),
-                     extra_names=None):
+                     extra_names=None, extra_aliases=None,
+                     extra_optional=None):
     """Reassemble the global state from per-shard restart files.
 
     Works for any current decomposition (incl. a different shard count —
@@ -445,13 +486,18 @@ def read_partitioned(outdir, ne, ndof, names, aliases=None, optional=(),
                     # member-name check, not just group presence: a shard
                     # written with a different nvel/species set must skip
                     # statistics restore rather than KeyError the restart
-                    if gname not in f or any(n not in f[gname] for n in ens):
+                    # (alias-aware: reference spellings convert, see
+                    # _mean_aliases)
+                    g_al = (extra_aliases or {}).get(gname, {})
+                    g_opt = (extra_optional or {}).get(gname, ())
+                    if gname not in f or not _group_has(
+                            f[gname], ens, g_al, g_opt):
                         have_extra = False
                         break
                     for k, name in enumerate(ens):
-                        extra[gname][gids, :, k] = np.asarray(
-                            f[gname][name]
-                        ).reshape(len(gids), ndof)
+                        extra[gname][gids, :, k] = _read_field(
+                            f[gname], name, g_al, g_opt,
+                            (len(gids), ndof))
             filled[gids] = True
     if not filled.all():
         raise ValueError(

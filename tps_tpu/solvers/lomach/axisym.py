@@ -130,14 +130,16 @@ class TomboulidesAxisym(Tomboulides):
     def _precond_build(self, rho, mu, dt, bd0):
         """Lagged dense-direct factors for the RADIUS-WEIGHTED operators
         (overrides the planar build, whose matrices are the wrong
-        operator here).  Four factors: [0] r/rho pressure Laplacian,
-        [1] z-momentum Helmholtz, [2] r-momentum/swirl Helmholtz (the
-        extra (v, mu u / r) mass term included), [3] r-weighted
-        consistent mass (grad_r's projection solves; time-constant, but
-        refactoring it with the batch keeps the plumbing uniform).
-        Constrained-row mismatches (swirl_mask vs the r-velocity mask on
-        [2]) only perturb Dirichlet rows, which projected CG treats as
-        identity — exactness is never required of a preconditioner."""
+        operator here).  Factors: [0] r/rho pressure Laplacian,
+        [1] z-momentum Helmholtz, [2] r-momentum Helmholtz (the extra
+        (v, mu u / r) mass term included), [3] r-weighted consistent
+        mass (grad_r's projection solves; time-constant, but
+        refactoring it with the batch keeps the plumbing uniform), and
+        — when swirl is on — [4] the same Helmholtz matrix constrained
+        with the swirl mask, so the swirl solve's preconditioner rows
+        match its own Dirichlet set.  Works on element-sharded spaces:
+        the sharded element_mass/element_stiffness + assemble_dense
+        psum the replicated global matrices (fem/h1.py)."""
         import jax.numpy as jnp_
 
         tab = self.tab
@@ -152,13 +154,17 @@ class TomboulidesAxisym(Tomboulides):
         Kp, He, Hx, Mr = h1.assemble_dense(
             tab, jnp_.stack([Kp_e, He_e, Hx_e, Mr_e]))
         if self.pres_mask is not None:
-            Kp = h1.dense_constrain(Kp, mask=self.pres_mask)
+            Kp_c = h1.dense_constrain(Kp, mask=self.pres_mask)
         else:
-            Kp = h1.dense_constrain(Kp, ortho=True)
-        He = h1.dense_constrain(He, mask=self.vel_mask_c[:, 1])
-        Hx = h1.dense_constrain(Hx, mask=self.vel_mask_c[:, 0])
-        L = h1.dense_cholesky(jnp_.stack([Kp, He, Hx, Mr]))
-        return L[0], L[1], L[2], L[3]
+            Kp_c = h1.dense_constrain(Kp, ortho=True)
+        mats = [Kp_c,
+                h1.dense_constrain(He, mask=self.vel_mask_c[:, 1]),
+                h1.dense_constrain(Hx, mask=self.vel_mask_c[:, 0]),
+                Mr]
+        if self.swirl:
+            mats.append(h1.dense_constrain(Hx, mask=self.swirl_mask))
+        L = h1.dense_cholesky(jnp_.stack(mats))
+        return tuple(L[i] for i in range(len(mats)))
 
     def chunk_step(self, s, rho, mu, qt, dt, order, precond=None):
         u, p, ut, uh, Nh, uth, Nth, t = s
@@ -324,8 +330,9 @@ class TomboulidesAxisym(Tomboulides):
             lift = helm((sbc * (1.0 - smask))[:, None], True)[:, 0]
             rhs_t = (rhs_t - lift) * smask
             diag_t = (diag_base + diag_extra) * smask + (1.0 - smask)
-            M_t = (h1.direct_precond(precond[2])
-                   if precond is not None else None)
+            M_t = (h1.direct_precond(
+                precond[4] if len(precond) > 4 else precond[2])
+                if precond is not None else None)
             ut_new = h1.cg_solve(
                 lambda v: helm(v[:, None], True)[:, 0],
                 rhs_t, x0=ut * smask, diag=diag_t, dirichlet_mask=smask,
