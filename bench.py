@@ -554,17 +554,25 @@ outdirBase = /tmp/tps_bench_lomach_react
     # (the hosted-TPU XLA SIGILLs compiling the scanned/fori reacting
     # step's fusion cost model; straight-line code compiles) -> per-step
     chunked = True
+    chunk_fail = None  # VERDICT r4 item 4: record WHY chunking degraded
     try:
         s.solve_chunk(8)  # compile the chunked production path
         jax.block_until_ready(s.thermo.T)
-    except Exception:
+    except Exception as e_scan:
         try:
             s._chunk_unroll = True
             s._chunk_cache = {}
             s.solve_chunk(8)
             jax.block_until_ready(s.thermo.T)
-        except Exception:
+            chunk_fail = ("scanned chunk failed "
+                          f"({type(e_scan).__name__}: {str(e_scan)[:300]});"
+                          " unrolled chunk in use")
+        except Exception as e_unroll:
             chunked = False
+            chunk_fail = (
+                f"scanned: {type(e_scan).__name__}: {str(e_scan)[:300]} | "
+                f"unrolled: {type(e_unroll).__name__}: "
+                f"{str(e_unroll)[:300]}")
             s.solve_step()  # already compiled; per-step timing
             jax.block_until_ready(s.thermo.T)
     if chunked:
@@ -584,6 +592,10 @@ outdirBase = /tmp/tps_bench_lomach_react
         step_probe = (time.perf_counter() - t0) / 2
         if chunk_probe > step_probe:
             chunked = False
+            chunk_fail = (
+                "chunk compiled but probed slower than per-step "
+                f"({1e3 * chunk_probe:.1f} vs {1e3 * step_probe:.1f} "
+                "ms/step); per-step timing kept")
     nrep = _n(8, 24)  # multiple of the chunk size (8)
     t0 = time.perf_counter()
     if chunked:
@@ -605,6 +617,9 @@ outdirBase = /tmp/tps_bench_lomach_react
         "vs_baseline": (cal / 10.0) / ms_per_step if cal else 0.0,
         "detail": {"elements": 24 * 48, "steps_timed": nrep,
                    "chunked": chunked,
+                   "chunk_unrolled": bool(getattr(s, "_chunk_unroll",
+                                                  False)),
+                   "chunk_fail_reason": chunk_fail,
                    "cpu_ms_per_step": cal,
                    "target_ms_per_step_10x_cpu":
                        cal / 10.0 if cal else None},

@@ -351,3 +351,231 @@ def test_exact_states_satisfy_bcs():
         p_out = R_U * ((upo[0] - upo[4] * (M_ION + M_E)) / M_AR * upo[3]
                        + upo[4] * (upo[3] + upo[5]))
         assert abs(float(p_out) - P0) / P0 < 1e-12, p_out
+
+
+# ---------------------------------------------------------------------------
+# General wall (VISC_GNRL) + electron sheath variant (VERDICT r4 item 5)
+#
+# The reference verifies its general wall incl. the sheath electron energy
+# flux with a bracketed MMS RHS error (test/mms.general_wall.test,
+# inputs/mms.ternary_plasma.2d.{general_wall,sheath}.ini, handlers
+# src/masa_handler.hpp:67-93).  Here the manufactured state is DESIGNED so
+# the interior viscous/diffusive fluxes equal the sheath-prescribed fluxes
+# exactly at the wall: the Bohm ion outflux, the current-balancing electron
+# flux, and the sheath electron energy flux all depend only on the wall
+# values (constant along the wall by construction), so the matching
+# wall-normal slopes of X_I and Te are constants solved from a linear
+# system using the production flux code itself.  This makes design-ORDER
+# convergence possible through a sheath patch — stronger than the
+# reference's fixed-mesh error bracket.  (This construction caught a real
+# parity bug: the interior electron-energy flux was missing the electron
+# enthalpy diffusion term, reference src/fluxes.cpp:250-252.)
+# ---------------------------------------------------------------------------
+
+# weakly-ionized variant: big diffusivities + electron conductivity so the
+# Bohm-flux-matching slopes keep X_I positive and Te excursions moderate
+GEN_SUBS = [
+    ("thermal_conductivity = 0.6", "thermal_conductivity = 50.0"),
+    ("electron_thermal_conductivity = 0.3",
+     "electron_thermal_conductivity = 2.0e4"),
+    ("diffusivity/species1 = 3.1", "diffusivity/species1 = 1500.0"),
+    ("diffusivity/species2 = 1.9", "diffusivity/species2 = 1000.0"),
+    ("diffusivity/species3 = 1.3", "diffusivity/species3 = 1200.0"),
+]
+
+GENERAL_BCS = """
+[boundaryConditions]
+numWalls = 2
+[boundaryConditions/wall1]
+patch = 1
+type = viscous_general
+heavy_thermal_condition = isothermal
+temperature = 300.0
+electron_thermal_condition = sheath
+[boundaryConditions/wall2]
+patch = 3
+type = viscous_general
+heavy_thermal_condition = isothermal
+temperature = 300.0
+electron_thermal_condition = isothermal
+electron_temperature = 300.0
+"""
+
+XI0_G = 1.0e-3   # wall ion mole fraction (weakly ionized)
+N0_G = 40.0      # wall total molar density
+TE0_G = 2000.0   # electron temperature at the sheath wall
+
+
+def _general_up_factory(a0, b0, aL):
+    """Manufactured state for the general-wall strip (x-periodic; sheath
+    wall at y=0, isothermal general wall at y=L).  a0/aL are the wall-
+    normal X_I slopes, b0 the wall-normal Te slope at the sheath wall —
+    solved in _solve_general_wall_slopes so the exact diffusion fluxes
+    equal the BC-prescribed (Bohm/sheath) fluxes at y=0 and vanish at
+    y=L.  Shape functions: W = sin^2 has value+slope 0 at both walls;
+    S0 = y(1-y/L)^2 injects a pure slope at y=0; SL mirrors it at y=L;
+    V0 = (1+cos)/2 injects a pure value at y=0."""
+    kx = 2 * np.pi / L
+    T0 = 300.0
+
+    def up(x):
+        sx, cx = jnp.sin(kx * x[0]), jnp.cos(kx * x[0])
+        y = x[1]
+        sy = jnp.sin(np.pi * y / L)
+        W = sy * sy
+        S0 = y * (1.0 - y / L) ** 2
+        SL = -(L - y) * (y / L) ** 2
+        V0 = 0.5 * (1.0 + jnp.cos(np.pi * y / L))
+        u = (30.0 + 5.0 * sx) * sy
+        v = 3.0 * cx * sy
+        Th = T0 + 40.0 * (1.0 + 0.5 * sx) * W
+        n_tot = N0_G * (1.0 + 0.08 * sx * W)
+        X_I = XI0_G * (1.0 + 0.15 * cx * W) + a0 * S0 + aL * SL
+        Te = T0 + (TE0_G - T0) * V0 + b0 * S0 + 60.0 * cx * W
+        n_I = X_I * n_tot
+        n_bg = n_tot - 2.0 * n_I
+        rho = M_ION * n_I + M_E * n_I + M_AR * n_bg
+        return jnp.stack([rho, u, v, Th, n_I, Te])
+
+    return up
+
+
+def _build_general(order, n):
+    deck = DECK
+    for old, new in GEN_SUBS:
+        assert old in deck, old
+        deck = deck.replace(old, new)
+    ini = f"/tmp/mms_sheath_{order}_{n}.ini"
+    with open(ini, "w") as f:
+        f.write(deck.format(order=order, n=n, L=L, bcs=GENERAL_BCS,
+                            periodic="periodic_x = 1"))
+    from tps_tpu.harness import Tps
+
+    tps = Tps()
+    tps.input_file = ini
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    return tps.solver
+
+
+def _wall_flux_mismatch(s, up_point, xv, y0, nor_y, bc):
+    """(fv_wall_prescribed - fv_interior_exact) rows at a wall point."""
+    import dataclasses
+
+    from tps_tpu.dg.bc import _interior_visc_dot_n
+
+    mix = s.mixture
+    ctx = dataclasses.replace(s.ctx, forcings=())
+    delta = jnp.full((1, 1), 0.1)
+    x = jnp.asarray([xv, y0])
+    Up = up_point(x)[None]
+    U = mix.conservatives(Up)
+    g = jax.jacfwd(up_point)(x)[None]
+    nor = jnp.asarray([[0.0, nor_y]])
+    Uw, Upw = bc._wall_state(mix, U, Up)
+    fvw = bc._wall_visc_general(ctx, Uw, Upw, g, nor, x[None], delta)
+    fvi = _interior_visc_dot_n(ctx.fluxes, U, Up, g, nor, x[None], delta)
+    return (fvw - fvi)[0], fvi[0]
+
+
+def _solve_general_wall_slopes(s):
+    """Solve (a0, b0, aL) so the manufactured diffusion fluxes equal the
+    BC-prescribed fluxes: at y=0 the ion row must equal the Bohm outflux
+    and the electron-energy row the sheath flux; at y=L the ion row must
+    vanish (zero prescribed diffusion).  All three equations are linear
+    in the slopes (fluxes are linear in the gradient), so one jacfwd +
+    solve is exact."""
+    from tps_tpu.dg.bc import GeneralWallBC
+
+    mix = s.mixture
+    neq = mix.num_equations
+    i_ion = mix.nvel + 2
+    bc0 = GeneralWallBC(heavy="isothermal", electron="sheath",
+                        wall_temp=300.0)
+    bcL = GeneralWallBC(heavy="isothermal", electron="isothermal",
+                        wall_temp=300.0, wall_temp_e=300.0)
+
+    def F(params):
+        up = _general_up_factory(*params)
+        m0, _ = _wall_flux_mismatch(s, up, 1.234, 0.0, -1.0, bc0)
+        mL, _ = _wall_flux_mismatch(s, up, 1.234, L, 1.0, bcL)
+        return jnp.asarray([m0[i_ion], m0[neq - 1], mL[i_ion]])
+
+    p0 = jnp.zeros(3)
+    J = jax.jacfwd(F)(p0)
+    p = jnp.linalg.solve(J, -F(p0))
+    res = np.asarray(F(p))
+    assert np.abs(res).max() < 1e-8, res  # guards the linearity assumption
+    return [float(v) for v in np.asarray(p)], bc0, bcL
+
+
+def test_general_wall_sheath_exact_flux_match():
+    """The solved manufactured state satisfies the general-wall/sheath
+    prescribed fluxes on EVERY row at the sheath wall (guards the test's
+    own construction, incl. the Bohm/bg/electron mass-balance chain)."""
+    s = _build_general(2, 4)
+    (a0, b0, aL), bc0, bcL = _solve_general_wall_slopes(s)
+    up = _general_up_factory(a0, b0, aL)
+    # the sheath flux must be a genuine outflux (nonzero prescription)
+    i_ion = s.mixture.nvel + 2
+    for xv in (0.4, 2.2, 4.1):
+        m, fvi = _wall_flux_mismatch(s, up, xv, 0.0, -1.0, bc0)
+        ref = np.abs(np.asarray(fvi)).max()
+        assert np.abs(np.asarray(m)).max() / ref < 1e-10, (xv, m)
+        assert abs(float(fvi[i_ion])) > 0.1  # Bohm outflux is O(1), not 0
+
+
+@pytest.mark.parametrize("order,meshes,min_rate", [(2, (8, 16), 1.6)])
+def test_ternary_general_wall_sheath_mms_convergence(order, meshes,
+                                                     min_rate):
+    """Sheath wall (patch 1) + isothermal general wall (patch 3) active:
+    the discrete residual of the interpolated exact state converges to
+    the analytic flux divergence at design order THROUGH the sheath
+    energy/species fluxes (reference: test/mms.general_wall.test)."""
+    s0 = _build_general(order, 4)
+    (a0, b0, aL), _, _ = _solve_general_wall_slopes(s0)
+    up = _general_up_factory(a0, b0, aL)
+
+    def run(n):
+        import dataclasses
+
+        from tps_tpu.dg.rhs import compute_rhs
+
+        s = _build_general(order, n)
+        mix = s.mixture
+        tab = s.tables
+        ctx = dataclasses.replace(s.ctx, forcings=())
+
+        def flux_point(x):
+            U = mix.conservatives(up(x)[None])[None]
+            Up = up(x)[None, None]
+            g = jax.jacfwd(up)(x)[None, None]
+            F = ctx.fluxes.total_at_dofs(
+                U, Up, g, x[None, None], jnp.ones((1, 1)) * 1e9,
+                distance=None)
+            return F[0, 0]
+
+        def minus_div_flux(x):
+            dF = jax.jacfwd(flux_point)(x)
+            return -jnp.einsum("edd->e", dF)
+
+        xyz = tab.xyz_dof.reshape(-1, tab.dim)
+        Up_dof = jax.vmap(up)(xyz).reshape(tab.ne, tab.ndof, -1)
+        U_dof = mix.conservatives(Up_dof)
+        y_exact = jax.vmap(minus_div_flux)(xyz).reshape(U_dof.shape)
+        y_disc, _ = compute_rhs(ctx, tab, U_dof, 0.0)
+        w = np.einsum("q,nq->nq", np.asarray(tab.wq), np.asarray(tab.detJ))
+        B = np.asarray(tab.Bvol)
+        diff = np.einsum("qd,ndk->nqk", B, np.asarray(y_disc - y_exact))
+        ref = np.einsum("qd,ndk->nqk", B, np.asarray(y_exact))
+        num = np.sqrt(np.sum(w[..., None] * diff**2, axis=(0, 1)))
+        den = np.sqrt(np.sum(w[..., None] * ref**2, axis=(0, 1)))
+        return num / np.maximum(den, 1e-300)
+
+    errs = [run(n) for n in meshes]
+    rates = np.log2(errs[0] / errs[1]) / np.log2(meshes[1] / meshes[0])
+    assert np.all(errs[1] < errs[0]), errs
+    assert rates.min() > min_rate, (errs, rates)
+    assert errs[1].max() < 0.05, errs

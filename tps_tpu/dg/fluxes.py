@@ -190,6 +190,16 @@ class Fluxes:
             F = F.at[..., mix.i_th, :].add(
                 -jnp.einsum("...s,...sd->...d", h_sp, dv[..., :dim])
             )
+            if mix.two_temperature:
+                # the electron-energy equation also transports electron
+                # enthalpy with the electron diffusion velocity
+                # (reference: src/fluxes.cpp:250-252, the two-T branch's
+                # flux[num_equation-1] -= h_e * V_e; round-5 fix — the
+                # BC-inclusive sheath MMS caught the missing term)
+                ie = mix.i_electron
+                F = F.at[..., neq - 1, :].add(
+                    -h_sp[..., ie, None] * dv[..., ie, :dim]
+                )
         elif mix.num_active_species > 0 and self.eq_system == "ns-passive":
             # passive scalar: Fick diffusion mu/Sc * grad(Y)
             Sc = getattr(self.transport, "Sc", 0.71)

@@ -72,7 +72,34 @@ _CNS2D_TPS_OVERRIDES = {
     "a_px": 2.0, "a_py": 2.0,
 }
 
-SUPPORTED = ("euler_2d", "ad_cns_2d_sutherlands")
+#: reference initEuler3DTransient (src/masa_handler.cpp:351-419) — every
+#: parameter is explicitly set by the reference, so unlike the 2-D cns
+#: case there is no library-default reconstruction uncertainty (only the
+#: sin/cos assignment pattern, see _trig note in exact_primitives).
+MASA_EULER3D_TRANSIENT = {
+    "Gamma": 1.4, "L": 2.0, "Lt": 2.0, "R": 287.0,
+    "rho_0": 1.0, "rho_x": 0.1, "rho_y": 0.1, "rho_z": 0.0, "rho_t": 0.15,
+    "u_0": 130.0, "u_x": 10.0, "u_y": 5.0, "u_z": 0.0, "u_t": 10.0,
+    "v_0": 5.0, "v_x": 1.0, "v_y": -1.0, "v_z": 0.0, "v_t": 2.0,
+    "w_0": 0.0, "w_x": 2.0, "w_y": 1.0, "w_z": 0.0, "w_t": -1.0,
+    "p_0": 101300.0, "p_x": 101.0, "p_y": 101.0, "p_z": 0.0, "p_t": 1013.0,
+    "a_rhox": 2.0, "a_rhoy": 2.0, "a_rhoz": 0.0, "a_rhot": 400.0,
+    "a_ux": 2.0, "a_uy": 2.0, "a_uz": 0.0, "a_ut": 400.0,
+    "a_vx": 2.0, "a_vy": 2.0, "a_vz": 0.0, "a_vt": 400.0,
+    "a_wx": 2.0, "a_wy": 2.0, "a_wz": 0.0, "a_wt": 0.0,
+    "a_px": 2.0, "a_py": 2.0, "a_pz": 0.0, "a_pt": 400.0,
+}
+
+#: reference initNS3DTransient (src/masa_handler.cpp:420-500): the same
+#: solution parameters plus Sutherland fluid constants
+MASA_NS3D_TRANSIENT = dict(
+    MASA_EULER3D_TRANSIENT,
+    R=287.058, Pr=0.71, Amu=1.458e-6, Bmu=1.5, Cmu=110.4,
+    bulkViscMult=0.0,
+)
+
+SUPPORTED = ("euler_2d", "ad_cns_2d_sutherlands", "euler_transient_3d",
+             "navierstokes_3d_transient_sutherland")
 
 
 def masa_params(name: str, visc_mult: float = 1.0,
@@ -95,6 +122,12 @@ def masa_params(name: str, visc_mult: float = 1.0,
         p.update(_CNS2D_TPS_OVERRIDES)
         p["Amu"] = visc_mult * 1.458e-6
         p["bulkViscMult"] = bulk_visc
+    elif name == "euler_transient_3d":
+        p = dict(MASA_EULER3D_TRANSIENT)
+    elif name == "navierstokes_3d_transient_sutherland":
+        p = dict(MASA_NS3D_TRANSIENT)
+        p["Amu"] = visc_mult * 1.458e-6
+        p["bulkViscMult"] = bulk_visc
     else:
         raise ValueError(
             f"mms/name '{name}' not supported (have: {SUPPORTED})")
@@ -105,13 +138,68 @@ def masa_params(name: str, visc_mult: float = 1.0,
     return p
 
 
+#: sin/cos assignment per (x, y, z, t) term of the 3-D transient MASA
+#: solutions ('s' = sin, 'c' = cos).  The x/y characters mirror the
+#: verified 2-D pattern; the z amplitudes are zero in both reference
+#: configs so the z characters are inert; the t characters follow the
+#: MASA transient convention (each field's time term uses the same
+#: function family as its x term) — validated against the reference's
+#: bracketed euler-3D convergence rates (test/mms.euler.test:43-96,
+#: tests/test_masa_3d.py).
+_TRIG3D = {
+    "rho": "scss",
+    "u": "sccc",
+    "v": "csss",
+    "w": "sscc",
+    "p": "cscc",
+}
+
+
+def exact_primitives_3d(params: dict, mix):
+    """Pointwise exact primitive state [rho, u, v, w, T] for the 3-D
+    transient MASA solutions (reference handlers
+    src/masa_handler.cpp:306-351; fields evaluated at (x, t))."""
+    L = params["L"]
+    Lt = params.get("Lt", params["L"])
+    pi = np.pi
+    F = {"s": jnp.sin, "c": jnp.cos}
+
+    def field(pfx, x, y, z, tt):
+        tr = _TRIG3D[pfx]
+        return (params[f"{pfx}_0"]
+                + params[f"{pfx}_x"]
+                * F[tr[0]](params[f"a_{pfx}x"] * pi * x / L)
+                + params[f"{pfx}_y"]
+                * F[tr[1]](params[f"a_{pfx}y"] * pi * y / L)
+                + params[f"{pfx}_z"]
+                * F[tr[2]](params[f"a_{pfx}z"] * pi * z / L)
+                + params[f"{pfx}_t"]
+                * F[tr[3]](params[f"a_{pfx}t"] * pi * tt / Lt))
+
+    def up(xyz, t=0.0):
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        tt = jnp.asarray(t)
+        rho = field("rho", x, y, z, tt)
+        u = field("u", x, y, z, tt)
+        v = field("v", x, y, z, tt)
+        w = field("w", x, y, z, tt)
+        p = field("p", x, y, z, tt)
+        T = p / (rho * mix.gas_constant)
+        return jnp.stack([rho, u, v, w, T], axis=-1)
+
+    return up
+
+
 def exact_primitives(name: str, params: dict, mix):
     """Pointwise exact primitive state in the framework layout
     [rho, u, v, T] (T = p / (rho R), matching DryAir primitives).
 
     Returns up(xyz, t) broadcasting over leading axes of xyz[..., dim].
-    The fields are steady (masa_eval_exact_* take no time argument for
-    these cases, masa_handler.cpp:220-238)."""
+    The 2-D fields are steady (masa_eval_exact_* take no time argument
+    for those cases, masa_handler.cpp:220-238); the 3-D variants are
+    transient."""
+    if name in ("euler_transient_3d", "navierstokes_3d_transient_sutherland"):
+        return exact_primitives_3d(params, mix)
     L = params["L"]
     pi = np.pi
 
@@ -136,28 +224,32 @@ def exact_primitives(name: str, params: dict, mix):
     return up
 
 
-def pointwise_source(up_point, fluxes):
-    """Analytic manufactured source S(x) = div F(U*(x)) at a point
-    (the MASA masa_eval_source_* role) via nested forward-mode autodiff
-    through the convective (+ viscous) flux functions.
+def pointwise_source(up_point, fluxes, transient=False):
+    """Analytic manufactured source S(x, t) = [dU*/dt +] div F(U*(x, t))
+    at a point (the MASA masa_eval_source_* role) via nested forward-mode
+    autodiff through the convective (+ viscous) flux functions.
 
-    Returns s(x[dim]) -> [neq]."""
+    Returns s(x[dim], t) -> [neq]."""
     mix = fluxes.mixture
 
-    def u_point(x):
-        return mix.conservatives(up_point(x[None])[0])
+    def u_point(x, t):
+        return mix.conservatives(up_point(x[None], t)[0])
 
-    def flux_point(x):
-        U = u_point(x)[None, None]
-        Up = up_point(x[None])[None]
-        g = jax.jacfwd(lambda xx: up_point(xx[None])[0])(x)[None, None]
+    def flux_point(x, t):
+        U = u_point(x, t)[None, None]
+        Up = up_point(x[None], t)[None]
+        g = jax.jacfwd(lambda xx: up_point(xx[None], t)[0])(x)[None, None]
         F = fluxes.total_at_dofs(
             U, Up, g, x[None, None], jnp.ones((1, 1)) * 1e30, distance=None)
         return F[0, 0]  # [neq, dim]
 
-    def s(x):
-        dF = jax.jacfwd(flux_point)(x)  # [neq, dim(flux), dim(deriv)]
-        return jnp.einsum("edd->e", dF)
+    def s(x, t=0.0):
+        dF = jax.jacfwd(flux_point, argnums=0)(x, t)
+        out = jnp.einsum("edd->e", dF)
+        if transient:
+            tt = jnp.asarray(t, dtype=x.dtype)
+            out = out + jax.jacfwd(u_point, argnums=1)(x, tt)
+        return out
 
     return s
 
@@ -177,8 +269,11 @@ class MasaHandler:
                                   bulk_visc=bulk_visc, overrides=overrides)
         self.mix = mix
         self.fluxes = fluxes
+        self.transient = name in (
+            "euler_transient_3d", "navierstokes_3d_transient_sutherland")
         self.up_fn = exact_primitives(name, self.params, mix)
-        self._s_fn = pointwise_source(self.up_fn, fluxes)
+        self._s_fn = pointwise_source(self.up_fn, fluxes,
+                                      transient=self.transient)
         self._s_dof = None
 
     def exact_U(self, xyz, t=0.0):
@@ -186,26 +281,33 @@ class MasaHandler:
         ProjectCoefficient on a nodal L2 space = nodal interpolation)."""
         return self.mix.conservatives(self.up_fn(xyz, t))
 
-    def source_at(self, xyz):
-        """S = div F(U*) at nodes; cached (the fields are steady)."""
-        if self._s_dof is None or self._s_dof.shape[:-1] != xyz.shape[:-1]:
-            pts = xyz.reshape(-1, xyz.shape[-1])
-            s = jax.vmap(self._s_fn)(pts)
-            self._s_dof = s.reshape(xyz.shape[:-1] + (s.shape[-1],))
-        return self._s_dof
+    def source_at(self, xyz, t=0.0):
+        """S at nodes; cached for the steady (2-D) solutions."""
+        if not self.transient:
+            if (self._s_dof is None
+                    or self._s_dof.shape[:-1] != xyz.shape[:-1]):
+                pts = xyz.reshape(-1, xyz.shape[-1])
+                s = jax.vmap(self._s_fn)(pts)
+                self._s_dof = s.reshape(xyz.shape[:-1] + (s.shape[-1],))
+            return self._s_dof
+        pts = xyz.reshape(-1, xyz.shape[-1])
+        s = jax.vmap(self._s_fn, in_axes=(0, None))(pts, t)
+        return s.reshape(xyz.shape[:-1] + (s.shape[-1],))
 
     def make_forcing(self):
-        """RHS forcing closure: adds +S(x_dof) pointwise to dU/dt
+        """RHS forcing closure: adds +S(x_dof, t) pointwise to dU/dt
         (matching the reference's post-M^{-1} nodal addition,
-        src/forcing_terms.cpp:979-1012 + rhs_operator.cpp:452-461).
-        The source is evaluated from the runtime table's node coordinates
-        so the same closure works inside sharded (shard_map) programs."""
+        src/forcing_terms.cpp:979-1012 + rhs_operator.cpp:452-461; the
+        transient 3-D sources carry the dU*/dt term and are evaluated
+        at the traced time).  The source is evaluated from the runtime
+        table's node coordinates so the same closure works inside
+        sharded (shard_map) programs."""
         s_fn = self._s_fn
 
         def forcing(t, tab_in, U, Up, grad_up, fields=None):
             xyz = tab_in.xyz_dof
             pts = xyz.reshape(-1, xyz.shape[-1])
-            s = jax.vmap(s_fn)(pts)
+            s = jax.vmap(s_fn, in_axes=(0, None))(pts, t)
             return s.reshape(xyz.shape[:-1] + (s.shape[-1],))
 
         return forcing
