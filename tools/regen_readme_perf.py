@@ -7,12 +7,20 @@ line `python bench.py` prints, or a driver-recorded `BENCH_r{N}.json`
 (whose payload sits under "parsed") — and rewrites the block between
 `<!-- perf-table:begin -->` / `<!-- perf-table:end -->` in README.md.
 
+Contended-run guard (round-4 verdict, Weak #5: a README regenerated from
+a run sharing the host with a test suite disagreed 2x with the driver's
+gate): unless --force is given, every metric shared with the newest
+committed BENCH_r{N}.json must agree within 1.6x, else the regen is
+rejected with the offending rows listed.
+
 Usage:
     python bench.py | tail -1 > /tmp/bench.json
     python tools/regen_readme_perf.py /tmp/bench.json [--round N]
+        [--readme PATH] [--compare BENCH.json | --force]
 """
 
 import argparse
+import glob
 import json
 import os
 import re
@@ -22,7 +30,9 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # metric-name prefix -> README row label.  Ordered as the table prints.
 ROWS = [
-    ("general-path ms/RHS", "general BC'd 16^3 NS box, ms/RHS"),
+    ("general-path ms/RHS (BC'd", "general BC'd 16^3 NS box, ms/RHS"),
+    ("general-path ms/RHS at reference-default GLL",
+     "general box at reference-default GLL, ms/RHS"),
     ("argon plasma CLI ms/step", "argon 2-T plasma CLI, ms/step (36 elem)"),
     ("cyl O-grid ms/RHS", "cyl O-grid (curved, 2304 elem p=2), ms/RHS"),
     ("argon plasma ms/step (1024", "argon 2-T at 1024 elem p=2, ms/step"),
@@ -34,6 +44,7 @@ ROWS = [
 # fine here: these are *old* rounds' published numbers, frozen)
 PREV = {
     "general BC'd 16^3 NS box, ms/RHS": "1.08",
+    "general box at reference-default GLL, ms/RHS": "— (new in r5)",
     "argon 2-T plasma CLI, ms/step (36 elem)": "1.03",
     "cyl O-grid (curved, 2304 elem p=2), ms/RHS": "0.34",
     "argon 2-T at 1024 elem p=2, ms/step": "1.25",
@@ -46,12 +57,52 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:  # driver-recorded BENCH_r{N}.json
+        if d["parsed"] is None:
+            sys.exit(
+                f"{path}: driver JSON has 'parsed': null (no parsed "
+                "payload); pass the raw bench.py output line instead")
         d = d["parsed"]
     return d
 
 
 def fmt(v):
     return f"{v:.2f}" if v >= 0.1 else f"{v:.3f}"
+
+
+def _metric_values(bench):
+    out = {bench["metric"]: bench["value"]}
+    for e in bench.get("extra_metrics", []):
+        if "value" in e:
+            out[e["metric"]] = e["value"]
+    return out
+
+
+def check_contention(bench, compare_path, max_ratio=1.6):
+    """Reject a regen whose numbers disagree >max_ratio with the newest
+    committed gate run — the signature of a host-contended measurement."""
+    if compare_path is None:
+        cands = sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json")))
+        if not cands:
+            return
+        compare_path = cands[-1]
+    try:
+        ref = _metric_values(load(compare_path))
+    except SystemExit:
+        print(f"warning: {compare_path} has no parsed payload; "
+              "contention check skipped", file=sys.stderr)
+        return
+    new = _metric_values(bench)
+    bad = []
+    for k, v in new.items():
+        r = ref.get(k)
+        if r and v and (v / r > max_ratio or r / v > max_ratio):
+            bad.append(f"  {k}: new {v:.3g} vs {compare_path} {r:.3g}")
+    if bad:
+        sys.exit(
+            "regen rejected: metrics disagree >"
+            f"{max_ratio}x with the committed gate run (host-contended "
+            "measurement?).  Re-run bench.py on an idle host or pass "
+            "--force:\n" + "\n".join(bad))
 
 
 def build_table(bench, round_no):
@@ -62,7 +113,10 @@ def build_table(bench, round_no):
     ]
     for prefix, label in ROWS:
         m = next((e for e in extras if e["metric"].startswith(prefix)), None)
-        if m is None:
+        if m is None or "value" not in m:
+            print(f"warning: no bench metric matches ROWS prefix "
+                  f"'{prefix}' — README row '{label}' omitted",
+                  file=sys.stderr)
             continue
         vsb = m.get("vs_baseline", 0.0)
         vs = f"{vsb:.2f}x" if vsb else "—"
@@ -82,27 +136,38 @@ def build_table(bench, round_no):
     return "\n".join(lines)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json")
-    ap.add_argument("--round", type=int, default=4)
-    args = ap.parse_args()
+    ap.add_argument("--round", type=int, default=5)
+    ap.add_argument("--readme",
+                    default=os.path.join(HERE, "README.md"),
+                    help="README file to rewrite (tests point this at a "
+                         "copy so the tracked file is never raced)")
+    ap.add_argument("--compare", default=None,
+                    help="gate JSON for the contention check (default: "
+                         "newest committed BENCH_r*.json)")
+    ap.add_argument("--force", action="store_true",
+                    help="skip the contended-run consistency check")
+    args = ap.parse_args(argv)
 
     bench = load(args.bench_json)
+    if not args.force:
+        check_contention(bench, args.compare)
     table = build_table(bench, args.round)
 
-    readme = os.path.join(HERE, "README.md")
+    readme = args.readme
     with open(readme) as f:
         text = f.read()
     pat = re.compile(
         r"<!-- perf-table:begin -->.*?<!-- perf-table:end -->", re.S)
     if not pat.search(text):
-        sys.exit("README.md lacks perf-table markers")
+        sys.exit(f"{readme} lacks perf-table markers")
     text = pat.sub(
         f"<!-- perf-table:begin -->\n{table}\n<!-- perf-table:end -->", text)
     with open(readme, "w") as f:
         f.write(text)
-    print("README.md perf table regenerated")
+    print(f"{readme} perf table regenerated")
 
 
 if __name__ == "__main__":

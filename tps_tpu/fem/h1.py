@@ -431,14 +431,17 @@ def mass_diag(tab, coef=None):
     return scatter_add(tab, re)
 
 
-def l2_project(tab, rhs_weak, coef=None, tol=1e-12, maxiter=60):
+def l2_project(tab, rhs_weak, coef=None, tol=1e-12, maxiter=60, M=None):
     """Solve the consistent mass system M x = rhs_weak by Jacobi-CG
     (the reference's MqInv solve for the thermal-divergence projection,
     src/calorically_perfect.cpp:619-627). Row-sum lumping is NOT a valid
-    substitute under the axisymmetric radius weight (see mass_diag)."""
+    substitute under the axisymmetric radius weight (see mass_diag).
+    `M` takes a dense-direct mass factor preconditioner (direct_precond)
+    when the caller has one — cuts the f32 Jacobi-CG's ~11 iterations
+    to 1-2 on the radius-weighted mass (coupled-torch profile, round 5)."""
     return cg_solve(
         lambda v: mass_apply(tab, v, coef=coef), rhs_weak,
-        diag=mass_diag(tab, coef), tol=tol, maxiter=maxiter,
+        diag=mass_diag(tab, coef), tol=tol, maxiter=maxiter, M=M,
     )
 
 

@@ -355,47 +355,71 @@ class QuasiMagnetostaticSolverAxiSym(Solver):
         omega = 2.0 * PI * self.current_frequency
         return -omega * self.A_im, omega * self.A_re
 
-    def total_joule_heating(self):
-        """int q_J r dr dz (reference totalJouleHeating, elementJouleHeating
-        integrates jh * radius)."""
+    def _diag_core(self, A_re, A_im, joule):
+        """One jitted pass for the per-solve diagnostics (total Joule
+        heating + magnetic energy): the eager per-op chains cost
+        ~35-430 ms per call through the hosted-TPU relay (round-5
+        profile of the coupled-torch EM boundary); jitted + fetched as
+        one [2]-vector they cost one round trip."""
         import jax.numpy as jnp
 
         tab = self.tab
-        jq = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, self.joule_heating))
-        return float(jnp.sum(tab.wq[None, :] * tab.detJ * jq * self.r_q))
-
-    def coil_current(self):
-        """Area integral of I/2 over one ring (reference coilCurrent)."""
-        import jax.numpy as jnp
-
-        tab = self.tab
-        attrs = np.asarray(self.mesh.attributes())
-        sel = jnp.asarray((attrs == self._ring_attr).astype(np.float64))
-        val = 0.5 * self.current_amplitude
-        return float(
-            jnp.sum(tab.wq[None, :] * tab.detJ * sel[:, None]) * val
-        )
-
-    def magnetic_energy(self):
-        """(pi/mu0) int [ (dA/dz)^2 + (1/r d(rA)/dr)^2 ] r dr dz over both
-        phase components (time-averaged magnetic energy)."""
-        import jax.numpy as jnp
-
-        tab = self.tab
-        total = 0.0
-        for A in (self.A_re, self.A_im):
+        w = tab.wq[None, :] * tab.detJ
+        jq = jnp.einsum("qd,nd->nq", tab.Bvol,
+                        h1.gather(tab, joule))
+        tot_jh = jnp.sum(w * jq * self.r_q)
+        emag = 0.0
+        for A in (A_re, A_im):
             g = h1.grad_at_dofs(tab, A)  # [nd, (r,z)]
             gq = jnp.einsum("qd,ndi->nqi", tab.Bvol, h1.gather(tab, g))
             Aq = jnp.einsum("qd,nd->nq", tab.Bvol, h1.gather(tab, A))
             Br = -gq[..., 1]
             Bz = gq[..., 0] + Aq * self.inv_r_q
-            total += float(
-                jnp.sum(tab.wq[None, :] * tab.detJ * (Br**2 + Bz**2) * self.r_q)
+            emag = emag + jnp.sum(w * (Br**2 + Bz**2) * self.r_q)
+        return jnp.stack([tot_jh, PI / self.mu0 * 0.5 * emag])
+
+    def _diag_vals(self):
+        """(total_joule, magnetic_energy) computed once per EM solve and
+        per joule scaling; one host materialization for both."""
+        import jax
+
+        key = (self.iter, getattr(self, "_joule_version", 0))
+        if getattr(self, "_diag_key", None) != key:
+            if getattr(self, "_diag_jit", None) is None:
+                self._diag_jit = jax.jit(self._diag_core)
+            self._diag_cache = np.asarray(self._diag_jit(
+                self.A_re, self.A_im, self.joule_heating))
+            self._diag_key = key
+        return self._diag_cache
+
+    def total_joule_heating(self):
+        """int q_J r dr dz (reference totalJouleHeating, elementJouleHeating
+        integrates jh * radius)."""
+        return float(self._diag_vals()[0])
+
+    def coil_current(self):
+        """Area integral of I/2 over one ring (reference coilCurrent).
+        Geometry-constant: computed once and cached."""
+        import jax.numpy as jnp
+
+        if getattr(self, "_coil_current", None) is None:
+            tab = self.tab
+            attrs = np.asarray(self.mesh.attributes())
+            sel = jnp.asarray((attrs == self._ring_attr).astype(np.float64))
+            val = 0.5 * self.current_amplitude
+            self._coil_current = float(
+                jnp.sum(tab.wq[None, :] * tab.detJ * sel[:, None]) * val
             )
-        return PI / self.mu0 * 0.5 * total
+        return self._coil_current
+
+    def magnetic_energy(self):
+        """(pi/mu0) int [ (dA/dz)^2 + (1/r d(rA)/dr)^2 ] r dr dz over both
+        phase components (time-averaged magnetic energy)."""
+        return float(self._diag_vals()[1])
 
     def scale_joule_heating(self, factor):
         self.joule_heating = self.joule_heating * factor
+        self._joule_version = getattr(self, "_joule_version", 0) + 1
 
 
 @register_solver("em-axi")

@@ -187,7 +187,13 @@ class TomboulidesAxisym(Tomboulides):
         ab = (coeff.ab1, coeff.ab2, coeff.ab3)
         rq = self.rad_q
         rq_c = self._rq_c  # pre-wrapped radius coefficient (sharded-ready)
-        r_nodal = jnp.maximum(tab.xyz[:, 0], 1e-300)
+        # axis-safe radius: a where-guard on BOTH the divisor and the
+        # quotient — the old jnp.maximum(r, 1e-300) underflows to 0 in
+        # f32 and a fused 0/0*0 can surface as NaN depending on XLA's
+        # reassociation (observed: finite eager, NaN jitted on the
+        # sharded f32 dryrun config, round 5)
+        r_pos = tab.xyz[:, 0] > 0.0
+        r_safe = jnp.where(r_pos, tab.xyz[:, 0], 1.0)
 
         Ml = h1.mass_lumped_diag(tab)
         # r-weighted consistent-mass diagonal (int phi_i^2 r > 0 strictly;
@@ -209,13 +215,12 @@ class TomboulidesAxisym(Tomboulides):
             def Mr(v):
                 return h1.mass_apply(tab, v, coef=rq_c)
 
-            return jnp.stack(
-                [
-                    h1.cg_solve(Mr, num[:, d], x0=num[:, d] / Dr, diag=Dr,
-                                M=M_mass, tol=1e-12, maxiter=200)
-                    for d in range(2)
-                ],
-                axis=-1,
+            # both components in ONE multi-RHS CG (same operator): one
+            # gather/scatter per iteration instead of two sequential
+            # solves (latency-floor dodging, PERF.md round 5)
+            return h1.cg_solve_multi(
+                Mr, num, x0=num / Dr[:, None], diag=Dr,
+                M=M_mass, tol=1e-12, maxiter=200,
             )
 
         # quad-point coefficient fields (global; wrapped per use)
@@ -235,8 +240,8 @@ class TomboulidesAxisym(Tomboulides):
         N_now = -conv_nodal(u)
         if self.swirl:
             # centrifugal rho u_t^2 / r -> r-momentum (as acceleration)
-            N_now = N_now.at[:, 0].add(ut * ut / r_nodal
-                                       * (tab.xyz[:, 0] > 0.0))
+            N_now = N_now.at[:, 0].add(
+                jnp.where(r_pos, ut * ut / r_safe, 0.0))
         if self.body_force is not None:
             N_now = N_now + self.body_force(tab.xyz) / rho[:, None]
         N_ext = ab[0] * N_now + ab[1] * N_hist[0] + ab[2] * N_hist[1]
@@ -255,37 +260,93 @@ class TomboulidesAxisym(Tomboulides):
         murq_c = h1.as_coef(tab, mu_q * rq)
         rhorq_c = h1.as_coef(tab, rho_q * rq)
 
-        def helm(v, extra):
-            out = ((bd[0] / dt) * h1.mass_apply(tab, rho[:, None] * v,
-                                                coef=rq_c)
-                   + h1.diffusion_apply(tab, v, murq_c))
-            if extra:
-                out = out + h1.mass_apply(tab, v, coef=mu_over_r_c)
-            return out
-
         diag_base = ((bd[0] / dt) * h1.mass_lumped_diag(tab, rhorq_c)
                      + h1.stiffness_diag(tab, murq_c))
         diag_extra = h1.mass_lumped_diag(tab, mu_over_r_c)
 
         ubc = ubc_vals
         masks = self.vel_mask_c
-        u_star_cols = []
-        for d in range(2):
-            extra = d == 0
-            mask = masks[:, d]
-            lift = helm((ubc[:, d] * (1.0 - mask))[:, None], extra)[:, 0]
-            rhs_d = (rhs[:, d] - lift) * mask
-            diag = (diag_base + (diag_extra if extra else 0.0))
-            diag = diag * mask + (1.0 - mask)
-            M_v = (h1.direct_precond(precond[2] if extra else precond[1])
-                   if precond is not None else None)
-            sol = h1.cg_solve(
-                lambda v, e=extra: helm(v[:, None], e)[:, 0],
-                rhs_d, x0=u[:, d] * mask, diag=diag, dirichlet_mask=mask,
-                M=M_v, tol=self.cg_tol, maxiter=self.cg_maxiter,
-            )
-            u_star_cols.append(sol * mask + ubc[:, d] * (1.0 - mask))
-        u_star = jnp.stack(u_star_cols, axis=-1)
+
+        # ---- swirl transport rhs (batched into the velocity solve:
+        # the three Helmholtz columns share one gather/scatter per CG
+        # iteration — the per-apply latency floor dominates this
+        # 288-elem flagship config, PERF.md round 5) ----
+        if self.swirl:
+            Nt_now = (-conv_nodal(ut)
+                      - jnp.where(r_pos, u[:, 0] * ut / r_safe, 0.0))
+            Nt_ext = (ab[0] * Nt_now + ab[1] * Nt_hist[0]
+                      + ab[2] * Nt_hist[1])
+            hist_t = -(bd[1] * ut + bd[2] * ut_hist[0]
+                       + bd[3] * ut_hist[1]) / dt
+            rhs_t = h1.mass_apply(tab, rho * (hist_t + Nt_ext), coef=rq_c)
+            smask = self.swirl_mask
+            # sbc comes in as an ARGUMENT: a closed-over device array is
+            # baked at first trace and external-data swirl ramping would
+            # silently never reach the jitted step
+            sbc = sbc_vals
+        else:
+            Nt_now = jnp.zeros_like(ut)
+
+        # column sets: [u_r, u_z] (+ [u_theta] with swirl); the extra
+        # (v, mu u / r) mass term applies to the r and theta columns
+        ncol = 3 if self.swirl else 2
+        extra_col = jnp.asarray([1.0, 0.0, 1.0][:ncol])
+        B_bc = jnp.stack(
+            [ubc[:, 0] * (1.0 - masks[:, 0]),
+             ubc[:, 1] * (1.0 - masks[:, 1])]
+            + ([sbc * (1.0 - smask)] if self.swirl else []), axis=-1)
+        mask_m = jnp.stack(
+            [masks[:, 0], masks[:, 1]]
+            + ([smask] if self.swirl else []), axis=-1)
+        rhs_m = jnp.stack(
+            [rhs[:, 0], rhs[:, 1]]
+            + ([rhs_t] if self.swirl else []), axis=-1)
+        x0_m = jnp.stack(
+            [u[:, 0], u[:, 1]] + ([ut] if self.swirl else []), axis=-1)
+
+        # Helmholtz operator with the density/viscosity as QUAD-POINT
+        # coefficients (the reference's GridFunctionCoefficient
+        # semantics, src/tomboulides.cpp Mv_rho_form) — identical
+        # discretization on sharded and unsharded paths
+        if not hasattr(tab, "run"):
+            # unsharded: single-gather batched coefficient apply
+            mass_cs = jnp.stack(
+                [(bd[0] / dt) * rho_q * rq + mu_q / rq,
+                 (bd[0] / dt) * rho_q * rq]
+                + ([(bd[0] / dt) * rho_q * rq + mu_q / rq]
+                   if self.swirl else []))
+            diff_cs = jnp.stack([mu_q * rq] * ncol)
+
+            def helm_m(V):
+                return h1.helmholtz_apply_multi(tab, V, 1.0, mass_cs,
+                                                diff_cs)
+        else:
+            def helm_m(V):
+                base = ((bd[0] / dt) * h1.mass_apply(tab, V, coef=rhorq_c)
+                        + h1.diffusion_apply(tab, V, murq_c))
+                ex = h1.mass_apply(tab, V, coef=mu_over_r_c)
+                return base + ex * extra_col[None, :]
+
+        lift = helm_m(B_bc)
+        rhs_cols = (rhs_m - lift) * mask_m
+        diag_m = (diag_base[:, None]
+                  + diag_extra[:, None] * extra_col[None, :])
+        diag_m = diag_m * mask_m + (1.0 - mask_m)
+        if precond is not None:
+            facs = [precond[2], precond[1]]
+            if self.swirl:
+                facs.append(precond[4] if len(precond) > 4 else precond[2])
+            M_m = h1.direct_precond_stack(jnp.stack(facs))
+        else:
+            M_m = None
+        sol = h1.cg_solve_multi(
+            helm_m, rhs_cols, x0=x0_m * mask_m, diag=diag_m,
+            dirichlet_mask=mask_m, M=M_m, tol=self.cg_tol,
+            maxiter=self.cg_maxiter,
+        )
+        sol = sol * mask_m + B_bc
+        u_star = sol[:, :2]
+        ut_new = sol[:, 2] if self.swirl else ut
 
         # pressure correction: (grad v, (1/rho) grad phi) r =
         #   (bd0/dt) [ (grad v, u*) r + (v, Qt) r ]
@@ -314,35 +375,8 @@ class TomboulidesAxisym(Tomboulides):
         u_new = u_new * masks + ubc * (1.0 - masks)
         p_new = p + phi
 
-        # ---- swirl transport ----
-        if self.swirl:
-            Nt_now = (-conv_nodal(ut)
-                      - u[:, 0] * ut / r_nodal * (tab.xyz[:, 0] > 0.0))
-            Nt_ext = ab[0] * Nt_now + ab[1] * Nt_hist[0] + ab[2] * Nt_hist[1]
-            hist_t = -(bd[1] * ut + bd[2] * ut_hist[0]
-                       + bd[3] * ut_hist[1]) / dt
-            rhs_t = h1.mass_apply(tab, rho * (hist_t + Nt_ext), coef=rq_c)
-            smask = self.swirl_mask
-            # sbc comes in as an ARGUMENT: a closed-over device array is
-            # baked at first trace and external-data swirl ramping would
-            # silently never reach the jitted step
-            sbc = sbc_vals
-            lift = helm((sbc * (1.0 - smask))[:, None], True)[:, 0]
-            rhs_t = (rhs_t - lift) * smask
-            diag_t = (diag_base + diag_extra) * smask + (1.0 - smask)
-            M_t = (h1.direct_precond(
-                precond[4] if len(precond) > 4 else precond[2])
-                if precond is not None else None)
-            ut_new = h1.cg_solve(
-                lambda v: helm(v[:, None], True)[:, 0],
-                rhs_t, x0=ut * smask, diag=diag_t, dirichlet_mask=smask,
-                M=M_t, tol=self.cg_tol, maxiter=self.cg_maxiter,
-            )
-            ut_new = ut_new * smask + sbc * (1.0 - smask)
-        else:
-            Nt_now = jnp.zeros_like(ut)
-            ut_new = ut
-
+        # (swirl transport was solved as the third column of the batched
+        # Helmholtz above; ut_new/Nt_now already set)
         return (u_new, p_new, ut_new,
                 (u, u_hist[0], u_hist[1]),
                 (N_now, N_hist[0], N_hist[1]),

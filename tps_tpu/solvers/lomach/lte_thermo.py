@@ -96,7 +96,16 @@ class LteThermoChem(ThermoChemBase):
             + h1.element_stiffness(tab, k_coef)
         He = h1.dense_constrain(h1.assemble_dense(tab, He_e),
                                 mask=self.T_mask)
-        return h1.dense_cholesky(He[None])[0]
+        # (weighted) consistent-mass factor for the Qt l2_project: the
+        # Jacobi-CG mass solve burns ~11 f32 iterations per step on the
+        # radius-weighted mass (coupled-torch profile, round 5); with
+        # the dense factor it converges in 1-2.  Time-constant, but
+        # refactoring with the batch keeps the plumbing uniform.
+        Mw_e = h1.element_mass(
+            tab, None if self.weight_q is None else self.weight_q)
+        Mw = h1.assemble_dense(tab, Mw_e)
+        L = h1.dense_cholesky(jnp.stack([He, Mw]))
+        return L[0], L[1]
 
     def precond_refresh(self, dt, order, force=False):
         if not h1.dense_capable(self.tab):
@@ -215,7 +224,8 @@ class LteThermoChem(ThermoChemBase):
         ) + h1.stiffness_diag(tab, kq)
         rhs = (rhs - helm(Tbc * (1.0 - mask))) * mask
         diag = diag * mask + (1.0 - mask)
-        M_T = h1.direct_precond(precond) if precond is not None else None
+        M_T = (h1.direct_precond(precond[0])
+               if precond is not None else None)
         T_new = h1.cg_solve(helm, rhs, x0=T * mask, diag=diag,
                             dirichlet_mask=mask, M=M_T, tol=self.cg_tol,
                             maxiter=self.cg_maxiter)
@@ -240,7 +250,9 @@ class LteThermoChem(ThermoChemBase):
             tab, h1.to_quad(tab, kq_new) * wq
         )
         lap = h1.l2_project(tab, -h1.diffusion_apply(tab, T_new, kq_new),
-                            coef=wq_c)
+                            coef=wq_c,
+                            M=(h1.direct_precond(precond[1])
+                               if precond is not None else None))
         src_new = qj
         if self.radiation is not None:
             src_new = src_new + self.radiation.energy_sink(T_new)
