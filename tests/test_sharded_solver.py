@@ -426,3 +426,94 @@ outdirBase = {outdir}
     U1, U3 = s1.state_global(), s3.state_global()
     assert np.isfinite(U1).all()
     np.testing.assert_allclose(U3, U1, rtol=1e-12, atol=1e-9)
+
+
+FUSED_BOX_INI = """
+[solver]
+type = flow
+[flow]
+order = 2
+basisType = 0
+integrationRule = 0
+maxIters = 4
+outputFreq = 100
+fluid = dry_air
+equation_system = navier-stokes
+[mesh]
+generator = box3d
+nx = 4
+ny = 4
+nz = 8
+x1 = 1.0
+y1 = 1.0
+z1 = 2.0
+periodic_x = 1
+periodic_y = 1
+periodic_z = 1
+{part}
+[time]
+cfl = 0.1
+integrator = rk4
+[initialConditions]
+rho = 1.2
+rhoU = 12.0
+rhoV = 3.0
+rhoW = 1.0
+pressure = 101300
+[boundaryConditions]
+numWalls = 0
+[io]
+outdirBase = {out}
+"""
+
+
+def _run_fused_box(tmp_path, tag, part_lines):
+    import os
+
+    from tps_tpu.harness import Tps
+
+    out = str(tmp_path / tag)
+    os.makedirs(out, exist_ok=True)
+    ini = os.path.join(out, "run.ini")
+    with open(ini, "w") as f:
+        f.write(FUSED_BOX_INI.format(part=part_lines, out=out))
+    tps = Tps()
+    tps.parse_command_line_args(["tps", "--runFile", ini, "--device", "cpu"])
+    tps.parse_input()
+    tps.choose_devices()
+    tps.choose_solver()
+    tps.initialize()
+    tps.solve()
+    return tps.solver
+
+
+def test_sharded_fused_roll_path_matches_single(tmp_path):
+    """VERDICT r4 item 3c: a periodic structured box under
+    [mesh]/partitions runs the FUSED roll path per shard (grid-slab
+    partition along roll axis 0, cross-shard neighbor rows via
+    ppermute) instead of falling back to the slot path — and matches
+    the single-device fused run to near machine precision."""
+    import numpy as np
+
+    s1 = _run_fused_box(tmp_path, "single", "")
+    assert s1._fused is not None  # single-device fused path engaged
+    s4 = _run_fused_box(tmp_path, "shard4",
+                        "partitions = 4\npartition_axis = 2")
+    assert s4.nparts == 4
+    # the sharded solver engaged the per-shard fused path (not slot)
+    assert s4._fused is not None
+    assert s4._fused.axis_name is not None and s4._fused.nparts == 4
+    U1 = np.asarray(s1.U)
+    U4 = np.asarray(s4.state_global()).reshape(U1.shape)
+    scale = np.abs(U1).max()
+    assert np.abs(U4 - U1).max() / scale < 1e-11, (
+        np.abs(U4 - U1).max() / scale)
+
+
+def test_sharded_fused_requires_slab_partition(tmp_path):
+    """A partition that is NOT contiguous grid slabs along roll axis 0
+    falls back to the slot path (correct, just slower)."""
+    s = _run_fused_box(tmp_path, "wrongaxis",
+                       "partitions = 4\npartition_axis = 0")
+    assert s.nparts == 4
+    assert s._fused is None  # x-slabs are not roll-axis-0 slabs

@@ -109,6 +109,13 @@ class FusedRHS:
     K_vol: object  # [ndof*neq*dim, ndof*neq]
     nor_lf: tuple  # per face: [nqf, dim] (shared across elements)
     delta: object  # scalar element size (uniform)
+    # element-sharded operation (grid axis 0 split into contiguous
+    # equal slabs over a shard_map axis): cross-shard neighbor rows
+    # ride a ppermute at the slab seams, everything else is local —
+    # the fused/megakernel analog of the reference's packed halo
+    # exchange (src/rhs_operator.cpp:775-830)
+    axis_name: object = None
+    nparts: int = 1
 
     def to_fused(self, U):
         return U.reshape(U.shape[0], -1)
@@ -118,18 +125,32 @@ class FusedRHS:
 
     def _rolls(self, A2):
         """Grid rolls of a fused per-element buffer [ne, K] -> list per lf."""
-        import jax.numpy as jnp
-
-        Ag = A2.reshape(tuple(self.grid) + (A2.shape[-1],))
         out = []
         for (axis, shift, _opp) in self.per_lf:
-            out.append(jnp.roll(Ag, shift, axis=axis).reshape(A2.shape))
+            out.append(self._roll(A2, axis, shift))
         return out
 
     def _roll(self, A2, axis, shift):
+        import jax
         import jax.numpy as jnp
 
         Ag = A2.reshape(tuple(self.grid) + (A2.shape[-1],))
+        if axis == 0 and self.axis_name is not None and self.nparts > 1:
+            # local roll + seam fix-up: the wrapped-in row comes from the
+            # neighboring shard's edge slab (periodic over shards)
+            P = self.nparts
+            rolled = jnp.roll(Ag, shift, axis=0)
+            if shift == 1:
+                edge = Ag[-1:]
+                perm = [(i, (i + 1) % P) for i in range(P)]
+                recv = jax.lax.ppermute(edge, self.axis_name, perm)
+                rolled = rolled.at[0:1].set(recv)
+            else:
+                edge = Ag[:1]
+                perm = [(i, (i - 1) % P) for i in range(P)]
+                recv = jax.lax.ppermute(edge, self.axis_name, perm)
+                rolled = rolled.at[-1:].set(recv)
+            return rolled.reshape(A2.shape)
         return jnp.roll(Ag, shift, axis=axis).reshape(A2.shape)
 
     def __call__(self, U2, t=0.0, fields=None):
@@ -192,6 +213,10 @@ class FusedRHS:
             y2 = yf.reshape(ne, ndof * neq)
 
         mcs = jnp.max(mix.max_char_speed(U))
+        if self.axis_name is not None and self.nparts > 1:
+            import jax
+
+            mcs = jax.lax.pmax(mcs, self.axis_name)
         return y2, {"max_char_speed": mcs}
 
 
@@ -279,3 +304,40 @@ def build_fused(tab_np, ctx, dtype=None) -> FusedRHS:
 def maybe_build_fused(tab_np, ctx, dtype=None):
     """FusedRHS when the preconditions hold, else None."""
     return build_fused(tab_np, ctx, dtype) if fusable(tab_np, ctx) else None
+
+
+def maybe_build_fused_sharded(global_tab_np, ctx, partition, nparts,
+                              axis_name="dd", dtype=None):
+    """Per-shard FusedRHS for an element-sharded solver, or None.
+
+    Requires the global tables fusable, the partition to be the
+    contiguous equal-block partition in element order (so each shard
+    owns a grid-ordered slab along roll axis 0), and the leading grid
+    extent divisible by the shard count.  The returned FusedRHS operates
+    on one shard's LOCAL state inside shard_map; cross-shard neighbor
+    rows ride ppermute (see FusedRHS._roll)."""
+    import dataclasses
+
+    # fusable() rejects sharded contexts because the PLAIN fused path has
+    # no halo exchange; this builder provides one (ppermute seams), so
+    # evaluate the remaining preconditions with axis_name cleared
+    if getattr(ctx, "axis_name", None) is not None:
+        ctx = dataclasses.replace(ctx, axis_name=None)
+    if not fusable(global_tab_np, ctx):
+        return None
+    ne_g = global_tab_np.ne
+    if ne_g % nparts != 0:
+        return None
+    part = np.asarray(partition)
+    blocks = np.repeat(np.arange(nparts), ne_g // nparts)
+    if not np.array_equal(part, blocks):
+        return None
+    grid, _per_lf = global_tab_np.roll_info
+    if grid[0] % nparts != 0 or (ne_g // nparts) % (grid[1] * grid[2]):
+        return None
+    f = build_fused(global_tab_np, ctx, dtype)
+    return dataclasses.replace(
+        f, ne=ne_g // nparts,
+        grid=(grid[0] // nparts,) + tuple(grid[1:]),
+        axis_name=axis_name, nparts=nparts,
+    )

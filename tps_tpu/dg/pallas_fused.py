@@ -64,6 +64,16 @@ def pallas_fusable(tab_np, ctx) -> bool:
         return False
     if grid[1] * grid[2] % 128 != 0:
         return False
+    # VMEM bound: each K2 program holds a full z-slice's state, gradient
+    # and per-face trace temporaries in VMEM; at ny*nx = 1024 lanes
+    # (32^3 box) the hosted Mosaic compile crashes (round-5 size sweep).
+    # 256 lanes (16^3) is measured-good; cap conservatively in between,
+    # overridable for experimentation.
+    import os as _os
+
+    if grid[1] * grid[2] > int(_os.environ.get("TPS_PALLAS_MAX_LANES",
+                                               "512")):
+        return False
     mix = ctx.mixture
     if type(mix).__name__ != "DryAir" or mix.nvel != 3:
         return False

@@ -118,7 +118,15 @@ def masa_params(name: str, visc_mult: float = 1.0,
         # quad errors (e2/e0 = 1.0260 vs the reference's 1.0267 with
         # these, vs 1.0013 with the euler_2d set); the remaining
         # amplitude defaults are unconfirmed (see tests/test_masa_parity)
-        p.update({"u_0": 70.0, "p_0": 1e5})
+        # u_0 = 70 and p_0 = 1e5 (the Roy et al. 2004 subsonic scales)
+        # are empirically confirmed; u_x/u_y are FITTED to the
+        # reference's three cns_2d quad RHS-error brackets (round 5:
+        # three constraints, two free parameters — the over-determined
+        # system is consistent, landing e0/e1/e2 at +0.23%/-0.007%/
+        # +0.09% of the reference's observed 2.300e-4/2.3259e-4/
+        # 2.3613e-4, test/mms.cns_2d.test:38-52)
+        p.update({"u_0": 70.0, "p_0": 1e5,
+                  "u_x": 1.5441, "u_y": 1.8948})
         p.update(_CNS2D_TPS_OVERRIDES)
         p["Amu"] = visc_mult * 1.458e-6
         p["bulkViscMult"] = bulk_visc
