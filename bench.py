@@ -486,6 +486,11 @@ def bench_argon_big():
         "detail": {"elements": int(s.tables.ne),
                    "dof_steps_per_sec": dofsteps,
                    "steps_timed": nsteps,
+                   # a non-DryAir gate config on the fused roll path
+                   # (periodic plasma configs leave the slot path;
+                   # VERDICT r4 item 3)
+                   "fused_path": s._fused is not None,
+                   "pallas": bool(s._fused_pallas),
                    "cpu_dof_steps_per_sec": cal,
                    "vs_cpu_10x": dofsteps / (10.0 * cal) if cal else None},
     }
