@@ -554,38 +554,30 @@ outdirBase = /tmp/tps_bench_lomach_react
 """)
     for _ in range(4):  # warmup/compile (BDF startup runs per-step)
         s.solve_step()
-    # chunked production path with the SAME compile-failure ladder the
-    # production solve() runs: scanned chunk -> fully unrolled chunk
-    # (the hosted-TPU XLA SIGILLs compiling the scanned/fori reacting
-    # step's fusion cost model; straight-line code compiles) -> per-step
+    # chunked production path.  The SCANNED chunk is known-broken on the
+    # hosted TPU compiler for the reacting step — nondeterministically
+    # either a SIGILL in the fusion cost model (rounds 3-5) or a
+    # miscompiled loop ~200x slower than straight-line code (round-5
+    # gate: 8398 ms/step vs 43) — so the gate deterministically uses the
+    # UNROLLED chunk (straight-line code compiles and runs correctly,
+    # ~23 ms/step warm), with per-step as the final fallback.
     chunked = True
-    chunk_fail = None  # VERDICT r4 item 4: record WHY chunking degraded
+    chunk_fail = ("scanned chunk skipped: hosted-compiler SIGILL or "
+                  "miscompiled loop (PERF.md rounds 3-5); unrolled "
+                  "chunk in use")
     try:
-        s.solve_chunk(8)  # compile the chunked production path
+        s._chunk_unroll = True
+        s._chunk_cache = {}
+        s.solve_chunk(8)  # compile the unrolled chunk
         jax.block_until_ready(s.thermo.T)
-    except Exception as e_scan:
-        try:
-            s._chunk_unroll = True
-            s._chunk_cache = {}
-            s.solve_chunk(8)
-            jax.block_until_ready(s.thermo.T)
-            chunk_fail = ("scanned chunk failed "
-                          f"({type(e_scan).__name__}: {str(e_scan)[:300]});"
-                          " unrolled chunk in use")
-        except Exception as e_unroll:
-            chunked = False
-            chunk_fail = (
-                f"scanned: {type(e_scan).__name__}: {str(e_scan)[:300]} | "
-                f"unrolled: {type(e_unroll).__name__}: "
-                f"{str(e_unroll)[:300]}")
-            s.solve_step()  # already compiled; per-step timing
-            jax.block_until_ready(s.thermo.T)
+    except Exception as e_unroll:
+        chunked = False
+        chunk_fail = (f"unrolled chunk failed: {type(e_unroll).__name__}: "
+                      f"{str(e_unroll)[:300]}")
+        s.solve_step()  # already compiled; per-step timing
+        jax.block_until_ready(s.thermo.T)
     if chunked:
-        # guard against the pathological case where the scanned chunk
-        # COMPILES but the hosted compiler's miscompiled loop runs ~20x
-        # slower than straight-line code (observed once: 982 ms/step
-        # chunked vs 30 per-step): probe one chunk vs the per-step path
-        # and keep the faster mode
+        # sanity probe: keep the faster of chunked vs per-step
         t0 = time.perf_counter()
         s.solve_chunk(8)
         jax.block_until_ready(s.thermo.T)
@@ -597,8 +589,8 @@ outdirBase = /tmp/tps_bench_lomach_react
         step_probe = (time.perf_counter() - t0) / 2
         if chunk_probe > step_probe:
             chunked = False
-            chunk_fail = (
-                "chunk compiled but probed slower than per-step "
+            chunk_fail += (
+                "; unrolled chunk probed slower than per-step "
                 f"({1e3 * chunk_probe:.1f} vs {1e3 * step_probe:.1f} "
                 "ms/step); per-step timing kept")
     nrep = _n(8, 24)  # multiple of the chunk size (8)

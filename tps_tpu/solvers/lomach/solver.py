@@ -854,7 +854,30 @@ class LoMachSolver(Solver):
             if n > 1:
                 it0 = self.iter
                 try:
+                    t0 = _time.perf_counter()
                     self.solve_chunk(n)
+                    # miscompiled-scan guard (round 5): the hosted-TPU
+                    # compiler sometimes compiles the scanned chunk into
+                    # a ~200x-slower loop (observed 8398 ms/step vs 43
+                    # per-step in the reacting gate).  The BDF startup
+                    # steps give a warm per-step wall reference; if the
+                    # first chunk runs far slower per step, switch to the
+                    # UNROLLED chunk (straight-line code is compiled
+                    # correctly) for the rest of the run.
+                    ref = getattr(self, "_last_step_wall", None)
+                    if (ref and not getattr(self, "_chunk_unroll", False)
+                            and not getattr(self, "_chunk_probed", False)):
+                        self._chunk_probed = True
+                        wall = (_time.perf_counter() - t0) / n
+                        if wall > 5.0 * ref:
+                            self._chunk_unroll = True
+                            self._chunk_cache = {}
+                            print(
+                                "loMach: scanned chunk runs "
+                                f"{wall / ref:.0f}x slower than per-step "
+                                "(miscompiled loop); switching to the "
+                                "unrolled chunk", flush=True,
+                            )
                 except FloatingPointError:
                     # divergence guard (chunk_check): a numerical failure of
                     # the run, not a compile problem — keep its diagnostic
@@ -893,6 +916,7 @@ class LoMachSolver(Solver):
 
     def solve_step(self):
         """extData -> thermo -> flow -> turb (reference: loMach.cpp:414-437)."""
+        _t0 = _time.perf_counter()
         coeff = TemporalCoefficients.bdf(min(self.iter + 1, self.max_bdf_order))
         if self.ext_data:
             import jax.numpy as jnp
@@ -927,6 +951,10 @@ class LoMachSolver(Solver):
         self._timers["thermoChem"] += t1 - t0
         self._timers["flow"] += t2 - t1
         self._timers["turb"] += t3 - t2
+        # warm per-step wall reference for the miscompiled-scan guard in
+        # solve() (the async pipeline makes this approximate; only the
+        # LAST startup step is kept, which is warm)
+        self._last_step_wall = _time.perf_counter() - _t0
         self.time += self.dt
         self.iter += 1
         if self.averaging.enabled:
