@@ -125,12 +125,16 @@ def test_euler3d_transient_reference_rates(tmp_path):
     rates = [np.log2(a / b) for a, b in zip(e1, e2)]
     # design order p+1 = 2 at p=1 (or better).  Measured here:
     # rho 2.60, vel 2.35, pre 2.171 — the PRESSURE rate lands inside the
-    # reference's own 2.17-2.18 bracket; rho/vel sit above their
-    # 2.16/2.04 brackets because MASA's sin-vs-cos assignment for the
-    # TIME terms is not recoverable without the MASA source (the t=0
-    # initial condition includes f(0) of each time term, which shapes
-    # the whole trajectory).  All parameters the reference sets are
-    # reproduced exactly (utils/masa.py MASA_EULER3D_TRANSIENT).
+    # reference's own 2.17-2.18 bracket; rho/vel superconverge above
+    # their 2.16/2.04 brackets.  Round-5 investigation: the rates are
+    # INVARIANT (to ~0.01) under every reconstruction unknown — flipping
+    # each field's time-term sin/cos assignment one at a time, and
+    # shifting the domain to the reference's [-1,1]^3 periodic cube —
+    # so the residual difference is not the MASA reconstruction; it
+    # lies in how the reference's log-parsed errors are computed or in
+    # its 2-rank run, neither observable here.  All parameters the
+    # reference sets are reproduced exactly (utils/masa.py
+    # MASA_EULER3D_TRANSIENT).
     assert 1.9 < rates[0] < 2.8, (e1, e2, rates)
     assert 1.9 < rates[1] < 2.8, (e1, e2, rates)
     assert 1.9 < rates[2] < 2.8, (e1, e2, rates)
