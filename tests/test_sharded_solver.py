@@ -517,3 +517,57 @@ def test_sharded_fused_requires_slab_partition(tmp_path):
                        "partitions = 4\npartition_axis = 0")
     assert s.nparts == 4
     assert s._fused is None  # x-slabs are not roll-axis-0 slabs
+
+
+def test_sharded_fused_plasma_with_forcings_matches_single(tmp_path):
+    """A sharded periodic PLASMA box (SourceTerm/JouleHeating pointwise
+    forcings + per-element field arrays) on the fused roll path: the
+    fields dict carries own+halo+padding rows while the fused state is
+    the owned slab — the solver slices fields to the owned rows (round-5
+    review finding).  Sharded must match single-device."""
+    import os
+
+    import numpy as np
+
+    HERE_ = os.path.dirname(__file__)
+    deck = open(os.path.join(HERE_, os.pardir, "examples", "cases",
+                             "argon_plasma_2d.ini")).read()
+    deck = deck.replace("outputFreq = 100",
+                        "outputFreq = 100000\ntimingFreq = 100000\n"
+                        "basisType = 0\nintegrationRule = 0")
+    deck = deck.replace("maxIters = 4", "maxIters = 4")
+
+    from tps_tpu.harness import Tps
+
+    def run(tag, part_lines):
+        out = str(tmp_path / tag)
+        os.makedirs(out, exist_ok=True)
+        txt = deck
+        import re
+
+        txt = re.sub(r"outdirBase = .*", f"outdirBase = {out}", txt)
+        if part_lines:
+            txt = txt.replace("[mesh]", f"[mesh]\n{part_lines}")
+        ini = os.path.join(out, "run.ini")
+        with open(ini, "w") as f:
+            f.write(txt)
+        tps = Tps()
+        tps.parse_command_line_args(
+            ["tps", "--runFile", ini, "--device", "cpu"])
+        tps.parse_input()
+        tps.choose_devices()
+        tps.choose_solver()
+        tps.initialize()
+        tps.solve()
+        return tps.solver
+
+    s1 = run("single", "")
+    s2 = run("shard2", "partitions = 2\npartition_axis = 1")
+    assert s1._fused is not None
+    assert s2._fused is not None and s2._fused.axis_name is not None
+    U1 = np.asarray(s1.U)
+    U2 = np.asarray(s2.state_global()).reshape(U1.shape)
+    assert np.isfinite(U2).all()
+    scale = np.abs(U1).max()
+    assert np.abs(U2 - U1).max() / scale < 1e-11, (
+        np.abs(U2 - U1).max() / scale)

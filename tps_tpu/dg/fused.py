@@ -333,7 +333,8 @@ def maybe_build_fused_sharded(global_tab_np, ctx, partition, nparts,
     if not np.array_equal(part, blocks):
         return None
     grid, _per_lf = global_tab_np.roll_info
-    if grid[0] % nparts != 0 or (ne_g // nparts) % (grid[1] * grid[2]):
+    rest = int(np.prod(grid[1:]))  # grid is 2-D (ny, nx) or 3-D (nz, ny, nx)
+    if grid[0] % nparts != 0 or (ne_g // nparts) % rest:
         return None
     f = build_fused(global_tab_np, ctx, dtype)
     return dataclasses.replace(

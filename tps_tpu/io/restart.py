@@ -377,6 +377,20 @@ class RestartIO:
                     "not match the current primitive set - accumulated "
                     "statistics NOT restored", flush=True)
             if stats_ok:
+                missing_opt = [
+                    n for n in avg_names["meanSolution"]
+                    if n in _MEAN_OPTIONAL and n not in f["meanSolution"]
+                    and not any(a in f["meanSolution"]
+                                for a in m_alias.get(n, ()))
+                ]
+                if missing_opt:
+                    print(
+                        "[restart] statistics restored from a "
+                        "reference-layout checkpoint; dataset(s) "
+                        f"{missing_opt} are not stored by the reference "
+                        "and were zero-backfilled — the running mean of "
+                        "those channels is biased low until fresh "
+                        "samples dominate", flush=True)
                 mean_g = np.stack(
                     [_read_field(f["meanSolution"], n, m_alias,
                                  _MEAN_OPTIONAL, (ne, ndof_stored))

@@ -638,8 +638,20 @@ class CompressibleSolver(PlasmaSolver):
                     # sharded fused roll path: advance the OWNED slab
                     # only (local rows are own-then-halo-then-padding;
                     # neighbors come from the other shards' owned rows
-                    # via ppermute, so local halo rows are never read)
+                    # via ppermute, so local halo rows are never read).
+                    # Per-element field arrays (joule_heating, efield,
+                    # extern rates) carry the full local row set — slice
+                    # them to the owned slab so pointwise forcings see
+                    # shapes matching the state
                     ne_own = fr.ne
+                    if fields:
+                        fo = {
+                            k: (v[:ne_own]
+                                if hasattr(v, "shape") and v.ndim >= 2
+                                and v.shape[0] == U2.shape[0] else v)
+                            for k, v in fields.items()
+                        }
+                        rhs_f = lambda u2, tt: fr(u2, tt, fields=fo)
                     U2o, aux = self._integrator(rhs_f, U2[:ne_own], t, dt)
                     U2b = U2.at[:ne_own].set(U2o)
                 else:

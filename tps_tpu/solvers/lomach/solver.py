@@ -865,7 +865,12 @@ class LoMachSolver(Solver):
                     # UNROLLED chunk (straight-line code is compiled
                     # correctly) for the rest of the run.
                     ref = getattr(self, "_last_step_wall", None)
-                    if (ref and not getattr(self, "_chunk_unroll", False)
+                    # probe the SECOND chunk call, not the first: the
+                    # first includes jit trace + XLA compile, which would
+                    # misclassify a healthy scan as miscompiled
+                    self._chunk_calls = getattr(self, "_chunk_calls", 0) + 1
+                    if (ref and self._chunk_calls == 2
+                            and not getattr(self, "_chunk_unroll", False)
                             and not getattr(self, "_chunk_probed", False)):
                         self._chunk_probed = True
                         wall = (_time.perf_counter() - t0) / n
